@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+import graft.model.Cdc
+
+/** D10 — changelog apply (replica materialization).
+  *
+  * The reference interprets the event stream to reconstruct table state
+  * (mysql_manager.rs:60-84): Add → insert rows; Update → match rows equal
+  * to the ENTIRE before-image (null-safe, mysql_manager.rs:253-256) and
+  * rewrite them; Delete → delete ALL rows equal to the entire image
+  * (mysql_manager.rs:270-292). There are no primary keys.
+  *
+  * Two physical strategies:
+  *
+  * 1. [[latestImage]] — the scale path. When each row has a stable identity
+  *    (cell at `keyIdx`, true for every generated demo table), apply is
+  *    "latest image per key, drop if last op is Delete":
+  *    one shuffle on key + `row_number` window. Fully distributed, AQE/skew
+  *    friendly, linear in events. This is what a 100 TB replay should run.
+  *
+  * 2. [[fullImageMultiset]] — the faithful path for keyless tables. MySQL
+  *    full-image UPDATE/DELETE hit ALL currently-matching duplicates, so
+  *    table state is a multiset keyed by row image and an update MOVES the
+  *    whole count from before-image to after-image — a cross-key dependency
+  *    that no per-key fold captures. We keep the reference's own execution
+  *    model (serial apply per table, mysql_manager.rs is single-connection):
+  *    repartition by (db, table) — the parallel unit is the table, exactly
+  *    like running one consumer per table — then an ordered in-partition
+  *    fold over a count map. State is O(distinct live images) per table.
+  */
+object ChangelogApply {
+
+  /** Scale path: latest image per key; key = cell `keyIdx` (0-based) of the
+    * row image. Update events contribute their after-image (`cols`);
+    * Add/Delete their `cols` image (row_ops.rs:20-29). */
+  def latestImage(events: DataFrame, keyIdx: Int = 0): DataFrame = {
+    val rowImages = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(col("sequence"), col("op"), explode(col("rows")).as("r"))
+      .select(col("sequence"), col("op"), col("r.cols").as("image"))
+      .withColumn("key", element_at(col("image"), keyIdx + 1))
+    val w = Window.partitionBy(col("key")).orderBy(col("sequence").desc)
+    rowImages
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("op") =!= Cdc.OpDelete)
+      .select(col("image"))
+  }
+
+  private case class ImageOp(
+      sequence: Long, op: String, before: Seq[String], after: Seq[String])
+
+  /** Faithful path: full-image multiset semantics, serial per (db, table).
+    * Returns one row per LIVE row instance: (image, copies kept exploded so
+    * downstream sees true multiset cardinality). */
+  def fullImageMultiset(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val perTable = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(col("uri"), col("sequence"), col("op"), explode(col("rows")).as("r"))
+      .select(col("uri"), col("sequence"), col("op"),
+        col("r.before_cols").as("before"), col("r.cols").as("after"))
+      .as[(String, Long, String, Seq[String], Seq[String])]
+
+    perTable
+      .groupByKey(_._1)
+      .flatMapGroups { (uri: String, it: Iterator[(String, Long, String, Seq[String], Seq[String])]) =>
+        // Events of one table fit the reference's own execution envelope
+        // (serial apply); sort by sequence then fold a count-multiset.
+        val ops = it.map(e => ImageOp(e._2, e._3, e._4, e._5)).toArray
+          .sortBy(_.sequence)
+        val state = mutable.LinkedHashMap.empty[Seq[String], Long]
+        ops.foreach { e =>
+          e.op match {
+            case Cdc.OpAdd =>
+              state.updateWith(e.after)(c => Some(c.getOrElse(0L) + 1L))
+            case Cdc.OpUpdate =>
+              // UPDATE ... WHERE <entire before-image, null-safe> rewrites
+              // every matching copy (mysql_manager.rs:232-267).
+              state.remove(e.before).foreach { n =>
+                state.updateWith(e.after)(c => Some(c.getOrElse(0L) + n))
+              }
+            case Cdc.OpDelete =>
+              // DELETE ... WHERE <entire image> removes all copies
+              // (mysql_manager.rs:270-292).
+              state.remove(e.after)
+            case _ => ()
+          }
+        }
+        state.iterator.flatMap { case (img, n) =>
+          Iterator.fill(n.toInt)((uri, img))
+        }
+      }
+      .toDF("uri", "image")
+  }
+
+  /** Batch "replica snapshot" for the generated customer log: scale path +
+    * typed decode. This is the engine's flagship query (SparkEntry.entry). */
+  def customerSnapshot(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = graft.sources.CdcGen.customerEvents(spark, sfDir)
+    graft.sources.CdcGen.decodeCustomer(latestImage(events, keyIdx = 0))
+  }
+}

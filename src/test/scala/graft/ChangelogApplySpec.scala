@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{Cdc, CdcEvent, CdcRowImages}
+import graft.operators.ChangelogApply
+import graft.sources.CdcGen
+
+object SparkTest {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val Sf = "/root/testdata/sf0.001"
+}
+
+class ChangelogApplySpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def ev(seq: Long, op: String, before: Seq[String], after: Seq[String]): CdcEvent =
+    CdcEvent(seq, "flv://m/graft/t", "binlog.000001", seq, op, null,
+      Seq("a", "b"), Seq(CdcRowImages(before, after)))
+
+  test("latest-image apply matches the arithmetic oracle on sf0.001") {
+    val snap = ChangelogApply.customerSnapshot(spark, Sf)
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val expect = cust
+      .where($"c_custkey" % 7 =!= 0)
+      .select(
+        $"c_custkey", $"c_name", $"c_nationkey",
+        ($"c_acctbal" + when($"c_custkey" % 5 === 0, 100.0).otherwise(0.0)).as("c_acctbal"),
+        when($"c_custkey" % 25 === 0, lit(null).cast("string"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"))
+    assert(snap.count() === expect.count())
+    assert(snap.except(expect).isEmpty && expect.except(snap).isEmpty)
+  }
+
+  test("full-image multiset: update moves ALL duplicate copies (mysql_manager.rs:232-267)") {
+    import spark.implicits._
+    // 3 identical inserts, then one Update whose before-image matches them
+    // all → all three copies become the after-image (MySQL UPDATE without
+    // LIMIT hits every matching row).
+    val events = Seq(
+      ev(1, Cdc.OpAdd, null, Seq("x", "1")),
+      ev(2, Cdc.OpAdd, null, Seq("x", "1")),
+      ev(3, Cdc.OpAdd, null, Seq("x", "1")),
+      ev(4, Cdc.OpUpdate, Seq("x", "1"), Seq("x", "2"))
+    ).toDS().toDF()
+    val out = ChangelogApply.fullImageMultiset(events)
+      .select($"image").as[Seq[String]].collect().toSeq
+    assert(out === Seq.fill(3)(Seq("x", "2")))
+  }
+
+  test("full-image multiset: delete removes all copies; null-safe matching") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, Cdc.OpAdd, null, Seq("x", null)),
+      ev(2, Cdc.OpAdd, null, Seq("x", null)),
+      ev(3, Cdc.OpAdd, null, Seq("y", "1")),
+      // before-image with NULL must match NULL cells (null-safe <=> WHERE,
+      // mysql_manager.rs:253-256)
+      ev(4, Cdc.OpUpdate, Seq("x", null), Seq("x", "9")),
+      ev(5, Cdc.OpDelete, null, Seq("y", "1"))
+    ).toDS().toDF()
+    val out = ChangelogApply.fullImageMultiset(events)
+      .select($"image").as[Seq[String]].collect().toSeq
+    assert(out === Seq.fill(2)(Seq("x", "9")))
+  }
+
+  test("full-image multiset: update of a non-existent image is a no-op") {
+    import spark.implicits._
+    val events = Seq(
+      ev(1, Cdc.OpAdd, null, Seq("a", "1")),
+      ev(2, Cdc.OpUpdate, Seq("zz", "9"), Seq("zz", "10"))
+    ).toDS().toDF()
+    val out = ChangelogApply.fullImageMultiset(events)
+      .select($"image").as[Seq[String]].collect().toSeq
+    assert(out === Seq(Seq("a", "1")))
+  }
+
+  test("apply order: insert-then-update-then-delete chain (e2e script shape)") {
+    import spark.implicits._
+    // Mirrors the reference e2e: INSERT Puffball; UPDATE; DELETE Puffball
+    // (mysql-send-cmds.sh:12-20).
+    val events = Seq(
+      ev(1, Cdc.OpAdd, null, Seq("Puffball", "Diane")),
+      ev(2, Cdc.OpAdd, null, Seq("Jack", "Peter")),
+      ev(3, Cdc.OpUpdate, Seq("Puffball", "Diane"), Seq("Puffball", "Sam")),
+      ev(4, Cdc.OpDelete, null, Seq("Puffball", "Sam"))
+    ).toDS().toDF()
+    val out = ChangelogApply.fullImageMultiset(events)
+      .select($"image").as[Seq[String]].collect().toSeq
+    assert(out === Seq(Seq("Jack", "Peter")))
+  }
+
+  test("generated changelog has the expected op mix") {
+    import spark.implicits._
+    val events = CdcGen.customerEvents(spark, Sf)
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+    val n = cust.count()
+    val byOp = events.groupBy("op").count().as[(String, Long)].collect().toMap
+    assert(byOp(Cdc.OpQuery) === 1)
+    assert(byOp(Cdc.OpAdd) === n)
+    assert(byOp(Cdc.OpUpdate) ===
+      cust.where("c_custkey % 5 = 0").count())
+    assert(byOp(Cdc.OpDelete) ===
+      cust.where("c_custkey % 7 = 0").count())
+    // sequence is unique (total order key)
+    assert(events.select("sequence").distinct().count() === events.count())
+  }
+}
