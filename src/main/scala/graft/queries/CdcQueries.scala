@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Cdc
+import graft.operators._
+import graft.sources.CdcGen
+
+/** SURVEY.md §2 reference-surface queries (T1-T9, S5, D6/D7, D10) with
+  * DuckDB oracles. Inputs are the deterministic generated changelogs
+  * (CdcGen) whose derivation rules are pure key arithmetic — so each
+  * oracle states the expected output directly over the base tables. */
+object CdcQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** DuckDB-side reconstruction of CdcGen.multiDbEvents, shared by the
+    * oracles below (kept in one place so Spark and SQL can't drift). */
+  private val MdeCte =
+    """WITH mde AS (
+       SELECT event_id AS sequence,
+         CASE WHEN event_type='error' THEN NULL
+              ELSE 'app_' || (user_id % 4) END AS db,
+         CASE WHEN event_type='error' THEN NULL ELSE event_type END AS tbl,
+         'binlog.00000' || (1 + event_id % 3) AS file,
+         event_id AS "offset",
+         CASE WHEN event_type='error' THEN 'Query' ELSE 'Add' END AS op,
+         CASE WHEN event_type<>'error' THEN NULL
+              WHEN event_id % 10 = 0 THEN 'BEGIN'
+              WHEN event_id % 10 = 5 THEN 'CREATE DATABASE app_x'
+              ELSE 'UPDATE noop SET v = ' || event_id END AS query
+       FROM events)"""
+
+  val queries: Map[String, Q] = Map(
+    // D10 — changelog apply, scale path (latest-image per key).
+    "cdc_apply_snapshot" -> ((s, dir) =>
+      ChangelogApply.customerSnapshot(s, dir).orderBy("c_custkey")),
+
+    // D10 — changelog apply, faithful full-image multiset path.
+    "cdc_apply_full_image" -> ((s, dir) => {
+      val events = CdcGen.customerEvents(s, dir)
+      CdcGen.decodeCustomer(ChangelogApply.fullImageMultiset(events))
+        .orderBy("c_custkey")
+    }),
+
+    // T1 — producer include-list filter; null-db events pass.
+    "cdc_filter_db_producer" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      mde.where(CdcFilters.producerDbFilter(col("db"), Seq("APP_1", "app_2"), Nil))
+        .select(col("sequence"), col("db"), col("op"))
+        .orderBy("sequence")
+    }),
+
+    // T2 — consumer exclude-list filter; null-db events DROPPED.
+    "cdc_filter_db_consumer" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      mde.where(CdcFilters.consumerDbFilter(col("db"), Nil, Seq("App_0")))
+        .select(col("sequence"), col("db"), col("op"))
+        .orderBy("sequence")
+    }),
+
+    // T3 — offset dedup after an at-least-once replay of offsets <= 100;
+    // the boundary event (resume offset 100 → file binlog.000002, since
+    // 1 + 100 % 3 = 2) is dropped too (binlog_parser.rs:57-59).
+    "cdc_offset_dedup" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      val replayed = mde.unionByName(mde.where(col("offset") <= 100))
+      CdcFilters.offsetDedup(replayed, "binlog.000002", 100L)
+        .select(col("sequence"), col("file"), col("offset"))
+        .orderBy("sequence")
+    }),
+
+    // T4 — BEGIN suppression.
+    "cdc_suppress_begin" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      mde.where(CdcFilters.suppressBegin(col("op"), col("query")))
+        .select(col("sequence"), col("op"), col("query"))
+        .orderBy("sequence")
+    }),
+
+    // T5 — DATABASE-DDL suppression on the registry path.
+    "cdc_registry_ddl_slice" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      mde.where(col("op") === Cdc.OpQuery && CdcFilters.isRegistryDdl(col("query")))
+        .select(col("sequence"), col("query"))
+        .orderBy("sequence")
+    }),
+
+    // T6 — event-type dispatch: synthetic binlog type codes routed to ops.
+    "cdc_route_ops" -> ((s, dir) => {
+      val ev = graft.sources.Tables.events(s, dir)
+      val code = when(col("event_type") === "error", 2)
+        .when(col("event_type") === "click", 30)
+        .when(col("event_type") === "purchase", 31)
+        .when(col("event_type") === "signup", 32)
+        .otherwise(99)
+      ev.withColumn("op", CdcProject.routeOp(code))
+        .groupBy("op").agg(count(lit(1)).as("n"))
+        .orderBy("op")
+    }),
+
+    // T7 — enrichment to the outgoing message shape.
+    "cdc_project_enrich" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      CdcProject.enrich(mde, "mysql-leader")
+        .select(
+          col("sequence"), col("uri"),
+          col("bn_file.fileName").as("file_name"),
+          col("bn_file.offset").as("file_offset"),
+          array_join(col("columns"), ",").as("cols_joined"))
+        .orderBy("sequence")
+    }),
+
+    // T8 — scalable global sequence stamp ordered by (file, offset).
+    "cdc_sequence_stamp" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      Sequencer.stampSequence(mde, "pub_seq", Seq(col("file"), col("offset")))
+        .select(col("sequence"), col("pub_seq"))
+        .orderBy("sequence")
+    }),
+
+    // T9 — URI parse back to (db, table).
+    "cdc_parse_uri" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      val enriched = CdcProject.enrich(mde, "mysql-leader")
+      val (db, table) = CdcProject.parseUri(col("uri"))
+      enriched.select(col("sequence"), db.as("parsed_db"), table.as("parsed_table"))
+        .orderBy("sequence")
+    }),
+
+    // S5 — last-record probe.
+    "cdc_last_record" -> ((s, dir) => {
+      val mde = CdcGen.multiDbEvents(s, dir)
+      Sequencer.lastRecord(mde)
+        .select(col("sequence"), col("file"), col("offset"))
+    }),
+
+    // D6 — DDL parse + registry fold.
+    "cdc_schema_registry" -> ((s, dir) => {
+      val reg = SchemaRegistry.fromEvents(CdcGen.ddlEvents(s, dir))
+      reg.select(col("db"), col("table").as("tbl"),
+          array_join(col("columns"), ",").as("cols"))
+        .orderBy("db", "tbl")
+    }),
+
+    // D7 — broadcast registry join resolving column lists for row events.
+    "cdc_registry_join" -> ((s, dir) => {
+      import s.implicits._
+      val reg = SchemaRegistry.fromEvents(CdcGen.ddlEvents(s, dir))
+      val rowEvents = s.read.parquet(s"$dir/nation.parquet").select(
+        concat(lit("app_"), $"n_regionkey".cast("string")).as("db"),
+        concat(lit("t_"), lower($"n_name")).as("table"),
+        $"n_nationkey".cast("long").as("sequence"))
+      SchemaRegistry.resolveColumns(rowEvents, reg)
+        .select(col("sequence"), col("db"), col("table").as("tbl"),
+          size(col("registry_columns")).as("ncols"))
+        .orderBy("sequence")
+    })
+  )
+
+  /** Post-apply replica state expressed directly over the base table via
+    * the CdcGen derivation rules (no replay needed — that's the point). */
+  private val ApplyOracle =
+    """SELECT c_custkey, c_name, c_nationkey,
+       c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
+       CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+       FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""
+
+  val oracles: Map[String, String] = Map(
+    "cdc_apply_snapshot" -> ApplyOracle,
+    "cdc_apply_full_image" -> ApplyOracle,
+    "cdc_filter_db_producer" -> s"""$MdeCte
+      SELECT sequence, db, op FROM mde
+      WHERE db IS NULL OR lower(db) IN ('app_1','app_2') ORDER BY sequence""",
+    "cdc_filter_db_consumer" -> s"""$MdeCte
+      SELECT sequence, db, op FROM mde
+      WHERE db IS NOT NULL AND lower(db) NOT IN ('app_0') ORDER BY sequence""",
+    "cdc_offset_dedup" -> s"""$MdeCte
+      SELECT sequence, file, "offset" FROM mde
+      WHERE NOT (file = 'binlog.000002' AND "offset" = 100) ORDER BY sequence""",
+    "cdc_suppress_begin" -> s"""$MdeCte
+      SELECT sequence, op, query FROM mde
+      WHERE NOT (op = 'Query' AND (query IS NULL OR lower(trim(query)) = 'begin'))
+      ORDER BY sequence""",
+    "cdc_registry_ddl_slice" -> s"""$MdeCte
+      SELECT sequence, query FROM mde
+      WHERE op = 'Query' AND query IS NOT NULL
+        AND NOT contains(lower(query), 'database')
+      ORDER BY sequence""",
+    "cdc_route_ops" ->
+      """SELECT CASE event_type WHEN 'error' THEN 'Query' WHEN 'click' THEN 'Add'
+           WHEN 'purchase' THEN 'Update' WHEN 'signup' THEN 'Delete'
+           ELSE 'Unsupported' END AS op, COUNT(*) AS n
+         FROM events GROUP BY 1 ORDER BY op""",
+    "cdc_project_enrich" -> s"""$MdeCte
+      SELECT sequence,
+        CASE WHEN db IS NULL THEN 'flv://mysql-leader'
+             ELSE 'flv://mysql-leader/' || db || '/' || tbl END AS uri,
+        file AS file_name, "offset" AS file_offset,
+        CASE WHEN op = 'Add' THEN 'id,user_id,value' END AS cols_joined
+      FROM mde ORDER BY sequence""",
+    "cdc_sequence_stamp" -> s"""$MdeCte
+      SELECT sequence,
+        ROW_NUMBER() OVER (ORDER BY file, "offset") AS pub_seq
+      FROM mde ORDER BY sequence""",
+    "cdc_parse_uri" -> s"""$MdeCte
+      SELECT sequence, db AS parsed_db, tbl AS parsed_table
+      FROM mde ORDER BY sequence""",
+    "cdc_last_record" -> s"""$MdeCte
+      SELECT sequence, file, "offset" FROM mde
+      ORDER BY sequence DESC LIMIT 1""",
+    "cdc_schema_registry" ->
+      """SELECT 'app_' || n_regionkey AS db, 't_' || lower(n_name) AS tbl,
+         concat_ws(',',
+           CASE WHEN n_nationkey % 5 = 0 THEN 'k0' ELSE 'c0' END,
+           CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE 'c1' END,
+           CASE WHEN n_nationkey % 3 >= 1 THEN 'c2' END,
+           CASE WHEN n_nationkey % 3 = 2 THEN 'c3' END,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'extra_col' END) AS cols
+         FROM nation WHERE n_nationkey % 11 <> 10
+         ORDER BY db, tbl""",
+    "cdc_registry_join" ->
+      """SELECT n_nationkey AS sequence, 'app_' || n_regionkey AS db,
+         't_' || lower(n_name) AS tbl,
+         CASE WHEN n_nationkey % 11 = 10 THEN NULL ELSE
+           (2 + n_nationkey % 3)
+           + (CASE WHEN n_nationkey % 4 = 0 THEN -1 ELSE 0 END)
+           + (CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END)
+         END AS ncols
+         FROM nation ORDER BY sequence"""
+  )
+}

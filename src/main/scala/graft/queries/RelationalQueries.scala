@@ -1,0 +1,331 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+
+/** General relational engine surface (SURVEY.md §2.6 absence-list
+  * categories, implemented Spark-first): joins (broadcast/semi/anti/as-of/
+  * interval), aggregation (hash, rollup, cube, distinct), window functions,
+  * sorts/top-k, set operations, scalar function families (string/date/
+  * JSON). Float aggregates go through DECIMAL so results are
+  * order-independent and engine-identical; every query orders by a unique
+  * key.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") graft.sources.Tables.events(s, dir)
+    else s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, Q] = Map(
+    // Hash aggregation with partial/map-side combine (TPC-H Q1 shape).
+    "q1_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .where($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,10)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    // 3-way join: broadcast dim (customer) → orders → lineitem, top-10
+    // revenue (TPC-H Q3 shape). At scale: customer-filter broadcasts,
+    // orders⋈lineitem shuffles on orderkey.
+    "q3_join_topk" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").where($"c_mktsegment" === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .where($"l_shipdate" > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)")).cast("double").as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    }),
+
+    // Left-semi join (EXISTS).
+    "q_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val bigLines = t(s, dir, "lineitem").where($"l_quantity" > 45)
+        .select($"l_orderkey".as("o_orderkey"))
+      t(s, dir, "orders").join(bigLines, Seq("o_orderkey"), "left_semi")
+        .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // Left-anti join (NOT EXISTS): customers with no urgent order.
+    "q_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = t(s, dir, "orders")
+        .where($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey".as("c_custkey"))
+      t(s, dir, "customer").join(urgent, Seq("c_custkey"), "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    }),
+
+    // Ranking window: top-3 orders per customer by price.
+    "q_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"rnk")
+        .orderBy($"o_custkey", $"rnk")
+    }),
+
+    // Analytic window: running revenue per customer (frame-exact DECIMAL
+    // so segment-tree vs streaming accumulation can't differ).
+    "q_window_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum($"o_totalprice".cast("decimal(18,2)")).over(w).cast("double"))
+        .select($"o_custkey", $"o_orderkey", $"running_spend")
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Lag/lead analytic: gap in days since the customer's previous order.
+    "q_window_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag($"o_orderdate", 1).over(w))
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", $"prev_date").as("gap_days"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // ROLLUP aggregation (grouping-set family).
+    "q_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("qty"))
+        .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+    }),
+
+    // CUBE aggregation.
+    "q_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
+    // Set operations: one query exercising UNION/INTERSECT/EXCEPT.
+    "q_setops" -> ((s, dir) => {
+      import s.implicits._
+      val buyers = t(s, dir, "orders").select($"o_custkey".as("k")).distinct()
+      val building = t(s, dir, "customer")
+        .where($"c_mktsegment" === "BUILDING").select($"c_custkey".as("k"))
+      val both = building.intersect(buyers).withColumn("tag", lit("building_buyer"))
+      val dormant = building.except(buyers).withColumn("tag", lit("building_dormant"))
+      both.unionByName(dormant).orderBy($"tag", $"k")
+    }),
+
+    // Global top-k (TakeOrderedAndProject — per-partition top-k + merge).
+    "q_topk" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .limit(15)
+    }),
+
+    // As-of join: latest order state per (user, event-time).
+    "q_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id".as("k"), $"ts")
+      // right side made unique per (key, time) by pre-aggregation
+      val ord = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("k"), $"o_orderdate")
+        .agg(count(lit(1)).as("n_orders"))
+      AsOfJoin.asOf(ev, ord, key = "k", leftTime = "ts",
+          rightTime = "o_orderdate", payload = Seq("n_orders"))
+        .select($"event_id", $"k".as("user_id"), $"asof_n_orders")
+        .orderBy($"event_id")
+    }),
+
+    // Interval/range join: follow-up events of the same user within 1 hour
+    // (equi-key keeps it a hash join; the range predicate filters post-probe).
+    "q_interval_join" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+      val b = t(s, dir, "events").select(
+        $"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
+      a.join(b, $"user_id" === $"b_user" &&
+          $"b_ts" > $"ts" && $"b_ts" <= $"ts" + expr("INTERVAL 1 HOUR"))
+        .groupBy($"event_id").agg(count(lit(1)).as("followups"))
+        .orderBy($"event_id")
+    }),
+
+    // Distinct aggregation.
+    "q_distinct_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("users"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // JSON extraction (reference Value::Json surface, values.rs:38).
+    "q_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(sum($"k").as("sum_k"), max($"k").as("max_k"))
+        .orderBy($"event_type")
+    }),
+
+    // Date bucketing + aggregation (reference Date/Time/Timestamp surface).
+    "q_date_trunc" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+        .agg(sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy($"month")
+    }),
+
+    // String function family (reference §2.5: lower/upper/trim/concat).
+    "q_string_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          concat_ws("-", upper(substring($"c_name", 1, 8)),
+            length($"c_name").cast("string")).as("tag"),
+          lower($"c_mktsegment").as("seg"))
+        .orderBy($"c_custkey")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+         COUNT(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q3_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+           AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+         GROUP BY l_orderkey, o_orderdate
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_join_semi" ->
+      """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+           WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+         ORDER BY c_custkey""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+           FROM orders) WHERE rnk <= 3
+         ORDER BY o_custkey, rnk""",
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           AS running_spend
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         DATEDIFF('day', LAG(o_orderdate, 1) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate) AS gap_days
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_setops" ->
+      """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
+         building AS (SELECT c_custkey AS k FROM customer
+           WHERE c_mktsegment = 'BUILDING')
+         SELECT k, 'building_buyer' AS tag FROM building
+           WHERE k IN (SELECT k FROM buyers)
+         UNION ALL
+         SELECT k, 'building_dormant' AS tag FROM building
+           WHERE k NOT IN (SELECT k FROM buyers)
+         ORDER BY tag, k""",
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""",
+    "q_asof_join" ->
+      """WITH ord AS (
+           SELECT o_custkey AS k, o_orderdate, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id,
+           (SELECT n_orders FROM ord
+             WHERE ord.k = e.user_id AND ord.o_orderdate <= e.ts
+             ORDER BY ord.o_orderdate DESC LIMIT 1) AS asof_n_orders
+         FROM events e ORDER BY e.event_id""",
+    "q_interval_join" ->
+      """SELECT a.event_id, COUNT(*) AS followups
+         FROM events a JOIN events b ON a.user_id = b.user_id
+           AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+         GROUP BY a.event_id ORDER BY a.event_id""",
+    "q_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_json_extract" ->
+      """SELECT event_type,
+         SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+         MAX(CAST(props->>'k' AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_date_trunc" ->
+      """SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n
+         FROM orders GROUP BY 1 ORDER BY month""",
+    "q_string_funcs" ->
+      """SELECT c_custkey,
+         concat_ws('-', upper(substring(c_name, 1, 8)), CAST(length(c_name) AS VARCHAR)) AS tag,
+         lower(c_mktsegment) AS seg
+         FROM customer ORDER BY c_custkey"""
+  )
+}

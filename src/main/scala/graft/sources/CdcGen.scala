@@ -103,6 +103,85 @@ object CdcGen {
     ddl.unionByName(inserts).unionByName(updates).unionByName(deletes)
   }
 
+  /** A multi-db changelog derived from the `events` table, exercising the
+    * filter/routing/projection surface (T1-T9):
+    *   - db = "app_" || (user_id % 4); NULL db for event_type='error'
+    *     (mirrors binlog Query events that carry no schema)
+    *   - table = event_type
+    *   - op: error rows become Query events — text "BEGIN" when
+    *     event_id % 10 == 0 (T4 fodder), "CREATE DATABASE x" when
+    *     event_id % 10 == 5 (T5 fodder), else a passthrough statement;
+    *     other rows are Add with a 3-cell image [event_id, user_id, value]
+    *   - file = "binlog.00000" || (1 + event_id % 3), offset = event_id
+    * All arithmetic-only, so every downstream query has a SQL oracle. */
+  def multiDbEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, sfDir)
+    val isErr = $"event_type" === "error"
+    val db = when(isErr, lit(null).cast("string"))
+      .otherwise(concat(lit("app_"), ($"user_id" % 4).cast("string")))
+    val table = when(isErr, lit(null).cast("string")).otherwise($"event_type")
+    val query = when(!isErr, lit(null).cast("string"))
+      .when($"event_id" % 10 === 0, lit("BEGIN"))
+      .when($"event_id" % 10 === 5, lit("CREATE DATABASE app_x"))
+      .otherwise(concat(lit("UPDATE noop SET v = "), $"event_id"))
+    val image = array(
+      $"event_id".cast("string"), $"user_id".cast("string"),
+      $"value".cast("string"))
+    ev.select(
+      $"event_id".cast("long").as("sequence"),
+      db.as("db"),
+      table.as("table"),
+      concat(lit("binlog.00000"), (lit(1) + $"event_id" % 3).cast("string")).as("file"),
+      $"event_id".cast("long").as("offset"),
+      when(isErr, Cdc.OpQuery).otherwise(Cdc.OpAdd).as("op"),
+      query.as("query"),
+      when(isErr, lit(null).cast("array<string>"))
+        .otherwise(array(lit("id"), lit("user_id"), lit("value"))).as("columns"),
+      when(isErr, lit(null).cast(Cdc.RowsType.catalogString))
+        .otherwise(array(struct(
+          lit(null).cast(Cdc.CellType).as("before_cols"),
+          image.as("cols")))).as("rows")
+    )
+  }
+
+  /** A DDL changelog derived from `nation` — drives the schema registry
+    * (D6/D7). Per nation row n (db = "app_" || n_regionkey):
+    *   seq n*10+0: CREATE TABLE t_<lower(n_name)> with 2+(n%3) columns c0..
+    *   seq n*10+1: ALTER ADD extra_col      when n % 2 == 0
+    *   seq n*10+2: ALTER RENAME c0 TO k0    when n % 5 == 0
+    *   seq n*10+3: ALTER DROP c1            when n % 4 == 0
+    *   seq n*10+4: DROP TABLE               when n % 11 == 10
+    * (n = n_nationkey.) */
+  def ddlEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(
+        $"n_nationkey".cast("long").as("n"),
+        concat(lit("app_"), $"n_regionkey".cast("string")).as("db"),
+        concat(lit("t_"), lower($"n_name")).as("t"))
+    val width = lit(2) + ($"n" % 3) // 2..4 columns
+    val colsBody = concat_ws(", ",
+      lit("c0 INT"), lit("c1 VARCHAR(10)"),
+      when(width >= 3, lit("c2 DOUBLE")),
+      when(width === 4, lit("c3 DATE")))
+    def stmt(offset: Int, cond: Column, text: Column): DataFrame =
+      nat.where(cond).select(
+        ($"n" * 10 + offset).as("sequence"), $"db", text.as("query"))
+    val create = stmt(0, lit(true),
+      concat(lit("CREATE TABLE "), $"t", lit(" ("), colsBody, lit(")")))
+    val add = stmt(1, $"n" % 2 === 0,
+      concat(lit("ALTER TABLE "), $"t", lit(" ADD COLUMN extra_col INT")))
+    val rename = stmt(2, $"n" % 5 === 0,
+      concat(lit("ALTER TABLE "), $"t", lit(" RENAME COLUMN c0 TO k0")))
+    val drop = stmt(3, $"n" % 4 === 0,
+      concat(lit("ALTER TABLE "), $"t", lit(" DROP COLUMN c1")))
+    val dropTable = stmt(4, $"n" % 11 === 10,
+      concat(lit("DROP TABLE "), $"t"))
+    create.unionByName(add).unionByName(rename).unionByName(drop)
+      .unionByName(dropTable)
+  }
+
   /** Decode a customer row image back to typed columns (registry-driven in
     * the general engine; static here because the demo table is typed). */
   def decodeCustomer(images: DataFrame, imageCol: String = "image"): DataFrame = {

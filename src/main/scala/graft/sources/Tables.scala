@@ -1,0 +1,21 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata table readers. */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
+    * rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long and truncate to
+    * micros — exactly what DuckDB does internally, so oracle comparisons on
+    * `ts` agree. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+}
