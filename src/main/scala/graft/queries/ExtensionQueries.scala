@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.{ExtCorpus, Tables}
+
+/** Charter extension queries (SURVEY.md §2.7): dedup, similarity search,
+  * text analysis, multimodal plumbing — each with a DuckDB oracle built
+  * from the same constants as the Spark operators.
+  *
+  * Oracle-parity ground rules (see also Similarity scaladoc):
+  * array folds are strict left folds on both engines (`aggregate` ↔
+  * `list_reduce`), hashing is integer arithmetic (never engine builtins),
+  * vocabularies are lexicographic ranks (deterministic in both), floats
+  * are rounded only for output/threshold after bit-identical computation.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------- shared DuckDB fragments ----------
+
+  /** shingle CTE over `corpus` (doc_id, text): distinct word 3-grams. */
+  private val ShingleCtes =
+    """words AS (
+       SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+              unnest(string_split(text, ' ')) AS w
+       FROM corpus),
+     sh3 AS (
+       SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+       FROM words),
+     shingles AS (SELECT DISTINCT doc_id, shingle FROM sh3 WHERE w3 IS NOT NULL),
+     sz AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+     vocab AS (
+       SELECT shingle, ROW_NUMBER() OVER (ORDER BY shingle) AS sid
+       FROM (SELECT DISTINCT shingle FROM shingles)),
+     jac AS (
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(CAST(COUNT(*) AS DOUBLE) /
+           (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6) AS jaccard
+       FROM shingles a JOIN shingles b USING (shingle)
+       JOIN sz sa ON sa.doc_id = a.doc_id
+       JOIN sz sb ON sb.doc_id = b.doc_id
+       WHERE a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id)"""
+
+  private def sigsCte: String = {
+    val cols = Dedup.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      s"MIN((sid * $a + $b) % ${Dedup.P}) AS mh_$i"
+    }.mkString(", ")
+    s"""sigs AS (
+        SELECT doc_id, $cols
+        FROM shingles JOIN vocab USING (shingle) GROUP BY doc_id)"""
+  }
+
+  /** Strict-left-fold dot product over double lists (mirrors
+    * Similarity.dotFold). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
+
+  /** Mirrors Dedup.hyperplaneBucket (DuckDB i is 1-based → (i-1)). */
+  private def sqlBucket(e: String): String =
+    (0 until 4).map { j =>
+      val plane = s"((((i - 1) * 37 + $j * 101) % 11) - 5)"
+      s"(CASE WHEN list_reduce(list_transform(range(1, len($e) + 1), i -> $e[i] * $plane), (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  // ---------- queries ----------
+
+  val queries: Map[String, Q] = Map(
+    // token + BPE-ish subword counting
+    "text_tokens" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // quality features
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(Tables.table(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // heuristic language id
+    "text_langid" -> ((s, dir) => {
+      TextAnalysis.langId(Tables.table(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("score_query"), col("score_data"),
+          col("score_exec"), col("pred_lang"))
+        .orderBy("doc_id")
+    }),
+
+    // positional rolling-hash fingerprint
+    "text_fingerprint" -> ((s, dir) => {
+      TextAnalysis.fingerprint(Tables.table(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy("doc_id")
+    }),
+
+    // exact dedup on the planted corpus
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(ExtCorpus.docCorpus(s, dir), "doc_id", "text")
+        .select(col("canonical_id"), col("copies"))
+        .orderBy("canonical_id")
+    }),
+
+    // exact n-gram Jaccard via shared-shingle candidates
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccard(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // MinHash + LSH banding + verification
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minhashLsh(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // per-doc SimHash signature
+    "dedup_simhash" -> ((s, dir) => {
+      val corpus = ExtCorpus.docCorpus(s, dir)
+      val sh = Dedup.shingles(corpus, "doc_id", "text")
+      Dedup.simhash(sh, Dedup.shingleVocab(sh))
+        .orderBy("doc_id")
+    }),
+
+    // embedding near-dup pairs via (label, hyperplane-bucket) blocking
+    "dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDups(ExtCorpus.embCorpus(s, dir), 0.9)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // brute-force cosine top-5 for the query subset (vec_id % 100 == 0)
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(queries, emb, 5)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // multimodal: binary payload + stub decode through mapPartitions
+    "mm_decode_stub" -> ((s, dir) => {
+      val media = Multimodal.asMediaTable(Tables.table(s, dir, "documents"))
+      Multimodal.decodeMedia(media, Multimodal.FakeDecoder)
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // ---------- oracles ----------
+
+  private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(list_sum(list_transform(string_split(text, ' '),
+           w -> 1 + CAST(floor((length(w) - 1) / 4.0) AS BIGINT))) AS BIGINT)
+           AS n_subwords
+         FROM documents ORDER BY doc_id""",
+    "text_quality" -> s"""
+       SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         ROUND((CAST(length(text) AS DOUBLE) - (len(string_split(text, ' ')) - 1))
+           / len(string_split(text, ' ')), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(string_split(text, ' '),
+             w -> w IN ($StopList))) AS DOUBLE)
+           / len(string_split(text, ' ')), 6) AS stopword_ratio
+       FROM documents ORDER BY doc_id""",
+    "text_langid" -> {
+      val scores = TextAnalysis.LangMarkers.map { case (name, markers) =>
+        val set = markers.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> w IN ($set))) AS score_$name"
+      }.mkString(", ")
+      s"""WITH scored AS (SELECT doc_id, $scores FROM documents)
+          SELECT doc_id, score_query, score_data, score_exec,
+            CASE WHEN score_exec > greatest(score_query, score_data) THEN 'exec'
+                 WHEN score_data > score_query THEN 'data'
+                 ELSE 'query' END AS pred_lang
+          FROM scored ORDER BY doc_id"""
+    },
+    "text_fingerprint" -> s"""
+       SELECT doc_id, CAST(list_reduce(
+         list_transform(range(1, len(string_split(text, ' ')) + 1),
+           i -> (i * CAST(list_sum(list_transform(
+                  range(1, length(string_split(text, ' ')[i]) + 1),
+                  j -> j * unicode(string_split(text, ' ')[i][j]))) AS BIGINT))
+                % ${TextAnalysis.FpPrime}),
+         (acc, x) -> (acc + x) % ${TextAnalysis.FpPrime}) AS BIGINT) AS fingerprint
+       FROM documents ORDER BY doc_id""",
+    "dedup_exact" -> s"""
+       WITH ${ExtCorpus.DocCorpusCte}
+       SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS copies
+       FROM corpus GROUP BY text HAVING COUNT(*) > 1
+       ORDER BY canonical_id""",
+    "dedup_ngram_jaccard" -> s"""
+       WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
+       SELECT a_id, b_id, jaccard FROM jac
+       WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "dedup_minhash_lsh" -> {
+      val bandCond = (0 until Dedup.Bands).map { bi =>
+        val r = Dedup.MinhashParams.size / Dedup.Bands
+        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes, $sigsCte
+          SELECT a_id, b_id, jaccard FROM jac
+          JOIN sigs sa ON sa.doc_id = a_id
+          JOIN sigs sb ON sb.doc_id = b_id
+          WHERE jaccard >= 0.5 AND ($bandCond)
+          ORDER BY a_id, b_id"""
+    },
+    "dedup_simhash" -> {
+      val (a1, b1) = Dedup.MinhashParams.head
+      val bits = (0 until 16).map { b =>
+        s"(CASE WHEN SUM(CASE WHEN (h >> $b) % 2 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,
+          hs AS (SELECT doc_id, (sid * $a1 + $b1) % ${Dedup.P} AS h
+                 FROM shingles JOIN vocab USING (shingle))
+          SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+          FROM hs GROUP BY doc_id ORDER BY doc_id"""
+    },
+    "dedup_embedding" -> s"""
+       WITH ${ExtCorpus.EmbCorpusCte},
+       bucketed AS (
+         SELECT vec_id, label, embedding, ${sqlBucket("embedding")} AS bucket
+         FROM corpus)
+       SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         ROUND(${sqlCos("a.embedding", "b.embedding")}, 6) AS cos
+       FROM bucketed a JOIN bucketed b
+         ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.9
+       ORDER BY a_id, b_id""",
+    "ann_cosine_topk" -> s"""
+       WITH emb AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.q_id, e.vec_id,
+           ROUND(${sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e ON e.vec_id <> q.q_id),
+       ranked AS (
+         SELECT q_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         FROM scored)
+       SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+       ORDER BY q_id, rnk""",
+    "mm_decode_stub" ->
+      """SELECT doc_id,
+         octet_length(encode(text)) AS n_bytes,
+         64 + octet_length(encode(text)) % 577 AS width,
+         64 + octet_length(encode(text)) % 331 AS height,
+         1 + octet_length(encode(text)) // 256 AS n_frames
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication test corpora with PLANTED duplicates.
+  *
+  * The driver's `documents`/`embeddings` tables contain no duplicates
+  * (all 500-5000 texts distinct; max pairwise embedding cosine ≈ 0.45), so
+  * dedup operators would vacuously return nothing. We derive corpora with
+  * deterministic, SQL-reproducible duplicates, so the DuckDB oracle can
+  * build the identical corpus and the dedup output is a real assertion:
+  *
+  *  - exact dup:  doc_id + 100000, text unchanged       (doc_id % 17 == 0)
+  *  - near dup:   doc_id + 200000, text + 3 extra words (doc_id % 10 == 0)
+  *  - embedding near dup: vec_id + 100000,
+  *    e'_i = e_i + 0.01 * ((i % 5) - 2)                 (vec_id % 10 == 0)
+  */
+object ExtCorpus {
+
+  val NearDupSuffix = " extra token tail"
+
+  def docCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val exact = d.where($"doc_id" % 17 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val near = d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        concat($"text", lit(NearDupSuffix)).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** DuckDB CTE building the identical corpus (keep adjacent to the Scala
+    * so they cannot drift). */
+  val DocCorpusCte: String =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 0
+       UNION ALL
+       SELECT doc_id + 200000, text || ' extra token tail' FROM documents
+       WHERE doc_id % 10 = 0)"""
+
+  def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.table(spark, sfDir, "embeddings")
+      .select($"vec_id", $"label", $"embedding")
+    val near = e.where($"vec_id" % 10 === 0).select(
+      ($"vec_id" + 100000L).as("vec_id"),
+      $"label",
+      transform($"embedding", (x, i) =>
+        (x.cast("double") + lit(0.01) * ((i % 5).cast("double") - 2.0))
+      ).as("embedding"))
+    e.select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("embedding"))
+      .unionByName(near)
+  }
+
+  /** DuckDB twin of embCorpus. Elementwise perturbation via
+    * unnest + generate_subscripts + list(... ORDER BY i) rebuild; i is
+    * 1-based there vs 0-based in Spark's transform — hence (i-1). */
+  val EmbCorpusCte: String =
+    """flat AS (
+       SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+              CAST(unnest(embedding) AS DOUBLE) AS x
+       FROM embeddings),
+     corpus AS (
+       SELECT vec_id, label, list(x ORDER BY i) AS embedding
+       FROM flat GROUP BY vec_id, label
+       UNION ALL
+       SELECT vec_id + 100000, label,
+              list(x + 0.01 * (((i - 1) % 5) - 2.0) ORDER BY i) AS embedding
+       FROM flat WHERE vec_id % 10 = 0 GROUP BY vec_id, label)"""
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.ExtCorpus
+
+class ExtensionSpec extends AnyFunSuite {
+  import SparkTest._
+
+  test("dedup_exact finds exactly the planted identical copies") {
+    import spark.implicits._
+    val out = Dedup.exact(ExtCorpus.docCorpus(spark, Sf), "doc_id", "text")
+      .select($"canonical_id", $"copies").as[(Long, Long)].collect().toMap
+    val planted = spark.read.parquet(s"$Sf/documents.parquet")
+      .where($"doc_id" % 17 === 0).select($"doc_id").as[Long].collect().toSet
+    assert(out.keySet === planted)
+    assert(out.values.forall(_ == 2L))
+  }
+
+  test("minhash LSH recovers planted near-dups with high recall, no junk") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLsh(ExtCorpus.docCorpus(spark, Sf), "doc_id", "text", 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val nearPlanted = spark.read.parquet(s"$Sf/documents.parquet")
+      .where($"doc_id" % 10 === 0).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 200000L)).toSet
+    val exactPlanted = spark.read.parquet(s"$Sf/documents.parquet")
+      .where($"doc_id" % 17 === 0).select($"doc_id").as[Long].collect()
+      .map(id => (id, id + 100000L)).toSet
+    // exact dups always collide in every band → full recall on them
+    // (other surviving pairs are genuine ≥0.5-Jaccard neighbors — the
+    // 31-word corpus vocabulary makes some natural near-dups real)
+    assert(exactPlanted.subsetOf(pairs))
+    // near-dup recall is probabilistic via banding but should be high
+    val recall = nearPlanted.count(pairs.contains).toDouble / nearPlanted.size
+    assert(recall > 0.8, s"near-dup recall $recall")
+  }
+
+  test("embedding near-dup blocking finds planted neighbors, no cross junk") {
+    import spark.implicits._
+    val pairs = Dedup.embeddingNearDups(ExtCorpus.embCorpus(spark, Sf), 0.9)
+      .select($"a_id", $"b_id", $"cos").collect()
+    assert(pairs.nonEmpty)
+    // all pairs are (v, v+100000) planted ones and similarity is ~1
+    pairs.foreach { r =>
+      assert(r.getLong(1) === r.getLong(0) + 100000L)
+      assert(r.getDouble(2) > 0.95)
+    }
+  }
+
+  test("brute-force ANN: self excluded, k respected, ranks contiguous") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet").select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val qs = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val out = Similarity.bruteForceTopK(qs, emb, 5)
+    val grouped = out.select($"q_id", $"rnk", $"vec_id")
+      .as[(Long, Int, Long)].collect().groupBy(_._1)
+    assert(grouped.values.forall(_.length == 5))
+    grouped.foreach { case (q, rows) =>
+      assert(rows.forall(_._3 != q))
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+    }
+  }
+
+  test("multimodal decode plumbing: schema and deterministic fake decode") {
+    import spark.implicits._
+    val media = Multimodal.asMediaTable(spark.read.parquet(s"$Sf/documents.parquet"))
+    assert(media.schema("media").dataType.typeName === "binary")
+    val decoded = Multimodal.decodeMedia(media, Multimodal.FakeDecoder)
+    val one = decoded.orderBy($"doc_id").head()
+    assert(one.n_bytes > 0 && one.width >= 64 && one.n_frames >= 1)
+    assert(decoded.count() === media.count())
+  }
+}
