@@ -1,0 +1,118 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.model.Cdc
+import graft.sources.{CdcGen, Tables}
+
+/** Structured Streaming mode (SURVEY.md §7 phase 3).
+  *
+  * The reference's streaming loop — poll binlog, forward events, apply
+  * serially to the replica (manager.rs:52-86, consumer.rs:34-55) — maps to:
+  * file source (poll ≈ directory listing) → the same event schema →
+  * `flatMapGroupsWithState` keyed apply (state = current row image per
+  * key) → sink. Offset/resume state (D8/D9) is Spark checkpointing.
+  *
+  * Batch and streaming share CdcGen's event schema and the apply
+  * semantics; specs assert stream ≡ batch.
+  */
+object CdcStream {
+
+  /** Keyed row-level event, the FMGWS input. */
+  case class KeyedImageEvent(sequence: Long, op: String, image: Seq[String], key: String)
+
+  /** Apply state per row key: newest image wins (latest-image semantics,
+    * the scale path of ChangelogApply). */
+  case class ApplyState(image: Seq[String], sequence: Long, deleted: Boolean)
+
+  private val nameCounter = new AtomicInteger()
+
+  /** Stage a batch DataFrame as a one-file parquet dir and open it as a
+    * stream — a deterministic single micro-batch under AvailableNow. */
+  private def streamOf(df: DataFrame): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_stream_").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    df.sparkSession.readStream.schema(df.schema).parquet(tmp)
+  }
+
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** The FMGWS apply function — per key, events of the micro-batch arrive
+    * unordered: sort by sequence, fold onto the carried state, emit the
+    * live image (append mode; the driver-facing query runs it as a single
+    * micro-batch so the emission is exactly the final snapshot). */
+  def applyEvents(
+      key: String,
+      it: Iterator[KeyedImageEvent],
+      state: GroupState[ApplyState]): Iterator[Seq[String]] = {
+    val sorted = it.toArray.sortBy(_.sequence)
+    var cur = state.getOption.getOrElse(ApplyState(null, Long.MinValue, deleted = true))
+    sorted.foreach { e =>
+      if (e.sequence > cur.sequence) {
+        cur = e.op match {
+          case Cdc.OpDelete => ApplyState(null, e.sequence, deleted = true)
+          case _ => ApplyState(e.image, e.sequence, deleted = false)
+        }
+      }
+    }
+    state.update(cur)
+    if (cur.deleted) Iterator.empty else Iterator.single(cur.image)
+  }
+
+  /** Streaming changelog apply on an event stream (schema Cdc.EventSchema),
+    * keyed by cell `keyIdx` of the row image. */
+  def applyStream(events: DataFrame, keyIdx: Int = 0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(col("sequence"), col("op"), explode(col("rows")).as("r"))
+      .select(col("sequence"), col("op"), col("r.cols").as("image"))
+      .withColumn("key", element_at(col("image"), keyIdx + 1))
+      .as[KeyedImageEvent]
+    val applied: Dataset[Seq[String]] = keyed
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applyEvents)
+    applied.toDF("image")
+  }
+
+  /** End-to-end streaming replica snapshot for the generated customer
+    * changelog — the streaming twin of ChangelogApply.customerSnapshot. */
+  def customerSnapshotStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = streamOf(CdcGen.customerEvents(spark, sfDir))
+    val snapshot = runToTable(applyStream(events), OutputMode.Append)
+    CdcGen.decodeCustomer(snapshot)
+  }
+
+  /** Watermarked tumbling-window aggregation over the events stream
+    * (the reference never needs event time — §2.6 — but the engine surface
+    * does): 1-day windows, count + exact decimal revenue. */
+  def windowedEventAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = streamOf(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value")))
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+    runToTable(agg, OutputMode.Complete)
+      .select(col("window.start").cast("date").as("window_start"),
+        col("event_type"), col("n"), col("revenue"))
+  }
+}
