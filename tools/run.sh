@@ -1,0 +1,19 @@
+#!/bin/bash
+# Run a graft main class directly (no sbt): tools/run.sh graft.Bench [args...]
+# Env: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_DRIVER_MEM pass through.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+CP="target/scala-2.13/classes:src/main/resources"
+for j in /opt/spark/jars/*.jar; do CP="$CP:$j"; done
+ADD_OPENS=""
+for p in java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect \
+         java.base/java.io java.base/java.net java.base/java.nio java.base/java.util \
+         java.base/java.util.concurrent java.base/java.util.concurrent.atomic \
+         java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action \
+         java.base/sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -cp "$CP" "$@"
