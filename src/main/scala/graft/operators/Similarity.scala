@@ -31,15 +31,19 @@ object Similarity {
     dotFold(a, b) / sqrt(dotFold(a, a) * dotFold(b, b))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
-    * non-identical candidates, ranked by rounded cosine then id. */
+    * non-identical candidates, ranked by rounded cosine then id.
+    * `cosFn` defaults to the HOF fold; pass the codegen'd
+    * [[graft.expressions.CosineSimilarity]] for the hot path — both
+    * compute identical bits. */
   def bruteForceTopK(
       queries: DataFrame, // (q_id, q_emb)
       candidates: DataFrame, // (vec_id, embedding)
-      k: Int): DataFrame = {
+      k: Int,
+      cosFn: (Column, Column) => Column = cosineExact): DataFrame = {
     val scored = candidates
       .crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(cosineExact(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos", round(cosFn(col("q_emb"), col("embedding")), 6))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored

@@ -138,7 +138,10 @@ object ExtensionQueries {
 
     // embedding near-dup pairs via (label, hyperplane-bucket) blocking
     "dedup_embedding" -> ((s, dir) => {
-      Dedup.embeddingNearDups(ExtCorpus.embCorpus(s, dir), 0.9)
+      // verification cosine runs the codegen'd native expression —
+      // bit-identical to the HOF fold the oracle mirrors
+      Dedup.embeddingNearDups(ExtCorpus.embCorpus(s, dir), 0.9,
+          graft.expressions.CosineSimilarity.cosineSim(s))
         .orderBy("a_id", "b_id")
     }),
 
@@ -149,6 +152,18 @@ object ExtensionQueries {
       val queries = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       Similarity.bruteForceTopK(queries, emb, 5)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // same search through the codegen'd native Catalyst expression —
+    // bit-identical to the HOF fold, so it shares the oracle
+    "ann_cosine_topk_native" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      Similarity.bruteForceTopK(queries, emb, 5,
+          graft.expressions.CosineSimilarity.cosineSim(s))
         .orderBy("q_id", "rnk")
     }),
 
@@ -251,6 +266,23 @@ object ExtensionQueries {
          ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
        WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.9
        ORDER BY a_id, b_id""",
+    "ann_cosine_topk_native" -> s"""
+       WITH emb AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.q_id, e.vec_id,
+           ROUND(${sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e ON e.vec_id <> q.q_id),
+       ranked AS (
+         SELECT q_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         FROM scored)
+       SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+       ORDER BY q_id, rnk""",
     "ann_cosine_topk" -> s"""
        WITH emb AS (
          SELECT vec_id,
