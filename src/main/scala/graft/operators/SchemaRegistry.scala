@@ -117,6 +117,46 @@ object SchemaRegistry {
       .toDF("db", "table", "columns")
   }
 
+  /** Registry TIMELINE: one row per (db, table, sequence) giving the
+    * column list in force AFTER that DDL event — the versioned registry
+    * that SURVEY.md §7 hard-part #3 requires (mid-stream ALTER means row
+    * events must resolve against the latest PRECEDING DDL, not a final
+    * snapshot). A dropped table emits a null column list. */
+  def registryVersions(ddlEvents: DataFrame): DataFrame = {
+    val spark = ddlEvents.sparkSession
+    import spark.implicits._
+    ddlEvents
+      .where(CdcFilters.isRegistryDdl(col("query")))
+      .select(col("db"), col("sequence"), col("query"))
+      .as[(String, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroups { (db: String, it: Iterator[(String, Long, String)]) =>
+        val store = mutable.LinkedHashMap.empty[String, Seq[String]]
+        it.toArray.sortBy(_._2).iterator.flatMap { case (_, seq, sql) =>
+          parseDdl(sql).map { op =>
+            op match {
+              case CreateTable(t, cols) =>
+                if (!store.contains(t)) store(t) = cols
+                (db, t, seq, store.get(t).orNull)
+              case AddColumn(t, c) =>
+                store.updateWith(t)(_.map(_ :+ c))
+                (db, t, seq, store.get(t).orNull)
+              case RenameColumn(t, from, to) =>
+                store.updateWith(t)(_.map(_.map(x => if (x == from) to else x)))
+                (db, t, seq, store.get(t).orNull)
+              case DropColumn(t, c) =>
+                store.updateWith(t)(_.map(_.filterNot(_ == c)))
+                (db, t, seq, store.get(t).orNull)
+              case DropTable(t) =>
+                store.remove(t)
+                (db, t, seq, null)
+            }
+          }
+        }
+      }
+      .toDF("db", "table", "sequence", "columns")
+  }
+
   /** D7 — column lookup: broadcast equi-join of row events against the
     * registry snapshot (the one join-like op in the reference,
     * local_store.rs:66-69). The registry side is small by construction. */

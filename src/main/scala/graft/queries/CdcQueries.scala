@@ -144,6 +144,31 @@ object CdcQueries {
         .orderBy("db", "tbl")
     }),
 
+    // Hard-part #3 (SURVEY.md §7): mid-stream schema evolution. Row events
+    // interleave with DDL (odd vs even sequence offsets); each resolves
+    // its column list against the registry version AS-OF its sequence —
+    // an as-of join to the DDL timeline, not a static snapshot lookup.
+    "cdc_registry_asof" -> ((s, dir) => {
+      import s.implicits._
+      val versions = SchemaRegistry.registryVersions(CdcGen.ddlEvents(s, dir))
+        .withColumn("k", concat_ws(".", col("db"), col("table")))
+        .withColumn("cols_joined", array_join(col("columns"), ","))
+        .select("k", "sequence", "cols_joined")
+      val nat = s.read.parquet(s"$dir/nation.parquet").select(
+        $"n_nationkey".cast("long").as("n"),
+        concat(lit("app_"), $"n_regionkey".cast("string")).as("db"),
+        concat(lit("t_"), lower($"n_name")).as("tbl"))
+      val rowEvents = Seq(1, 3, 7).map { off =>
+        nat.select(($"n" * 10 + off).as("sequence"), $"db", $"tbl")
+      }.reduce(_ unionByName _)
+        .withColumn("k", concat_ws(".", $"db", $"tbl"))
+      AsOfJoin.asOf(rowEvents, versions, key = "k",
+          leftTime = "sequence", rightTime = "sequence",
+          payload = Seq("cols_joined"))
+        .select($"sequence", $"db", $"tbl", $"asof_cols_joined".as("asof_cols"))
+        .orderBy("sequence")
+    }),
+
     // D7 — broadcast registry join resolving column lists for row events.
     "cdc_registry_join" -> ((s, dir) => {
       import s.implicits._
@@ -220,6 +245,19 @@ object CdcQueries {
            CASE WHEN n_nationkey % 2 = 0 THEN 'extra_col' END) AS cols
          FROM nation WHERE n_nationkey % 11 <> 10
          ORDER BY db, tbl""",
+    "cdc_registry_asof" ->
+      """WITH r AS (
+           SELECT n_nationkey AS n, 'app_' || n_regionkey AS db,
+                  't_' || lower(n_name) AS tbl, o.off
+           FROM nation CROSS JOIN (VALUES (1), (3), (7)) AS o(off))
+         SELECT n * 10 + off AS sequence, db, tbl,
+           concat_ws(',',
+             CASE WHEN off >= 5 AND n % 5 = 0 THEN 'k0' ELSE 'c0' END,
+             CASE WHEN off >= 7 AND n % 4 = 0 THEN NULL ELSE 'c1' END,
+             CASE WHEN n % 3 >= 1 THEN 'c2' END,
+             CASE WHEN n % 3 = 2 THEN 'c3' END,
+             CASE WHEN off >= 3 AND n % 2 = 0 THEN 'extra_col' END) AS asof_cols
+         FROM r ORDER BY sequence""",
     "cdc_registry_join" ->
       """SELECT n_nationkey AS sequence, 'app_' || n_regionkey AS db,
          't_' || lower(n_name) AS tbl,

@@ -134,6 +134,28 @@ object RelationalQueries {
         .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
     }),
 
+    // GROUPING SETS (SQL surface; rollup/cube cover the API surface).
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST""")
+    }),
+
+    // Exact interpolated percentiles per group.
+    "q_percentile" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(
+          round(percentile($"o_totalprice", lit(0.5)), 6).as("p50"),
+          round(percentile($"o_totalprice", lit(0.9)), 6).as("p90"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Set operations: one query exercising UNION/INTERSECT/EXCEPT.
     "q_setops" -> ((s, dir) => {
       import s.implicits._
@@ -282,6 +304,18 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY o_orderstatus ASC NULLS FIRST,
+                  o_orderpriority ASC NULLS FIRST""",
+    "q_percentile" ->
+      """SELECT o_orderstatus,
+         ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+         ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "q_setops" ->
       """WITH buyers AS (SELECT DISTINCT o_custkey AS k FROM orders),
          building AS (SELECT c_custkey AS k FROM customer

@@ -146,12 +146,14 @@ object CdcGen {
   }
 
   /** A DDL changelog derived from `nation` — drives the schema registry
-    * (D6/D7). Per nation row n (db = "app_" || n_regionkey):
+    * (D6/D7). Per nation row n (db = "app_" || n_regionkey), DDL at EVEN
+    * sequence offsets so row events can be interleaved at odd offsets for
+    * the versioned as-of resolution (SURVEY.md §7 hard-part #3):
     *   seq n*10+0: CREATE TABLE t_<lower(n_name)> with 2+(n%3) columns c0..
-    *   seq n*10+1: ALTER ADD extra_col      when n % 2 == 0
-    *   seq n*10+2: ALTER RENAME c0 TO k0    when n % 5 == 0
-    *   seq n*10+3: ALTER DROP c1            when n % 4 == 0
-    *   seq n*10+4: DROP TABLE               when n % 11 == 10
+    *   seq n*10+2: ALTER ADD extra_col      when n % 2 == 0
+    *   seq n*10+4: ALTER RENAME c0 TO k0    when n % 5 == 0
+    *   seq n*10+6: ALTER DROP c1            when n % 4 == 0
+    *   seq n*10+8: DROP TABLE               when n % 11 == 10
     * (n = n_nationkey.) */
   def ddlEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -170,13 +172,13 @@ object CdcGen {
         ($"n" * 10 + offset).as("sequence"), $"db", text.as("query"))
     val create = stmt(0, lit(true),
       concat(lit("CREATE TABLE "), $"t", lit(" ("), colsBody, lit(")")))
-    val add = stmt(1, $"n" % 2 === 0,
+    val add = stmt(2, $"n" % 2 === 0,
       concat(lit("ALTER TABLE "), $"t", lit(" ADD COLUMN extra_col INT")))
-    val rename = stmt(2, $"n" % 5 === 0,
+    val rename = stmt(4, $"n" % 5 === 0,
       concat(lit("ALTER TABLE "), $"t", lit(" RENAME COLUMN c0 TO k0")))
-    val drop = stmt(3, $"n" % 4 === 0,
+    val drop = stmt(6, $"n" % 4 === 0,
       concat(lit("ALTER TABLE "), $"t", lit(" DROP COLUMN c1")))
-    val dropTable = stmt(4, $"n" % 11 === 10,
+    val dropTable = stmt(8, $"n" % 11 === 10,
       concat(lit("DROP TABLE "), $"t"))
     create.unionByName(add).unionByName(rename).unionByName(drop)
       .unionByName(dropTable)

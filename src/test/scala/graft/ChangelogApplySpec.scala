@@ -103,6 +103,21 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(out === Seq(Seq("Jack", "Peter")))
   }
 
+  test("at-least-once replay: offset-dedup then apply ≡ apply (hard-part #4)") {
+    import org.apache.spark.sql.functions._
+    // replay a prefix (the reference re-reads from the resume offset on
+    // restart, binlog_parser.rs:57-59); T3 dedup must make apply immune
+    val events = CdcGen.customerEvents(spark, Sf)
+    val replayed = events.unionByName(events.where(col("sequence") <= 50))
+    val deduped = graft.operators.CdcFilters
+      .offsetDedup(replayed, "none", -1L) // dedup only, no boundary drop
+    val applied = CdcGen.decodeCustomer(
+      ChangelogApply.latestImage(deduped))
+    val expected = ChangelogApply.customerSnapshot(spark, Sf)
+    assert(applied.count() === expected.count())
+    assert(applied.except(expected).isEmpty && expected.except(applied).isEmpty)
+  }
+
   test("generated changelog has the expected op mix") {
     import spark.implicits._
     val events = CdcGen.customerEvents(spark, Sf)
