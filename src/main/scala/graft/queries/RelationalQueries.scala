@@ -156,6 +156,31 @@ object RelationalQueries {
         .orderBy($"o_orderstatus")
     }),
 
+    // Sessionization: session_window (30-min gap) per user — the batch
+    // form of the streaming session-window operator.
+    "q_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("session_value"))
+        .select($"user_id", $"session_window.start".as("session_start"),
+          $"n_events", $"session_value")
+        .orderBy($"user_id", $"session_start")
+    }),
+
+    // Approximate distinct (HLL sketch) — no SQL oracle (approximate);
+    // the driver records a rows-only check. Included because sketches are
+    // how 100 TB distinct-counts actually run.
+    "q_approx_distinct" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy($"event_type")
+        .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
+          countDistinct($"user_id").as("exact_users"))
+        .orderBy($"event_type")
+    }),
+
     // Set operations: one query exercising UNION/INTERSECT/EXCEPT.
     "q_setops" -> ((s, dir) => {
       import s.implicits._
@@ -304,6 +329,23 @@ object RelationalQueries {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
          ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_sessionize" ->
+      """WITH marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM events),
+         sessions AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "q_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
