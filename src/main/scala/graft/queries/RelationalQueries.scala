@@ -229,6 +229,29 @@ object RelationalQueries {
         .orderBy($"event_id")
     }),
 
+    // Pivot (dynamic columns from data, fixed value list for determinism).
+    "q_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(($"user_id" % 10).as("user_decile"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy($"user_decile")
+    }),
+
+    // Theta join (non-equi nested-loop shape, small dims): nation pairs
+    // across adjacent regions.
+    "q_theta_join" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "nation")
+        .select($"n_nationkey".as("a_key"), $"n_regionkey".as("a_region"))
+      val b = t(s, dir, "nation")
+        .select($"n_nationkey".as("b_key"), $"n_regionkey".as("b_region"))
+      a.join(b, $"b_region" === $"a_region" + 1)
+        .groupBy($"a_region").agg(count(lit(1)).as("n_pairs"))
+        .orderBy($"a_region")
+    }),
+
     // Distinct aggregation.
     "q_distinct_agg" -> ((s, dir) => {
       import s.implicits._
@@ -385,6 +408,18 @@ object RelationalQueries {
          FROM events a JOIN events b ON a.user_id = b.user_id
            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
          GROUP BY a.event_id ORDER BY a.event_id""",
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_decile,
+         COUNT(*) FILTER (event_type = 'click') AS click,
+         COUNT(*) FILTER (event_type = 'error') AS error,
+         COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+         COUNT(*) FILTER (event_type = 'signup') AS signup,
+         COUNT(*) FILTER (event_type = 'view') AS view
+         FROM events GROUP BY 1 ORDER BY user_decile""",
+    "q_theta_join" ->
+      """SELECT a.n_regionkey AS a_region, COUNT(*) AS n_pairs
+         FROM nation a JOIN nation b ON b.n_regionkey = a.n_regionkey + 1
+         GROUP BY 1 ORDER BY a_region""",
     "q_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
