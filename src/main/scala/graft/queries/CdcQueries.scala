@@ -44,6 +44,17 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // S1 — changelog scan: the generated customer event log itself,
+    // flattened to scalars (decoded first-cell key, image width, op).
+    "cdc_changelog_scan" -> ((s, dir) => {
+      val ev = CdcGen.customerEvents(s, dir)
+      ev.select(col("sequence"), col("op"),
+          size(col("columns")).as("n_columns"),
+          element_at(element_at(col("rows"), 1).getField("cols"), 1)
+            .cast("long").as("row_key"))
+        .orderBy("sequence")
+    }),
+
     // T1 — producer include-list filter; null-db events pass.
     "cdc_filter_db_producer" -> ((s, dir) => {
       val mde = CdcGen.multiDbEvents(s, dir)
@@ -193,6 +204,18 @@ object CdcQueries {
        FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""
 
   val oracles: Map[String, String] = Map(
+    "cdc_changelog_scan" ->
+      """(SELECT 0 AS sequence, 'Query' AS op, NULL AS n_columns,
+           NULL AS row_key FROM customer LIMIT 1)
+         UNION ALL
+         SELECT c_custkey + 1, 'Add', 5, c_custkey FROM customer
+         UNION ALL
+         SELECT 1073741824 + c_custkey, 'Update', 5, c_custkey
+         FROM customer WHERE c_custkey % 5 = 0
+         UNION ALL
+         SELECT 2147483648 + c_custkey, 'Delete', 5, c_custkey
+         FROM customer WHERE c_custkey % 7 = 0
+         ORDER BY sequence""",
     "cdc_apply_snapshot" -> ApplyOracle,
     "cdc_apply_full_image" -> ApplyOracle,
     "cdc_filter_db_producer" -> s"""$MdeCte

@@ -192,6 +192,19 @@ object RelationalQueries {
       both.unionByName(dormant).orderBy($"tag", $"k")
     }),
 
+    // Multiset set ops: INTERSECT ALL / EXCEPT ALL on part keys.
+    "q_setops_all" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_partkey".as("k"))
+      val cheap = t(s, dir, "lineitem")
+        .where($"l_extendedprice" < 5000).select($"l_partkey".as("k"))
+      val both = li.intersectAll(cheap).groupBy($"k")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("inter_all"))
+      val only = li.exceptAll(cheap).groupBy($"k")
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+      both.unionByName(only).orderBy($"tag", $"k")
+    }),
+
     // Global top-k (TakeOrderedAndProject — per-partition top-k + merge).
     "q_topk" -> ((s, dir) => {
       import s.implicits._
@@ -390,6 +403,18 @@ object RelationalQueries {
          UNION ALL
          SELECT k, 'building_dormant' AS tag FROM building
            WHERE k NOT IN (SELECT k FROM buyers)
+         ORDER BY tag, k""",
+    "q_setops_all" ->
+      """WITH li AS (SELECT l_partkey AS k FROM lineitem),
+         cheap AS (SELECT l_partkey AS k FROM lineitem
+           WHERE l_extendedprice < 5000)
+         SELECT k, COUNT(*) AS n, 'inter_all' AS tag
+         FROM (SELECT k FROM li INTERSECT ALL SELECT k FROM cheap)
+         GROUP BY k
+         UNION ALL
+         SELECT k, COUNT(*) AS n, 'except_all' AS tag
+         FROM (SELECT k FROM li EXCEPT ALL SELECT k FROM cheap)
+         GROUP BY k
          ORDER BY tag, k""",
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
