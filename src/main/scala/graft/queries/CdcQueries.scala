@@ -55,6 +55,21 @@ object CdcQueries {
         .orderBy("sequence")
     }),
 
+    // §2.5 — JSON wire round-trip: the reference serde-encodes every
+    // event to JSON on publish and re-parses on consume
+    // (binlog_parser.rs:125, producer.rs:49, mysql_manager.rs:61). Here:
+    // struct → to_json → from_json(EventSchema) → apply; the snapshot
+    // matching the apply oracle proves the round-trip is lossless.
+    "cdc_json_roundtrip" -> ((s, dir) => {
+      val ev = CdcGen.customerEvents(s, dir)
+      val wire = ev.select(to_json(struct(ev.columns.map(col): _*)).as("json"))
+      val parsed = wire
+        .select(from_json(col("json"), graft.model.Cdc.EventSchema).as("e"))
+        .select("e.*")
+      CdcGen.decodeCustomer(ChangelogApply.latestImage(parsed))
+        .orderBy("c_custkey")
+    }),
+
     // T1 — producer include-list filter; null-db events pass.
     "cdc_filter_db_producer" -> ((s, dir) => {
       val mde = CdcGen.multiDbEvents(s, dir)
@@ -218,6 +233,7 @@ object CdcQueries {
          ORDER BY sequence""",
     "cdc_apply_snapshot" -> ApplyOracle,
     "cdc_apply_full_image" -> ApplyOracle,
+    "cdc_json_roundtrip" -> ApplyOracle,
     "cdc_filter_db_producer" -> s"""$MdeCte
       SELECT sequence, db, op FROM mde
       WHERE db IS NULL OR lower(db) IN ('app_1','app_2') ORDER BY sequence""",
