@@ -3,10 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main — one warmup execution per query (plan, codegen, parquet
-  * footer caching: cluster steady-state conditions), then two timed
+  * footer caching: cluster steady-state conditions), then three timed
   * executions reporting the MIN (robust to transient co-tenant stalls —
-  * observed a 2s streaming query read 72s once when another process woke
-  * mid-run). Prints the driver-contract JSON line. */
+  * round 1's driver run had a contiguous alphabetical block poisoned by a
+  * co-tenant; min-of-3 makes a single stall unable to dominate).
+  * Prints the driver-contract JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -16,6 +17,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -27,7 +29,7 @@ object Bench {
             -1L
         }
       once() // warmup
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         once()
         (System.nanoTime() - t0) / 1e9

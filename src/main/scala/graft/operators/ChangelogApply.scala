@@ -37,22 +37,23 @@ object ChangelogApply {
 
   /** Scale path: latest image per key; key = cell `keyIdx` (0-based) of the
     * row image. Update events contribute their after-image (`cols`);
-    * Add/Delete their `cols` image (row_ops.rs:20-29). */
+    * Add/Delete their `cols` image (row_ops.rs:20-29). The window
+    * partitions by (uri, key), not key alone — a changelog spanning
+    * multiple tables with colliding key values must NOT merge their
+    * states (the reference applies per-table; round-1 advice). */
   def latestImage(events: DataFrame, keyIdx: Int = 0): DataFrame = {
     val rowImages = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
-      .select(col("sequence"), col("op"), explode(col("rows")).as("r"))
-      .select(col("sequence"), col("op"), col("r.cols").as("image"))
+      .select(col("uri"), col("sequence"), col("op"), explode(col("rows")).as("r"))
+      .select(col("uri"), col("sequence"), col("op"), col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
-    val w = Window.partitionBy(col("key")).orderBy(col("sequence").desc)
+    val w = Window.partitionBy(col("uri"), col("key"))
+      .orderBy(col("sequence").desc)
     rowImages
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1 && col("op") =!= Cdc.OpDelete)
       .select(col("image"))
   }
-
-  private case class ImageOp(
-      sequence: Long, op: String, before: Seq[String], after: Seq[String])
 
   /** Faithful path: full-image multiset semantics, serial per (db, table).
     * Returns one row per LIVE row instance: (image, copies kept exploded so
@@ -67,33 +68,47 @@ object ChangelogApply {
         col("r.before_cols").as("before"), col("r.cols").as("after"))
       .as[(String, Long, String, Seq[String], Seq[String])]
 
+    // Shuffle by table, then sort each partition by (uri, sequence) so one
+    // table's events arrive contiguous and in apply order. The fold below
+    // streams the partition iterator — the INPUT is never buffered (the
+    // round-1 groupByKey+toArray form buffered a whole table's events on
+    // one executor before sorting); state held at any moment is the
+    // O(distinct live images) count-map of a single table.
     perTable
-      .groupByKey(_._1)
-      .flatMapGroups { (uri: String, it: Iterator[(String, Long, String, Seq[String], Seq[String])]) =>
-        // Events of one table fit the reference's own execution envelope
-        // (serial apply); sort by sequence then fold a count-multiset.
-        val ops = it.map(e => ImageOp(e._2, e._3, e._4, e._5)).toArray
-          .sortBy(_.sequence)
-        val state = mutable.LinkedHashMap.empty[Seq[String], Long]
-        ops.foreach { e =>
-          e.op match {
-            case Cdc.OpAdd =>
-              state.updateWith(e.after)(c => Some(c.getOrElse(0L) + 1L))
-            case Cdc.OpUpdate =>
-              // UPDATE ... WHERE <entire before-image, null-safe> rewrites
-              // every matching copy (mysql_manager.rs:232-267).
-              state.remove(e.before).foreach { n =>
-                state.updateWith(e.after)(c => Some(c.getOrElse(0L) + n))
+      .repartition(col("uri"))
+      .sortWithinPartitions(col("uri"), col("sequence"))
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(String, Seq[String])] {
+          private var out: Iterator[(String, Seq[String])] = Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && buf.hasNext) {
+              val uri = buf.head._1
+              val state = mutable.LinkedHashMap.empty[Seq[String], Long]
+              while (buf.hasNext && buf.head._1 == uri) {
+                val e = buf.next()
+                e._3 match {
+                  case Cdc.OpAdd =>
+                    state.updateWith(e._5)(c => Some(c.getOrElse(0L) + 1L))
+                  case Cdc.OpUpdate =>
+                    // UPDATE ... WHERE <entire before-image, null-safe>
+                    // rewrites every matching copy (mysql_manager.rs:232-267).
+                    state.remove(e._4).foreach { n =>
+                      state.updateWith(e._5)(c => Some(c.getOrElse(0L) + n))
+                    }
+                  case Cdc.OpDelete =>
+                    // DELETE ... WHERE <entire image> removes all copies
+                    // (mysql_manager.rs:270-292).
+                    state.remove(e._5)
+                  case _ => ()
+                }
               }
-            case Cdc.OpDelete =>
-              // DELETE ... WHERE <entire image> removes all copies
-              // (mysql_manager.rs:270-292).
-              state.remove(e.after)
-            case _ => ()
-          }
-        }
-        state.iterator.flatMap { case (img, n) =>
-          Iterator.fill(n.toInt)((uri, img))
+              out = state.iterator.flatMap { case (img, n) =>
+                Iterator.fill(n.toInt)((uri, img))
+              }
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (String, Seq[String]) = { advance(); out.next() }
         }
       }
       .toDF("uri", "image")

@@ -21,17 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object Sequencer {
 
+  // The ranged DataFrame from the previous stampSequence call; kept cached
+  // so the caller's eventual action reuses the range shuffle, and released
+  // on the next call so repeated invocations (Bench runs each query 4×)
+  // hold at most ONE cache entry instead of accumulating until LRU
+  // eviction (round-1 advice).
+  private var lastRanged: Option[DataFrame] = None
+
   /** Stamp `seqCol` = 1-based global rank of rows ordered by `orderBy`
     * (which must be a total order — ties would make the stamp
     * nondeterministic). */
-  def stampSequence(df: DataFrame, seqName: String, orderBy: Seq[Column]): DataFrame = {
+  def stampSequence(df: DataFrame, seqName: String, orderBy: Seq[Column]): DataFrame = synchronized {
     val spark = df.sparkSession
     import spark.implicits._
+    lastRanged.foreach(_.unpersist(blocking = false))
     val ranged = df
       .repartitionByRange(orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
       .persist() // both passes read the ranged shuffle once
+    lastRanged = Some(ranged)
     // Pass 1: per-partition counts → exclusive prefix offsets. Tiny
     // aggregate (rows = #partitions), safe to collect.
     val counts = ranged.groupBy(col("__pid")).count()
@@ -40,13 +49,19 @@ object Sequencer {
     val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
     // Pass 2: number within partition (window over __pid keeps rows where
     // they already are; the broadcast join adds the offset without moving
-    // data). The persist stays live for the consumer's action; it ages out
-    // of the cache LRU afterwards.
+    // data). The persist stays live for the consumer's action; the next
+    // stampSequence call (or cleanup()) releases it.
     val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
     ranged
       .join(broadcast(offsetDf), Seq("__pid"))
       .withColumn(seqName, row_number().over(w).cast("long") + col("__offset"))
       .drop("__pid", "__offset")
+  }
+
+  /** Release the cache held for the most recent stampSequence caller. */
+  def cleanup(): Unit = synchronized {
+    lastRanged.foreach(_.unpersist(blocking = false))
+    lastRanged = None
   }
 
   /** S5 — last-record probe (fluvio_manager.rs:56-77): tail of the stream

@@ -169,15 +169,20 @@ object RelationalQueries {
         .orderBy($"user_id", $"session_start")
     }),
 
-    // Approximate distinct (HLL sketch) — no SQL oracle (approximate);
-    // the driver records a rows-only check. Included because sketches are
-    // how 100 TB distinct-counts actually run.
+    // Approximate distinct (HLL sketch) — how 100 TB distinct-counts
+    // actually run. Oracle-checkable form: emit the exact count plus a
+    // boolean asserting the sketch landed within 5% of it; DuckDB's oracle
+    // asserts the same exact count and `TRUE`, so the sketch's accuracy is
+    // genuinely exercised by the hash compare instead of being rows-only.
     "q_approx_distinct" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
         .groupBy($"event_type")
         .agg(approx_count_distinct($"user_id", 0.02).as("approx_users"),
           countDistinct($"user_id").as("exact_users"))
+        .select($"event_type", $"exact_users",
+          (abs($"approx_users" - $"exact_users") <=
+            $"exact_users" * 0.05).as("approx_ok"))
         .orderBy($"event_type")
     }),
 
@@ -448,9 +453,13 @@ object RelationalQueries {
     "q_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_approx_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+         TRUE AS approx_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "q_json_extract" ->
       """SELECT event_type,
-         SUM(CAST(props->>'k' AS BIGINT)) AS sum_k,
+         CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
          MAX(CAST(props->>'k' AS BIGINT)) AS max_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_date_trunc" ->
