@@ -25,7 +25,7 @@ object ExtensionQueries {
 
   /** shingle CTE over `corpus` (doc_id, text): distinct word 3-grams. */
   private val ShingleCtes =
-    """words AS (
+    s"""words AS (
        SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
               unnest(string_split(text, ' ')) AS w
        FROM corpus),
@@ -45,6 +45,20 @@ object ExtensionQueries {
          ROUND(CAST(COUNT(*) AS DOUBLE) /
            (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6) AS jaccard
        FROM shingles a JOIN shingles b USING (shingle)
+       JOIN sz sa ON sa.doc_id = a.doc_id
+       JOIN sz sb ON sb.doc_id = b.doc_id
+       WHERE a.doc_id < b.doc_id
+       GROUP BY a.doc_id, b.doc_id),
+     rare AS (
+       SELECT doc_id, shingle FROM shingles
+       WHERE shingle IN (
+         SELECT shingle FROM shingles GROUP BY shingle
+         HAVING COUNT(*) <= ${graft.operators.Dedup.DocFreqCap})),
+     jacc AS (
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         ROUND(CAST(COUNT(*) AS DOUBLE) /
+           (MIN(sa.n) + MIN(sb.n) - COUNT(*)), 6) AS jaccard
+       FROM rare a JOIN rare b USING (shingle)
        JOIN sz sa ON sa.doc_id = a.doc_id
        JOIN sz sb ON sb.doc_id = b.doc_id
        WHERE a.doc_id < b.doc_id
@@ -264,7 +278,7 @@ object ExtensionQueries {
        ORDER BY canonical_id""",
     "dedup_ngram_jaccard" -> s"""
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
-       SELECT a_id, b_id, jaccard FROM jac
+       SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
     "dedup_minhash_lsh" -> {
       val bandCond = (0 until Dedup.Bands).map { bi =>
