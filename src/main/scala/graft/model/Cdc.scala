@@ -14,12 +14,17 @@ import org.apache.spark.sql.types._
   *  - Row payloads (cdc-mysql/src/messages/row_ops.rs:5-29): updates carry
   *    full before- AND after-images — the load-bearing semantic for replay.
   *
-  * Cell encoding: the reference is dynamically typed per cell
-  * (values.rs:8-45, externally-tagged JSON). We keep cells as nullable
-  * strings produced by Spark's round-trippable casts (Java `toString`
-  * forms); typed NULL is a null array element. Decode is `cast` back to the
-  * registry-known type. This keeps the event log schema-stable while the
-  * payload schema evolves mid-stream (ALTER ADD COLUMN ⇒ longer arrays).
+  * Cell encoding — two interchangeable conventions over the same
+  * `ArrayType(StringType)` payload (schema-stable while the payload schema
+  * evolves mid-stream; ALTER ADD COLUMN ⇒ longer arrays):
+  *  - PLAIN: Spark round-trippable casts (Java `toString` forms), typed
+  *    NULL = null array element; decode is `cast` back. Used by the bulk
+  *    generated logs (CdcGen.customerEvents).
+  *  - TYPED: the reference's externally-tagged serde JSON per cell
+  *    (values.rs:8-45; [[Value]]), typed NULL = the `"Null"` token; decode
+  *    via [[graft.operators.ValueCodec]] expressions. Full wire fidelity —
+  *    a row's cells joined with "," reproduce the reference's `cols`
+  *    array byte-for-byte (CdcGen.typedEvents).
   */
 object Cdc {
   /** op discriminator values (operations.rs:5-11). */

@@ -114,6 +114,129 @@ object ChangelogApply {
       .toDF("uri", "image")
   }
 
+  /** Internal row shape of [[applyWithSchema]] (public: Dataset encoder
+    * codegen needs class access). */
+  case class SchemaEv(db: String, tbl: String, sequence: Long,
+      op: String, query: String, rows: Seq[graft.model.CdcRowImages])
+
+  /** Faithful replica materialization WITH DDL execution — the complete
+    * consumer semantics (mysql_manager.rs:60-95): Query events replay DDL
+    * against the state exactly as the follower MySQL would (ALTER ADD
+    * widens every live row with a NULL cell; ALTER DROP removes the cell;
+    * DROP TABLE clears), so a changelog whose row width changes mid-stream
+    * (the reference e2e's ALTER, mysql-send-cmds.sh:17) applies correctly:
+    * a post-ALTER full-image DELETE/UPDATE matches rows inserted
+    * pre-ALTER.
+    *
+    * Partitioning: the serial unit is the TABLE — Query events are routed
+    * to their table(s) by parsing the DDL text at plan time, row events by
+    * URI — so independent tables apply in parallel (strictly more
+    * parallelism than the reference's single consumer connection) and the
+    * same streaming per-partition fold as [[fullImageMultiset]] bounds
+    * memory at O(live images of one table).
+    *
+    * Output: one row per live row instance — (db, tbl, image, columns)
+    * with `columns` the registry list in force at the end of the log.
+    *
+    * `nullCell` is the encoding of SQL NULL in the log's cells —
+    * [[graft.model.Value.NullCell]] for typed tagged-JSON logs (default),
+    * `null` for plain-cast logs. */
+  def applyWithSchema(events: DataFrame,
+      nullCell: String = graft.model.Value.NullCell): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val parsed = events
+      .where(col("op").isin(Cdc.OpQuery, Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(
+        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
+        // DDL URIs are db-only, flv://host/db (bn_message.rs:40-59)
+        try_element_at(split(col("uri"), "/"), lit(5)).as("tbl"),
+        col("sequence"), col("op"), col("query"), col("rows"))
+      .as[SchemaEv]
+      // Query events carry no table in their URI (bn_message.rs:40-59);
+      // route them by the table(s) named in the DDL text. CREATE/DROP
+      // DATABASE parses to no ops and is correctly dropped (T5).
+      .flatMap { e =>
+        if (e.op == Cdc.OpQuery)
+          SchemaRegistry.parseDdl(e.query).map(_.table).distinct
+            .map(t => e.copy(tbl = t))
+        else Seq(e)
+      }
+
+    parsed
+      .repartition(col("db"), col("tbl"))
+      .sortWithinPartitions(col("db"), col("tbl"), col("sequence"))
+      .mapPartitions { rows =>
+        val buf = rows.buffered
+        new Iterator[(String, String, Seq[String], Seq[String])] {
+          private var out: Iterator[(String, String, Seq[String], Seq[String])] =
+            Iterator.empty
+          private def advance(): Unit =
+            while (!out.hasNext && buf.hasNext) {
+              val (db, tbl) = (buf.head.db, buf.head.tbl)
+              var cols: Seq[String] = null
+              val state = mutable.LinkedHashMap.empty[Seq[String], Long]
+              while (buf.hasNext && buf.head.db == db && buf.head.tbl == tbl) {
+                val e = buf.next()
+                e.op match {
+                  case Cdc.OpQuery =>
+                    SchemaRegistry.parseDdl(e.query)
+                      .filter(_.table == tbl).foreach {
+                        case SchemaRegistry.CreateTable(_, cs) =>
+                          if (cols == null) { cols = cs; state.clear() }
+                        case SchemaRegistry.AddColumn(_, _) if cols == null => ()
+                        case SchemaRegistry.AddColumn(_, c) =>
+                          cols = cols :+ c
+                          // the follower's ALTER physically widens every
+                          // existing row with NULL (mysql_manager.rs:89-95
+                          // delegates to MySQL; we ARE the follower here)
+                          val widened = state.toSeq
+                            .map { case (img, n) => (img :+ nullCell, n) }
+                          state.clear(); state ++= widened
+                        case SchemaRegistry.RenameColumn(_, from, to) =>
+                          if (cols != null)
+                            cols = cols.map(c => if (c == from) to else c)
+                        case SchemaRegistry.DropColumn(_, c) =>
+                          if (cols != null) {
+                            val i = cols.indexOf(c)
+                            if (i >= 0) {
+                              cols = cols.patch(i, Nil, 1)
+                              val narrowed = state.toSeq
+                                .map { case (img, n) => (img.patch(i, Nil, 1), n) }
+                              state.clear(); state ++= narrowed
+                            }
+                          }
+                        case SchemaRegistry.DropTable(_) =>
+                          cols = null; state.clear()
+                      }
+                  case Cdc.OpAdd =>
+                    e.rows.foreach(r =>
+                      state.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))
+                  case Cdc.OpUpdate =>
+                    e.rows.foreach { r =>
+                      state.remove(r.before_cols).foreach { n =>
+                        state.updateWith(r.cols)(c => Some(c.getOrElse(0L) + n))
+                      }
+                    }
+                  case Cdc.OpDelete =>
+                    e.rows.foreach(r => state.remove(r.cols))
+                  case _ => ()
+                }
+              }
+              val finalCols = cols
+              out = state.iterator.flatMap { case (img, n) =>
+                Iterator.fill(n.toInt)((db, tbl, img, finalCols))
+              }
+            }
+          def hasNext: Boolean = { advance(); out.hasNext }
+          def next(): (String, String, Seq[String], Seq[String]) = {
+            advance(); out.next()
+          }
+        }
+      }
+      .toDF("db", "tbl", "image", "columns")
+  }
+
   /** Batch "replica snapshot" for the generated customer log: scale path +
     * typed decode. This is the engine's flagship query (SparkEntry.entry). */
   def customerSnapshot(spark: SparkSession, sfDir: String): DataFrame = {

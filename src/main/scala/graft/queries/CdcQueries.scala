@@ -195,6 +195,46 @@ object CdcQueries {
         .orderBy("sequence")
     }),
 
+    // E2E pet fixture (mysql-send-cmds.sh:12-20): the reference's
+    // flagship 9-statement script replayed through the schema-aware apply
+    // — the mid-stream ALTER widens live rows so the post-ALTER 6-cell
+    // DELETE matches the pre-ALTER 5-cell insert — then decoded typed via
+    // registry column names. Mirrors mysql-validate-result.sh:74-78's
+    // leader≡follower diff as a DuckDB VALUES golden.
+    "cdc_e2e_pet" -> ((s, _) => {
+      val st = ChangelogApply.applyWithSchema(CdcGen.typedEvents(s))
+      CdcGen.decodePet(st.where(col("tbl") === "pet")).orderBy("name")
+    }),
+
+    // Typed Value wire fidelity (values.rs:8-45): every remaining Value
+    // variant family — SignedInteger, Decimal, DateTime, Blob, Timestamp,
+    // Double, Enum, Year, Float, Time, Json, Null — encoded as tagged
+    // serde JSON cells, round-tripped through to_json/from_json wire
+    // form, applied (incl. a changed-cols update with a typed→Null
+    // transition), and decoded back to native Spark types.
+    "cdc_typed_roundtrip" -> ((s, _) => {
+      val ev = CdcGen.typedEvents(s)
+      val wire = ev.select(to_json(struct(ev.columns.map(col): _*)).as("json"))
+      val parsed = wire
+        .select(from_json(col("json"), Cdc.EventSchema).as("e"))
+        .select("e.*")
+      val st = ChangelogApply.applyWithSchema(parsed)
+      CdcGen.decodeMenagerie(st.where(col("tbl") === "menagerie"))
+        .orderBy("id")
+    }),
+
+    // K2 front half — SQL statement regeneration
+    // (mysql_manager.rs:208-292): INSERT / UPDATE with changed-cols-only
+    // SET + null-safe full-image WHERE / DELETE, plus verbatim DDL
+    // passthrough (mysql_manager.rs:89-95). Pet-db slice checked against
+    // literal goldens here; the menagerie slice is differentially checked
+    // against the row-level builders in SqlGenSpec.
+    "cdc_sqlgen" -> ((s, _) => {
+      val ev = CdcGen.typedEvents(s)
+        .where(element_at(split(col("uri"), "/"), 4) === "flvDb")
+      SqlGen.statements(ev).orderBy("sequence", "stmt_idx")
+    }),
+
     // D7 — broadcast registry join resolving column lists for row events.
     "cdc_registry_join" -> ((s, dir) => {
       import s.implicits._
@@ -297,6 +337,40 @@ object CdcQueries {
              CASE WHEN n % 3 = 2 THEN 'c3' END,
              CASE WHEN off >= 3 AND n % 2 = 0 THEN 'extra_col' END) AS asof_cols
          FROM r ORDER BY sequence""",
+    "cdc_e2e_pet" ->
+      """SELECT * FROM (VALUES
+           ('Jack', 'Peter', 'dog', 'm', DATE '1989-08-31', CAST(NULL AS DATE)),
+           ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
+         AS t(name, owner, species, sex, birth, last_vaccine)
+         ORDER BY name""",
+    "cdc_typed_roundtrip" ->
+      """SELECT * FROM (VALUES
+           (CAST(2 AS BIGINT), 'Goldie II', CAST(NULL AS DECIMAL(18,6)),
+            TIMESTAMP '2022-01-15 08:00:00', 'glub',
+            TIMESTAMP '2020-09-13 12:26:40', CAST(3.5 AS DOUBLE),
+            CAST(5 AS SMALLINT), 2020, CAST(2.5 AS REAL),
+            '8:0:5.0', '{"b":[1,2]}'),
+           (CAST(3 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS DECIMAL(18,6)),
+            CAST(NULL AS TIMESTAMP), CAST(NULL AS VARCHAR),
+            CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE),
+            CAST(NULL AS SMALLINT), CAST(NULL AS INTEGER), CAST(NULL AS REAL),
+            CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)))
+         AS t(id, nick, weight, seen, tag_utf8, born, score, kind, yr,
+              ratio, feeding, meta)
+         ORDER BY id""",
+    "cdc_sqlgen" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 0, 'CREATE DATABASE flvDb'),
+           (2, 0, 'CREATE TABLE pet (name VARCHAR(20), owner VARCHAR(20), species VARCHAR(20), sex CHAR(1), birth DATE)'),
+           (3, 0, 'INSERT INTO pet (name, owner, species, sex, birth) VALUES ("Puffball", "Diane", "hamster", "f", "1999-3-30")'),
+           (4, 0, 'INSERT INTO pet (name, owner, species, sex, birth) VALUES ("Jack", "Peter", "dog", "m", "1999-3-30")'),
+           (5, 0, 'UPDATE pet SET birth="1989-8-31" WHERE name="Jack" AND owner="Peter" AND species="dog" AND sex="m" AND birth="1999-3-30"'),
+           (6, 0, 'ALTER TABLE pet ADD COLUMN last_vaccine DATE'),
+           (7, 0, 'DELETE FROM pet WHERE name="Puffball" AND owner="Diane" AND species="hamster" AND sex="f" AND birth="1999-3-30" AND last_vaccine is NULL'),
+           (8, 0, 'INSERT INTO pet (name, owner, species, sex, birth, last_vaccine) VALUES ("Spot", "Jane", "dog", "m", "2010-11-2", Null)'),
+           (9, 0, 'UPDATE pet SET last_vaccine="2020-6-10" WHERE name="Spot" AND owner="Jane" AND species="dog" AND sex="m" AND birth="2010-11-2" AND last_vaccine is NULL'))
+         AS t(sequence, stmt_idx, stmt)
+         ORDER BY sequence, stmt_idx""",
     "cdc_registry_join" ->
       """SELECT n_nationkey AS sequence, 'app_' || n_regionkey AS db,
          't_' || lower(n_name) AS tbl,

@@ -184,6 +184,137 @@ object CdcGen {
       .unionByName(dropTable)
   }
 
+  /** The reference's flagship e2e fixture as a TYPED changelog
+    * (scripts/helpers/mysql-send-cmds.sh:12-20): the 9-statement pet-table
+    * script — CREATE DATABASE, CREATE TABLE, 2×INSERT, UPDATE, mid-stream
+    * ALTER ADD COLUMN (row width changes!), DELETE carrying the widened
+    * 6-cell image, INSERT with NULL, UPDATE of the added column — plus a
+    * second db/table (`zooDb.menagerie`) exercising the remaining Value
+    * variants (SignedInteger, Decimal, DateTime, Blob, Timestamp, Double,
+    * Enum, Year, Float, Time, Json, Null; values.rs:8-45).
+    *
+    * Cells are the externally-tagged serde JSON of [[graft.model.Value]]
+    * (values.rs goldens), so joining a row's cells with "," reproduces the
+    * reference's wire `cols` array byte-for-byte. A literal fixture, like
+    * the reference's own; every downstream oracle is a literal VALUES
+    * table. */
+  def typedEvents(spark: SparkSession): DataFrame = {
+    import graft.model.Value._
+    import graft.model.{CdcEvent, CdcRowImages}
+    import spark.implicits._
+
+    val host = "flv://mysql-leader"
+    val petCols5 = Seq("name", "owner", "species", "sex", "birth")
+    val petCols6 = petCols5 :+ "last_vaccine"
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+
+    def q(seq: Long, db: String, sql: String) = CdcEvent(
+      seq, s"$host/$db", "binlog.000001", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, db: String, tbl: String, op: String,
+        cols: Seq[String], before: Seq[String], after: Seq[String]) = CdcEvent(
+      seq, s"$host/$db/$tbl", "binlog.000001", seq, op, null, cols,
+      Seq(CdcRowImages(before, after)))
+
+    val d1999 = VDate(1999, 3, 30)
+    val pet = Seq(
+      q(1, "flvDb", "CREATE DATABASE flvDb"),
+      q(2, "flvDb", "CREATE TABLE pet (name VARCHAR(20), owner VARCHAR(20), " +
+        "species VARCHAR(20), sex CHAR(1), birth DATE)"),
+      row(3, "flvDb", "pet", Cdc.OpAdd, petCols5, null,
+        cells(VString("Puffball"), VString("Diane"), VString("hamster"),
+          VString("f"), d1999)),
+      row(4, "flvDb", "pet", Cdc.OpAdd, petCols5, null,
+        cells(VString("Jack"), VString("Peter"), VString("dog"),
+          VString("m"), d1999)),
+      row(5, "flvDb", "pet", Cdc.OpUpdate, petCols5,
+        cells(VString("Jack"), VString("Peter"), VString("dog"),
+          VString("m"), d1999),
+        cells(VString("Jack"), VString("Peter"), VString("dog"),
+          VString("m"), VDate(1989, 8, 31))),
+      q(6, "flvDb", "ALTER TABLE pet ADD COLUMN last_vaccine DATE"),
+      // post-ALTER images carry the widened 6th NULL cell, exactly as
+      // MySQL row events would (README.md:186-188)
+      row(7, "flvDb", "pet", Cdc.OpDelete, petCols6, null,
+        cells(VString("Puffball"), VString("Diane"), VString("hamster"),
+          VString("f"), d1999, VNull)),
+      row(8, "flvDb", "pet", Cdc.OpAdd, petCols6, null,
+        cells(VString("Spot"), VString("Jane"), VString("dog"),
+          VString("m"), VDate(2010, 11, 2), VNull)),
+      row(9, "flvDb", "pet", Cdc.OpUpdate, petCols6,
+        cells(VString("Spot"), VString("Jane"), VString("dog"),
+          VString("m"), VDate(2010, 11, 2), VNull),
+        cells(VString("Spot"), VString("Jane"), VString("dog"),
+          VString("m"), VDate(2010, 11, 2), VDate(2020, 6, 10))))
+
+    val zooCols = Seq("id", "nick", "weight", "seen", "tag", "born",
+      "score", "kind", "yr", "ratio", "feeding", "meta")
+    def tweety = cells(VSignedInteger(1), VString("Tweety"),
+      VDecimal("12.500000"), VDateTime(2021, 7, 4, 12, 30, 5, 250000),
+      VBlob("chirp".getBytes("UTF-8").map(_.toInt)), VTimestamp(1524885322, 0),
+      VDouble(7.25), VEnum(2), VYear(1999), VFloat(1.5f),
+      VTime(21, 31, 30, 1000), VJson("""{"a":1}"""))
+    def goldie(nick: String, weight: graft.model.Value) =
+      cells(VSignedInteger(2), VString(nick), weight,
+        VDateTime(2022, 1, 15, 8, 0, 0, 0),
+        VBlob("glub".getBytes("UTF-8").map(_.toInt)), VTimestamp(1600000000, 0),
+        VDouble(3.5), VEnum(5), VYear(2020), VFloat(2.5f),
+        VTime(8, 0, 5, 0), VJson("""{"b":[1,2]}"""))
+    val allNull3 = cells(Seq(VSignedInteger(3)) ++ Seq.fill(11)(VNull): _*)
+
+    val zoo = Seq(
+      q(10, "zooDb", "CREATE DATABASE zooDb"),
+      q(11, "zooDb", "CREATE TABLE menagerie (id BIGINT, nick VARCHAR(20), " +
+        "weight DECIMAL(18,6), seen DATETIME, tag BLOB, born TIMESTAMP, " +
+        "score DOUBLE, kind ENUM('a','b'), yr YEAR, ratio FLOAT, " +
+        "feeding TIME, meta JSON)"),
+      row(12, "zooDb", "menagerie", Cdc.OpAdd, zooCols, null, tweety),
+      row(13, "zooDb", "menagerie", Cdc.OpAdd, zooCols, null,
+        goldie("Goldie", VDecimal("0.250000"))),
+      // changed-cols update with a typed→Null transition (null-safe WHERE)
+      row(14, "zooDb", "menagerie", Cdc.OpUpdate, zooCols,
+        goldie("Goldie", VDecimal("0.250000")),
+        goldie("Goldie II", VNull)),
+      row(15, "zooDb", "menagerie", Cdc.OpAdd, zooCols, null, allNull3),
+      row(16, "zooDb", "menagerie", Cdc.OpDelete, zooCols, null, tweety))
+
+    (pet ++ zoo).toDS().toDF()
+  }
+
+  /** Registry-driven typed decode of the final pet table: cells located by
+    * NAME against the registry column list (ValueCodec.cellByName — the D7
+    * decode path), then decoded per the self-described value tag. */
+  def decodePet(state: DataFrame): DataFrame = {
+    import graft.operators.ValueCodec._
+    def cell(n: String) = cellByName(col("image"), col("columns"), n)
+    state.select(
+      decodeString(cell("name")).as("name"),
+      decodeString(cell("owner")).as("owner"),
+      decodeString(cell("species")).as("species"),
+      decodeString(cell("sex")).as("sex"),
+      decodeDate(cell("birth")).as("birth"),
+      decodeDate(cell("last_vaccine")).as("last_vaccine"))
+  }
+
+  /** Full typed decode of the final menagerie table — every remaining
+    * Value variant family (values.rs:8-45) back to native Spark types. */
+  def decodeMenagerie(state: DataFrame): DataFrame = {
+    import graft.operators.ValueCodec._
+    def cell(n: String) = cellByName(col("image"), col("columns"), n)
+    state.select(
+      decodeLong(cell("id")).as("id"),
+      decodeString(cell("nick")).as("nick"),
+      decodeDecimal(cell("weight")).as("weight"),
+      decodeDateTime(cell("seen")).as("seen"),
+      decodeBlobUtf8(cell("tag")).as("tag_utf8"),
+      decodeTimestamp(cell("born")).as("born"),
+      decodeDouble(cell("score")).as("score"),
+      decodeEnum(cell("kind")).as("kind"),
+      decodeYear(cell("yr")).as("yr"),
+      decodeFloat(cell("ratio")).as("ratio"),
+      decodeTimeString(cell("feeding")).as("feeding"),
+      decodeJson(cell("meta")).as("meta"))
+  }
+
   /** Decode a customer row image back to typed columns (registry-driven in
     * the general engine; static here because the demo table is typed). */
   def decodeCustomer(images: DataFrame, imageCol: String = "image"): DataFrame = {

@@ -104,6 +104,34 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(out === Seq(Seq("Jack", "Peter")))
   }
 
+  test("applyWithSchema: ALTER DROP narrows live images; RENAME keeps them; DROP TABLE clears") {
+    import spark.implicits._
+    import graft.model.Value._
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def q(seq: Long, sql: String) = CdcEvent(
+      seq, "flv://m/d1", "binlog.000001", seq, Cdc.OpQuery, sql, null, null)
+    def add(seq: Long, tbl: String, img: Seq[String]) = CdcEvent(
+      seq, s"flv://m/d1/$tbl", "binlog.000001", seq, Cdc.OpAdd, null, null,
+      Seq(CdcRowImages(null, img)))
+    val events = Seq(
+      q(1, "CREATE TABLE a (x INT, y INT, z INT)"),
+      add(2, "a", cells(VSignedInteger(1), VSignedInteger(2), VSignedInteger(3))),
+      q(3, "ALTER TABLE a DROP COLUMN y"),
+      q(4, "ALTER TABLE a RENAME COLUMN z TO w"),
+      // post-DDL row carries the narrowed 2-cell image
+      add(5, "a", cells(VSignedInteger(7), VSignedInteger(8))),
+      q(6, "CREATE TABLE gone (g INT)"),
+      add(7, "gone", cells(VSignedInteger(9))),
+      q(8, "DROP TABLE gone")
+    ).toDS().toDF()
+    val st = ChangelogApply.applyWithSchema(events)
+    val out = st.select($"tbl", $"image", $"columns")
+      .as[(String, Seq[String], Seq[String])].collect().toSeq.sortBy(_._2.head)
+    assert(out === Seq(
+      ("a", cells(VSignedInteger(1), VSignedInteger(3)), Seq("x", "w")),
+      ("a", cells(VSignedInteger(7), VSignedInteger(8)), Seq("x", "w"))))
+  }
+
   test("at-least-once replay: offset-dedup then apply ≡ apply (hard-part #4)") {
     import org.apache.spark.sql.functions._
     // replay a prefix (the reference re-reads from the resume offset on
