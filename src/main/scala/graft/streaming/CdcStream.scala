@@ -23,8 +23,12 @@ import graft.sources.{CdcGen, Tables}
   */
 object CdcStream {
 
-  /** Keyed row-level event, the FMGWS input. */
-  case class KeyedImageEvent(sequence: Long, op: String, image: Seq[String], key: String)
+  /** Keyed row-level event, the FMGWS input. State is keyed by
+    * (uri, key): a changelog spanning multiple tables with colliding key
+    * values must not merge their states (same fix as
+    * ChangelogApply.latestImage; round-1 advice). */
+  case class KeyedImageEvent(
+      sequence: Long, op: String, image: Seq[String], uri: String, key: String)
 
   /** Apply state per row key: newest image wins (latest-image semantics,
     * the scale path of ChangelogApply). */
@@ -64,7 +68,7 @@ object CdcStream {
     * live image (append mode; the driver-facing query runs it as a single
     * micro-batch so the emission is exactly the final snapshot). */
   def applyEvents(
-      key: String,
+      key: (String, String),
       it: Iterator[KeyedImageEvent],
       state: GroupState[ApplyState]): Iterator[Seq[String]] = {
     val sorted = it.toArray.sortBy(_.sequence)
@@ -88,12 +92,12 @@ object CdcStream {
     import spark.implicits._
     val keyed = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
-      .select(col("sequence"), col("op"), explode(col("rows")).as("r"))
-      .select(col("sequence"), col("op"), col("r.cols").as("image"))
+      .select(col("sequence"), col("op"), col("uri"), explode(col("rows")).as("r"))
+      .select(col("sequence"), col("op"), col("uri"), col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
       .as[KeyedImageEvent]
     val applied: Dataset[Seq[String]] = keyed
-      .groupByKey(_.key)
+      .groupByKey(e => (e.uri, e.key))
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(applyEvents)
     applied.toDF("image")

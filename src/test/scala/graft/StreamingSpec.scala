@@ -64,6 +64,51 @@ class StreamingSpec extends AnyFunSuite {
       Seq("a", "1") -> 1, Seq("a", "2") -> 1, Seq("b", "1") -> 2), s"got $all")
   }
 
+  test("S2/S3 — ProcessingTime(500ms) poll + mid-run file rotation ≡ batch apply") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    // The reference's producer loop polls every >=500ms and discovers
+    // rotated-in binlog files via the index scan (manager.rs:22,52-86,
+    // 173-187). Spark twin: ProcessingTime("500 milliseconds") trigger
+    // over a directory glob that gains a file mid-run.
+    val inDir = Files.createTempDirectory("graft_rot_in").toString
+    val events = graft.sources.CdcGen.customerEvents(spark, Sf)
+    val b1 = events.where(col("sequence") < (1L << 30)) // DDL + inserts
+    val b2 = events.where(col("sequence") >= (1L << 30)) // updates + deletes
+    b1.coalesce(1).write.mode("overwrite").parquet(s"$inDir/b1")
+
+    val stream = spark.readStream.schema(Cdc.EventSchema).parquet(s"$inDir/*")
+    val q = CdcStream.applyStream(stream)
+      .writeStream.format("memory").queryName("rot_t")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    q.processAllAvailable()
+    // rotation: a new file appears in the watched tree mid-run
+    b2.coalesce(1).write.mode("overwrite").parquet(s"$inDir/b2")
+    q.processAllAvailable()
+    val nBatches = q.recentProgress.map(_.batchId).distinct.length
+    q.stop()
+    assert(nBatches >= 2, s"expected >=2 micro-batches, saw $nBatches")
+
+    // Emissions = batch-1 live images (all inserts) + batch-2 live images
+    // (the updated rows that were not subsequently deleted; deletions
+    // emit nothing under append FMGWS).
+    val cust = spark.read.parquet(s"$Sf/customer.parquet")
+    val orig = cust.select($"c_custkey", $"c_name", $"c_nationkey",
+      $"c_acctbal", $"c_mktsegment")
+    val updated = cust.where($"c_custkey" % 5 === 0 && $"c_custkey" % 7 =!= 0)
+      .select($"c_custkey", $"c_name", $"c_nationkey",
+        ($"c_acctbal" + 100.0).as("c_acctbal"),
+        when($"c_custkey" % 25 === 0, lit(null).cast("string"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"))
+    val expected = orig.unionByName(updated)
+    val emitted = graft.sources.CdcGen.decodeCustomer(spark.table("rot_t"))
+    assert(emitted.count() === expected.count())
+    assert(emitted.except(expected).isEmpty && expected.except(emitted).isEmpty)
+  }
+
   test("state carries across micro-batches (insert batch 1, update+delete batch 2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
