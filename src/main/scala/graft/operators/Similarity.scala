@@ -30,23 +30,58 @@ object Similarity {
   def cosineExact(a: Column, b: Column): Column =
     dotFold(a, b) / sqrt(dotFold(a, a) * dotFold(b, b))
 
+  // Heap ordering for the partial top-k: the MAX element is the WORST
+  // candidate (lowest cos; ties broken toward higher vec_id), so the heap
+  // head is what k+1'th candidates must beat.
+  private val evictFirst: Ordering[(Double, Long)] =
+    Ordering.fromLessThan { (a, b) =>
+      if (a._1 != b._1) a._1 > b._1 else a._2 < b._2
+    }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest
     * non-identical candidates, ranked by rounded cosine then id.
     * `cosFn` defaults to the HOF fold; pass the codegen'd
     * [[graft.expressions.CosineSimilarity]] for the hot path — both
-    * compute identical bits. */
+    * compute identical bits.
+    *
+    * Scale shape: scoring is a broadcast + linear scan; each input
+    * partition reduces to at most k rows per query via bounded heaps
+    * (iterator-to-iterator, no shuffle of raw scores), so the shuffle into
+    * the final per-query window carries ≤ k·|partitions| rows per query
+    * instead of |candidates| — the "partial top-k then merge" plan a
+    * 100 TB scan needs. Exact: the global top-k is a subset of the union
+    * of per-partition top-ks. */
   def bruteForceTopK(
       queries: DataFrame, // (q_id, q_emb)
       candidates: DataFrame, // (vec_id, embedding)
       k: Int,
       cosFn: (Column, Column) => Column = cosineExact): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
     val scored = candidates
       .crossJoin(broadcast(queries))
       .where(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", round(cosFn(col("q_emb"), col("embedding")), 6))
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"),
+        round(cosFn(col("q_emb"), col("embedding")), 6).as("cos"))
+      .as[(Long, Long, Double)]
+    val partial = scored.mapPartitions { it =>
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+      it.foreach { case (q, v, c) =>
+        val h = heaps.getOrElseUpdate(q,
+          scala.collection.mutable.PriorityQueue.empty(evictFirst))
+        if (h.size < k) h.enqueue((c, v))
+        else if (c > h.head._1 || (c == h.head._1 && v < h.head._2)) {
+          h.dequeue(); h.enqueue((c, v))
+        }
+      }
+      heaps.iterator.flatMap { case (q, h) =>
+        h.iterator.map { case (c, v) => (q, v, c) }
+      }
+    }.toDF("q_id", "vec_id", "cos")
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id"))
-    scored
+    partial
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))

@@ -143,6 +143,15 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // near-dup pairs → connected components → keep/drop clusters: the
+    // step that turns pairwise output into an actionable dedup decision
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup
+        .minhashLsh(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
+        .select(col("a_id"), col("b_id"))
+      Dedup.connectedComponents(pairs).orderBy("doc_id")
+    }),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -292,6 +301,30 @@ object ExtensionQueries {
           JOIN sigs sb ON sb.doc_id = b_id
           WHERE jaccard >= 0.5 AND ($bandCond)
           ORDER BY a_id, b_id"""
+    },
+    "dedup_clusters" -> {
+      val bandCond = (0 until Dedup.Bands).map { bi =>
+        val r = Dedup.MinhashParams.size / Dedup.Bands
+        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      // min-reachable-id per node via recursive closure over the pair
+      // graph — DuckDB's UNION-dedup guarantees termination
+      s"""WITH RECURSIVE ${ExtCorpus.DocCorpusCte}, $ShingleCtes, $sigsCte,
+          pairs AS (
+            SELECT a_id, b_id FROM jac
+            JOIN sigs sa ON sa.doc_id = a_id
+            JOIN sigs sb ON sb.doc_id = b_id
+            WHERE jaccard >= 0.5 AND ($bandCond)),
+          edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION SELECT b_id, a_id FROM pairs),
+          reach(id, r) AS (
+            SELECT DISTINCT src, src FROM edges
+            UNION
+            SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+          SELECT id AS doc_id, MIN(r) AS canonical_id
+          FROM reach GROUP BY id ORDER BY doc_id"""
     },
     "dedup_simhash" -> {
       val (a1, b1) = Dedup.MinhashParams.head

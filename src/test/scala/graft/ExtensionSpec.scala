@@ -9,6 +9,17 @@ import graft.sources.ExtCorpus
 class ExtensionSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("connectedComponents: min-id labels across chained and separate clusters") {
+    import spark.implicits._
+    // 1-2-3 chained (diameter 2), {10,11} separate, {5,6,7} a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 6L), (6L, 7L), (5L, 7L))
+      .toDF("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
   test("dedup_exact finds exactly the planted identical copies") {
     import spark.implicits._
     val out = Dedup.exact(ExtCorpus.docCorpus(spark, Sf), "doc_id", "text")
