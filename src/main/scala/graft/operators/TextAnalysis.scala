@@ -69,6 +69,47 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** BM25 keyword extraction: score every (doc, term), keep the top-k
+    * terms per doc — the standard "what is this document about" primitive
+    * for corpus curation.
+    *
+    * The idf uses the RATIO form (N - df + 0.5) / (df + 0.5) instead of
+    * its log: log is monotone, so per-doc term rankings are identical to
+    * BM25's, and the score stays inside IEEE +,*,/ — bit-exact across
+    * engines, so the DuckDB oracle reproduces it digit-for-digit (the
+    * same reason the cosine fold avoids engine builtins).
+    *
+    * Plan shape: explode → two hash aggregations (tf, dl) + one per-term
+    * aggregation (df, broadcast back) + per-doc top-k window. At 100 TB
+    * the tf/dl aggs partial-combine map-side; df is |vocab|-sized. */
+  def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(dl, "doc_id")
+      .join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("score", round(
+        col("idf") * (col("tf") * lit(k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
+        6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
+
   /** Document fingerprint: position-weighted rolling hash over tokens,
     * h = sum_i (i+1) * poly(word_i) mod P with poly a per-word arithmetic
     * code — order-sensitive (anagrams differ), engine-portable (pure

@@ -117,6 +117,13 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 keyword extraction: top-3 terms per document
+    "text_bm25" -> ((s, dir) => {
+      TextAnalysis.bm25Keywords(Tables.table(s, dir, "documents"),
+          "doc_id", "text", 3)
+        .orderBy("doc_id", "rnk")
+    }),
+
     // positional rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"), "text")
@@ -271,6 +278,30 @@ object ExtensionQueries {
                  ELSE 'query' END AS pred_lang
           FROM scored ORDER BY doc_id"""
     },
+    // constants interpolated from the same Scala doubles the operator
+    // uses (shortest round-trip repr), so both engines parse the exact
+    // same IEEE values; the idf is the ratio form — no log — so the whole
+    // score is +,*,/ and bit-exact (see TextAnalysis.bm25Keywords).
+    "text_bm25" -> s"""
+       WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ROUND(((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)), 6) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       ranked AS (
+         SELECT doc_id, term, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+             ORDER BY score DESC, term) AS rnk
+         FROM scored)
+       SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
+       ORDER BY doc_id, rnk""",
     "text_fingerprint" -> s"""
        SELECT doc_id, CAST(list_reduce(
          list_transform(range(1, len(string_split(text, ' ')) + 1),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, SaltedJoin}
 
 /** General relational engine surface (SURVEY.md §2.6 absence-list
   * categories, implemented Spark-first): joins (broadcast/semi/anti/as-of/
@@ -76,6 +76,35 @@ object RelationalQueries {
       t(s, dir, "customer").join(urgent, Seq("c_custkey"), "left_anti")
         .select($"c_custkey", $"c_mktsegment")
         .orderBy($"c_custkey")
+    }),
+
+    // Full-outer join: machinery customers vs per-customer order counts —
+    // unmatched rows survive on both sides (name-only and count-only).
+    "q_join_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      val mach = t(s, dir, "customer")
+        .where($"c_mktsegment" === "MACHINERY")
+        .select($"c_custkey".as("k"), $"c_name")
+      val bought = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("n_orders"))
+      mach.join(bought, Seq("k"), "full_outer")
+        .select($"k", $"c_name", $"n_orders")
+        .orderBy($"k")
+    }),
+
+    // Skew-safe salted equi-join (SaltedJoin operator): semantics are the
+    // plain join — that's the oracle — while a hot user_id spreads over 8
+    // reducers. The deterministic per-row salt keys on event_id.
+    "q_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = t(s, dir, "events").select($"event_id", $"user_id", $"value")
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      SaltedJoin.join(fact, dim, "user_id", 8, pmod($"event_id", lit(8)))
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy($"c_mktsegment")
     }),
 
     // Ranking window: top-3 orders per customer by price.
@@ -341,6 +370,19 @@ object RelationalQueries {
          WHERE NOT EXISTS (SELECT 1 FROM orders
            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
          ORDER BY c_custkey""",
+    "q_join_full_outer" ->
+      """SELECT COALESCE(c.k, o.k) AS k, c_name, n_orders
+         FROM (SELECT c_custkey AS k, c_name FROM customer
+               WHERE c_mktsegment = 'MACHINERY') c
+         FULL OUTER JOIN (SELECT o_custkey AS k, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1) o
+           ON c.k = o.k
+         ORDER BY k""",
+    "q_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY c_mktsegment""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, rnk FROM (
            SELECT o_custkey, o_orderkey,
