@@ -117,6 +117,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // int8 embedding quantization + reconstruction stats
+    "emb_quantize" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      Embeddings.quantizeInt8(emb).orderBy("vec_id")
+    }),
+
+    // deterministic hash-based train/val/test split
+    "data_split" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      d.select(col("doc_id"), Embeddings.assignSplit(col("doc_id")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")
+    }),
+
     // BM25 keyword extraction: top-3 terms per document
     "text_bm25" -> ((s, dir) => {
       TextAnalysis.bm25Keywords(Tables.table(s, dir, "documents"),
@@ -278,6 +294,42 @@ object ExtensionQueries {
                  ELSE 'query' END AS pred_lang
           FROM scored ORDER BY doc_id"""
     },
+    // same affine quantization, fold order and expression trees mirrored
+    // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the
+    // Spark zip_with) so every double is bit-identical
+    "emb_quantize" -> """
+       WITH e AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+         FROM embeddings),
+       st AS (
+         SELECT vec_id, emb,
+           list_aggregate(emb, 'min') AS mn,
+           (list_aggregate(emb, 'max') - list_aggregate(emb, 'min')) / 255.0 AS scale
+         FROM e),
+       cd AS (
+         SELECT vec_id, emb, mn, scale,
+           list_transform(emb, x -> CAST(
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE round((x - mn) / scale) END AS BIGINT)) AS codes
+         FROM st)
+       SELECT vec_id, len(emb) AS n_dims,
+         ROUND(mn, 6) AS q_min, ROUND(scale, 6) AS q_scale,
+         list_reduce(codes, (acc, c) -> acc + c) AS sum_codes,
+         ROUND(list_reduce(list_transform(range(1, len(emb) + 1),
+             i -> (mn + codes[i] * scale - emb[i]) * (mn + codes[i] * scale - emb[i])),
+           (acc, x) -> acc + x) / len(emb), 6) AS recon_mse
+       FROM cd ORDER BY vec_id""",
+    "data_split" -> """
+       WITH s AS (
+         SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM documents)
+       SELECT split, COUNT(*) AS n,
+         CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       FROM s GROUP BY 1 ORDER BY split""",
     // constants interpolated from the same Scala doubles the operator
     // uses (shortest round-trip repr), so both engines parse the exact
     // same IEEE values; the idf is the ratio form — no log — so the whole
