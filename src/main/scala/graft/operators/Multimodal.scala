@@ -37,6 +37,105 @@ object Multimodal {
     }
   }
 
+  /** REAL image-header decoder over the binary column (round-1 advice:
+    * make the decode non-fake where no codec is required). Byte-level
+    * container parsing, the part of image decode that needs no library:
+    *  - PNG:  8-byte signature, IHDR width/height as big-endian u32 at
+    *    offsets 16/20
+    *  - GIF:  "GIF89a", logical-screen width/height as little-endian u16
+    *    at offsets 6/8
+    *  - JPEG: SOI then a real marker-segment scan (skip APPn/COM et al.
+    *    by their lengths) to the first SOF0-SOF15 frame header, height
+    *    and width big-endian u16 at +5/+7
+    * Unknown payloads decode to 0×0 rather than throwing. */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(id: Long, p: Array[Byte]): DecodedMeta = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def be32(i: Int): Int =
+        (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      val pngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      val (w, h) =
+        if (p.length >= 24 && pngSig.indices.forall(i => u8(i) == pngSig(i)))
+          (be32(16), be32(20))
+        else if (p.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+          (u8(6) | (u8(7) << 8), u8(8) | (u8(9) << 8))
+        else if (p.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+          var i = 2
+          var res = (0, 0)
+          var done = false
+          while (!done && i + 8 < p.length) {
+            if (u8(i) != 0xff) i += 1
+            else {
+              val m = u8(i + 1)
+              val isSof = m >= 0xc0 && m <= 0xcf &&
+                m != 0xc4 && m != 0xc8 && m != 0xcc
+              if (isSof) {
+                res = ((u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6))
+                done = true
+              } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2
+              else i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
+            }
+          }
+          res
+        } else (0, 0)
+      DecodedMeta(id, p.length.toLong, w, h, 1)
+    }
+  }
+
+  // ---------- expression-level header parsing (codegen'd, no UDF) ----------
+
+  private def beU32(media: org.apache.spark.sql.Column, off: Int) =
+    conv(hex(substring(media, off, 4)), 16, 10).cast("long")
+  private def byteAt(media: org.apache.spark.sql.Column, off: Int) =
+    conv(hex(substring(media, off, 1)), 16, 10).cast("long")
+
+  /** Format sniff by magic bytes — pure expressions over BINARY. */
+  def sniffFormat(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(media, 1, 8)) === "89504E470D0A1A0A", "png")
+      .when(hex(substring(media, 1, 3)) === "474946", "gif")
+      .when(hex(substring(media, 1, 2)) === "FFD8", "jpeg")
+      .otherwise("unknown")
+
+  /** PNG/GIF dimensions as expressions (fixed-offset containers); null
+    * for formats needing a scan (JPEG — see [[HeaderDecoder]]). */
+  def headerWidth(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sniffFormat(media) === "png", beU32(media, 17))
+      .when(sniffFormat(media) === "gif",
+        byteAt(media, 7) + byteAt(media, 8) * 256)
+
+  def headerHeight(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sniffFormat(media) === "png", beU32(media, 21))
+      .when(sniffFormat(media) === "gif",
+        byteAt(media, 9) + byteAt(media, 10) * 256)
+
+  /** Synthetic media table with REAL container headers built by
+    * expressions (unhex of computed header hex + the text body), so the
+    * parsers above parse genuine bytes while an arithmetic oracle knows
+    * the planted dimensions: fmt = doc_id % 3 (png/gif/jpeg),
+    * width = 100 + doc_id % 577, height = 64 + doc_id % 331. */
+  def syntheticMediaTable(docs: DataFrame): DataFrame = {
+    val w = lit(100) + col("doc_id") % 577
+    val h = lit(64) + col("doc_id") % 331
+    def hex32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    def hexLe16(v: org.apache.spark.sql.Column) =
+      concat(lpad(hex(v % 256), 2, "0"), lpad(hex(floor(v / 256).cast("long")), 2, "0"))
+    def hexBe16(v: org.apache.spark.sql.Column) =
+      concat(lpad(hex(floor(v / 256).cast("long")), 2, "0"), lpad(hex(v % 256), 2, "0"))
+    val pngHeader = concat(
+      lit("89504E470D0A1A0A"), lit("0000000D49484452"), hex32(w), hex32(h))
+    val gifHeader = concat(lit("474946383961"), hexLe16(w), hexLe16(h))
+    val jpegHeader = concat(
+      lit("FFD8"),
+      lit("FFE000104A46494600010100000100010000"), // APP0/JFIF segment
+      lit("FFC0001108"), hexBe16(h), hexBe16(w))
+    val header = when(col("doc_id") % 3 === 0, pngHeader)
+      .when(col("doc_id") % 3 === 1, gifHeader)
+      .otherwise(jpegHeader)
+    docs.select(
+      col("doc_id"),
+      concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
+  }
+
   /** Attach a binary payload column + metadata struct to documents —
     * the ingestion shape for media tables: (id, media BINARY,
     * media_meta STRUCT<mime, n_bytes>). */

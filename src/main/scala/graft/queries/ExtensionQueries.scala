@@ -117,6 +117,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL image-header parsing over binary media columns: payloads carry
+    // genuine PNG/GIF/JPEG container headers (built by expressions), the
+    // row-level decoder does the marker-segment scan, and the
+    // expression-level parser reads the fixed-offset containers — both
+    // validated against the planted arithmetic truth.
+    "mm_parse_headers" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.table(s, dir, "documents"))
+      val decoded = Multimodal.decodeMedia(media, Multimodal.HeaderDecoder)
+        .toDF().select(col("doc_id"), col("n_bytes"),
+          col("width"), col("height"))
+      val sniffed = media.select(col("doc_id"),
+        Multimodal.sniffFormat(col("media")).as("fmt"),
+        Multimodal.headerWidth(col("media")).as("expr_width"),
+        Multimodal.headerHeight(col("media")).as("expr_height"))
+      sniffed.join(decoded, "doc_id").orderBy("doc_id")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -294,6 +312,21 @@ object ExtensionQueries {
                  ELSE 'query' END AS pred_lang
           FROM scored ORDER BY doc_id"""
     },
+    // planted arithmetic truth for the parsed headers (fmt/dims derive
+    // from doc_id; ASCII corpus so length(text) = body bytes)
+    "mm_parse_headers" -> """
+       SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+              ELSE 'jpeg' END AS fmt,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE 100 + doc_id % 577 END AS expr_width,
+         CASE WHEN doc_id % 3 = 2 THEN NULL
+              ELSE 64 + doc_id % 331 END AS expr_height,
+         CAST(CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 10 ELSE 29 END
+              + length(text) AS BIGINT) AS n_bytes,
+         CAST(100 + doc_id % 577 AS INTEGER) AS width,
+         CAST(64 + doc_id % 331 AS INTEGER) AS height
+       FROM documents ORDER BY doc_id""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the
     // Spark zip_with) so every double is bit-identical

@@ -9,6 +9,32 @@ import graft.sources.ExtCorpus
 class ExtensionSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("HeaderDecoder parses canonical hand-written image headers") {
+    import graft.operators.Multimodal.HeaderDecoder
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // 640×480 PNG: signature + IHDR length/type + dims
+    val png = bytes(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0x02, 0x80, 0, 0, 0x01, 0xe0, 8, 6, 0, 0, 0)
+    val p = HeaderDecoder.decode(1, png)
+    assert((p.width, p.height) === (640, 480))
+    // 320×200 GIF89a: little-endian u16 dims
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xc8, 0x00, 0)
+    val g = HeaderDecoder.decode(2, gif)
+    assert((g.width, g.height) === (320, 200))
+    // JPEG: SOI, APP0 (16 bytes), COM segment, then SOF2 (progressive)
+    // 123×45 — the scan must skip variable segments and accept any SOF
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0,
+      0xff, 0xfe, 0x00, 0x04, 'h', 'i', // COM, length 4
+      0xff, 0xc2, 0x00, 0x11, 8, 0x00, 0x2d, 0x00, 0x7b, 3, 0, 0, 0, 0, 0, 0, 0, 0)
+    val j = HeaderDecoder.decode(3, jpeg)
+    assert((j.width, j.height) === (123, 45))
+    // garbage decodes to 0x0, no throw
+    val u = HeaderDecoder.decode(4, bytes(1, 2, 3, 4, 5))
+    assert((u.width, u.height) === (0, 0))
+  }
+
   test("connectedComponents: min-id labels across chained and separate clusters") {
     import spark.implicits._
     // 1-2-3 chained (diameter 2), {10,11} separate, {5,6,7} a triangle
