@@ -329,6 +329,38 @@ object RelationalQueries {
         .orderBy($"month")
     }),
 
+    // Math function family: sqrt is IEEE-correctly-rounded (unlike
+    // pow/log, which differ across libm builds), ceil/floor/abs/pmod are
+    // exact — so every value hash-matches the oracle.
+    "q_math_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          round(sqrt($"o_totalprice"), 6).as("sqrt_price"),
+          ceil($"o_totalprice").cast("long").as("ceil_price"),
+          floor($"o_totalprice").cast("long").as("floor_price"),
+          abs($"o_custkey" - 500).as("abs_off"),
+          pmod($"o_orderkey", lit(7)).as("bucket"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Array function family: per-customer order-key array (sorted for
+    // determinism) reduced back to scalars via size / element_at /
+    // array_max / array_distinct / an explicit left-fold sum.
+    "q_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(sort_array(collect_list($"o_orderkey")).as("arr"))
+        .select($"o_custkey",
+          size($"arr").cast("long").as("n"),
+          element_at($"arr", 1).as("first_key"),
+          array_max($"arr").as("max_key"),
+          size(array_distinct($"arr")).cast("long").as("n_distinct"),
+          aggregate($"arr", lit(0L), (acc, x) => acc + x).as("key_sum"))
+        .orderBy($"o_custkey")
+    }),
+
     // String function family (reference §2.5: lower/upper/trim/concat).
     "q_string_funcs" -> ((s, dir) => {
       import s.implicits._
@@ -509,6 +541,25 @@ object RelationalQueries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY month""",
+    "q_math_funcs" ->
+      """SELECT o_orderkey,
+         ROUND(sqrt(o_totalprice), 6) AS sqrt_price,
+         CAST(ceil(o_totalprice) AS BIGINT) AS ceil_price,
+         CAST(floor(o_totalprice) AS BIGINT) AS floor_price,
+         abs(o_custkey - 500) AS abs_off,
+         o_orderkey % 7 AS bucket
+         FROM orders ORDER BY o_orderkey""",
+    "q_array_funcs" ->
+      """WITH a AS (
+           SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS arr
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey,
+           CAST(len(arr) AS BIGINT) AS n,
+           arr[1] AS first_key,
+           list_aggregate(arr, 'max') AS max_key,
+           CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
+           CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS key_sum
+         FROM a ORDER BY o_custkey""",
     "q_string_funcs" ->
       """SELECT c_custkey,
          concat_ws('-', upper(substring(c_name, 1, 8)), CAST(length(c_name) AS VARCHAR)) AS tag,
