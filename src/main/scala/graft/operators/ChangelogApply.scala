@@ -201,9 +201,15 @@ object ChangelogApply {
                             val i = cols.indexOf(c)
                             if (i >= 0) {
                               cols = cols.patch(i, Nil, 1)
+                              // rows distinct only in the dropped column
+                              // collapse into one image — their copy
+                              // counts ADD (each MySQL row stays a row)
                               val narrowed = state.toSeq
                                 .map { case (img, n) => (img.patch(i, Nil, 1), n) }
-                              state.clear(); state ++= narrowed
+                              state.clear()
+                              narrowed.foreach { case (img, n) =>
+                                state.updateWith(img)(c0 => Some(c0.getOrElse(0L) + n))
+                              }
                             }
                           }
                         case SchemaRegistry.DropTable(_) =>

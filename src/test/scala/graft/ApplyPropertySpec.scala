@@ -45,6 +45,107 @@ class ApplyPropertySpec extends AnyFunSuite {
     state.toMap
   }
 
+  // ---- schema-aware apply: random DDL interleaved with DML ----
+
+  private sealed trait SEv
+  private case class SDdl(sql: String) extends SEv
+  private case class SRow(op: String, before: Seq[String], after: Seq[String]) extends SEv
+
+  private val ddlGen: Gen[SDdl] = Gen.frequency(
+    3 -> Gen.const(SDdl("ALTER TABLE t ADD COLUMN c_extra INT")),
+    2 -> Gen.const(SDdl("ALTER TABLE t DROP COLUMN b")),
+    1 -> Gen.const(SDdl("ALTER TABLE t RENAME COLUMN a TO a2")))
+
+  /** Oracle fold with the follower-MySQL DDL semantics: ALTER ADD widens
+    * all live images with the null cell, DROP narrows at the column's
+    * current index, RENAME touches names only. */
+  private def schemaFold(evs: Seq[SEv]): (Seq[String], Map[Seq[String], Long]) = {
+    var cols = Seq("a", "b")
+    val state = scala.collection.mutable.Map.empty[Seq[String], Long]
+    evs.foreach {
+      case SDdl(sql) =>
+        if (sql.contains("ADD COLUMN") && !cols.contains("c_extra")) {
+          cols = cols :+ "c_extra"
+          val widened = state.toSeq.map { case (k, n) => (k :+ (null: String), n) }
+          state.clear(); state ++= widened
+        } else if (sql.contains("DROP COLUMN") && cols.contains("b")) {
+          val i = cols.indexOf("b")
+          cols = cols.patch(i, Nil, 1)
+          val narrowed = state.toSeq
+            .groupBy { case (k, _) => k.patch(i, Nil, 1) }
+            .map { case (k, xs) => (k, xs.map(_._2).sum) }
+          state.clear(); state ++= narrowed
+        } else if (sql.contains("RENAME COLUMN") && cols.contains("a")) {
+          cols = cols.map(c => if (c == "a") "a2" else c)
+        }
+      case SRow(Cdc.OpAdd, _, img) =>
+        val padded = img.padTo(cols.length, null: String).take(cols.length)
+        state(padded) = state.getOrElse(padded, 0L) + 1
+      case SRow(Cdc.OpUpdate, before, after) =>
+        val b = before.padTo(cols.length, null: String).take(cols.length)
+        val a = after.padTo(cols.length, null: String).take(cols.length)
+        state.remove(b).foreach(n => state(a) = state.getOrElse(a, 0L) + n)
+      case SRow(Cdc.OpDelete, _, img) =>
+        val k = img.padTo(cols.length, null: String).take(cols.length)
+        state.remove(k)
+      case _ => ()
+    }
+    (cols, state.toMap)
+  }
+
+  test("applyWithSchema ≡ in-memory schema-aware fold on random DDL+DML sequences") {
+    import spark.implicits._
+    (1 to 10).foreach { seed =>
+      val mixed: Gen[SEv] = Gen.frequency(
+        8 -> opGen.map { case (op, b, a) => SRow(op, b, a) },
+        2 -> ddlGen)
+      val raw = Gen.listOfN(40, mixed)
+        .apply(Gen.Parameters.default, Seed(seed.toLong))
+        .getOrElse(sys.error("gen failed"))
+      // Keep only DDL applicable to the running schema (MySQL rejects a
+      // duplicate ADD / double DROP), and pad row images to the width in
+      // force at event time — exactly what real binlog row events carry.
+      var cols = Seq("a", "b")
+      val evs = scala.collection.mutable.ArrayBuffer.empty[SEv]
+      val engine = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
+      raw.foreach {
+        case d @ SDdl(sql) =>
+          val ok =
+            if (sql.contains("ADD")) !cols.contains("c_extra")
+            else if (sql.contains("DROP")) cols.contains("b")
+            else cols.contains("a")
+          if (ok) {
+            cols =
+              if (sql.contains("ADD")) cols :+ "c_extra"
+              else if (sql.contains("DROP")) cols.patch(cols.indexOf("b"), Nil, 1)
+              else cols.map(x => if (x == "a") "a2" else x)
+            evs += d
+            engine += CdcEvent(engine.length.toLong, "flv://m/g", "f",
+              engine.length.toLong, Cdc.OpQuery, sql, null, null)
+          }
+        case SRow(op, b, a) =>
+          def pad(s: Seq[String]) =
+            if (s == null) null
+            else s.padTo(cols.length, null: String).take(cols.length)
+          evs += SRow(op, pad(b), pad(a))
+          engine += CdcEvent(engine.length.toLong, "flv://m/g/t", "f",
+            engine.length.toLong, op, null, null,
+            Seq(CdcRowImages(pad(b), pad(a))))
+      }
+      val prefixed =
+        (CdcEvent(-1L, "flv://m/g", "f", -1L, Cdc.OpQuery,
+          "CREATE TABLE t (a INT, b INT)", null, null) +: engine.toSeq)
+          .toDS().toDF()
+      val st = ChangelogApply.applyWithSchema(prefixed, nullCell = null)
+      val gotCols = st.select($"columns").as[Seq[String]].collect().headOption
+      val got = st.select($"image").as[Seq[String]].collect().toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (wantCols, want) = schemaFold(evs.toSeq)
+      assert(got === want, s"seed $seed")
+      if (want.nonEmpty) assert(gotCols.get === wantCols, s"seed $seed cols")
+    }
+  }
+
   test("fullImageMultiset ≡ in-memory multiset fold on random sequences") {
     import spark.implicits._
     (1 to 15).foreach { seed =>
