@@ -19,7 +19,16 @@ object StreamingQueries {
 
     // Watermark + tumbling window aggregation.
     "stream_window_agg" -> ((s, dir) =>
-      CdcStream.windowedEventAgg(s, dir).orderBy("window_start", "event_type"))
+      CdcStream.windowedEventAgg(s, dir).orderBy("window_start", "event_type")),
+
+    // The typed pet-table e2e through the STREAMING schema-aware apply
+    // (FMGWS keyed by table, DDL folded onto state) — stream ≡ batch.
+    "stream_e2e_pet" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      graft.sources.CdcGen.decodePet(
+          CdcStream.petSnapshotStream(s).where(col("tbl") === "pet"))
+        .orderBy("name")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -33,6 +42,12 @@ object StreamingQueries {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS window_start,
          event_type, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    "stream_e2e_pet" ->
+      """SELECT * FROM (VALUES
+           ('Jack', 'Peter', 'dog', 'm', DATE '1989-08-31', CAST(NULL AS DATE)),
+           ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
+         AS t(name, owner, species, sex, birth, last_vaccine)
+         ORDER BY name"""
   )
 }

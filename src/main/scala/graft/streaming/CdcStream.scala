@@ -103,12 +103,116 @@ object CdcStream {
     applied.toDF("image")
   }
 
+  /** Per-table state of the streaming schema-aware apply: registry column
+    * list + full-image multiset (encoder-friendly pairs). State is one
+    * TABLE's live rows — the same envelope the batch fold and the
+    * reference's single consumer hold. */
+  case class TableApplyState(cols: Seq[String], images: Seq[(Seq[String], Long)])
+
+  /** Streaming twin of ChangelogApply.applyWithSchema: FMGWS keyed by
+    * (db, table) — the reference's serial apply unit — folding DDL and
+    * full-image DML onto carried state. Per batch, a group's events fold
+    * in sequence order onto the state and the group emits its live images
+    * (append mode; a single-micro-batch run emits exactly the final
+    * snapshot). */
+  def applySchemaEvents(
+      key: (String, String),
+      it: Iterator[graft.operators.ChangelogApply.SchemaEv],
+      state: GroupState[TableApplyState]): Iterator[(String, String, Seq[String], Seq[String])] = {
+    import graft.operators.SchemaRegistry
+    import graft.operators.SchemaRegistry._
+    val (db, tbl) = key
+    val prev = state.getOption.getOrElse(TableApplyState(null, Nil))
+    var cols = prev.cols
+    val ms = scala.collection.mutable.LinkedHashMap[Seq[String], Long](prev.images: _*)
+    val nullCell = graft.model.Value.NullCell
+    it.toArray.sortBy(_.sequence).foreach { e =>
+      e.op match {
+        case Cdc.OpQuery =>
+          SchemaRegistry.parseDdl(e.query).filter(_.table == tbl).foreach {
+            case CreateTable(_, cs) => if (cols == null) { cols = cs; ms.clear() }
+            case AddColumn(_, _) if cols == null => ()
+            case AddColumn(_, c) =>
+              cols = cols :+ c
+              val widened = ms.toSeq.map { case (img, n) => (img :+ nullCell, n) }
+              ms.clear(); ms ++= widened
+            case RenameColumn(_, from, to) =>
+              if (cols != null) cols = cols.map(c => if (c == from) to else c)
+            case DropColumn(_, c) =>
+              if (cols != null) {
+                val i = cols.indexOf(c)
+                if (i >= 0) {
+                  cols = cols.patch(i, Nil, 1)
+                  val narrowed = ms.toSeq
+                    .map { case (img, n) => (img.patch(i, Nil, 1), n) }
+                  ms.clear()
+                  narrowed.foreach { case (img, n) =>
+                    ms.updateWith(img)(c0 => Some(c0.getOrElse(0L) + n))
+                  }
+                }
+              }
+            case DropTable(_) => cols = null; ms.clear()
+          }
+        case Cdc.OpAdd =>
+          e.rows.foreach(r =>
+            ms.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))
+        case Cdc.OpUpdate =>
+          e.rows.foreach { r =>
+            ms.remove(r.before_cols).foreach { n =>
+              ms.updateWith(r.cols)(c => Some(c.getOrElse(0L) + n))
+            }
+          }
+        case Cdc.OpDelete =>
+          e.rows.foreach(r => ms.remove(r.cols))
+        case _ => ()
+      }
+    }
+    state.update(TableApplyState(cols, ms.toSeq))
+    val finalCols = cols
+    ms.iterator.flatMap { case (img, n) =>
+      Iterator.fill(n.toInt)((db, tbl, img, finalCols))
+    }
+  }
+
+  /** Streaming schema-aware apply over a typed changelog stream. */
+  def applySchemaStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.operators.ChangelogApply.SchemaEv
+    val routed = events
+      .where(col("op").isin(Cdc.OpQuery, Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(
+        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
+        try_element_at(split(col("uri"), "/"), lit(5)).as("tbl"),
+        col("sequence"), col("op"), col("query"), col("rows"))
+      .as[SchemaEv]
+      .flatMap { e =>
+        if (e.op == Cdc.OpQuery)
+          graft.operators.SchemaRegistry.parseDdl(e.query).map(_.table)
+            .distinct.map(t => e.copy(tbl = t))
+        else Seq(e)
+      }
+    routed
+      .groupByKey(e => (e.db, e.tbl))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applySchemaEvents)
+      .toDF("db", "tbl", "image", "columns")
+  }
+
   /** End-to-end streaming replica snapshot for the generated customer
     * changelog — the streaming twin of ChangelogApply.customerSnapshot. */
   def customerSnapshotStream(spark: SparkSession, sfDir: String): DataFrame = {
     val events = streamOf(CdcGen.customerEvents(spark, sfDir), "cdc_events", sfDir)
     val snapshot = runToTable(applyStream(events), OutputMode.Append)
     CdcGen.decodeCustomer(snapshot)
+  }
+
+  /** Streaming e2e pet replay: the typed 9-statement fixture through the
+    * schema-aware FMGWS apply as a single micro-batch — the streaming twin
+    * of the cdc_e2e_pet batch query. */
+  def petSnapshotStream(spark: SparkSession): DataFrame = {
+    val events = streamOf(CdcGen.typedEvents(spark), "typed_events", "fixture")
+    runToTable(applySchemaStream(events), OutputMode.Append)
   }
 
   /** Watermarked tumbling-window aggregation over the events stream

@@ -109,6 +109,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.except(expected).isEmpty && expected.except(emitted).isEmpty)
   }
 
+  test("schema-aware FMGWS: ALTER widening carries across micro-batches") {
+    import spark.implicits._
+    import graft.model.Value._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = CdcStream.applySchemaStream(input.toDF())
+      .writeStream.format("memory").queryName("sch_t")
+      .outputMode("append").start()
+
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def ddl(seq: Long, sql: String) = CdcEvent(
+      seq, "flv://m/d1", "f", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, op: String, before: Seq[String], after: Seq[String]) =
+      CdcEvent(seq, "flv://m/d1/t", "f", seq, op, null, null,
+        Seq(CdcRowImages(before, after)))
+
+    // batch 1: create + insert a 2-cell row
+    input.addData(
+      ddl(1, "CREATE TABLE t (a INT, b INT)"),
+      row(2, Cdc.OpAdd, null, cells(VString("x"), VString("1"))))
+    q.processAllAvailable()
+    // batch 2: ALTER ADD widens the carried state; the 3-cell post-ALTER
+    // before-image must match the widened row
+    input.addData(
+      ddl(3, "ALTER TABLE t ADD COLUMN c DATE"),
+      row(4, Cdc.OpUpdate,
+        cells(VString("x"), VString("1"), VNull),
+        cells(VString("x"), VString("1"), VDate(2020, 1, 2))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sch_t")
+      .select($"image", $"columns").as[(Seq[String], Seq[String])]
+      .collect().toSeq
+    // batch-1 emission: the unwidened insert; batch-2: the updated row
+    assert(out.contains((cells(VString("x"), VString("1")), Seq("a", "b"))))
+    assert(out.contains((
+      cells(VString("x"), VString("1"), VDate(2020, 1, 2)),
+      Seq("a", "b", "c"))))
+  }
+
   test("state carries across micro-batches (insert batch 1, update+delete batch 2)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
