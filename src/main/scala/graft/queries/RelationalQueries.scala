@@ -329,6 +329,36 @@ object RelationalQueries {
         .orderBy($"month")
     }),
 
+    // UNPIVOT/melt: wide metric columns to (metric, value) rows, then
+    // re-aggregated per metric.
+    "q_unpivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_quantity", $"l_discount", $"l_tax")
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "metric", "val")
+        .groupBy($"metric")
+        .agg(count(lit(1)).as("n"),
+          sum($"val".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"metric")
+    }),
+
+    // Scalar subqueries, correlated (per-customer MAX) and uncorrelated
+    // (global MAX) — exact comparisons/divisions only, so both engines
+    // agree bit-for-bit.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""SELECT o_orderkey,
+        CAST(o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders_sq o2
+          WHERE o2.o_custkey = o.o_custkey) AS BOOLEAN) AS is_cust_max,
+        ROUND(o_totalprice / (SELECT MAX(o_totalprice) FROM orders_sq), 6)
+          AS pct_of_max
+        FROM orders_sq o ORDER BY o_orderkey""")
+    }),
+
     // Math function family: sqrt is IEEE-correctly-rounded (unlike
     // pow/log, which differ across libm builds), ceil/floor/abs/pmod are
     // exact — so every value hash-matches the oracle.
@@ -541,6 +571,23 @@ object RelationalQueries {
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
          COUNT(*) AS n
          FROM orders GROUP BY 1 ORDER BY month""",
+    "q_unpivot" ->
+      """WITH m AS (
+           SELECT 'l_quantity' AS metric, l_quantity AS val FROM lineitem
+           UNION ALL
+           SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL
+           SELECT 'l_tax', l_tax FROM lineitem)
+         SELECT metric, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM m GROUP BY metric ORDER BY metric""",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey,
+         o_totalprice >= (SELECT MAX(o2.o_totalprice) FROM orders o2
+           WHERE o2.o_custkey = o.o_custkey) AS is_cust_max,
+         ROUND(o_totalprice / (SELECT MAX(o_totalprice) FROM orders), 6)
+           AS pct_of_max
+         FROM orders o ORDER BY o_orderkey""",
     "q_math_funcs" ->
       """SELECT o_orderkey,
          ROUND(sqrt(o_totalprice), 6) AS sqrt_price,

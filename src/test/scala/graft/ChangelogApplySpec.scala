@@ -147,6 +147,20 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(applied.except(expected).isEmpty && expected.except(applied).isEmpty)
   }
 
+  test("at-least-once replay of the typed pet log: dedup then schema-aware apply ≡ apply") {
+    import org.apache.spark.sql.functions._
+    val events = CdcGen.typedEvents(spark)
+    val replayed = events.unionByName(events.where(col("sequence") <= 6))
+    val deduped = graft.operators.CdcFilters
+      .offsetDedup(replayed, "none", -1L)
+    val once = CdcGen.decodePet(
+      ChangelogApply.applyWithSchema(events).where(col("tbl") === "pet"))
+    val twice = CdcGen.decodePet(
+      ChangelogApply.applyWithSchema(deduped).where(col("tbl") === "pet"))
+    assert(twice.count() === once.count())
+    assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+  }
+
   test("generated changelog has the expected op mix") {
     import spark.implicits._
     val events = CdcGen.customerEvents(spark, Sf)
