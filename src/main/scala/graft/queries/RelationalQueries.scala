@@ -391,6 +391,22 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Map function family: per-row map construction, lookup, keys,
+    // size — reduced to scalars whose truth is the underlying columns.
+    "q_map_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .withColumn("m", map(
+          lit("status"), $"o_orderstatus",
+          lit("priority"), $"o_orderpriority"))
+        .select($"o_orderkey",
+          element_at($"m", "status").as("status_val"),
+          element_at($"m", "missing").as("missing_val"),
+          size($"m").cast("long").as("n_keys"),
+          array_join(sort_array(map_keys($"m")), ",").as("keys_sorted"))
+        .orderBy($"o_orderkey")
+    }),
+
     // String function family (reference §2.5: lower/upper/trim/concat).
     "q_string_funcs" -> ((s, dir) => {
       import s.implicits._
@@ -607,6 +623,13 @@ object RelationalQueries {
            CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
            CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS key_sum
          FROM a ORDER BY o_custkey""",
+    "q_map_funcs" ->
+      """SELECT o_orderkey,
+         o_orderstatus AS status_val,
+         CAST(NULL AS VARCHAR) AS missing_val,
+         CAST(2 AS BIGINT) AS n_keys,
+         'priority,status' AS keys_sorted
+         FROM orders ORDER BY o_orderkey""",
     "q_string_funcs" ->
       """SELECT c_custkey,
          concat_ws('-', upper(substring(c_name, 1, 8)), CAST(length(c_name) AS VARCHAR)) AS tag,
