@@ -69,6 +69,25 @@ object TextAnalysis {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** PII scrubbing: replace email/phone matches with typed placeholder
+    * tokens and count what was removed — the redaction pass every
+    * training-data pipeline runs before tokenization. Patterns stick to
+    * character classes + quantifiers (no backrefs/lookaround) so Java
+    * regex (Spark) and RE2 (DuckDB oracle) agree exactly. Map-side only. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}" -> "<PHONE>")
+
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) =>
+      size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
+    }.reduce(_ + _)
+
   /** BM25 keyword extraction: score every (doc, term), keep the top-k
     * terms per doc — the standard "what is this document about" primitive
     * for corpus curation.

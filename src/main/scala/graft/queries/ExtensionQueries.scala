@@ -151,6 +151,24 @@ object ExtensionQueries {
         .orderBy("split")
     }),
 
+    // PII scrub over planted emails/phones: redact + count removals.
+    // The raw corpus has no PII, so plant it deterministically (same
+    // pattern as ExtCorpus's planted duplicates) — every 5th doc gains an
+    // email, every 7th a phone number.
+    "text_pii_scrub" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .withColumn("text2", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" contact_"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call +1-555-0100"))
+            .otherwise(lit(""))))
+      d.select(col("doc_id"),
+          TextAnalysis.piiCount(col("text2")).as("n_pii"),
+          TextAnalysis.scrubPii(col("text2")).as("clean"))
+        .orderBy("doc_id")
+    }),
+
     // BM25 keyword extraction: top-3 terms per document
     "text_bm25" -> ((s, dir) => {
       TextAnalysis.bm25Keywords(Tables.table(s, dir, "documents"),
@@ -312,6 +330,24 @@ object ExtensionQueries {
                  ELSE 'query' END AS pred_lang
           FROM scored ORDER BY doc_id"""
     },
+    "text_pii_scrub" -> """
+       WITH p AS (
+         SELECT doc_id, text ||
+           CASE WHEN doc_id % 5 = 0
+                THEN ' contact_' || doc_id || '@example.com' ELSE '' END ||
+           CASE WHEN doc_id % 7 = 0 THEN ' call +1-555-0100' ELSE '' END
+           AS text2
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+           + len(regexp_extract_all(text2,
+             '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
+         regexp_replace(
+           regexp_replace(text2,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+       FROM p ORDER BY doc_id""",
     // planted arithmetic truth for the parsed headers (fmt/dims derive
     // from doc_id; ASCII corpus so length(text) = body bytes)
     "mm_parse_headers" -> """
