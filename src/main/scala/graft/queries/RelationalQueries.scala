@@ -263,14 +263,23 @@ object RelationalQueries {
         .orderBy($"event_id")
     }),
 
-    // Interval/range join: follow-up events of the same user within 1 hour
-    // (equi-key keeps it a hash join; the range predicate filters post-probe).
+    // Interval/range join: follow-up events of the same user within 1 hour.
+    // The join key is (user, hour-bucket): each probe row checks its own
+    // and the next bucket (b_ts ∈ (ts, ts+1h] ⟹ floor_h(b_ts) ∈
+    // {floor_h(ts), floor_h(ts)+1}), so candidate pairs are bounded by
+    // per-(user, hour) density instead of a user's whole history — the
+    // standard interval-join bucketing; the range predicate then filters
+    // exactly. A hot user with a long history no longer degenerates.
     "q_interval_join" -> ((s, dir) => {
       import s.implicits._
+      val hourBkt = (c: org.apache.spark.sql.Column) =>
+        floor(unix_timestamp(c) / 3600)
       val a = t(s, dir, "events").select($"event_id", $"user_id", $"ts")
+        .withColumn("bkt", explode(array(hourBkt($"ts"), hourBkt($"ts") + 1)))
       val b = t(s, dir, "events").select(
         $"event_id".as("b_id"), $"user_id".as("b_user"), $"ts".as("b_ts"))
-      a.join(b, $"user_id" === $"b_user" &&
+        .withColumn("bkt", hourBkt($"b_ts"))
+      a.join(b, $"user_id" === $"b_user" && a("bkt") === b("bkt") &&
           $"b_ts" > $"ts" && $"b_ts" <= $"ts" + expr("INTERVAL 1 HOUR"))
         .groupBy($"event_id").agg(count(lit(1)).as("followups"))
         .orderBy($"event_id")
