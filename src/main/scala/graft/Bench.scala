@@ -45,7 +45,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: the driver's log capture keeps only the tail
+    // of stdout, which truncated the first queries' timings in round 2
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

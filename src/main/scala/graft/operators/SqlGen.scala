@@ -30,8 +30,18 @@ object SqlGen {
 
   private val NullLit = lit(Value.NullCell)
 
+  /** 1..n index array; empty when n = 0 — Spark's `sequence(1, 0)` steps
+    * DOWN to [1, 0], which would make an empty image error in element_at
+    * instead of producing an empty clause (round-2 advice). */
+  private def idxTo(n: Column): Column =
+    when(n > 0, sequence(lit(1), n)).otherwise(array().cast("array<int>"))
+
+  // Clauses iterate over IMAGE positions (like the row-level builders over
+  // row.indices) — the resolved column list may legally be wider than the
+  // image (check_valid_col_count, mysql_manager.rs:326-335), never
+  // narrower (guarded by widthGuard).
   private def whereClause(cols: Column, img: Column): Column = {
-    val idx = sequence(lit(1), size(cols))
+    val idx = idxTo(size(img))
     array_join(
       transform(idx, i =>
         when(element_at(img, i) === NullLit,
@@ -42,13 +52,32 @@ object SqlGen {
   }
 
   private def setClause(cols: Column, before: Column, after: Column): Column = {
-    val idx = sequence(lit(1), size(cols))
+    val idx = idxTo(least(size(before), size(after)))
     array_join(
       transform(
-        filter(idx, i => element_at(before, i) =!= element_at(after, i)),
+        // null-safe inequality: a typed log's SQL NULL is the "Null" token
+        // string, but a plain null-cell log must not silently drop
+        // null<->value transitions from the SET list (round-2 advice)
+        filter(idx, i => !(element_at(before, i) <=> element_at(after, i))),
         i => concat(element_at(cols, i), lit("="),
           ValueCodec.render(element_at(after, i)))),
       ", ")
+  }
+
+  /** Engine-path twin of check_valid_cols / check_valid_col_count
+    * (mysql_manager.rs:302-335): a row event whose image is wider than the
+    * resolved column list ERRORS — mirroring the reference — instead of
+    * zipping mismatched widths into a wrong statement (round-2 verdict #3).
+    * raise_error sits in the otherwise-branch, so valid events never pay
+    * for it. */
+  private def widthGuard(cols: Column, imgs: Seq[Column], stmt: Column): Column = {
+    val nCols = coalesce(size(cols), lit(0))
+    val ok = imgs.map(i => nCols >= size(i)).reduce(_ && _)
+    val widest =
+      if (imgs.size == 1) size(imgs.head) else greatest(imgs.map(size): _*)
+    when(ok, stmt).otherwise(raise_error(concat(
+      lit("expected at least "), widest.cast("string"),
+      lit(" columns, found "), nCols.cast("string"))))
   }
 
   /** One output row per generated statement: (sequence, stmt_idx, stmt).
@@ -69,17 +98,18 @@ object SqlGen {
     val before = col("r.before_cols")
     val after = col("r.cols")
     val stmt =
-      when(col("op") === Cdc.OpAdd,
+      when(col("op") === Cdc.OpAdd, widthGuard(col("columns"), Seq(after),
         concat(lit("INSERT INTO "), col("tbl"), lit(" ("),
           array_join(col("columns"), ", "), lit(") VALUES ("),
-          array_join(transform(after, ValueCodec.render _), ", "), lit(")")))
+          array_join(transform(after, ValueCodec.render _), ", "), lit(")"))))
         .when(col("op") === Cdc.OpUpdate,
-          concat(lit("UPDATE "), col("tbl"), lit(" SET "),
-            setClause(col("columns"), before, after), lit(" WHERE "),
-            whereClause(col("columns"), before)))
-        .when(col("op") === Cdc.OpDelete,
+          widthGuard(col("columns"), Seq(before, after),
+            concat(lit("UPDATE "), col("tbl"), lit(" SET "),
+              setClause(col("columns"), before, after), lit(" WHERE "),
+              whereClause(col("columns"), before))))
+        .when(col("op") === Cdc.OpDelete, widthGuard(col("columns"), Seq(after),
           concat(lit("DELETE FROM "), col("tbl"), lit(" WHERE "),
-            whereClause(col("columns"), after)))
+            whereClause(col("columns"), after))))
     ddl.unionByName(
       rowEvents.select(col("sequence"), col("stmt_idx"), stmt.as("stmt")))
   }

@@ -315,15 +315,27 @@ object CdcGen {
       decodeJson(cell("meta")).as("meta"))
   }
 
-  /** Decode a customer row image back to typed columns (registry-driven in
-    * the general engine; static here because the demo table is typed). */
+  /** Decode a customer row image back to typed columns through the
+    * registry path: the column list comes from PARSING the changelog's own
+    * CREATE TABLE (D6), and each cell is located by NAME against it
+    * (ValueCodec.cellByName — the D7 decode, same as decodePet), so the
+    * registry-driven resolution is exercised at sf-scale, not just on the
+    * 16-row typed fixture (round-2 verdict #7). The registry list is a
+    * plan-time constant here because the demo log has a single static
+    * schema; a mid-stream-ALTER log resolves per-event via the as-of
+    * timeline instead (cdc_registry_asof). */
   def decodeCustomer(images: DataFrame, imageCol: String = "image"): DataFrame = {
-    val img = col(imageCol)
+    val regCols = graft.operators.SchemaRegistry.parseDdl(CreateTableSql)
+      .collect { case graft.operators.SchemaRegistry.CreateTable(_, cs) => cs }
+      .head
+    val colsArr = array(regCols.map(lit): _*)
+    def cell(n: String) =
+      graft.operators.ValueCodec.cellByName(col(imageCol), colsArr, n)
     images.select(
-      element_at(img, 1).cast("long").as("c_custkey"),
-      element_at(img, 2).as("c_name"),
-      element_at(img, 3).cast("int").as("c_nationkey"),
-      element_at(img, 4).cast("double").as("c_acctbal"),
-      element_at(img, 5).as("c_mktsegment"))
+      cell("c_custkey").cast("long").as("c_custkey"),
+      cell("c_name").as("c_name"),
+      cell("c_nationkey").cast("int").as("c_nationkey"),
+      cell("c_acctbal").cast("double").as("c_acctbal"),
+      cell("c_mktsegment").as("c_mktsegment"))
   }
 }

@@ -35,6 +35,22 @@ class ExtensionSpec extends AnyFunSuite {
     assert((u.width, u.height) === (0, 0))
   }
 
+  test("JPEG marker scan consumes 0xFF fill bytes instead of reading a bogus length (B.1.1.2)") {
+    import graft.operators.Multimodal.HeaderDecoder
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // SOI, three fill bytes before APP0, two more before SOF0 — real-world
+    // encoders pad with 0xFF; parsing a fill byte as a marker would read a
+    // garbage length and skip the real SOF (round-2 advice). 77×33.
+    val jpeg = bytes(0xff, 0xd8,
+      0xff, 0xff, 0xff, // fill
+      0xff, 0xe0, 0x00, 0x04, 0, 0, // APP0, length 4
+      0xff, 0xff, // fill
+      0xff, 0xc0, 0x00, 0x11, 8, 0x00, 0x21, 0x00, 0x4d, 3,
+      0, 0, 0, 0, 0, 0, 0, 0)
+    val j = HeaderDecoder.decode(9, jpeg)
+    assert((j.width, j.height) === (77, 33))
+  }
+
   test("connectedComponents: min-id labels across chained and separate clusters") {
     import spark.implicits._
     // 1-2-3 chained (diameter 2), {10,11} separate, {5,6,7} a triangle

@@ -60,6 +60,34 @@ class SqlGenSpec extends AnyFunSuite {
     assert(err.getMessage.contains("expected at least 2 columns, found 1"))
   }
 
+  test("engine path errors on image wider than columns, like check_valid_cols (mysql_manager.rs:302-335)") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val bad = Seq(graft.model.CdcEvent(
+      1L, "flv://m/d/t", "f", 1L, Cdc.OpAdd, null, Seq("a"),
+      Seq(graft.model.CdcRowImages(null,
+        Seq(VString("x").toJson, VNull.toJson))))).toDS().toDF()
+    val e = intercept[Exception] { SqlGen.statements(bad).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("expected at least 2 columns, found 1")),
+      s"unexpected error chain: ${msgs(e)}")
+    // differential: the row-level twin rejects the same malformed event
+    intercept[IllegalArgumentException] {
+      SqlGen.buildAddQueries("t", Seq("a"), Seq(Seq(VString("x"), VNull)))
+    }
+  }
+
+  test("empty image yields empty clauses, not a descending-sequence error") {
+    val spark = SparkTest.spark
+    import spark.implicits._
+    val ev = Seq(graft.model.CdcEvent(
+      1L, "flv://m/d/t", "f", 1L, Cdc.OpDelete, null, Seq("a"),
+      Seq(graft.model.CdcRowImages(null, Nil)))).toDS().toDF()
+    val got = SqlGen.statements(ev).collect().map(_.getString(2))
+    assert(got === Array("DELETE FROM t WHERE "))
+  }
+
   test("expression path ≡ row-level builders on the full typed fixture") {
     val spark = SparkTest.spark
     val events = CdcGen.typedEvents(spark)

@@ -50,6 +50,22 @@ class ValueSpec extends AnyFunSuite {
     assert(VNull.display === "Null")
   }
 
+  test("Float shortest-repr formats from the f32, not the widened double (values.rs:47-93)") {
+    // Rust {} on f32 prints "0.1"; the double expansion would be
+    // 0.10000000149011612 — the round-2 advice regression pin.
+    assert(VFloat(0.1f).toJson === """{"Float":0.1}""")
+    assert(VFloat(0.1f).display === "0.1")
+    assert(VFloat(2.0f).display === "2")
+    assert(Value.fromJson(VFloat(0.1f).toJson) === VFloat(0.1f))
+  }
+
+  test("Double exponent forms expand to Rust's plain decimal") {
+    assert(VDouble(1e-7).display === "0.0000001")
+    assert(VDouble(1e-7).toJson === """{"Double":0.0000001}""")
+    assert(VDouble(1e20).display === "100000000000000000000")
+    assert(VDouble(7.25).display === "7.25")
+  }
+
   private def rowsJson(field: String, rows: Seq[Seq[Value]]): String =
     rows.map(r => s"""{"$field":[${r.map(_.toJson).mkString(",")}]}""")
       .mkString("""{"rows":[""", ",", "]}")
