@@ -21,14 +21,20 @@ object StreamingQueries {
     "stream_window_agg" -> ((s, dir) =>
       CdcStream.windowedEventAgg(s, dir).orderBy("window_start", "event_type")),
 
-    // The typed pet-table e2e through the STREAMING schema-aware apply
-    // (FMGWS keyed by table, DDL folded onto state) — stream ≡ batch.
+    // The typed pet-table e2e through the KEYED streaming schema-aware
+    // apply (per-image state, broadcast DDL timeline) — stream ≡ batch.
     "stream_e2e_pet" -> ((s, _) => {
       import org.apache.spark.sql.functions.col
       graft.sources.CdcGen.decodePet(
           CdcStream.petSnapshotStream(s).where(col("tbl") === "pet"))
         .orderBy("name")
-    })
+    }),
+
+    // The keyed schema-aware apply at sf scale: 10k+ generated customer
+    // events through per-image FMGWS state — the 100 TB streaming path —
+    // checked against the same replica oracle as every other apply.
+    "stream_cdc_apply_keyed" -> ((s, dir) =>
+      CdcStream.customerSnapshotStreamKeyed(s, dir).orderBy("c_custkey"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -48,6 +54,11 @@ object StreamingQueries {
            ('Jack', 'Peter', 'dog', 'm', DATE '1989-08-31', CAST(NULL AS DATE)),
            ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
          AS t(name, owner, species, sex, birth, last_vaccine)
-         ORDER BY name"""
+         ORDER BY name""",
+    "stream_cdc_apply_keyed" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
+         CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""
   )
 }

