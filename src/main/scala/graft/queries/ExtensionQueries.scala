@@ -13,8 +13,8 @@ import graft.sources.{ExtCorpus, Tables}
   *
   * Oracle-parity ground rules (see also Similarity scaladoc):
   * array folds are strict left folds on both engines (`aggregate` ↔
-  * `list_reduce`), hashing is integer arithmetic (never engine builtins),
-  * vocabularies are lexicographic ranks (deterministic in both), floats
+  * `list_reduce`), hashing is integer arithmetic (never engine builtins —
+  * shingle ids are the Dedup.shingleId char fold in both), floats
   * are rounded only for output/threshold after bit-identical computation.
   */
 object ExtensionQueries {
@@ -37,9 +37,13 @@ object ExtensionQueries {
        FROM words),
      shingles AS (SELECT DISTINCT doc_id, shingle FROM sh3 WHERE w3 IS NOT NULL),
      sz AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-     vocab AS (
-       SELECT shingle, ROW_NUMBER() OVER (ORDER BY shingle) AS sid
-       FROM (SELECT DISTINCT shingle FROM shingles)),
+     sids AS (
+       SELECT doc_id, shingle,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(shingle) + 1),
+             i -> CAST(ascii(shingle[i:i]) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x) % ${graft.operators.Dedup.P}) AS sid
+       FROM shingles),
      jac AS (
        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          ROUND(CAST(COUNT(*) AS DOUBLE) /
@@ -70,7 +74,7 @@ object ExtensionQueries {
     }.mkString(", ")
     s"""sigs AS (
         SELECT doc_id, $cols
-        FROM shingles JOIN vocab USING (shingle) GROUP BY doc_id)"""
+        FROM sids GROUP BY doc_id)"""
   }
 
   /** Strict-left-fold dot product over double lists (mirrors
@@ -215,7 +219,7 @@ object ExtensionQueries {
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
       val sh = Dedup.shingles(corpus, "doc_id", "text")
-      Dedup.simhash(sh, Dedup.shingleVocab(sh))
+      Dedup.simhash(sh)
         .orderBy("doc_id")
     }),
 
@@ -485,7 +489,7 @@ object ExtensionQueries {
       }.mkString(" + ")
       s"""WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,
           hs AS (SELECT doc_id, (sid * $a1 + $b1) % ${Dedup.P} AS h
-                 FROM shingles JOIN vocab USING (shingle))
+                 FROM sids)
           SELECT doc_id, CAST($bits AS BIGINT) AS simhash
           FROM hs GROUP BY doc_id ORDER BY doc_id"""
     },
