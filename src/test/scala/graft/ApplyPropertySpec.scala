@@ -146,6 +146,91 @@ class ApplyPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("applySchemaStreamKeyed ≡ applyWithSchema on random keyed DDL+DML (single batch)") {
+    // The keyed streaming path's exactness contract: rows unique in the
+    // final-schema projection (first cell is a key) and updates/deletes
+    // targeting live rows — every well-formed keyed binlog. Under those
+    // preconditions the per-image streamed fold must reproduce the batch
+    // serial fold bit-for-bit, DDL included.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      var cols = Seq("k", "v")
+      val live = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
+      val events = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
+      events += CdcEvent(0L, "flv://m/g", "f", 0L, Cdc.OpQuery,
+        "CREATE TABLE t (k INT, v INT)", null, null)
+      var seqNo = 1L
+      def row(op: String, b: Seq[String], a: Seq[String]): Unit = {
+        events += CdcEvent(seqNo, "flv://m/g/t", "f", seqNo, op, null, null,
+          Seq(CdcRowImages(b, a)))
+        seqNo += 1
+      }
+      def ddl(sql: String): Unit = {
+        events += CdcEvent(seqNo, "flv://m/g", "f", seqNo, Cdc.OpQuery,
+          sql, null, null)
+        seqNo += 1
+      }
+      (1 to 40).foreach { _ =>
+        rnd.nextInt(10) match {
+          case 0 if !cols.contains("extra") =>
+            ddl("ALTER TABLE t ADD COLUMN extra INT")
+            cols = cols :+ "extra"
+            live.mapValuesInPlace((_, img) => img :+ (null: String))
+          case 1 if cols.contains("v") =>
+            ddl("ALTER TABLE t DROP COLUMN v")
+            val i = cols.indexOf("v")
+            cols = cols.patch(i, Nil, 1)
+            live.mapValuesInPlace((_, img) => img.patch(i, Nil, 1))
+          case 2 if cols.contains("v") =>
+            ddl("ALTER TABLE t RENAME COLUMN v TO v2")
+            cols = cols.map(c => if (c == "v") "v2" else c)
+          case n if n < 6 =>
+            val k = s"k${rnd.nextInt(20)}"
+            if (!live.contains(k)) {
+              val img = k +: Seq.fill(cols.length - 1)(rnd.nextInt(3).toString)
+              row(Cdc.OpAdd, null, img)
+              live(k) = img
+            }
+          case n if n < 8 => // update a live row's non-key cells
+            if (live.nonEmpty) {
+              val k = live.keys.toSeq(rnd.nextInt(live.size))
+              val before = live(k)
+              val after = k +: Seq.fill(cols.length - 1)(rnd.nextInt(3).toString)
+              row(Cdc.OpUpdate, before, after)
+              live(k) = after
+            }
+          case _ => // delete a live row with its current full image
+            if (live.nonEmpty) {
+              val k = live.keys.toSeq(rnd.nextInt(live.size))
+              row(Cdc.OpDelete, null, live(k))
+              live.remove(k)
+            }
+        }
+      }
+
+      val batchDf = events.toSeq.toDS().toDF()
+      def multiset(df: org.apache.spark.sql.DataFrame) = df
+        .select($"image", $"columns").as[(Seq[String], Seq[String])]
+        .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      val batchOut = multiset(
+        ChangelogApply.applyWithSchema(batchDf, nullCell = null))
+
+      val input = MemoryStream[CdcEvent]
+      val name = s"prop_keyed_$seed"
+      val q = graft.streaming.CdcStream
+        .applySchemaStreamKeyed(input.toDF(), batchDf, nullCell = null)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      input.addData(events.toSeq: _*)
+      q.processAllAvailable(); q.stop()
+      val streamOut = multiset(spark.table(name))
+      assert(streamOut === batchOut, s"seed $seed")
+    }
+  }
+
   test("fullImageMultiset ≡ in-memory multiset fold on random sequences") {
     import spark.implicits._
     (1 to 15).foreach { seed =>
