@@ -26,11 +26,36 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      try { fn(spark, sfDir).count(); () } catch {
+    // Watchdog: no single query may wedge the whole suite (an AQE
+    // lost-event hang was observed once under co-tenant load). Each count
+    // runs under its own job group; if it exceeds the budget the group is
+    // cancelled — cancellation fails the pending stage, which unblocks
+    // AQE's result wait — and the query is recorded as failed.
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "180000").toLong
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val sc = spark.sparkContext
+      val group = s"bench_$name"
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(budgetMs)
+          System.err.println(s"[bench] $name exceeded ${budgetMs}ms — cancelling")
+          sc.cancelJobGroup(group)
+        } catch { case _: InterruptedException => () }
+      }, s"bench-watchdog-$name")
+      watchdog.setDaemon(true)
+      try {
+        sc.setJobGroup(group, name, interruptOnCancel = true)
+        watchdog.start()
+        fn(spark, sfDir).count()
+        ()
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      } finally {
+        watchdog.interrupt()
+        sc.clearJobGroup()
       }
+    }
     queries.foreach { case (n, f) => once(n, f) } // warmup pass
     val passes = (1 to 3).map { _ =>
       queries.map { case (name, fn) =>

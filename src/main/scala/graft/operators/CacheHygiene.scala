@@ -23,8 +23,13 @@ object CacheHygiene {
       private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
       private def done(): Unit =
         if (released.compareAndSet(false, true)) {
-          cached.foreach(_.unpersist(blocking = false))
-          lm.unregister(this)
+          val self = this
+          // release OFF the listener-bus thread: unpersist takes the
+          // CacheManager lock and must never stall event dispatch
+          new Thread(() => {
+            cached.foreach(df => scala.util.Try(df.unpersist(blocking = false)))
+            lm.unregister(self)
+          }, "graft-cache-release").start()
         }
       override def onSuccess(name: String, qe: QueryExecution, durationNs: Long): Unit =
         done()

@@ -77,6 +77,17 @@ object ExtensionQueries {
         FROM sids GROUP BY doc_id)"""
   }
 
+  /** DuckDB twin of TextAnalysis.fingerprint over a `text` column —
+    * shared by the batch fingerprint oracle and the streaming dedup
+    * oracle (StreamingQueries). */
+  val SqlFingerprintExpr: String = s"""CAST(list_reduce(
+       list_transform(range(1, len(string_split(text, ' ')) + 1),
+         i -> (i * CAST(list_sum(list_transform(
+                range(1, length(string_split(text, ' ')[i]) + 1),
+                j -> j * unicode(string_split(text, ' ')[i][j]))) AS BIGINT))
+              % ${TextAnalysis.FpPrime}),
+       (acc, x) -> (acc + x) % ${TextAnalysis.FpPrime}) AS BIGINT)"""
+
   /** Strict-left-fold dot product over double lists (mirrors
     * Similarity.dotFold). */
   private def sqlDot(a: String, b: String): String =
@@ -428,13 +439,7 @@ object ExtensionQueries {
        SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
        ORDER BY doc_id, rnk""",
     "text_fingerprint" -> s"""
-       SELECT doc_id, CAST(list_reduce(
-         list_transform(range(1, len(string_split(text, ' ')) + 1),
-           i -> (i * CAST(list_sum(list_transform(
-                  range(1, length(string_split(text, ' ')[i]) + 1),
-                  j -> j * unicode(string_split(text, ' ')[i][j]))) AS BIGINT))
-                % ${TextAnalysis.FpPrime}),
-         (acc, x) -> (acc + x) % ${TextAnalysis.FpPrime}) AS BIGINT) AS fingerprint
+       SELECT doc_id, $SqlFingerprintExpr AS fingerprint
        FROM documents ORDER BY doc_id""",
     "dedup_exact" -> s"""
        WITH ${ExtCorpus.DocCorpusCte}

@@ -34,7 +34,12 @@ object StreamingQueries {
     // events through per-image FMGWS state — the 100 TB streaming path —
     // checked against the same replica oracle as every other apply.
     "stream_cdc_apply_keyed" -> ((s, dir) =>
-      CdcStream.customerSnapshotStreamKeyed(s, dir).orderBy("c_custkey"))
+      CdcStream.customerSnapshotStreamKeyed(s, dir).orderBy("c_custkey")),
+
+    // Streaming exact dedup: the StreamingDeduplicate stateful operator
+    // (dropDuplicates on a stream), keyed by document fingerprint.
+    "stream_dedup_exact" -> ((s, dir) =>
+      CdcStream.streamingDedupFingerprints(s, dir).orderBy("fingerprint"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -59,6 +64,10 @@ object StreamingQueries {
       """SELECT c_custkey, c_name, c_nationkey,
          c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
          CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
-         FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey"""
+         FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey""",
+    "stream_dedup_exact" ->
+      s"""WITH ${graft.sources.ExtCorpus.DocCorpusCte}
+          SELECT DISTINCT ${ExtensionQueries.SqlFingerprintExpr} AS fingerprint
+          FROM corpus ORDER BY fingerprint"""
   )
 }

@@ -386,6 +386,24 @@ object CdcStream {
     runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
   }
 
+  /** Streaming exact dedup over the documents table: Spark's
+    * StreamingDeduplicate stateful operator (`dropDuplicates` on an
+    * unbounded stream) keyed by the arithmetic document fingerprint —
+    * one state-store entry per distinct key, the streaming twin of the
+    * batch hash-aggregate dedup (Dedup.exact). Only the dedup KEY is
+    * emitted, so append-mode output is deterministic regardless of which
+    * physical row arrives first. On an unbounded stream you'd bound
+    * state with `dropDuplicatesWithinWatermark`; this replay is finite. */
+  def streamingDedupFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    // the planted-duplicate corpus, so the dedup assertion is non-vacuous
+    val docs = graft.sources.ExtCorpus.docCorpus(spark, sfDir)
+    val stream = streamOf(docs, "doc_corpus", sfDir)
+    val fp = graft.operators.TextAnalysis.fingerprint(stream, "text")
+      .select(col("fingerprint"))
+      .dropDuplicates("fingerprint")
+    runToTable(fp, OutputMode.Append)
+  }
+
   /** Watermarked tumbling-window aggregation over the events stream
     * (the reference never needs event time — §2.6 — but the engine surface
     * does): 1-day windows, count + exact decimal revenue. */
