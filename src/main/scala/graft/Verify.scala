@@ -19,17 +19,36 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Same per-query watchdog as Bench: one wedged query (AQE lost-event
+    // hang observed under co-tenant load) must fail that query's row, not
+    // stall the driver's whole correctness gate.
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "300000").toLong
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
+      val sc = spark.sparkContext
+      val group = s"verify_$name"
+      val watchdog = new Thread(() => {
+        try {
+          Thread.sleep(budgetMs)
+          System.err.println(s"[verify] $name exceeded ${budgetMs}ms — cancelling")
+          sc.cancelJobGroup(group)
+        } catch { case _: InterruptedException => () }
+      }, s"verify-watchdog-$name")
+      watchdog.setDaemon(true)
       try {
+        sc.setJobGroup(group, name, interruptOnCancel = true)
+        watchdog.start()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        watchdog.interrupt()
+        sc.clearJobGroup()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
