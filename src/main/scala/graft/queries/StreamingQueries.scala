@@ -39,7 +39,14 @@ object StreamingQueries {
     // Streaming exact dedup: the StreamingDeduplicate stateful operator
     // (dropDuplicates on a stream), keyed by document fingerprint.
     "stream_dedup_exact" -> ((s, dir) =>
-      CdcStream.streamingDedupFingerprints(s, dir).orderBy("fingerprint"))
+      CdcStream.streamingDedupFingerprints(s, dir).orderBy("fingerprint")),
+
+    // Watermarked stream-stream inner join
+    // (StreamingSymmetricHashJoin): time-bounded on both sides so state
+    // is evicted by the watermark.
+    "stream_join_clicks" -> ((s, dir) =>
+      CdcStream.clickPurchaseJoinStream(s, dir)
+        .orderBy("click_id", "purchase_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -68,6 +75,14 @@ object StreamingQueries {
     "stream_dedup_exact" ->
       s"""WITH ${graft.sources.ExtCorpus.DocCorpusCte}
           SELECT DISTINCT ${ExtensionQueries.SqlFingerprintExpr} AS fingerprint
-          FROM corpus ORDER BY fingerprint"""
+          FROM corpus ORDER BY fingerprint""",
+    "stream_join_clicks" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id, p.value AS amount
+         FROM events c JOIN events p
+           ON p.user_id = c.user_id
+          AND p.event_type = 'purchase' AND c.event_type = 'click'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         ORDER BY click_id, purchase_id"""
   )
 }

@@ -404,6 +404,38 @@ object CdcStream {
     runToTable(fp, OutputMode.Append)
   }
 
+  /** Watermarked stream-stream INNER join (StreamingSymmetricHashJoin):
+    * clicks joined to purchases by the same user within the following
+    * hour. Both sides carry watermarks and the join condition bounds
+    * event time on both ends, so per-side state is evicted as the
+    * watermark advances — the state-bounded shape a 100 TB stream
+    * requires (unbounded-state stream joins are rejected by Spark in
+    * append mode). Join output is a deterministic SET, so the oracle is
+    * the equivalent batch time-range join. */
+  def clickPurchaseJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value"))
+    def side(tag: String) = streamOf(base, "events_user", sfDir)
+    val clicks = side("c")
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = side("p")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("amount"))
+    runToTable(joined, OutputMode.Append)
+  }
+
   /** Watermarked tumbling-window aggregation over the events stream
     * (the reference never needs event time — §2.6 — but the engine surface
     * does): 1-day windows, count + exact decimal revenue. */
