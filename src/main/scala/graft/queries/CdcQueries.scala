@@ -37,6 +37,11 @@ object CdcQueries {
     "cdc_apply_snapshot" -> ((s, dir) =>
       ChangelogApply.customerSnapshot(s, dir).orderBy("c_custkey")),
 
+    // K2' — apply sink to a PARTITIONED parquet replica; read-back filter
+    // prunes to the one nation directory (SinkSpec pins PartitionFilters).
+    "cdc_sink_partitioned" -> ((s, dir) =>
+      ReplicaSink.readNation(s, dir, 7).orderBy("c_custkey")),
+
     // D10 — changelog apply, faithful full-image multiset path.
     "cdc_apply_full_image" -> ((s, dir) => {
       val events = CdcGen.customerEvents(s, dir)
@@ -272,6 +277,12 @@ object CdcQueries {
          FROM customer WHERE c_custkey % 7 = 0
          ORDER BY sequence""",
     "cdc_apply_snapshot" -> ApplyOracle,
+    "cdc_sink_partitioned" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
+         CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0 AND c_nationkey = 7
+         ORDER BY c_custkey""",
     "cdc_apply_full_image" -> ApplyOracle,
     "cdc_json_roundtrip" -> ApplyOracle,
     "cdc_filter_db_producer" -> s"""$MdeCte

@@ -425,6 +425,130 @@ object RelationalQueries {
             length($"c_name").cast("string")).as("tag"),
           lower($"c_mktsegment").as("seg"))
         .orderBy($"c_custkey")
+    }),
+
+    // Regexp function family: extract / global replace / count / rlike.
+    // Patterns restricted to the Java∩RE2 common subset (char classes,
+    // anchors, +) so the DuckDB oracle matches byte-for-byte — same rule
+    // as TextAnalysis's PII patterns.
+    "q_regexp_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          regexp_extract($"text", "^([A-Za-z]+)", 1).as("first_word"),
+          regexp_count($"text", lit("[0-9]")).cast("long").as("n_digits"),
+          length(regexp_replace($"text", "[aeiou]", "")).cast("long")
+            .as("vowelless_len"),
+          $"text".rlike("^[A-Z]").as("starts_upper"))
+        .orderBy($"doc_id")
+    }),
+
+    // Conditional family: CASE, coalesce, nullif, greatest/least. Doubles
+    // pass through untouched (comparison only), so no decimal detour.
+    "q_cond_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", "done")
+            .when($"o_orderstatus" === "O", "open")
+            .otherwise("other").as("status_label"),
+          coalesce(nullif($"o_orderpriority", lit("1-URGENT")),
+            lit("urgent!")).as("prio"),
+          greatest($"o_totalprice", lit(150000.0)).as("hi"),
+          least($"o_totalprice", lit(150000.0)).as("lo"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // Hash function family (content fingerprinting at ingest scale):
+    // md5 + sha-256 hex digests, both codegen'd built-ins.
+    "q_hash_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "customer")
+        .select($"c_custkey",
+          md5($"c_name").as("md5_hex"),
+          sha2($"c_name", 256).as("sha256_hex"))
+        .orderBy($"c_custkey")
+    }),
+
+    // Statistical aggregate family: stddev/variance/corr/covar. These are
+    // float-order-dependent in the last ulps, so results are rounded to
+    // well inside the cross-engine error bound (~1e-10 relative) —
+    // StatsAggSpec separately pins Spark's builtins against exact
+    // decimal-sum formulas.
+    "q_stats_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          round(stddev_samp($"o_totalprice"), 3).as("sd_price"),
+          round(var_samp($"o_totalprice"), 2).as("var_price"),
+          round(corr($"o_totalprice", $"o_custkey".cast("double")), 6)
+            .as("corr_pc"),
+          round(covar_samp($"o_totalprice", $"o_custkey".cast("double")), 2)
+            .as("covar_pc"))
+        .orderBy($"o_orderstatus")
+    }),
+
+    // min_by/max_by (argmin/argmax) aggregates — the "which row wins"
+    // family. Order prices are tie-free at every SF (checked), so the
+    // winners are deterministic.
+    "q_minmax_by" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(max_by($"o_orderkey", $"o_totalprice").as("best_order"),
+          min_by($"o_orderkey", $"o_totalprice").as("worst_order"),
+          max($"o_totalprice").as("max_price"),
+          min($"o_totalprice").as("min_price"))
+        .orderBy($"o_custkey")
+    }),
+
+    // Filtered aggregates (SQL FILTER clause surface): conditional count
+    // and a conditional sum through DECIMAL for order independence.
+    "q_filtered_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(count(when($"o_orderstatus" === "F", 1)).as("n_done"),
+          sum(when($"o_orderstatus" === "F",
+            $"o_totalprice".cast("decimal(18,2)"))).cast("double")
+            .as("rev_done"),
+          count(lit(1)).as("n_all"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Correlated EXISTS subquery through the SQL entry point (plans to a
+    // left-semi join — no driver-side anything).
+    "q_exists_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT c_custkey, c_name FROM customer c
+               WHERE EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 300000)
+               ORDER BY c_custkey""")
+    }),
+
+    // IN subquery (uncorrelated) — also a left-semi join after rewrite.
+    "q_in_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                   WHERE c_mktsegment = 'BUILDING')
+               ORDER BY o_orderkey""")
+    }),
+
+    // Lateral/table-generating surface: posexplode of the first three
+    // words of each document (generator runs inside the scan stage — no
+    // shuffle).
+    "q_lateral_explode" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          posexplode(slice(split($"text", " "), 1, 3)).as(Seq("pos0", "word")))
+        .select($"doc_id", ($"pos0" + 1).cast("long").as("pos"), $"word")
+        .orderBy($"doc_id", $"pos")
     })
   )
 
@@ -643,6 +767,64 @@ object RelationalQueries {
       """SELECT c_custkey,
          concat_ws('-', upper(substring(c_name, 1, 8)), CAST(length(c_name) AS VARCHAR)) AS tag,
          lower(c_mktsegment) AS seg
-         FROM customer ORDER BY c_custkey"""
+         FROM customer ORDER BY c_custkey""",
+    "q_regexp_funcs" ->
+      """SELECT doc_id,
+         regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+         CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS vowelless_len,
+         regexp_matches(text, '^[A-Z]') AS starts_upper
+         FROM documents ORDER BY doc_id""",
+    "q_cond_funcs" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 'done'
+              WHEN o_orderstatus = 'O' THEN 'open'
+              ELSE 'other' END AS status_label,
+         coalesce(nullif(o_orderpriority, '1-URGENT'), 'urgent!') AS prio,
+         greatest(o_totalprice, 150000.0) AS hi,
+         least(o_totalprice, 150000.0) AS lo
+         FROM orders ORDER BY o_orderkey""",
+    "q_hash_funcs" ->
+      """SELECT c_custkey,
+         md5(c_name) AS md5_hex,
+         sha256(c_name) AS sha256_hex
+         FROM customer ORDER BY c_custkey""",
+    "q_stats_agg" ->
+      """SELECT o_orderstatus,
+         count(*) AS n,
+         round(stddev_samp(o_totalprice), 3) AS sd_price,
+         round(var_samp(o_totalprice), 2) AS var_price,
+         round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6) AS corr_pc,
+         round(covar_samp(o_totalprice, CAST(o_custkey AS DOUBLE)), 2) AS covar_pc
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_minmax_by" ->
+      """SELECT o_custkey,
+         arg_max(o_orderkey, o_totalprice) AS best_order,
+         arg_min(o_orderkey, o_totalprice) AS worst_order,
+         max(o_totalprice) AS max_price,
+         min(o_totalprice) AS min_price
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_filtered_agg" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (WHERE o_orderstatus = 'F') AS n_done,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_done,
+         count(*) AS n_all
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 300000)
+         ORDER BY c_custkey""",
+    "q_in_subquery" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+         ORDER BY o_orderkey""",
+    "q_lateral_explode" ->
+      """SELECT doc_id, w.pos, w.word FROM documents,
+         LATERAL (SELECT unnest(string_split(text, ' ')[1:3]) AS word,
+                  generate_subscripts(string_split(text, ' ')[1:3], 1) AS pos) w
+         ORDER BY doc_id, pos"""
   )
 }

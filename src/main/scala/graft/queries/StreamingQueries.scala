@@ -46,7 +46,22 @@ object StreamingQueries {
     // is evicted by the watermark.
     "stream_join_clicks" -> ((s, dir) =>
       CdcStream.clickPurchaseJoinStream(s, dir)
-        .orderBy("click_id", "purchase_id"))
+        .orderBy("click_id", "purchase_id")),
+
+    // Bounded-state streaming dedup: dropDuplicatesWithinWatermark (state
+    // evicted by event time, not kept forever).
+    "stream_dropdup_watermark" -> ((s, dir) =>
+      CdcStream.streamingDedupWithinWatermark(s, dir)
+        .orderBy("user_id", "event_type")),
+
+    // Watermarked LEFT OUTER stream-stream join: unmatched rows are
+    // null-extended at state eviction; click side bounded so the drained
+    // result is deterministic (see CdcStream scaladoc).
+    "stream_join_left_outer" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      CdcStream.clickPurchaseLeftJoinStream(s, dir)
+        .orderBy(col("click_id"), col("purchase_id").asc_nulls_last)
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,6 +98,21 @@ object StreamingQueries {
            ON p.user_id = c.user_id
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
-         ORDER BY click_id, purchase_id"""
+         ORDER BY click_id, purchase_id""",
+    "stream_dropdup_watermark" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+         ORDER BY user_id, event_type""",
+    "stream_join_left_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id,
+           p.event_id AS purchase_id, p.value AS amount
+         FROM events c LEFT JOIN events p
+           ON p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         WHERE c.event_type = 'click'
+           AND c.ts <= (SELECT least(
+                 (SELECT max(ts) FROM events WHERE event_type = 'click'),
+                 (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+               - INTERVAL 121 MINUTE)
+         ORDER BY click_id, purchase_id NULLS LAST"""
   )
 }

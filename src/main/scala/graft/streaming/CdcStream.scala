@@ -436,6 +436,68 @@ object CdcStream {
     runToTable(joined, OutputMode.Append)
   }
 
+  /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes its event time,
+    * unlike `dropDuplicates`' forever-state — the scale-correct shape for
+    * an unbounded stream, where exact global dedup state would otherwise
+    * grow monotonically. Output is the key columns only, so which arrival
+    * won is invisible and the result equals the distinct key set. */
+  def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = streamOf(Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+      "events_dedup", sfDir)
+    val out = ev
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    runToTable(out, OutputMode.Append)
+  }
+
+  /** Watermarked LEFT OUTER stream-stream join: unmatched clicks are
+    * null-extended only when the watermark evicts their join state
+    * (click_ts + 1h < watermark = max(ts) - 1h), so the click side is
+    * restricted to a margin inside that bound — every retained click's
+    * outcome (matched or unmatched) is then fully decided when the
+    * AvailableNow stream drains, and the result is deterministic. The
+    * oracle applies the identical bound. */
+  def clickPurchaseLeftJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value"))
+    // The final global watermark is min over both sides of
+    // (side's max event time - 1h); a click's join state is evicted when
+    // that passes click_ts + 1h. Deriving the bound from the per-side
+    // maxima (not the overall table max) makes the eviction guarantee
+    // exact; the 1-minute margin absorbs the >-vs->= boundary.
+    val sideMax = base.groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+      .where(col("event_type").isin("click", "purchase"))
+      .agg(min(col("m"))).head().getTimestamp(0)
+    val bound = new java.sql.Timestamp(sideMax.getTime - (121 * 60) * 1000L)
+    val clicks = streamOf(base, "events_user", sfDir)
+      .where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+      // post-watermark filter: predicates on the event-time column stay
+      // ABOVE the EventTimeWatermark node, so the watermark still
+      // advances on the full click stream while the join sees only
+      // clicks whose eviction is guaranteed before the stream drains
+      .where(col("click_ts") <= lit(bound))
+    val purchases = streamOf(base, "events_user", sfDir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("amount"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("amount"))
+    runToTable(joined, OutputMode.Append)
+  }
+
   /** Watermarked tumbling-window aggregation over the events stream
     * (the reference never needs event time — §2.6 — but the engine surface
     * does): 1-day windows, count + exact decimal revenue. */
