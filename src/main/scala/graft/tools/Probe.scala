@@ -26,6 +26,7 @@ object Probe {
       val n = fn(spark, sfDir).count()
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
     }
+    graft.streaming.CdcStream.lastRunProgress.foreach(p => println(s"[progress] $p"))
     spark.stop()
   }
 }
