@@ -22,11 +22,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
-      ExtensionQueries.queries ++ StreamingQueries.queries
+      ExtensionQueries.queries ++ StreamingQueries.queries ++
+      SourceQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++
-      ExtensionQueries.oracles ++ StreamingQueries.oracles
+      ExtensionQueries.oracles ++ StreamingQueries.oracles ++
+      SourceQueries.oracles
 }

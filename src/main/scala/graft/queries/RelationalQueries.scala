@@ -144,6 +144,40 @@ object RelationalQueries {
         .orderBy($"o_custkey", $"o_orderkey")
     }),
 
+    // Explicit window FRAMES: a bounded sliding ROWS frame and a RANGE
+    // frame (peers-inclusive running sum — ties share a value, which a
+    // ROWS frame would split). DECIMAL inside, double out.
+    "q_window_frames" -> ((s, dir) => {
+      import s.implicits._
+      val rows3 = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+      val rangePeers = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          sum($"o_totalprice".cast("decimal(18,2)")).over(rows3)
+            .cast("double").as("sliding3"),
+          sum($"o_totalprice".cast("decimal(18,2)")).over(rangePeers)
+            .cast("double").as("range_running"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
+    // Distribution window family: ntile / percent_rank / cume_dist over
+    // a tie-free ordering (unique price per customer at every SF).
+    "q_window_dist" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice", $"o_orderkey")
+      t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // ROLLUP aggregation (grouping-set family).
     "q_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -768,6 +802,23 @@ object RelationalQueries {
          concat_ws('-', upper(substring(c_name, 1, 8)), CAST(length(c_name) AS VARCHAR)) AS tag,
          lower(c_mktsegment) AS seg
          FROM customer ORDER BY c_custkey""",
+    "q_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sliding3,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_running
+         FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_dist" ->
+      """SELECT o_custkey, o_orderkey,
+         ntile(4) OVER w AS quartile,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
     "q_regexp_funcs" ->
       """SELECT doc_id,
          regexp_extract(text, '^([A-Za-z]+)', 1) AS first_word,

@@ -1,0 +1,45 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.WireFormats
+
+/** Text wire-format source scans (SURVEY.md §2.1): the same aggregate over
+  * the JSONL- and CSV-staged copies of `events` must reproduce the
+  * parquet-backed oracle exactly — proving every column type (long,
+  * timestamp at micros, double, JSON-bearing string) round-trips the text
+  * serde. The aggregate touches all of them. */
+object SourceQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def fidelityAgg(df: DataFrame): DataFrame = {
+    df.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
+        sum(col("user_id")).as("sum_users"),
+        unix_micros(max(col("ts"))).as("max_ts_us"),
+        sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "src_jsonl_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsJsonl(s, dir))),
+    "src_csv_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsCsv(s, dir)))
+  )
+
+  private val FidelityOracle =
+    """SELECT event_type,
+       count(*) AS n,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(sum(user_id) AS BIGINT) AS sum_users,
+       epoch_us(max(ts)) AS max_ts_us,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  val oracles: Map[String, String] = Map(
+    "src_jsonl_scan" -> FidelityOracle,
+    "src_csv_scan" -> FidelityOracle
+  )
+}
