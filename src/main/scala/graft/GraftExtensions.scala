@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ExpressionInfo, Literal, RLike, StartsWith}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+
+import graft.expressions.CosineSimilarity
+
+/** The library's `SparkSessionExtensions` entry point (SURVEY.md §4.3
+  * "UDF/extension surface") — production wiring for everything the engine
+  * injects into a session, usable either programmatically
+  * (`builder.withExtensions(new GraftExtensions)`) or by config
+  * (`spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *  - `cosine_sim`: the codegen'd similarity expression, registered as a
+  *    proper catalog function (visible to SQL, `call_function`, and
+  *    `DESCRIBE FUNCTION`) instead of a per-session temp function.
+  *  - [[AnchoredRegexToPrefix]]: optimizer rule, see below.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
+        "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
+  }
+}
+
+/** Rewrites `col RLIKE '^<literal>'` to `StartsWith(col, <literal>)` when
+  * the pattern after the anchor is a pure literal (no regex
+  * metacharacters). Semantically exact: RLike is an unanchored regex FIND,
+  * so `^abc` holds iff the string starts with "abc"; null propagation is
+  * identical on both sides.
+  *
+  * Why it earns its place: Spark's own `LikeSimplification` does this for
+  * LIKE patterns but nothing does it for RLIKE — and a regex-heavy engine
+  * (language ID, PII scrubbing, log routing) writes anchored-prefix RLIKEs
+  * all the time. `StartsWith` is codegen-simple AND becomes a
+  * `StringStartsWith` pushed filter at the parquet scan, so min/max-based
+  * row-group skipping applies — at 100 TB the difference between
+  * evaluating a regex on every row and not reading most row groups. */
+object AnchoredRegexToPrefix extends Rule[LogicalPlan] {
+  /** Characters with no special meaning in a Java regex. Conservative by
+    * construction: anything outside this set leaves the RLike untouched. */
+  private val SafeLiteralChars =
+    (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++ " _,:;@#/%&'-").toSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case r @ RLike(child, Literal(pat, t)) if t == StringType && pat != null =>
+        val s = pat.toString
+        if (s.startsWith("^") && s.drop(1).forall(SafeLiteralChars)) {
+          StartsWith(child, Literal(s.drop(1)))
+        } else r
+    }
+}

@@ -48,6 +48,11 @@ object StreamingQueries {
       CdcStream.clickPurchaseJoinStream(s, dir)
         .orderBy("click_id", "purchase_id")),
 
+    // Sliding windows (1 day / 12 h): every event maintained in two
+    // overlapping windows by the stateful agg.
+    "stream_window_sliding" -> ((s, dir) =>
+      CdcStream.slidingEventAgg(s, dir).orderBy("w_start_s", "event_type")),
+
     // Bounded-state streaming dedup: dropDuplicatesWithinWatermark (state
     // evicted by event time, not kept forever).
     "stream_dropdup_watermark" -> ((s, dir) =>
@@ -99,6 +104,16 @@ object StreamingQueries {
           AND p.event_type = 'purchase' AND c.event_type = 'click'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          ORDER BY click_id, purchase_id""",
+    "stream_window_sliding" ->
+      """WITH g AS (SELECT event_type, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+            w AS (SELECT event_type, value, es - es % 43200 AS w0 FROM g),
+            x AS (SELECT event_type, value, w0 AS ws FROM w
+                  UNION ALL
+                  SELECT event_type, value, w0 - 43200 FROM w)
+         SELECT ws AS w_start_s, event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM x GROUP BY ws, event_type ORDER BY w_start_s, event_type""",
     "stream_dropdup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events
          ORDER BY user_id, event_type""",

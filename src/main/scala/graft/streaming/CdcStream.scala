@@ -585,4 +585,24 @@ object CdcStream {
       .select(col("window.start").cast("date").as("window_start"),
         col("event_type"), col("n"), col("revenue"))
   }
+
+  /** SLIDING-window aggregation (1-day windows every 12 h): each event
+    * lands in exactly two overlapping windows — the stateful operator
+    * maintains both concurrently, the part tumbling windows can't
+    * exercise. Window starts surface as epoch seconds so the oracle's
+    * arithmetic (floor-to-grid, duplicate into both windows) is
+    * type-exact. */
+  def slidingEventAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = streamOf(Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value")),
+      "events", sfDir)
+    val agg = ev
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
+    runToTable(agg, OutputMode.Complete, flush = false)
+      .select(unix_seconds(col("window.start")).as("w_start_s"),
+        col("event_type"), col("n"), col("revenue"))
+  }
 }

@@ -11,6 +11,7 @@ object Probe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
