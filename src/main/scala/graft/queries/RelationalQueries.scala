@@ -551,6 +551,21 @@ object RelationalQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // Typed UDAF surface: the Top2Agg Aggregator through functions.udaf —
+    // plans with partial aggregation like a builtin (map-side combine
+    // before the shuffle; see Top2Agg scaladoc).
+    "q_udaf_top2" -> ((s, dir) => {
+      import s.implicits._
+      val top2 = udaf(graft.functions.Top2Agg)
+      t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(top2($"o_totalprice").as("t2"))
+        .select($"o_custkey", $"t2._1".as("best"),
+          when($"t2._2" === lit(Double.NegativeInfinity), lit(null))
+            .otherwise($"t2._2").as("second"))
+        .orderBy($"o_custkey")
+    }),
+
     // Correlated EXISTS subquery through the SQL entry point (plans to a
     // left-semi join — no driver-side anything).
     "q_exists_subquery" -> ((s, dir) => {
@@ -861,6 +876,15 @@ object RelationalQueries {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_done,
          count(*) AS n_all
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_udaf_top2" ->
+      """WITH r AS (SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC) AS rn
+           FROM orders)
+         SELECT o_custkey,
+           max(CASE WHEN rn = 1 THEN o_totalprice END) AS best,
+           max(CASE WHEN rn = 2 THEN o_totalprice END) AS second
+         FROM r GROUP BY o_custkey ORDER BY o_custkey""",
     "q_exists_subquery" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o
