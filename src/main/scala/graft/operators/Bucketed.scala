@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join (SURVEY.md §2.6 joins; the 100 TB lever):
+  * both sides are written ONCE bucketed by the join key into the session
+  * warehouse (`bucketBy` + `sortBy`, plain parquet datasource tables — no
+  * Hive needed); a later equi-join on that key then reads bucket-aligned
+  * files and plans with NO Exchange on either side — the shuffle happened
+  * once at write time and is amortized over every subsequent join, which
+  * is the economics that make repeated fact-fact joins viable at 100 TB.
+  * BucketingSpec pins the shuffle-free plan. */
+object Bucketed {
+
+  val Buckets = 8
+
+  private def suffix(sfDir: String): String =
+    sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Write orders/customer bucketed by the join key, once per (catalog,
+    * sfDir). The in-memory catalog forgets across JVMs while the
+    * warehouse files persist, so a table the catalog doesn't know but
+    * whose location exists is a stale leftover — cleared before the
+    * rewrite (the warehouse here is throwaway; a persistent metastore
+    * deployment never hits this branch). */
+  def ensureTables(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      def ensure(table: String, source: String, key: String): Unit = {
+        if (!spark.catalog.tableExists(table)) {
+          val loc = new java.io.File(
+            spark.conf.get("spark.sql.warehouse.dir")
+              .stripPrefix("file:"), table)
+          if (loc.exists()) {
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(loc)
+          }
+          spark.read.parquet(s"$sfDir/$source.parquet")
+            .write.mode("overwrite")
+            .bucketBy(Buckets, key).sortBy(key)
+            .format("parquet").saveAsTable(table)
+        }
+      }
+      val (ot, ct) = (s"orders_b_${suffix(sfDir)}", s"customer_b_${suffix(sfDir)}")
+      ensure(ot, "orders", "o_custkey")
+      ensure(ct, "customer", "c_custkey")
+      (ot, ct)
+    }
+
+  /** Per-customer order revenue through the co-located join. */
+  def coLocatedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (ot, ct) = ensureTables(spark, sfDir)
+    val orders = spark.table(ot)
+    val customer = spark.table(ct)
+    customer.join(orders, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+  }
+}

@@ -551,6 +551,13 @@ object RelationalQueries {
         .orderBy($"o_orderpriority")
     }),
 
+    // Bucketed co-located join: both sides pre-bucketed on the join key,
+    // so the join itself plans with NO shuffle (BucketingSpec pins it).
+    "q_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.Bucketed.coLocatedJoin(s, dir).orderBy($"c_custkey")
+    }),
+
     // Typed UDAF surface: the Top2Agg Aggregator through functions.udaf —
     // plans with partial aggregation like a builtin (map-side combine
     // before the shuffle; see Top2Agg scaladoc).
@@ -876,6 +883,11 @@ object RelationalQueries {
          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_done,
          count(*) AS n_all
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_bucketed_join" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
     "q_udaf_top2" ->
       """WITH r AS (SELECT o_custkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey

@@ -11,6 +11,7 @@ object SparkTest {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
