@@ -18,7 +18,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // per-process warehouse: a second JVM (verify) must never rewrite
+      // bucketed tables this one is scanning (round-3 advice)
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${Fs.pid}")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -46,6 +48,13 @@ object Bench {
       }, s"bench-watchdog-$name")
       watchdog.setDaemon(true)
       try {
+        // Cache lifecycle (round-3 verdict #1a): each query starts with a
+        // clean cache and the FULL storage pool. Per-query caches exist
+        // for intra-query reuse; letting them accumulate across the suite
+        // caused LRU eviction to recompute the expensive dedup staging
+        // pipelines mid-query (2-3.8x regressions, round 3). This is the
+        // pipeline-level release the Dedup scaladoc prescribes.
+        spark.catalog.clearCache()
         sc.setJobGroup(group, name, interruptOnCancel = true)
         watchdog.start()
         fn(spark, sfDir).count()
@@ -58,13 +67,31 @@ object Bench {
         sc.clearJobGroup()
       }
     }
+    // Total wall budget for the whole bench PROCESS: round 3's driver run
+    // hit the driver-side timeout (rc 124) and produced NO number — worse
+    // than a number from fewer passes. Warmup + pass 1 always run; passes
+    // 2-3 run only if the previous pass's duration still fits the
+    // remaining budget, so the process always finishes with a result.
+    val totalBudgetMs =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MS", "1500000").toLong
+    val wall0 = System.currentTimeMillis()
     queries.foreach { case (n, f) => once(n, f) } // warmup pass
-    val passes = (1 to 3).map { _ =>
-      queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        once(name, fn)
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+    var passes = Vector.empty[Map[String, Double]]
+    var lastPassMs = 0L
+    for (p <- 1 to 3) {
+      val elapsed = System.currentTimeMillis() - wall0
+      if (p == 1 || elapsed + lastPassMs <= totalBudgetMs) {
+        val p0 = System.currentTimeMillis()
+        passes :+= queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          once(name, fn)
+          name -> (System.nanoTime() - t0) / 1e9
+        }.toMap
+        lastPassMs = System.currentTimeMillis() - p0
+      } else {
+        System.err.println(
+          s"[bench] skipping pass $p: ${elapsed}ms elapsed + ${lastPassMs}ms/pass exceeds ${totalBudgetMs}ms budget")
+      }
     }
     val results = queries.map { case (name, _) =>
       name -> passes.map(_(name)).min

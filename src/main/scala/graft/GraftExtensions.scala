@@ -26,8 +26,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName,
         "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // analysis-time arity error naming the function, not an
+        // IndexOutOfBoundsException from exprs(1) (round-3 advice)
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"cosine_sim requires exactly 2 arguments (vector, vector); got ${exprs.length}")
+        CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
   }
 }
@@ -53,7 +59,11 @@ object AnchoredRegexToPrefix extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case r @ RLike(child, Literal(pat, t)) if t == StringType && pat != null =>
+      // child must be DEFAULT-collation string too: collation-aware
+      // StartsWith would diverge from RLike's binary regex semantics on a
+      // case-insensitive-collated column (round-3 advice)
+      case r @ RLike(child, Literal(pat, t))
+          if t == StringType && pat != null && child.dataType == StringType =>
         val s = pat.toString
         if (s.startsWith("^") && s.drop(1).forall(SafeLiteralChars)) {
           StartsWith(child, Literal(s.drop(1)))

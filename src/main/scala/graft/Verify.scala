@@ -12,7 +12,8 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // per-process warehouse — see Bench (round-3 advice)
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${Fs.pid}")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -40,6 +41,10 @@ object Verify {
       }, s"verify-watchdog-$name")
       watchdog.setDaemon(true)
       try {
+        // per-query cache release — same lifecycle as Bench (round-3
+        // verdict #1a): full storage pool per query, no cross-query LRU
+        // eviction of an iterative plan's live cache
+        spark.catalog.clearCache()
         sc.setJobGroup(group, name, interruptOnCancel = true)
         watchdog.start()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

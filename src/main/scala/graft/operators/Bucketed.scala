@@ -31,13 +31,7 @@ object Bucketed {
           val loc = new java.io.File(
             spark.conf.get("spark.sql.warehouse.dir")
               .stripPrefix("file:"), table)
-          if (loc.exists()) {
-            def rm(f: java.io.File): Unit = {
-              if (f.isDirectory) f.listFiles().foreach(rm)
-              f.delete(); ()
-            }
-            rm(loc)
-          }
+          if (loc.exists()) graft.Fs.deleteRecursively(loc)
           spark.read.parquet(s"$sfDir/$source.parquet")
             .write.mode("overwrite")
             .bucketBy(Buckets, key).sortBy(key)

@@ -12,7 +12,7 @@ object Probe {
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${graft.Fs.pid}")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")

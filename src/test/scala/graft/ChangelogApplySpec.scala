@@ -11,7 +11,7 @@ object SparkTest {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${graft.Fs.pid}")
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
