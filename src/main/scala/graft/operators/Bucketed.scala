@@ -19,11 +19,12 @@ object Bucketed {
     sfDir.replaceAll("[^A-Za-z0-9]", "_")
 
   /** Write orders/customer bucketed by the join key, once per (catalog,
-    * sfDir). The in-memory catalog forgets across JVMs while the
-    * warehouse files persist, so a table the catalog doesn't know but
-    * whose location exists is a stale leftover — cleared before the
-    * rewrite (the warehouse here is throwaway; a persistent metastore
-    * deployment never hits this branch). */
+    * sfDir). The warehouse dir is keyed per-process (Bench/Verify/test
+    * builders use /tmp/graft_warehouse_<pid>), so no other JVM can be
+    * scanning a table this one rewrites (round-3 advice); a location that
+    * exists without a catalog entry is a stale leftover from a recycled
+    * pid — cleared before the rewrite (a persistent metastore deployment
+    * never hits this branch). */
   def ensureTables(spark: SparkSession, sfDir: String): (String, String) =
     synchronized {
       def ensure(table: String, source: String, key: String): Unit = {

@@ -36,20 +36,51 @@ object CdcStream {
 
   private val nameCounter = new AtomicInteger()
 
-  /** Stage a batch DataFrame as a one-file parquet dir and open it as a
-    * stream — a deterministic single micro-batch under AvailableNow.
-    * Staging is keyed by (tag, source dir) and reused across executions in
-    * a session (the testdata inputs are immutable), so repeated bench runs
-    * pay streaming execution, not re-staging. */
-  private def streamOf(df: DataFrame, tag: String, sfDir: String): DataFrame = {
+  /** Staged stream inputs are written as this many parquet files, so a
+    * micro-batch scan parallelizes across tasks instead of the round-3
+    * single-file serial scan (verdict #5). Correctness never depends on
+    * the file split: every stateful fold orders by `sequence` within the
+    * batch and rejects stale sequences across batches. */
+  val StageFiles = 8
+
+  /** Stage a batch DataFrame as a multi-file parquet dir and open it as a
+    * stream. Staging is keyed by (tag, source dir) and reused across
+    * executions in a session (the testdata inputs are immutable), so
+    * repeated bench runs pay streaming execution, not re-staging.
+    * `maxFilesPerTrigger` splits the replay into multiple micro-batches
+    * (AvailableNow drains them all) — the multi-batch drive of the
+    * incremental sinks. */
+  private def streamOf(df: DataFrame, tag: String, sfDir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val key = s"${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
-    val dir = new java.io.File(s"/tmp/graft_stage/$key")
+    // v2: multi-file layout — never reuse a round-3 single-file staging
+    val dir = new java.io.File(s"/tmp/graft_stage/v2/$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
-      df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      df.repartition(StageFiles).write.mode("overwrite").parquet(dir.toString)
     }
-    df.sparkSession.readStream.schema(df.schema).parquet(dir.toString)
+    val reader = df.sparkSession.readStream.schema(df.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir.toString)
   }
+
+  /** Dedicated sessions for streaming drains, one per (parent session,
+    * flush) — round-3 advice: `runToTable` used to mutate the CALLER's
+    * session confs (shuffle partitions, noDataMicroBatches) and restore
+    * them after the drain, which silently re-planned any concurrent batch
+    * query with 8 shuffle partitions. A `newSession()` shares the
+    * SparkContext, shared state, and extensions but owns its conf, so the
+    * stream-sized shuffle width and the flush toggle never leak. */
+  private val streamSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Boolean), SparkSession]()
+
+  private[graft] def streamSession(parent: SparkSession, flush: Boolean): SparkSession =
+    streamSessions.computeIfAbsent((parent, flush), { case (p, fl) =>
+      val ss = p.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", DrainStatePartitions.toString)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", fl.toString)
+      ss
+    })
 
   /** Per-micro-batch progress of the last drained query (dev/probe
     * introspection only — never read on the query path). */
@@ -70,12 +101,6 @@ object CdcStream {
     base
   }
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-    ()
-  }
-
   /** State partition count for drain runs. A stateful operator creates
     * state-store instances per shuffle partition (a stream-stream join:
     * four per partition), and each instance pays fixed per-micro-batch
@@ -88,27 +113,26 @@ object CdcStream {
 
   /** Run a streaming plan to completion (AvailableNow) into a memory sink.
     *
-    * `flush = false` skips the trailing no-data micro-batch. That batch
+    * The plan must have been built on a [[streamSession]] — the flush
+    * behavior (whether the trailing no-data micro-batch runs) and the
+    * drain-sized shuffle width are that session's confs, so nothing here
+    * mutates any conf (round-3 advice: the old set/restore dance leaked 8
+    * shuffle partitions into concurrent batch queries). The no-data batch
     * exists to advance the watermark and evict/emit state after the last
-    * data batch; for a drained query whose OUTPUT cannot depend on
-    * eviction — inner joins, first-seen dedup, Complete-mode aggs — it is
-    * pure state-maintenance overhead (measured: it emitted 0 rows and
-    * cost ~35% of stream_join_clicks). Queries whose output IS the
-    * eviction (left-outer join's null-extended rows) must keep it. */
-  private def runToTable(df: DataFrame, mode: OutputMode,
-      flush: Boolean = true): DataFrame = {
+    * data batch; a query whose output cannot depend on eviction — inner
+    * joins, first-seen dedup, Complete-mode aggs — builds on the
+    * flush=false session (measured: the flush emitted 0 rows and cost
+    * ~35% of stream_join_clicks). Queries whose output IS the eviction
+    * (left-outer join's null-extended rows) use flush=true.
+    *
+    * Checkpoints are keyed by pid + counter so two concurrent JVMs
+    * (bench and verify) can never collide on — or delete — each other's
+    * live checkpoint (round-3 advice). */
+  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
-    val ckpt = new java.io.File(s"$ckptRoot/$name")
-    val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prevFlush = spark.conf.getOption(flushKey)
-    val prevParts = spark.conf.getOption(partsKey)
-    if (!flush) spark.conf.set(flushKey, "false")
-    spark.conf.set(partsKey, DrainStatePartitions.toString)
+    val ckpt = new java.io.File(s"$ckptRoot/p${graft.Fs.pid}_$name")
     try {
-      // the streaming engine clones the session at start(), snapshotting
-      // both confs; they are restored for the caller below
       val q = df.writeStream
         .format("memory")
         .queryName(name)
@@ -119,13 +143,7 @@ object CdcStream {
       q.awaitTermination()
       lastRunProgress = q.recentProgress.toSeq.map(_.json)
     } finally {
-      def restore(key: String, prev: Option[String]): Unit = prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
-      }
-      if (!flush) restore(flushKey, prevFlush)
-      restore(partsKey, prevParts)
-      deleteRecursively(ckpt)
+      graft.Fs.deleteRecursively(ckpt)
     }
     spark.table(name)
   }
@@ -364,18 +382,31 @@ object CdcStream {
     * `ddlEvents` is a BATCH frame of the changelog's Query slice (same
     * Cdc.EventSchema); output is (db, tbl, image, columns) with images in
     * final-schema form, one row per live copy. */
+  /** Cap on the driver-side DDL-slice collect in
+    * [[applySchemaStreamKeyed]] (round-3 verdict #6). The smallness
+    * argument — a changelog's DDL is KBs where its rows are TBs — is
+    * sound for any real binlog, but unenforced it would let a malformed
+    * or adversarial changelog with millions of Query events OOM the
+    * driver; beyond the cap we fail with a clear error instead. */
+  val MaxDdlEvents = 100000
+
   def applySchemaStreamKeyed(events: DataFrame, ddlEvents: DataFrame,
       nullCell: String = graft.model.Value.NullCell,
       reapTombstones: Boolean = false): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import graft.operators.SchemaRegistry.ColumnTimeline
-    val ddl = ddlEvents
+    val ddlRows = ddlEvents
       .where(col("op") === Cdc.OpQuery && col("query").isNotNull)
       .select(
         try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
         col("sequence"), col("query"))
-      .as[(String, Long, String)].collect().toSeq
+      .as[(String, Long, String)].take(MaxDdlEvents + 1)
+    if (ddlRows.length > MaxDdlEvents)
+      throw new IllegalStateException(
+        s"changelog DDL slice exceeds $MaxDdlEvents Query events — refusing " +
+          "the driver-side timeline collect (malformed changelog?)")
+    val ddl = ddlRows.toSeq
     val timelines = ColumnTimeline.build(ddl)
 
     val deltas = events
@@ -424,7 +455,10 @@ object CdcStream {
   /** End-to-end streaming replica snapshot for the generated customer
     * changelog — the streaming twin of ChangelogApply.customerSnapshot. */
   def customerSnapshotStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val events = streamOf(CdcGen.customerEvents(spark, sfDir), "cdc_events", sfDir)
+    // no watermark, NoTimeout FMGWS: output cannot depend on the no-data
+    // flush batch — build on the flush=false session
+    val ss = streamSession(spark, flush = false)
+    val events = streamOf(CdcGen.customerEvents(ss, sfDir), "cdc_events", sfDir)
     val snapshot = runToTable(applyStream(events), OutputMode.Append)
     CdcGen.decodeCustomer(snapshot)
   }
@@ -434,7 +468,8 @@ object CdcStream {
     * (10k+ events through per-image state and the broadcast timeline;
     * plain-cast cells, so the widening null cell is SQL null). */
   def customerSnapshotStreamKeyed(spark: SparkSession, sfDir: String): DataFrame = {
-    val batch = CdcGen.customerEvents(spark, sfDir)
+    val ss = streamSession(spark, flush = false)
+    val batch = CdcGen.customerEvents(ss, sfDir)
     val events = streamOf(batch, "cdc_events", sfDir)
     val st = runToTable(
       applySchemaStreamKeyed(events, batch, nullCell = null), OutputMode.Append)
@@ -448,7 +483,8 @@ object CdcStream {
     * are in final-schema form; the name-driven decode (decodePet) is
     * unchanged. */
   def petSnapshotStream(spark: SparkSession): DataFrame = {
-    val batch = CdcGen.typedEvents(spark)
+    val ss = streamSession(spark, flush = false)
+    val batch = CdcGen.typedEvents(ss)
     val events = streamOf(batch, "typed_events", "fixture")
     runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
   }
@@ -462,8 +498,9 @@ object CdcStream {
     * physical row arrives first. On an unbounded stream you'd bound
     * state with `dropDuplicatesWithinWatermark`; this replay is finite. */
   def streamingDedupFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = false)
     // the planted-duplicate corpus, so the dedup assertion is non-vacuous
-    val docs = graft.sources.ExtCorpus.docCorpus(spark, sfDir)
+    val docs = graft.sources.ExtCorpus.docCorpus(ss, sfDir)
     val stream = streamOf(docs, "doc_corpus", sfDir)
     val fp = graft.operators.TextAnalysis.fingerprint(stream, "text")
       .select(col("fingerprint"))
@@ -480,7 +517,9 @@ object CdcStream {
     * append mode). Join output is a deterministic SET, so the oracle is
     * the equivalent batch time-range join. */
   def clickPurchaseJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.events(spark, sfDir)
+    // inner join: output cannot depend on state eviction — flush=false
+    val ss = streamSession(spark, flush = false)
+    val base = Tables.events(ss, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"),
         col("user_id"), col("value"))
     def side(tag: String) = streamOf(base, "events_user", sfDir)
@@ -500,8 +539,7 @@ object CdcStream {
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("click_id"), col("purchase_id"),
         col("amount"))
-    // inner join: output cannot depend on state eviction — skip the flush
-    runToTable(joined, OutputMode.Append, flush = false)
+    runToTable(joined, OutputMode.Append)
   }
 
   /** Streaming dedup with BOUNDED state: `dropDuplicatesWithinWatermark`
@@ -511,15 +549,16 @@ object CdcStream {
     * grow monotonically. Output is the key columns only, so which arrival
     * won is invisible and the result equals the distinct key set. */
   def streamingDedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamOf(Tables.events(spark, sfDir)
+    // first-seen rows all emit in the data batch; the flush only evicts
+    val ss = streamSession(spark, flush = false)
+    val ev = streamOf(Tables.events(ss, sfDir)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
       "events_dedup", sfDir)
     val out = ev
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
-    // first-seen rows all emit in the data batch; the flush only evicts
-    runToTable(out, OutputMode.Append, flush = false)
+    runToTable(out, OutputMode.Append)
   }
 
   /** Watermarked LEFT OUTER stream-stream join: unmatched clicks are
@@ -529,8 +568,17 @@ object CdcStream {
     * outcome (matched or unmatched) is then fully decided when the
     * AvailableNow stream drains, and the result is deterministic. The
     * oracle applies the identical bound. */
+  /** Memoized per-sfDir click bound for the left-outer join drain: the
+    * batch min-of-side-maxima aggregate is a property of the immutable
+    * testdata, so computing it once per (sfDir) removes one batch scan
+    * of `events` from every bench invocation (round-3 verdict #2). */
+  private val leftJoinBounds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+
   def clickPurchaseLeftJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = Tables.events(spark, sfDir)
+    // output IS the eviction (null-extended rows) — keep the flush batch
+    val ss = streamSession(spark, flush = true)
+    val base = Tables.events(ss, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"),
         col("user_id"), col("value"))
     // The final global watermark is min over both sides of
@@ -538,9 +586,10 @@ object CdcStream {
     // that passes click_ts + 1h. Deriving the bound from the per-side
     // maxima (not the overall table max) makes the eviction guarantee
     // exact; the 1-minute margin absorbs the >-vs->= boundary.
-    val sideMax = base.groupBy(col("event_type")).agg(max(col("ts")).as("m"))
-      .where(col("event_type").isin("click", "purchase"))
-      .agg(min(col("m"))).head().getTimestamp(0)
+    val sideMax = leftJoinBounds.computeIfAbsent(sfDir, _ =>
+      base.groupBy(col("event_type")).agg(max(col("ts")).as("m"))
+        .where(col("event_type").isin("click", "purchase"))
+        .agg(min(col("m"))).head().getTimestamp(0))
     val bound = new java.sql.Timestamp(sideMax.getTime - (121 * 60) * 1000L)
     val clicks = streamOf(base, "events_user", sfDir)
       .where(col("event_type") === "click")
@@ -571,7 +620,10 @@ object CdcStream {
     * (the reference never needs event time — §2.6 — but the engine surface
     * does): 1-day windows, count + exact decimal revenue. */
   def windowedEventAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamOf(Tables.events(spark, sfDir)
+    // Complete mode re-emits the whole result every batch; the no-data
+    // flush would rewrite an identical table — flush=false session
+    val ss = streamSession(spark, flush = false)
+    val ev = streamOf(Tables.events(ss, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value")),
       "events", sfDir)
     val agg = ev
@@ -579,9 +631,7 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
-    // Complete mode re-emits the whole result every batch; the no-data
-    // flush would rewrite an identical table — skip it
-    runToTable(agg, OutputMode.Complete, flush = false)
+    runToTable(agg, OutputMode.Complete)
       .select(col("window.start").cast("date").as("window_start"),
         col("event_type"), col("n"), col("revenue"))
   }
@@ -593,7 +643,8 @@ object CdcStream {
     * arithmetic (floor-to-grid, duplicate into both windows) is
     * type-exact. */
   def slidingEventAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = streamOf(Tables.events(spark, sfDir)
+    val ss = streamSession(spark, flush = false)
+    val ev = streamOf(Tables.events(ss, sfDir)
       .select(col("event_id"), col("ts"), col("event_type"), col("value")),
       "events", sfDir)
     val agg = ev
@@ -601,8 +652,89 @@ object CdcStream {
       .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("revenue"))
-    runToTable(agg, OutputMode.Complete, flush = false)
+    runToTable(agg, OutputMode.Complete)
       .select(unix_seconds(col("window.start")).as("w_start_s"),
         col("event_type"), col("n"), col("revenue"))
+  }
+
+  // ---------- K2 streaming sink: foreachBatch upsert into the replica ----------
+
+  /** Delta-emitting twin of [[applyEvents]] for the CONTINUOUS replica
+    * sink: per key touched in the micro-batch, emit the post-fold state
+    * INCLUDING tombstones — `deleted = true` rows are what lets a
+    * downstream upsert remove the key from the replica, where the
+    * append-mode snapshot variant (emitting live images only) loses
+    * deletions that cross micro-batch boundaries. */
+  def applyDeltaEvents(
+      key: (String, String),
+      it: Iterator[KeyedImageEvent],
+      state: GroupState[ApplyState]): Iterator[(String, String, Seq[String], Boolean)] = {
+    val sorted = it.toArray.sortBy(_.sequence)
+    var cur = state.getOption.getOrElse(ApplyState(null, Long.MinValue, deleted = true))
+    sorted.foreach { e =>
+      if (e.sequence > cur.sequence) {
+        cur = e.op match {
+          case Cdc.OpDelete => ApplyState(null, e.sequence, deleted = true)
+          case _ => ApplyState(e.image, e.sequence, deleted = false)
+        }
+      }
+    }
+    state.update(cur)
+    Iterator.single((key._1, key._2, cur.image, cur.deleted))
+  }
+
+  /** Keyed streaming apply emitting per-batch UPSERT DELTAS
+    * (uri, key, image, deleted) — the input to the foreachBatch replica
+    * sink ([[graft.operators.ReplicaSink.upsertBatch]]). */
+  def applyStreamDeltas(events: DataFrame, keyIdx: Int = 0): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(col("sequence"), col("op"), col("uri"), explode(col("rows")).as("r"))
+      .select(col("sequence"), col("op"), col("uri"), col("r.cols").as("image"))
+      .withColumn("key", element_at(col("image"), keyIdx + 1))
+      .as[KeyedImageEvent]
+    keyed
+      .groupByKey(e => (e.uri, e.key))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applyDeltaEvents)
+      .toDF("uri", "key", "image", "deleted")
+  }
+
+  /** K2 in streaming form (round-3 verdict #4; SURVEY §2.4's "foreachBatch
+    * upsert"; reference: the consumer applies continuously to a live
+    * replica as records arrive, cdc-mysql/src/consumer/mysql_manager.rs:
+    * 295-299): the generated customer changelog is replayed in MULTIPLE
+    * micro-batches (maxFilesPerTrigger), and every batch's keyed deltas
+    * are merged into the durable bucketed replica by
+    * [[graft.operators.ReplicaSink.upsertBatch]] — only the buckets a
+    * batch touches are rewritten. Returns the replica read back in the
+    * memory-sink `image` shape for [[CdcGen.decodeCustomer]]. */
+  def customerReplicaStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ReplicaSink
+    val ss = streamSession(spark, flush = false)
+    val events = streamOf(CdcGen.customerEvents(ss, sfDir), "cdc_events", sfDir,
+      maxFilesPerTrigger = Some(3)) // 8 staged files → 3 micro-batches
+    val replicaDir = new java.io.File(
+      s"/tmp/graft_replica_stream/p${graft.Fs.pid}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.Fs.deleteRecursively(replicaDir) // fresh replay per invocation
+    replicaDir.mkdirs()
+    val ckpt = new java.io.File(
+      s"$ckptRoot/p${graft.Fs.pid}_sink_${nameCounter.incrementAndGet()}")
+    ReplicaSink.lastUpsertBatches = 0
+    val sink: (DataFrame, Long) => Unit = ReplicaSink.upsertBatch(replicaDir.toString)
+    val q = applyStreamDeltas(events).writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination()
+      lastRunProgress = q.recentProgress.toSeq.map(_.json)
+    } finally graft.Fs.deleteRecursively(ckpt)
+    ReplicaSink.readReplicaImages(ss, replicaDir.toString)
   }
 }

@@ -32,4 +32,42 @@ class SinkSpec extends AnyFunSuite {
     assert(readBack === direct)
     assert(readBack.nonEmpty)
   }
+
+  test("streaming K2: multi-batch foreachBatch upsert converges to the batch apply") {
+    // the replay MUST take the incremental path (several micro-batches,
+    // each upserted into the bucketed replica) — not one big batch
+    val out = graft.sources.CdcGen.decodeCustomer(
+      graft.streaming.CdcStream.customerReplicaStreamSink(spark, Sf))
+    val direct = graft.operators.ChangelogApply.customerSnapshot(spark, Sf)
+    assert(out.count() === direct.count())
+    assert(out.except(direct).isEmpty && direct.except(out).isEmpty)
+    assert(ReplicaSink.lastUpsertBatches >= 2,
+      s"expected a multi-micro-batch replay, saw ${ReplicaSink.lastUpsertBatches} upserts")
+  }
+
+  test("streaming K2: a delete crossing micro-batches removes the key from the replica") {
+    import spark.implicits._
+    import graft.model.{Cdc, CdcEvent, CdcRowImages}
+    import java.nio.file.Files
+    def ev(seq: Long, op: String, img: Seq[String]) =
+      CdcEvent(seq, "flv://m/g/t", "f", seq, op, null, Seq("k", "v"),
+        Seq(CdcRowImages(null, img)))
+    val dir = Files.createTempDirectory("graft_upsert").toString
+    def run(batchId: Long, evs: CdcEvent*): Unit = {
+      // drive upsertBatch directly with the post-fold deltas the FMGWS
+      // apply would emit for this batch
+      val deltas = evs.map { e =>
+        (e.uri, e.rows.head.cols.head, e.rows.head.cols,
+          e.op == Cdc.OpDelete)
+      }.toDF("uri", "key", "image", "deleted")
+      ReplicaSink.upsertBatch(dir)(deltas, batchId)
+    }
+    run(0, ev(1, Cdc.OpAdd, Seq("a", "1")), ev(2, Cdc.OpAdd, Seq("b", "1")))
+    assert(ReplicaSink.readReplicaImages(spark, dir).as[Seq[String]]
+      .collect().toSet === Set(Seq("a", "1"), Seq("b", "1")))
+    // batch 1: update a, delete b — b's removal must reach the replica
+    run(1, ev(3, Cdc.OpUpdate, Seq("a", "2")), ev(4, Cdc.OpDelete, Seq("b", "1")))
+    assert(ReplicaSink.readReplicaImages(spark, dir).as[Seq[String]]
+      .collect().toSet === Set(Seq("a", "2")))
+  }
 }

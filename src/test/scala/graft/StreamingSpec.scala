@@ -200,6 +200,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.size === 3, s"got $out")
   }
 
+  test("DDL-slice collect is capped: an over-cap changelog fails cleanly, not OOM") {
+    import org.apache.spark.sql.functions._
+    // a malformed/adversarial changelog with >MaxDdlEvents Query events
+    // must fail with a clear error BEFORE the driver-side timeline collect
+    val ddl = spark.range(CdcStream.MaxDdlEvents + 1).select(
+      col("id").as("sequence"), lit("flv://m/d9").as("uri"),
+      lit(Cdc.OpQuery).as("op"), lit("CREATE TABLE t (a INT)").as("query"))
+    val e = intercept[IllegalStateException] {
+      CdcStream.applySchemaStreamKeyed(ddl, ddl)
+    }
+    assert(e.getMessage.contains("DDL slice exceeds"))
+  }
+
   test("tombstone eviction: timed-out state is removed; a re-insert starts fresh") {
     import graft.streaming.CdcStream.{ApplyState, KeyedImageEvent}
     def ev(seq: Long, op: String, img: Seq[String]) =
