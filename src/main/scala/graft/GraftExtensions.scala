@@ -34,6 +34,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"cosine_sim requires exactly 2 arguments (vector, vector); got ${exprs.length}")
         CosineSimilarity(exprs(0), exprs(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[graft.expressions.WordShingles].getCanonicalName,
+        "word_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"word_shingles requires exactly 1 argument (text); got ${exprs.length}")
+        graft.expressions.WordShingles(exprs.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("fold_hash"),
+      new ExpressionInfo(classOf[graft.expressions.FoldHash].getCanonicalName,
+        "fold_hash"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"fold_hash requires exactly 1 argument (string); got ${exprs.length}")
+        graft.expressions.FoldHash(exprs.head)
+      }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
   }
 }

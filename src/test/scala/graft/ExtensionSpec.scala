@@ -9,6 +9,49 @@ import graft.sources.ExtCorpus
 class ExtensionSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("WordShingles/FoldHash expressions ≡ the HOF formulations they replace") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // adversarial strings: runs of spaces (empty tokens), leading/trailing
+    // spaces, short texts, repeats (distinct), non-ASCII codepoints
+    val texts = Seq(
+      "a b c d e", "a  b c", " a b c ", "", "x", "x y", "a b a b a b",
+      "héllo wörld ünïcode test", "tab\tnot split here ok", "a b c")
+      .toDF("text")
+    graft.expressions.ShingleOps.ensureRegistered(spark)
+    val toks = split(col("text"), " ")
+    val hofShingles = array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i + 2 < size(toks),
+          concat_ws(" ",
+            element_at(toks, i + 1),
+            element_at(toks, i + 2),
+            element_at(toks, i + 3)))),
+      s => s.isNotNull))
+    val both = texts.select(
+      col("text"),
+      call_function("word_shingles", col("text")).as("expr_sh"),
+      hofShingles.as("hof_sh"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[String](1) === r.getSeq[String](2),
+        s"shingle mismatch for '${r.getString(0)}'")
+    }
+    // fold hash over every shingle + edge cases, vs the HOF char fold
+    val hofFold = (s: org.apache.spark.sql.Column) =>
+      when(length(s) > 0,
+        aggregate(
+          transform(sequence(lit(1), length(s)), i =>
+            ascii(s.substr(i, lit(1))).cast("long")),
+          lit(0L), (acc, x) => (acc * 131 + x) % graft.operators.Dedup.P))
+        .otherwise(0L)
+    val strs = (Seq("", "a", "ab c", "héllo", "ünïcode wörld") ++
+      Seq.tabulate(50)(i => s"w$i w${i + 1} w${i + 2}")).toDF("s")
+    val cmp = strs.select(
+      call_function("fold_hash", col("s")).as("expr_h"),
+      hofFold(col("s")).as("hof_h"))
+    cmp.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("HeaderDecoder parses canonical hand-written image headers") {
     import graft.operators.Multimodal.HeaderDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
