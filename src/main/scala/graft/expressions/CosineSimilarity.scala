@@ -91,8 +91,10 @@ object CosineSimilarity {
     * exposing the expression to SQL and to `functions.call_function` —
     * the stable public route to a custom expression in Spark 4. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    if (!spark.sessionState.functionRegistry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
 
   /** Column-API entry point (registers on first use per session). */
   def cosineSim(spark: org.apache.spark.sql.SparkSession)(

@@ -72,6 +72,17 @@ def main():
             print(f"ok   {name} ({len(got)} rows)")
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail ==")
+    # Lockstep guard (round-3 verdict #8): a committed bench.json whose key
+    # set drifted from the live query surface means the round shipped
+    # queries nobody measured (or measured queries that no longer exist).
+    bench_path = os.path.join(os.path.dirname(__file__), "..", "bench.json")
+    if not only and os.path.exists(bench_path):
+        bench_keys = set(json.load(open(bench_path)).get("queries", {}))
+        oracle_keys = set(oracles)
+        if bench_keys != oracle_keys:
+            missing = sorted(oracle_keys - bench_keys)
+            stale = sorted(bench_keys - oracle_keys)
+            print(f"WARN bench.json out of lockstep: unmeasured={missing} stale={stale}")
     sys.exit(1 if n_bad else 0)
 
 if __name__ == "__main__":
