@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       ExtensionQueries.queries ++ StreamingQueries.queries ++
-      SourceQueries.queries
+      SourceQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++
       ExtensionQueries.oracles ++ StreamingQueries.oracles ++
-      SourceQueries.oracles
+      SourceQueries.oracles ++ CurationQueries.oracles
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for the training-data pipeline (charter
+  * extensions, SURVEY.md §2.7): context chunking, weighted source mixing,
+  * benchmark decontamination, stream packing, and arithmetic diversity
+  * scoring.
+  *
+  * Scale notes (the design constraint for each member):
+  *  - chunking / diversity: map-side expressions only — zero shuffle.
+  *  - mixing: the weight table is joined (broadcast), not hard-coded —
+  *    at 100 TB the mixing policy is config data, not query text.
+  *  - decontamination: benchmark n-grams are a broadcast semi-join —
+  *    never a pair join against the corpus.
+  *  - packing: the exclusive prefix sum uses the two-phase
+  *    per-partition-offset pattern (same family as [[Sequencer]]) —
+  *    a single-partition global window would serialize the corpus.
+  *
+  * Everything stays in integer / single-division IEEE arithmetic with
+  * fixed fold order, so the DuckDB oracle reproduces values bit-exactly
+  * (same ground rules as [[TextAnalysis]]/[[Embeddings]]).
+  */
+object Curation {
+
+  // ---------- context chunking ----------
+
+  /** Overlapping token windows: chunk c covers tokens [c*stride,
+    * c*stride + chunkSize). Every token position below n is covered;
+    * the final window may be short. One posexplode — no shuffle; chunk
+    * text is rebuilt with array_join so downstream stages see plain
+    * documents. */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 32, stride: Int = 24): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val starts = sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride))
+    docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("toks")) - col("start"))
+          .cast("long").as("n_tokens"),
+        array_join(slice(col("toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  // ---------- weighted source mixing ----------
+
+  /** Deterministic per-source sampling rates in permille, keyed by the
+    * numeric suffix of the source name (a stand-in for a curation policy
+    * table: web sources downweighted, curated sources kept). */
+  val MixPermille: Seq[(Int, Long)] =
+    Seq(0 -> 1000L, 1 -> 800L, 2 -> 600L, 3 -> 400L, 4 -> 200L)
+
+  /** Independent second hash stream for mixing decisions (xxhash prime;
+    * [[Embeddings.assignSplit]] uses the Knuth constant — the two
+    * decisions must be uncorrelated or mixing would skew splits). */
+  def mixHash(id: Column): Column =
+    pmod(id.cast("long") * 2246822519L, lit(1000L))
+
+  /** Weighted mixing: keep a doc iff its hash falls under its source's
+    * permille rate. The rate table arrives as a DataFrame and is
+    * broadcast-joined — the plan a policy-driven 100 TB mix needs (rates
+    * change without replanning the scan). Returns per-source audit
+    * counts: kept/total and an id checksum of the kept set. */
+  def mixBySource(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rates = MixPermille.toDF("suffix_mod", "permille")
+    val keyed = docs.withColumn("suffix_mod",
+      pmod(regexp_extract(col(sourceCol), "([0-9]+)$", 1).cast("int"),
+        lit(MixPermille.size)))
+    keyed
+      .join(broadcast(rates), "suffix_mod")
+      .withColumn("kept", mixHash(col(idCol)) < col("permille"))
+      .groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col(idCol)).otherwise(0L)).as("kept_checksum"))
+  }
+
+  // ---------- benchmark decontamination ----------
+
+  /** Benchmark membership predicate: a deterministic held-out slice. */
+  def isBenchmark(id: Column): Column = id % 97 === 0
+
+  /** Flag training docs sharing any word 3-gram with the benchmark
+    * slice — the overlap check every eval-aware pipeline runs before
+    * training. Candidate generation is a semi-join against the DISTINCT
+    * benchmark shingle set (small — broadcast at any corpus scale);
+    * there is no doc-pair join anywhere, so cost is linear in corpus
+    * shingles. Returns contaminated docs with their shared-shingle
+    * count. */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol)
+    val benchShingles = sh.where(isBenchmark(col("doc_id")))
+      .select(col("shingle")).distinct()
+    sh.where(!isBenchmark(col("doc_id")))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  // ---------- stream packing ----------
+
+  /** Pack-and-split sequence packing: concatenate docs in id order into
+    * one token stream, cut every `budget` tokens — bin(d) =
+    * floor(exclusiveTokenPrefix(d) / budget), i.e. the bin where doc d's
+    * first token lands. This is the standard packing rule for LLM
+    * pretraining batches (documents straddle cuts; the tokenizer inserts
+    * boundaries).
+    *
+    * The exclusive prefix sum is two-phase: (1) range-partition by id and
+    * run the running-sum window per PHYSICAL partition (parallel), (2)
+    * per-partition totals —
+    * O(#partitions) scalars — collected, cumulated on the driver, and
+    * broadcast back as offsets. No single-partition window anywhere; the
+    * one collect is #partitions-sized by construction (same scalability
+    * argument as [[Sequencer.stampSequence]]'s zipWithIndex). */
+  def packBins(docs: DataFrame, idCol: String, nTokens: Column,
+      budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      nTokens.cast("long").as("n_tokens"))
+    // One range shuffle gives both the per-partition order and the
+    // partition→offset mapping; cached so the totals pass and the final
+    // pass share it.
+    val ranged = base.repartitionByRange(col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .withColumn("part_id", spark_partition_id())
+      .cache()
+    val totals = ranged.groupBy(col("part_id"))
+      .agg(sum(col("n_tokens")).as("part_sum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.tail.zip(totals).map { case ((pid, inclusive), (_, s)) =>
+      (pid, inclusive - s) // exclusive offset of the partition
+    }
+    val offsetDf = broadcast(offsets.toSeq.toDF("part_id", "offset"))
+    val w = Window.partitionBy(col("part_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ranged
+      .join(offsetDf, "part_id")
+      .withColumn("prefix",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)) + col("offset"))
+      .withColumn("bin", floor(col("prefix") / budget.toDouble).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
+  // ---------- arithmetic diversity / repetition scoring ----------
+
+  /** Character-diversity (Gini impurity over the character distribution)
+    * and word-repetition ratio — quality signals for spotting generated /
+    * boilerplate text. Both reduce to INTEGER aggregates followed by ONE
+    * division, so summation order cannot perturb the value and both
+    * engines produce the identical double (the same trick as BM25's
+    * ratio-form idf — no log, no incremental FP accumulation):
+    *   gini = 1 - Σ_c count(c)² / len²,  rep = 1 - distinctWords / words.
+    * Map-side only; the per-distinct-char count scan is O(alphabet·len)
+    * (alphabet ≤ ~100; a 100 TB corpus would fold this into a codegen'd
+    * expression like [[graft.expressions.FoldHash]] — same semantics). */
+  def charDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = split(col(textCol), "")
+    val distinctChars = array_distinct(chars)
+    // Σ count² as a LONG: order-independent by integer associativity
+    val sumSq = aggregate(
+      transform(distinctChars, c =>
+        size(filter(chars, x => x === c)).cast("long")),
+      lit(0L), (acc, n) => acc + n * n)
+    val len = length(col(textCol)).cast("long")
+    val toks = split(col(textCol), " ")
+    val nWords = size(toks).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(distinctChars).cast("long").as("n_distinct_chars"),
+      round(lit(1.0) - sumSq.cast("double") / (len * len).cast("double"), 6)
+        .as("char_gini"),
+      round(lit(1.0) - nDistinct.cast("double") / nWords.cast("double"), 6)
+        .as("word_rep_ratio"))
+  }
+}

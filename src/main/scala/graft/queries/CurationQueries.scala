@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, KMeansOp}
+import graft.sources.Tables
+
+/** Corpus-curation queries (charter extensions, SURVEY.md §2.7 round-4
+  * continuation): context chunking, weighted source mixing, benchmark
+  * decontamination, pack-and-split sequence packing, arithmetic
+  * diversity scoring, and k-means centroid training.
+  *
+  * Oracle-parity ground rules as in [[ExtensionQueries]]: integer
+  * arithmetic or single-division IEEE expressions, strict left folds
+  * mirrored by list_reduce, decimal-exact sums for means.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word 3-gram CTEs over `documents` directly (doc_id, text) —
+    * distinct per doc; mirrors Dedup.shingles / WordShingles. */
+  private val DocShingleCtes =
+    """dwords AS (
+       SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+              unnest(string_split(text, ' ')) AS w
+       FROM documents),
+     dsh3 AS (
+       SELECT doc_id,
+         w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+           || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS shingle,
+         lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+       FROM dwords),
+     dshingles AS (
+       SELECT DISTINCT doc_id, shingle FROM dsh3 WHERE w3 IS NOT NULL)"""
+
+  /** DuckDB twin of one KMeansOp.assign pass: nearest centroid from
+    * `centCte` (cluster_id, c) for every vector in `emb` (vec_id, e). */
+  private def sqlAssign(centCte: String): String =
+    s"""SELECT vec_id, e, cluster_id FROM (
+        SELECT emb.vec_id, emb.e, $centCte.cluster_id,
+          ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len(emb.e) + 1),
+              j -> (emb.e[j] - $centCte.c[j]) * (emb.e[j] - $centCte.c[j])),
+              (acc, x) -> acc + x) ASC,
+            $centCte.cluster_id) AS rn
+        FROM emb CROSS JOIN $centCte) WHERE rn = 1"""
+
+  /** DuckDB twin of one KMeansOp.update pass over assignment CTE `a`:
+    * per-dim decimal-exact means re-listed into centroid arrays. */
+  private def sqlUpdate(a: String): String =
+    s"""SELECT cluster_id, list(cx ORDER BY i) AS c FROM (
+        SELECT cluster_id, i,
+          CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx
+        FROM (SELECT cluster_id, generate_subscripts(e, 1) AS i,
+                     unnest(e) AS x FROM $a)
+        GROUP BY 1, 2) GROUP BY 1"""
+
+  val queries: Map[String, Q] = Map(
+    // overlapping token-window chunking (context windows for training)
+    "text_chunk" -> ((s, dir) => {
+      Curation.chunk(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // weighted per-source mixing with a broadcast policy table
+    "data_mix_weighted" -> ((s, dir) => {
+      Curation.mixBySource(Tables.table(s, dir, "documents"), "doc_id", "source")
+        .orderBy("source")
+    }),
+
+    // benchmark decontamination: shared word-3-gram flagging
+    "text_decontaminate" -> ((s, dir) => {
+      Curation.decontaminate(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // pack-and-split sequence packing via distributed prefix sum
+    "doc_pack" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      Curation.packBins(d, "doc_id", size(split(col("text"), " ")), 256L)
+        .orderBy("bin")
+    }),
+
+    // Gini character diversity + word repetition (bit-exact arithmetic)
+    "text_char_diversity" -> ((s, dir) => {
+      Curation.charDiversity(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // k-means centroid training: 2 unrolled Lloyd iterations, k=4
+    "kmeans_train" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val sizes = assigned.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      KMeansOp.updatePerDim(assigned, "embedding")
+        .join(sizes, "cluster_id")
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("i").cast("long").as("i"),
+          round(col("cx"), 6).as("cx"),
+          col("n_members"))
+        .orderBy("cluster_id", "i")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "text_chunk" -> """
+       WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+       c AS (SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+             FROM t)
+       SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+         CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+         array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+       FROM c ORDER BY doc_id, chunk_idx""",
+    "data_mix_weighted" -> """
+       WITH d AS (
+         SELECT doc_id, source,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER) % 5 AS m,
+           (doc_id * 2246822519) % 1000 AS h
+         FROM documents),
+       w AS (
+         SELECT d.*, CASE m WHEN 0 THEN 1000 WHEN 1 THEN 800 WHEN 2 THEN 600
+                            WHEN 3 THEN 400 ELSE 200 END AS permille
+         FROM d)
+       SELECT source, COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN h < permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN h < permille THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_checksum
+       FROM w GROUP BY source ORDER BY source""",
+    "text_decontaminate" -> s"""
+       WITH $DocShingleCtes,
+       bench AS (
+         SELECT DISTINCT shingle FROM dshingles WHERE doc_id % 97 = 0)
+       SELECT doc_id, COUNT(*) AS n_shared
+       FROM dshingles JOIN bench USING (shingle)
+       WHERE doc_id % 97 <> 0
+       GROUP BY doc_id ORDER BY doc_id""",
+    "doc_pack" -> """
+       WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents),
+       p AS (SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+             FROM t)
+       SELECT CAST(prefix // 256 AS BIGINT) AS bin,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
+    "text_char_diversity" -> """
+       WITH cnt AS (
+         SELECT doc_id, len, c, COUNT(*) AS n FROM (
+           SELECT doc_id, length(text) AS len,
+             unnest(list_transform(range(1, length(text) + 1),
+               i -> text[i:i])) AS c
+           FROM documents) GROUP BY 1, 2, 3),
+       agg AS (
+         SELECT doc_id, len,
+           CAST(SUM(n * n) AS BIGINT) AS sumsq,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+         FROM cnt GROUP BY 1, 2),
+       words AS (
+         SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct
+         FROM documents)
+       SELECT a.doc_id, a.n_distinct_chars,
+         ROUND(1.0 - CAST(sumsq AS DOUBLE) /
+           (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini,
+         ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS word_rep_ratio
+       FROM agg a JOIN words USING (doc_id) ORDER BY doc_id""",
+    "kmeans_train" -> s"""
+       WITH emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       seeds AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                AS cluster_id, e AS c FROM seeds),
+       a1 AS (${sqlAssign("c0")}),
+       c1 AS (${sqlUpdate("a1")}),
+       a2 AS (${sqlAssign("c1")}),
+       perdim AS (
+         SELECT cluster_id, CAST(i - 1 AS BIGINT) AS i,
+           CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx
+         FROM (SELECT cluster_id, generate_subscripts(e, 1) AS i,
+                      unnest(e) AS x FROM a2)
+         GROUP BY 1, 2),
+       sizes AS (SELECT cluster_id, COUNT(*) AS n_members FROM a2 GROUP BY 1)
+       SELECT CAST(p.cluster_id AS BIGINT) AS cluster_id, p.i,
+         ROUND(p.cx, 6) AS cx, sizes.n_members
+       FROM perdim p JOIN sizes USING (cluster_id)
+       ORDER BY cluster_id, i"""
+  )
+}

@@ -57,6 +57,35 @@ object RelationalQueries {
         .limit(10)
     }),
 
+    // 6-way join (TPC-H Q5 shape): region→nation broadcast down the
+    // chain; customer⋈orders⋈lineitem shuffle on their keys; the
+    // supplier join carries the c_nationkey = s_nationkey "local
+    // supplier" theta on top of l_suppkey. Catalyst reorders + AQE picks
+    // broadcast for every dim — the canonical multi-join planner test.
+    "q_multiway_join" -> ((s, dir) => {
+      import s.implicits._
+      val asia = t(s, dir, "region").where($"r_name" === "ASIA")
+      val nat = t(s, dir, "nation")
+        .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .where($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name")
+        .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast("decimal(28,10)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"n_name")
+    }),
+
     // Left-semi join (EXISTS).
     "q_join_semi" -> ((s, dir) => {
       import s.implicits._
@@ -627,6 +656,22 @@ object RelationalQueries {
            AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
          GROUP BY l_orderkey, o_orderdate
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_multiway_join" ->
+      """SELECT n_name,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY n_name ORDER BY n_name""",
     "q_join_semi" ->
       """SELECT o_orderstatus, COUNT(*) AS n FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem
