@@ -170,6 +170,29 @@ object Curation {
     * Map-side only; the per-distinct-char count scan is O(alphabet·len)
     * (alphabet ≤ ~100; a 100 TB corpus would fold this into a codegen'd
     * expression like [[graft.expressions.FoldHash]] — same semantics). */
+  /** Duplicate-n-gram repetition filter (the Gopher-rule family): the
+    * fraction of a doc's word 3-grams that are repeats of an earlier
+    * 3-gram in the SAME doc — high values mark boilerplate / generated
+    * loops. total = n_words - 2 sliding 3-grams; distinct via the
+    * codegen'd [[graft.expressions.WordShingles]]. Map-side only; the
+    * keep flag applies the standard ≤ 0.3 threshold. */
+  def repeatedNgrams(docs: DataFrame, idCol: String, textCol: String,
+      maxDupFrac: Double = 0.3): DataFrame = {
+    graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
+    val nWords = size(split(col(textCol), " ")).cast("long")
+    val total = greatest(nWords - 2L, lit(0L))
+    val distinctN =
+      size(call_function("word_shingles", col(textCol))).cast("long")
+    docs.select(
+      col(idCol).as("doc_id"),
+      total.as("n_grams"),
+      distinctN.as("n_distinct"),
+      when(total > 0,
+        round(lit(1.0) - distinctN.cast("double") / total.cast("double"), 6))
+        .otherwise(lit(0.0)).as("dup_frac"))
+      .withColumn("keep", col("dup_frac") <= maxDupFrac)
+  }
+
   def charDiversity(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val chars = split(col(textCol), "")
     val distinctChars = array_distinct(chars)

@@ -83,6 +83,12 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // duplicate-3-gram repetition fraction + keep flag (Gopher-rule family)
+    "text_rep_ngrams" -> ((s, dir) => {
+      Curation.repeatedNgrams(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Gini character diversity + word repetition (bit-exact arithmetic)
     "text_char_diversity" -> ((s, dir) => {
       Curation.charDiversity(Tables.table(s, dir, "documents"), "doc_id", "text")
@@ -152,6 +158,26 @@ object CurationQueries {
          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        FROM p GROUP BY 1 ORDER BY bin""",
+    "text_rep_ngrams" -> s"""
+       WITH $DocShingleCtes,
+       tot AS (
+         SELECT doc_id,
+           greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams
+         FROM documents),
+       dst AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+         FROM dshingles GROUP BY doc_id),
+       f AS (
+         SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+           COALESCE(d.n_distinct, 0) AS n_distinct,
+           CASE WHEN t.n_grams > 0
+                THEN ROUND(1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE)
+                  / t.n_grams, 6)
+                ELSE 0.0 END AS dup_frac
+         FROM tot t LEFT JOIN dst d USING (doc_id))
+       SELECT doc_id, n_grams, n_distinct, dup_frac,
+         dup_frac <= 0.3 AS keep
+       FROM f ORDER BY doc_id""",
     "text_char_diversity" -> """
        WITH cnt AS (
          SELECT doc_id, len, c, COUNT(*) AS n FROM (

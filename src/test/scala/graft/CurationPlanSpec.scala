@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Curation, KMeansOp}
+
+/** Physical-plan pins for the round-4 curation operators: each test
+  * asserts the SCALE property the operator exists for — the shape that
+  * must survive a 100 TB input — not just its output. */
+class CurationPlanSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString()
+  }
+
+  test("q_multiway_join: every dim joins broadcast, no cartesian product") {
+    val df = graft.SparkEntry.queries("q_multiway_join")(spark, Sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian product allowed:\n$plan")
+    // orders' date range must reach the parquet scan as pushed filters
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"o_orderdate filter must push to the scan:\n$plan")
+  }
+
+  test("packBins: the running-sum window is partitioned (no global window)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val df = Curation.packBins(docs, "doc_id",
+      size(split(col("text"), " ")), 256L)
+    val plan = finalPlan(df)
+    // the Window node must carry the part_id partition spec — a Window
+    // with an empty partition spec would serialize the corpus through
+    // one task (the exact failure mode packBins exists to avoid)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"expected a Window node:\n$plan")
+    assert(windowLines.forall(_.contains("part_id")),
+      s"running-sum window must partition by part_id:\n$windowLines")
+  }
+
+  test("decontaminate: benchmark shingle set joins as broadcast") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val plan = finalPlan(Curation.decontaminate(docs, "doc_id", "text"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast — a shuffle join of corpus shingles " +
+        s"against it defeats the design:\n$plan")
+  }
+
+  test("kmeans assign: centroids broadcast; no shuffle of the corpus per iteration") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val plan = finalPlan(KMeansOp.fit(emb, "vec_id", "embedding", 4, 2))
+    // k-row centroid side arrives via broadcast nested-loop (cross join
+    // against broadcast) — never a shuffled join of the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the assign pass:\n$plan")
+  }
+}
