@@ -87,6 +87,46 @@ object Multimodal {
     }
   }
 
+  /** One decoded audio record (WAV/RIFF metadata). */
+  case class AudioMeta(doc_id: Long, n_bytes: Long, sample_rate: Int,
+      channels: Int, bits: Int, n_samples: Long)
+
+  /** REAL WAV (RIFF) header decoder — the audio analogue of
+    * [[HeaderDecoder]]: a genuine RIFF chunk scan ("fmt " fields, then
+    * walk chunks by size — skipping LIST/INFO etc., honoring the RIFF
+    * word-alignment rule that odd-sized chunks are padded — to the
+    * "data" chunk whose size gives the sample count). Unknown payloads
+    * decode to zeros rather than throwing. */
+  object WavDecoder extends Serializable {
+    def decode(id: Long, p: Array[Byte]): AudioMeta = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def leU32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+          (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+      if (p.length < 36 || tag(0) != "RIFF" || tag(8) != "WAVE")
+        AudioMeta(id, p.length.toLong, 0, 0, 0, 0L)
+      else {
+        var i = 12
+        var sr = 0; var ch = 0; var bits = 0; var dataSize = -1L
+        while (i + 8 <= p.length && dataSize < 0) {
+          val t = tag(i)
+          val size = leU32(i + 4)
+          if (t == "fmt " && i + 24 <= p.length) {
+            ch = leU16(i + 10); sr = leU32(i + 12).toInt; bits = leU16(i + 22)
+          }
+          if (t == "data") dataSize = size
+          else i += 8 + size.toInt + (size.toInt & 1) // word-aligned chunks
+        }
+        val blockAlign = ch * bits / 8
+        val nSamples =
+          if (dataSize >= 0 && blockAlign > 0) dataSize / blockAlign else 0L
+        AudioMeta(id, p.length.toLong, sr, ch, bits, nSamples)
+      }
+    }
+  }
+
   // ---------- expression-level header parsing (codegen'd, no UDF) ----------
 
   private def beU32(media: org.apache.spark.sql.Column, off: Int) =
@@ -99,7 +139,25 @@ object Multimodal {
     when(hex(substring(media, 1, 8)) === "89504E470D0A1A0A", "png")
       .when(hex(substring(media, 1, 3)) === "474946", "gif")
       .when(hex(substring(media, 1, 2)) === "FFD8", "jpeg")
+      .when(hex(substring(media, 1, 4)) === "52494646" &&
+        hex(substring(media, 9, 4)) === "57415645", "wav")
       .otherwise("unknown")
+
+  private def leU16(media: org.apache.spark.sql.Column, off: Int) =
+    byteAt(media, off) + byteAt(media, off + 1) * 256
+  private def leU32(media: org.apache.spark.sql.Column, off: Int) =
+    byteAt(media, off) + byteAt(media, off + 1) * 256 +
+      byteAt(media, off + 2) * 65536 + byteAt(media, off + 3) * 16777216
+
+  /** WAV fmt-chunk fields as expressions. The fmt chunk leads every
+    * well-formed WAV (fixed 1-based offsets 23/25); the data chunk does
+    * NOT sit at a fixed offset (LIST/INFO chunks may precede it) — sample
+    * counts need [[WavDecoder]]'s real chunk scan. */
+  def wavChannels(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sniffFormat(media) === "wav", leU16(media, 23))
+
+  def wavSampleRate(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(sniffFormat(media) === "wav", leU32(media, 25))
 
   /** PNG/GIF dimensions as expressions (fixed-offset containers); null
     * for formats needing a scan (JPEG — see [[HeaderDecoder]]). */
@@ -139,6 +197,55 @@ object Multimodal {
     docs.select(
       col("doc_id"),
       concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** Synthetic WAV table with REAL RIFF containers built by expressions
+    * (same design as [[syntheticMediaTable]]): canonical 44-byte PCM
+    * header, channels = 1 + doc_id % 2, sample_rate = 8000 +
+    * (doc_id % 8) * 4000, 16-bit, the UTF-8 text body standing in as PCM
+    * data — and every 4th doc carries a LIST/INFO chunk between fmt and
+    * data, so fixed-offset parsing CANNOT find the data chunk and the
+    * decoder's chunk scan is exercised for real. */
+  def syntheticWavTable(docs: DataFrame): DataFrame = {
+    val ch = lit(1) + col("doc_id") % 2
+    val sr = lit(8000) + (col("doc_id") % 8) * 4000
+    val bits = lit(16)
+    val blockAlign = ch * 2
+    val byteRate = sr * blockAlign
+    val dataLen = length(col("text")) // ASCII corpus: text bytes = chars
+    val hasList = col("doc_id") % 4 === 0
+    val listLen = when(hasList, 12).otherwise(0)
+    def hexLe16(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(v % 256), 2, "0"),
+      lpad(hex(floor(v / 256).cast("long") % 256), 2, "0"))
+    def hexLe32(v: org.apache.spark.sql.Column) = concat(
+      lpad(hex(v % 256), 2, "0"),
+      lpad(hex(floor(v / 256).cast("long") % 256), 2, "0"),
+      lpad(hex(floor(v / 65536).cast("long") % 256), 2, "0"),
+      lpad(hex(floor(v / 16777216).cast("long") % 256), 2, "0"))
+    val riffSize = lit(4) + lit(8 + 16) + listLen + lit(8) + dataLen
+    val header = concat(
+      lit("52494646"), hexLe32(riffSize), lit("57415645"), // RIFF....WAVE
+      lit("666D7420"), hexLe32(lit(16)),                   // "fmt " + size
+      hexLe16(lit(1)), hexLe16(ch),                        // PCM, channels
+      hexLe32(sr), hexLe32(byteRate),
+      hexLe16(blockAlign), hexLe16(bits),
+      when(hasList, concat(lit("4C495354"), hexLe32(lit(4)), lit("494E464F")))
+        .otherwise(lit("")),                               // LIST size INFO
+      lit("64617461"), hexLe32(dataLen))                   // "data" + size
+    docs.select(
+      col("doc_id"),
+      concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** Batched per-partition WAV decode (iterator-to-iterator, decoder
+    * once per partition — same batching contract as [[decodeMedia]]). */
+  def decodeWav(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, bytes) => WavDecoder.decode(id, bytes) } }
   }
 
   /** Attach a binary payload column + metadata struct to documents —

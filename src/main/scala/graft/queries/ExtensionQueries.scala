@@ -150,6 +150,22 @@ object ExtensionQueries {
       sniffed.join(decoded, "doc_id").orderBy("doc_id")
     }),
 
+    // REAL WAV/RIFF audio-header parsing — the audio modality beside
+    // mm_parse_headers' images: expression-level fmt-chunk fields plus
+    // the decoder's genuine chunk scan (every 4th payload interposes a
+    // LIST/INFO chunk so fixed offsets cannot reach the data chunk).
+    "mm_parse_wav" -> ((s, dir) => {
+      val wav = Multimodal.syntheticWavTable(Tables.table(s, dir, "documents"))
+      val decoded = Multimodal.decodeWav(wav).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"))
+      val sniffed = wav.select(col("doc_id"),
+        Multimodal.sniffFormat(col("media")).as("fmt"),
+        Multimodal.wavChannels(col("media")).as("expr_channels"),
+        Multimodal.wavSampleRate(col("media")).as("expr_sample_rate"))
+      sniffed.join(decoded, "doc_id").orderBy("doc_id")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -377,6 +393,19 @@ object ExtensionQueries {
               + length(text) AS BIGINT) AS n_bytes,
          CAST(100 + doc_id % 577 AS INTEGER) AS width,
          CAST(64 + doc_id % 331 AS INTEGER) AS height
+       FROM documents ORDER BY doc_id""",
+    // planted arithmetic truth for the WAV containers (ASCII corpus so
+    // length(text) = PCM byte count; LIST chunk on every 4th doc)
+    "mm_parse_wav" -> """
+       SELECT doc_id, 'wav' AS fmt,
+         CAST(1 + doc_id % 2 AS BIGINT) AS expr_channels,
+         CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS expr_sample_rate,
+         CAST(44 + (CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 0 END)
+              + length(text) AS BIGINT) AS n_bytes,
+         CAST(8000 + (doc_id % 8) * 4000 AS INTEGER) AS sample_rate,
+         CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+         CAST(16 AS INTEGER) AS bits,
+         CAST(length(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_samples
        FROM documents ORDER BY doc_id""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the

@@ -78,6 +78,35 @@ class ExtensionSpec extends AnyFunSuite {
     assert((u.width, u.height) === (0, 0))
   }
 
+  test("WavDecoder: canonical header, LIST-chunk scan, odd-size padding, garbage") {
+    import graft.operators.Multimodal.WavDecoder
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    def le32(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff, (v >> 16) & 0xff, (v >> 24) & 0xff)
+    def le16(v: Int) = Seq(v & 0xff, (v >> 8) & 0xff)
+    def fmt(ch: Int, sr: Int, bits: Int) =
+      Seq('f'.toInt, 'm'.toInt, 't'.toInt, ' '.toInt) ++ le32(16) ++
+        le16(1) ++ le16(ch) ++ le32(sr) ++ le32(sr * ch * bits / 8) ++
+        le16(ch * bits / 8) ++ le16(bits)
+    def riff(inner: Seq[Int]) =
+      bytes(Seq('R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt) ++ le32(4 + inner.size) ++
+        Seq('W'.toInt, 'A'.toInt, 'V'.toInt, 'E'.toInt) ++ inner: _*)
+    val dataTag = Seq('d'.toInt, 'a'.toInt, 't'.toInt, 'a'.toInt)
+    // canonical: stereo 44100 Hz 16-bit, 8 data bytes = 2 samples
+    val canonical = riff(fmt(2, 44100, 16) ++ dataTag ++ le32(8) ++ Seq.fill(8)(0))
+    val c = WavDecoder.decode(1, canonical)
+    assert((c.sample_rate, c.channels, c.bits, c.n_samples) === ((44100, 2, 16, 2L)))
+    // an ODD-sized LIST chunk before data: the scan must add the RIFF
+    // word-alignment pad byte or it misreads everything after
+    val listOdd = Seq('L'.toInt, 'I'.toInt, 'S'.toInt, 'T'.toInt) ++ le32(5) ++
+      Seq('I'.toInt, 'N'.toInt, 'F'.toInt, 'O'.toInt, 0) ++ Seq(0) // pad
+    val padded = riff(fmt(1, 8000, 8) ++ listOdd ++ dataTag ++ le32(6) ++ Seq.fill(6)(0))
+    val d = WavDecoder.decode(2, padded)
+    assert((d.sample_rate, d.channels, d.bits, d.n_samples) === ((8000, 1, 8, 6L)))
+    // garbage: zeros, no throw
+    val u = WavDecoder.decode(3, bytes(1, 2, 3, 4, 5))
+    assert((u.sample_rate, u.channels, u.n_samples) === ((0, 0, 0L)))
+  }
+
   test("JPEG marker scan consumes 0xFF fill bytes instead of reading a bogus length (B.1.1.2)") {
     import graft.operators.Multimodal.HeaderDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
