@@ -95,10 +95,13 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
-    // k-means centroid training: 2 unrolled Lloyd iterations, k=4
+    // k-means centroid training: 2 unrolled Lloyd iterations, k=4.
+    // The casted corpus is cached: every assign pass re-scans it (like a
+    // real trainer would — per-query lifecycle, see Bench).
     "kmeans_train" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .cache()
       val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
       val sizes = assigned.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"))
