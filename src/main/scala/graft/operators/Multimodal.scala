@@ -248,6 +248,36 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => WavDecoder.decode(id, bytes) } }
   }
 
+  /** One thumbnail record: source dims + aspect-fit target dims. */
+  case class ThumbMeta(doc_id: Long, width: Int, height: Int,
+      thumb_w: Int, thumb_h: Int)
+
+  /** Aspect-fit thumbnail planning over decoded headers: fit (w, h)
+    * into a `box`² target preserving aspect ratio, never upscaling —
+    * the real geometry every resize stage runs; only the pixel resample
+    * itself would need a codec. Integer arithmetic (floor division,
+    * min 1 px) so the oracle reproduces it exactly. Runs through the
+    * same iterator-to-iterator batched seam as decode. */
+  def thumbnailPlan(media: DataFrame, decoder: MediaDecoder,
+      box: Int): Dataset[ThumbMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(id, bytes)
+          val side = math.max(m.width, m.height)
+          val (tw, th) =
+            if (side <= 0) (0, 0)
+            else if (side <= box) (m.width, m.height) // never upscale
+            else (math.max(1, m.width * box / side),
+              math.max(1, m.height * box / side))
+          ThumbMeta(id, m.width, m.height, tw, th)
+        }
+      }
+  }
+
   /** Attach a binary payload column + metadata struct to documents —
     * the ingestion shape for media tables: (id, media BINARY,
     * media_meta STRUCT<mime, n_bytes>). */

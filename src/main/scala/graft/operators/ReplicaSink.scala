@@ -92,7 +92,13 @@ object ReplicaSink {
             .unionByName(live)
         }
         val tmp = new java.io.File(s"${dir}_tmp_$batchId")
-        merged.write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
+        // Cluster by bucket BEFORE the partitioned write: without it every
+        // shuffle partition writes into every touched bucket dir —
+        // tasks × buckets small files per batch (measured 32×16 here).
+        // One task per touched bucket is also the 100 TB shape: file
+        // count stays O(buckets), not O(tasks × buckets).
+        merged.repartition(affected.length.max(1), col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
         affected.foreach { b =>
           val dst = new java.io.File(dir, s"bucket=$b")
           val src = new java.io.File(tmp, s"bucket=$b")

@@ -95,6 +95,41 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // END-TO-END curation pipeline — the operators composed the way a
+    // real corpus run chains them, in ONE declarative plan Catalyst
+    // optimizes as a whole: repetition gate → diversity gate → exact
+    // dedup (keep canonical copy) → weighted source mixing → split
+    // assignment → per-split audit counts. Each stage is individually
+    // oracle-proven; this pins that they COMPOSE (column contracts,
+    // filter interactions) and that the composite stays one pipeline:
+    // the gates and hashes are map-side, dedup adds the one groupBy.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val gated = Curation.repeatedNgrams(docs, "doc_id", "text")
+        .where(col("keep"))
+        .join(docs, "doc_id")
+        .join(Curation.charDiversity(docs, "doc_id", "text")
+          .where(col("char_gini") >= 0.9).select(col("doc_id")), "doc_id")
+      // exact dedup as keep-first-copy: the min doc_id of each text wins
+      val canonical = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val kept = canonical.join(docs, Seq("doc_id"))
+        .withColumn("suffix_mod",
+          pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"),
+            lit(Curation.MixPermille.size)))
+        .join(broadcast({
+          import s.implicits._
+          Curation.MixPermille.toDF("suffix_mod", "permille")
+        }), "suffix_mod")
+        .where(Curation.mixHash(col("doc_id")) < col("permille"))
+      kept
+        .select(col("doc_id"),
+          graft.operators.Embeddings.assignSplit(col("doc_id")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("split")
+    }),
+
     // k-means centroid training: 2 unrolled Lloyd iterations, k=4.
     // The casted corpus is cached: every assign pass re-scans it (like a
     // real trainer would — per-query lifecycle, see Bench).
@@ -202,6 +237,51 @@ object CurationQueries {
            (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini,
          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS word_rep_ratio
        FROM agg a JOIN words USING (doc_id) ORDER BY doc_id""",
+    "pipeline_curate" -> s"""
+       WITH $DocShingleCtes,
+       tot AS (
+         SELECT doc_id,
+           greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams
+         FROM documents),
+       dst AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+         FROM dshingles GROUP BY doc_id),
+       rep AS (
+         SELECT t.doc_id,
+           CASE WHEN t.n_grams > 0
+                THEN ROUND(1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE)
+                  / t.n_grams, 6)
+                ELSE 0.0 END AS dup_frac
+         FROM tot t LEFT JOIN dst d USING (doc_id)),
+       cnt AS (
+         SELECT doc_id, len, c, COUNT(*) AS n FROM (
+           SELECT doc_id, length(text) AS len,
+             unnest(list_transform(range(1, length(text) + 1),
+               i -> text[i:i])) AS c
+           FROM documents) GROUP BY 1, 2, 3),
+       gin AS (
+         SELECT doc_id, ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE)
+           / (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini
+         FROM cnt GROUP BY doc_id, len),
+       gated AS (
+         SELECT d.doc_id, d.text, d.source FROM documents d
+         JOIN rep USING (doc_id) JOIN gin USING (doc_id)
+         WHERE rep.dup_frac <= 0.3 AND gin.char_gini >= 0.9),
+       canon AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+       kept AS (
+         SELECT c.doc_id FROM canon c JOIN documents d USING (doc_id)
+         WHERE (c.doc_id * 2246822519) % 1000 <
+           (CASE CAST(regexp_extract(d.source, '([0-9]+)$$', 1) AS INTEGER) % 5
+            WHEN 0 THEN 1000 WHEN 1 THEN 800 WHEN 2 THEN 600
+            WHEN 3 THEN 400 ELSE 200 END)),
+       sp AS (
+         SELECT doc_id,
+           CASE WHEN (doc_id * 2654435761) % 1000 < 800 THEN 'train'
+                WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+         FROM kept)
+       SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+       FROM sp GROUP BY 1 ORDER BY split""",
     "kmeans_train" -> s"""
        WITH emb AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -150,6 +150,17 @@ object ExtensionQueries {
       sniffed.join(decoded, "doc_id").orderBy("doc_id")
     }),
 
+    // aspect-fit thumbnail planning over the decoded image headers —
+    // the resize-stage geometry (integer aspect math, never upscale)
+    // through the same batched decode seam; only the pixel resample
+    // would need a codec.
+    "mm_thumbnail" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.table(s, dir, "documents"))
+      Multimodal.thumbnailPlan(media, Multimodal.HeaderDecoder, 64)
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL WAV/RIFF audio-header parsing — the audio modality beside
     // mm_parse_headers' images: expression-level fmt-chunk fields plus
     // the decoder's genuine chunk scan (every 4th payload interposes a
@@ -393,6 +404,20 @@ object ExtensionQueries {
               + length(text) AS BIGINT) AS n_bytes,
          CAST(100 + doc_id % 577 AS INTEGER) AS width,
          CAST(64 + doc_id % 331 AS INTEGER) AS height
+       FROM documents ORDER BY doc_id""",
+    // aspect-fit geometry from the planted dims (w = 100 + id % 577,
+    // h = 64 + id % 331, so max(w,h) ≥ 100 > 64 — always a downscale);
+    // integer floor division matches the decoder's Java int math
+    "mm_thumbnail" -> """
+       SELECT doc_id,
+         CAST(100 + doc_id % 577 AS INTEGER) AS width,
+         CAST(64 + doc_id % 331 AS INTEGER) AS height,
+         CAST(greatest(1, (100 + doc_id % 577) * 64
+           // greatest(100 + doc_id % 577, 64 + doc_id % 331)) AS INTEGER)
+           AS thumb_w,
+         CAST(greatest(1, (64 + doc_id % 331) * 64
+           // greatest(100 + doc_id % 577, 64 + doc_id % 331)) AS INTEGER)
+           AS thumb_h
        FROM documents ORDER BY doc_id""",
     // planted arithmetic truth for the WAV containers (ASCII corpus so
     // length(text) = PCM byte count; LIST chunk on every 4th doc)
