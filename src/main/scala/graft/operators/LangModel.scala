@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-based n-gram language-model estimation over the corpus — the
+  * statistical-LM side of the training-data pipeline (quality scoring by
+  * corpus-model agreement, the KenLM-count shape).
+  *
+  * Plan shape at 100 TB: trigram and bigram counting are explode → hash
+  * aggregate (map-side partial combine; vocabulary-sized outputs);
+  * conditional probabilities join the two count tables on the bigram
+  * context key; document scoring joins each doc's trigrams against the
+  * probability table (context-keyed shuffle join — the prob table is
+  * vocabulary-scaled, broadcastable when pruned to frequent contexts).
+  *
+  * Oracle parity: probabilities are ONE division of exact integer
+  * counts (bit-exact); per-doc means run the decimal-sum trick (cast
+  * each double to DECIMAL(38,18), exact order-independent sum, one cast
+  * back — the same contract as the IVF/k-means centroid means).
+  */
+object LangModel {
+
+  /** (doc_id, w1, w2, w3) sliding trigrams in position order (NOT
+    * distinct — counts need multiplicity; c.f. Dedup.shingles). */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        posexplode(toks).as(Seq("i", "w1")))
+      .where(col("i") + 2 < size(col("toks")))
+      .select(col("doc_id"), col("w1"),
+        element_at(col("toks"), col("i") + 2).as("w2"),
+        element_at(col("toks"), col("i") + 3).as("w3"))
+  }
+
+  /** Trigram conditional probabilities P(w3 | w1 w2) = c(w1w2w3) /
+    * c(w1w2·), over trigram events (so the context count is the row
+    * count of trigrams sharing the context — denominators always cover
+    * numerators exactly). minCount prunes the long tail. */
+  def trigramProbs(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 2L): DataFrame = {
+    val tri = trigrams(docs, idCol, textCol)
+    val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val c2 = tri.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+    c3.join(c2, Seq("w1", "w2"))
+      .where(col("c3") >= minCount)
+      .withColumn("prob",
+        round(col("c3").cast("double") / col("c2").cast("double"), 6))
+  }
+
+  /** Per-document mean trigram probability under the corpus model — the
+    * perplexity-style quality signal without the log (ratio-form, same
+    * rationale as BM25's idf): fluent in-distribution text scores high,
+    * out-of-model text scores low. Trigrams absent from the pruned model
+    * contribute probability 0 (left join + coalesce), so the score
+    * penalizes unseen contexts exactly like a backoff-to-zero LM. */
+  def docLmScore(docs: DataFrame, idCol: String, textCol: String,
+      probs: DataFrame): DataFrame = {
+    val tri = trigrams(docs, idCol, textCol)
+    tri.join(probs.select(col("w1"), col("w2"), col("w3"), col("prob")),
+        Seq("w1", "w2", "w3"), "left")
+      .withColumn("p", coalesce(col("prob"), lit(0.0)))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        (sum(col("p").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mean_prob"))
+      .select(col("doc_id"), col("n_trigrams"),
+        round(col("mean_prob"), 6).as("mean_prob"))
+  }
+}

@@ -95,6 +95,24 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // trigram LM estimation: conditional probabilities from exact counts
+    "lm_trigram_counts" -> ((s, dir) => {
+      graft.operators.LangModel
+        .trigramProbs(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .select(col("w1"), col("w2"), col("w3"), col("c3"), col("c2"),
+          col("prob"))
+        .orderBy("w1", "w2", "w3")
+    }),
+
+    // perplexity-style doc scoring under the corpus trigram model
+    "lm_doc_score" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val probs = graft.operators.LangModel
+        .trigramProbs(docs, "doc_id", "text")
+      graft.operators.LangModel.docLmScore(docs, "doc_id", "text", probs)
+        .orderBy("doc_id")
+    }),
+
     // END-TO-END curation pipeline — the operators composed the way a
     // real corpus run chains them, in ONE declarative plan Catalyst
     // optimizes as a whole: repetition gate → diversity gate → exact
@@ -237,6 +255,49 @@ object CurationQueries {
            (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini,
          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS word_rep_ratio
        FROM agg a JOIN words USING (doc_id) ORDER BY doc_id""",
+    "lm_trigram_counts" -> """
+       WITH words AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+                unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tri AS (
+         SELECT doc_id, w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+         FROM words),
+       t AS (SELECT w1, w2, w3 FROM tri WHERE w3 IS NOT NULL),
+       c3 AS (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c3
+              FROM t GROUP BY 1, 2, 3),
+       c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2
+              FROM t GROUP BY 1, 2)
+       SELECT w1, w2, w3, c3, c2,
+         ROUND(CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE), 6) AS prob
+       FROM c3 JOIN c2 USING (w1, w2)
+       WHERE c3 >= 2 ORDER BY w1, w2, w3""",
+    "lm_doc_score" -> """
+       WITH words AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+                unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tri AS (
+         SELECT doc_id, w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2,
+           lead(w, 2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+         FROM words),
+       t AS (SELECT doc_id, w1, w2, w3 FROM tri WHERE w3 IS NOT NULL),
+       c3 AS (SELECT w1, w2, w3, COUNT(*) AS c3 FROM t GROUP BY 1, 2, 3),
+       c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM t GROUP BY 1, 2),
+       probs AS (
+         SELECT w1, w2, w3,
+           ROUND(CAST(c3 AS DOUBLE) / CAST(c2 AS DOUBLE), 6) AS prob
+         FROM c3 JOIN c2 USING (w1, w2) WHERE c3 >= 2),
+       j AS (
+         SELECT t.doc_id, COALESCE(p.prob, 0.0) AS p
+         FROM t LEFT JOIN probs p USING (w1, w2, w3))
+       SELECT doc_id, COUNT(*) AS n_trigrams,
+         ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_prob
+       FROM j GROUP BY 1 ORDER BY doc_id""",
     "pipeline_curate" -> s"""
        WITH $DocShingleCtes,
        tot AS (

@@ -96,6 +96,26 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(got(1).getDouble(3) - (1.0 - 2.0 / 3.0)) < 1e-6)
   }
 
+  test("trigram LM: hand-computed conditional probabilities and doc score") {
+    import graft.operators.LangModel
+    import spark.implicits._
+    // "a b c" ×2 and "a b d": P(c|a b) = 2/3, P(d|a b) = 1/3
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"))
+      .toDF("doc_id", "text")
+    val probs = LangModel.trigramProbs(docs, "doc_id", "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+    assert(probs === Set(
+      ("a", "b", "c", 2L, 3L, 0.666667),
+      ("a", "b", "d", 1L, 3L, 0.333333)))
+    // doc scores: docs 1/2 have one trigram at p=2/3; doc 3 at p=1/3
+    val pruned = LangModel.trigramProbs(docs, "doc_id", "text", minCount = 2L)
+    val scores = LangModel.docLmScore(docs, "doc_id", "text", pruned)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // under minCount=2 the "a b d" trigram is pruned → doc 3 scores 0
+    assert(scores === Map(1L -> 0.666667, 2L -> 0.666667, 3L -> 0.0))
+  }
+
   test("kmeans: well-separated clusters recovered; singleton centroid is its point") {
     import spark.implicits._
     // two tight groups around (0,0) and (10,10), plus one outlier at
