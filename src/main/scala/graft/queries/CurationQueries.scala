@@ -95,6 +95,17 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank quality prior: 2 unrolled power iterations over the
+    // deterministic citation graph (decimal-exact contribution sums)
+    "doc_pagerank" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val n = docs.count() // O(1) scalar to the driver (graph modulus)
+      val edges = graft.operators.PageRank.syntheticLinks(docs, "doc_id", n)
+      graft.operators.PageRank.ranks(docs, edges, "doc_id", n, 2)
+        .select(col("id").as("doc_id"), round(col("rank"), 9).as("rank"))
+        .orderBy("doc_id")
+    }),
+
     // trigram LM estimation: conditional probabilities from exact counts
     "lm_trigram_counts" -> ((s, dir) => {
       graft.operators.LangModel
@@ -255,6 +266,42 @@ object CurationQueries {
            (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini,
          ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS word_rep_ratio
        FROM agg a JOIN words USING (doc_id) ORDER BY doc_id""",
+    "doc_pagerank" -> """
+       WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+       links AS (
+         SELECT doc_id AS src, dst FROM (
+           SELECT doc_id, unnest(list_distinct(list_filter(
+             [(doc_id * 7 + 1) % (SELECT n FROM nn),
+              (doc_id * 13 + 2) % (SELECT n FROM nn),
+              (doc_id * 31 + 5) % (SELECT n FROM nn)],
+             t -> t <> doc_id))) AS dst
+           FROM documents)),
+       deg AS (SELECT src, COUNT(*) AS outdeg FROM links GROUP BY 1),
+       r0 AS (SELECT doc_id AS id,
+                CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank
+              FROM documents),
+       c1 AS (SELECT l.dst AS id,
+                CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                  AS DOUBLE) AS s
+              FROM links l JOIN r0 r ON r.id = l.src
+              JOIN deg d ON d.src = l.src GROUP BY 1),
+       r1 AS (SELECT d0.doc_id AS id,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c1.s, CAST(0 AS DOUBLE))
+                  AS rank
+              FROM documents d0 LEFT JOIN c1 ON c1.id = d0.doc_id),
+       c2 AS (SELECT l.dst AS id,
+                CAST(SUM(CAST(r.rank / d.outdeg AS DECIMAL(38,18)))
+                  AS DOUBLE) AS s
+              FROM links l JOIN r1 r ON r.id = l.src
+              JOIN deg d ON d.src = l.src GROUP BY 1),
+       r2 AS (SELECT d0.doc_id AS id,
+                CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+                  + CAST(0.85 AS DOUBLE) * COALESCE(c2.s, CAST(0 AS DOUBLE))
+                  AS rank
+              FROM documents d0 LEFT JOIN c2 ON c2.id = d0.doc_id)
+       SELECT id AS doc_id, ROUND(rank, 9) AS rank
+       FROM r2 ORDER BY doc_id""",
     "lm_trigram_counts" -> """
        WITH words AS (
          SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,

@@ -116,6 +116,25 @@ class CurationSpec extends AnyFunSuite {
     assert(scores === Map(1L -> 0.666667, 2L -> 0.666667, 3L -> 0.0))
   }
 
+  test("pagerank: 2-cycle fixed point; no-in-link node keeps only teleport mass") {
+    import graft.operators.PageRank
+    import spark.implicits._
+    val nodes = Seq(0L, 1L).toDF("doc_id")
+    // a ↔ b: uniform 0.5 is the fixed point of the damped iteration
+    val cycle = Seq((0L, 1L), (1L, 0L)).toDF("src", "dst")
+    val rCycle = PageRank.ranks(nodes, cycle, "doc_id", 2L, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rCycle(0L) - 0.5) < 1e-12 &&
+      math.abs(rCycle(1L) - 0.5) < 1e-12)
+    // 0 → 1 only: node 0 has no in-links → teleport only (0.15/2);
+    // node 1 gets teleport + damped full rank of node 0
+    val chain = Seq((0L, 1L)).toDF("src", "dst")
+    val rChain = PageRank.ranks(nodes, chain, "doc_id", 2L, 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rChain(0L) - 0.075) < 1e-12)
+    assert(math.abs(rChain(1L) - (0.075 + 0.85 * 0.5)) < 1e-12)
+  }
+
   test("kmeans: well-separated clusters recovered; singleton centroid is its point") {
     import spark.implicits._
     // two tight groups around (0,0) and (10,10), plus one outlier at
