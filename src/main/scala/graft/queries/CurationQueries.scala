@@ -57,6 +57,20 @@ object CurationQueries {
                      unnest(e) AS x FROM $a)
         GROUP BY 1, 2) GROUP BY 1"""
 
+  /** Shared k-means CTE chain (2 unrolled Lloyd iterations to the final
+    * assignment a2) — prefix of both the kmeans_train and
+    * ann_ivf_trained oracles. */
+  private def kmeansCtes: String =
+    s"""emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       seeds AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4),
+       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                AS cluster_id, e AS c FROM seeds),
+       a1 AS (${sqlAssign("c0")}),
+       c1 AS (${sqlUpdate("a1")}),
+       a2 AS (${sqlAssign("c1")})"""
+
   val queries: Map[String, Q] = Map(
     // overlapping token-window chunking (context windows for training)
     "text_chunk" -> ((s, dir) => {
@@ -93,6 +107,38 @@ object CurationQueries {
     "text_char_diversity" -> ((s, dir) => {
       Curation.charDiversity(Tables.table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // IVF ANN over TRAINED centroids — the loop KMeansOp's scaladoc
+    // promises closed: fit() trains the coarse quantizer, queries route
+    // to their nearest trained centroid (same L2 metric as training),
+    // exact cosine top-5 within that cell's members only. Sublinear like
+    // ann_ivf_topk, but the cells come from the data, not the labels.
+    "ann_ivf_trained" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .cache()
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val cents = KMeansOp.update(assigned, "embedding")
+      val q = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val routed = KMeansOp.assign(
+        q.withColumnRenamed("q_emb", "embedding"), cents, "q_id", "embedding")
+        .select(col("q_id"), col("embedding").as("q_emb"),
+          col("cluster_id"))
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      val wk = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      routed.join(assigned.select(col("vec_id"), col("embedding"),
+          col("cluster_id")), Seq("cluster_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("cos", round(cos(col("q_emb"), col("embedding")), 6))
+        .withColumn("rnk", row_number().over(wk))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("rnk"), col("vec_id"), col("cos"))
+        .orderBy("q_id", "rnk")
     }),
 
     // PageRank quality prior: 2 unrolled power iterations over the
@@ -390,16 +436,31 @@ object CurationQueries {
          FROM kept)
        SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        FROM sp GROUP BY 1 ORDER BY split""",
+    "ann_ivf_trained" -> s"""
+       WITH $kmeansCtes,
+       c2 AS (${sqlUpdate("a2")}),
+       q AS (SELECT vec_id AS q_id, e AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, q_emb, cluster_id FROM (
+           SELECT q.q_id, q.q_emb, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.q_emb) + 1),
+                 j -> (q.q_emb[j] - c2.c[j]) * (q.q_emb[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS rn
+           FROM q CROSS JOIN c2) WHERE rn = 1),
+       scored AS (
+         SELECT r.q_id, r.cluster_id, m.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("r.q_emb", "m.e")}, 6) AS cos
+         FROM routed r JOIN a2 m
+           ON m.cluster_id = r.cluster_id AND m.vec_id <> r.q_id)
+       SELECT q_id, CAST(cluster_id AS BIGINT) AS cluster_id, rnk, vec_id, cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "kmeans_train" -> s"""
-       WITH emb AS (
-         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         FROM embeddings),
-       seeds AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4),
-       c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
-                AS cluster_id, e AS c FROM seeds),
-       a1 AS (${sqlAssign("c0")}),
-       c1 AS (${sqlUpdate("a1")}),
-       a2 AS (${sqlAssign("c1")}),
+       WITH $kmeansCtes,
        perdim AS (
          SELECT cluster_id, CAST(i - 1 AS BIGINT) AS i,
            CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx

@@ -90,10 +90,10 @@ object ExtensionQueries {
 
   /** Strict-left-fold dot product over double lists (mirrors
     * Similarity.dotFold). */
-  private def sqlDot(a: String, b: String): String =
+  def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
-  private def sqlCos(a: String, b: String): String =
+  def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
 
   /** Mirrors Dedup.hyperplaneBucket (DuckDB i is 1-based → (i-1)). */
