@@ -39,6 +39,14 @@ object LangModel {
     * numerators exactly). minCount prunes the long tail. */
   def trigramProbs(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2L): DataFrame = {
+    // The extraction is deliberately NOT cached even though both count
+    // aggregates scan it: trigram explosion is cheap map-side work but
+    // expensive to MATERIALIZE (columnar write of |tokens| string
+    // triples), and under the per-query cold-cache lifecycle the
+    // cache-fill cost is paid every pass — measured 2.2× slower with a
+    // cache at sf0.1. Recompute-over-materialize is the right trade for
+    // wide, cheap intermediates (opposite of the Dedup shingle caches,
+    // whose downstream joins re-scan MANY times).
     val tri = trigrams(docs, idCol, textCol)
     val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
