@@ -36,23 +36,23 @@ object LangModel {
   /** Trigram conditional probabilities P(w3 | w1 w2) = c(w1w2w3) /
     * c(w1w2·), over trigram events (so the context count is the row
     * count of trigrams sharing the context — denominators always cover
-    * numerators exactly). minCount prunes the long tail. */
+    * numerators exactly). minCount prunes the long tail.
+    *
+    * The context count is NOT a second aggregate over the corpus:
+    * c(w1w2·) = Σ_w3 c(w1w2w3) exactly (every trigram event lands in
+    * one w3 bucket), so it's a window sum over the vocabulary-sized c3
+    * table. One corpus explode + one corpus shuffle total; the window's
+    * (w1,w2) re-shuffle moves |vocab³| rows, not |tokens| — at 100 TB
+    * that's the difference between re-scanning the corpus and shuffling
+    * a model-sized table. */
   def trigramProbs(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long = 2L): DataFrame = {
-    // The extraction is deliberately NOT cached even though both count
-    // aggregates scan it: trigram explosion is cheap map-side work but
-    // expensive to MATERIALIZE (columnar write of |tokens| string
-    // triples), and under the per-query cold-cache lifecycle the
-    // cache-fill cost is paid every pass — measured 2.2× slower with a
-    // cache at sf0.1. Recompute-over-materialize is the right trade for
-    // wide, cheap intermediates (opposite of the Dedup shingle caches,
-    // whose downstream joins re-scan MANY times).
     val tri = trigrams(docs, idCol, textCol)
     val c3 = tri.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
-    val c2 = tri.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c2"))
-    c3.join(c2, Seq("w1", "w2"))
+    c3.withColumn("c2",
+        sum(col("c3")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("w1", "w2")))
       .where(col("c3") >= minCount)
       .withColumn("prob",
         round(col("c3").cast("double") / col("c2").cast("double"), 6))
