@@ -82,6 +82,41 @@ object Curation {
         sum(when(col("kept"), col(idCol)).otherwise(0L)).as("kept_checksum"))
   }
 
+  // ---------- stratified sampling ----------
+
+  /** Third independent hash stream (sampling must be uncorrelated with
+    * both the split and the mixing decisions). */
+  def sampleHash(id: Column): Column =
+    pmod(id.cast("long") * 3266489917L, lit(1000L))
+
+  /** Self-calibrating stratified sampling: per-stratum keep rates derived
+    * FROM THE DATA so every stratum downsamples toward the smallest one
+    * (the language-balancing move multilingual pipelines make) —
+    * permille_s = floor(1000·min_count / count_s), keep iff
+    * sampleHash(id) < permille_s. Two corpus scans: one |strata|-sized
+    * count aggregate (broadcast back as the rate table, like
+    * [[mixBySource]]'s policy join) and one map-side filter pass. The
+    * floor runs on the identical IEEE division in both engines. Returns
+    * per-stratum audit counts. */
+  def stratifiedSample(docs: DataFrame, idCol: String,
+      stratumCol: String): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_total")).as("min_cnt"))))
+      .withColumn("permille",
+        floor(lit(1000.0) * col("min_cnt").cast("double") /
+          col("n_total").cast("double")).cast("long"))
+      .select(col("stratum"), col("n_total"), col("permille"))
+    docs.select(col(idCol).as("doc_id"), col(stratumCol).as("stratum"))
+      .join(broadcast(rates), "stratum")
+      .withColumn("kept", sampleHash(col("doc_id")) < col("permille"))
+      .groupBy(col("stratum"), col("n_total"), col("permille"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_checksum"))
+  }
+
   // ---------- benchmark decontamination ----------
 
   /** Benchmark membership predicate: a deterministic held-out slice. */

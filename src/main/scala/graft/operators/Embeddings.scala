@@ -39,6 +39,28 @@ object Embeddings {
       round(sqErr / size(e), 6).as("recon_mse"))
   }
 
+  /** Matryoshka-style truncation: keep the first `dims` coordinates and
+    * L2-renormalize — the standard dimensionality cut when embeddings
+    * were trained with nested (MRL) objectives. Map-side only; the norm
+    * is a strict left fold of squares (mirrored by list_reduce over a
+    * 0.0-prepended squares list) and sqrt is correctly rounded in IEEE,
+    * so every renormalized coordinate is bit-identical across engines.
+    * Output is the flat (vec_id, dim, value) shape (like
+    * [[KMeansOp.updatePerDim]]); a zero-norm prefix renormalizes to
+    * zeros rather than NaN. */
+  def truncateRenorm(emb: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding", dims: Int = 16): DataFrame = {
+    val p = transform(slice(col(embCol), 1, dims), x => x.cast("double"))
+    val nrm = sqrt(aggregate(transform(p, x => x * x),
+      lit(0.0), (acc, v) => acc + v))
+    emb.select(col(idCol), p.as("p"), nrm.as("nrm"))
+      .select(col(idCol), col("nrm"), posexplode(col("p")).as(Seq("i", "x")))
+      .select(col(idCol), col("i").cast("long").as("i"),
+        round(when(col("nrm") === 0.0, 0.0).otherwise(col("x") / col("nrm")), 6)
+          .as("x_norm"),
+        round(col("nrm"), 6).as("norm_k"))
+  }
+
   /** Deterministic hash split: Knuth multiplicative hash of the id mod
     * 1000 buckets → train/val/test. Stable under replays, reshuffles, and
     * engine changes — the property a split must have so no example ever

@@ -58,6 +58,32 @@ object LangModel {
         round(col("c3").cast("double") / col("c2").cast("double"), 6))
   }
 
+  /** Tokenizer-precursor vocabulary: the k most frequent words with
+    * rank and cumulative corpus coverage. Counting is one explode + hash
+    * aggregate (map-side partial combine); the top-k cut runs as
+    * TakeOrdered (orderBy+limit — per-partition heaps, ≤ k·partitions
+    * rows shuffled), so the only single-partition windows (rank, running
+    * coverage) see exactly k rows by construction, never the vocabulary.
+    * Coverage is one division of exact longs (bit-exact; note a >2⁵³
+    * -token corpus would need the decimal cast — documented, not hit). */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val w = Window.orderBy(col("cnt").desc, col("word"))
+    counts.orderBy(col("cnt").desc, col("word")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt",
+        sum(col("cnt")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("rnk"), col("word"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6)
+          .as("cum_frac"))
+  }
+
   /** Per-document mean trigram probability under the corpus model — the
     * perplexity-style quality signal without the log (ratio-form, same
     * rationale as BM25's idf): fluent in-distribution text scores high,

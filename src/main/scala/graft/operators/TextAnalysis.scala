@@ -151,4 +151,48 @@ object TextAnalysis {
     df.withColumn("fingerprint",
       aggregate(codes, lit(0L), (acc, x) => (acc + x) % lit(FpPrime)))
   }
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken, MOSS
+    * — SIGMOD'03): position-ordered word-3-gram hashes; every window of
+    * `w` consecutive positions selects its minimum hash, and the doc's
+    * fingerprint set is the distinct selected values. Winnowing's
+    * guarantee — any shared run of ≥ w+2 words produces a shared
+    * fingerprint — makes it the LOCAL alternative to [[fingerprint]]'s
+    * whole-doc hash (partial overlap is detectable, not just identity).
+    * A doc with fewer than w grams contributes min-of-all (one window).
+    *
+    * One shuffle (doc-keyed window); the gram hash is the codegen'd
+    * fold_hash, so the per-position pass stays in whole-stage codegen.
+    * Returns per-doc fingerprint-set summaries in exact integers. */
+  def winnowSelected(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
+    val toks = split(col(textCol), " ")
+    val tri = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        posexplode(toks).as(Seq("i", "w1")))
+      .where(col("i") + 2 < size(col("toks")))
+      .select(col("doc_id"), col("i"),
+        concat_ws(" ", col("w1"),
+          element_at(col("toks"), col("i") + 2),
+          element_at(col("toks"), col("i") + 3)).as("shingle"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    val perDoc = Window.partitionBy(col("doc_id"))
+    tri.withColumn("h", call_function("fold_hash", col("shingle")))
+      .select(col("doc_id"), col("i"),
+        min(col("h")).over(byPos.rowsBetween(Window.currentRow, w - 1))
+          .as("wmin"),
+        count(lit(1)).over(perDoc).as("n_grams"))
+      .where(col("i") <= greatest(col("n_grams") - w, lit(0)))
+      .select(col("doc_id"), col("wmin")).distinct()
+  }
+
+  /** Per-doc fingerprint-set summaries over [[winnowSelected]], in exact
+    * integers (set size, sum, min, max). */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 4): DataFrame =
+    winnowSelected(docs, idCol, textCol, w)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"), sum(col("wmin")).as("fp_checksum"),
+        min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
 }

@@ -58,18 +58,21 @@ object CurationQueries {
         GROUP BY 1, 2) GROUP BY 1"""
 
   /** Shared k-means CTE chain (2 unrolled Lloyd iterations to the final
-    * assignment a2) — prefix of both the kmeans_train and
-    * ann_ivf_trained oracles. */
-  private def kmeansCtes: String =
-    s"""emb AS (
-         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-         FROM embeddings),
+    * assignment a2) parameterized over the `emb` source CTE — prefix of
+    * the kmeans_train / ann_ivf_trained / dedup_semantic oracles. */
+  private def kmeansChain(embCte: String): String =
+    s"""$embCte,
        seeds AS (SELECT vec_id, e FROM emb ORDER BY vec_id LIMIT 4),
        c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
                 AS cluster_id, e AS c FROM seeds),
        a1 AS (${sqlAssign("c0")}),
        c1 AS (${sqlUpdate("a1")}),
        a2 AS (${sqlAssign("c1")})"""
+
+  private def kmeansCtes: String = kmeansChain(
+    """emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings)""")
 
   val queries: Map[String, Q] = Map(
     // overlapping token-window chunking (context windows for training)
@@ -203,6 +206,53 @@ object CurationQueries {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
         .orderBy("split")
+    }),
+
+    // tokenizer-precursor vocabulary: top-100 words, rank + coverage
+    "lm_vocab_topk" -> ((s, dir) => {
+      graft.operators.LangModel
+        .vocabTopK(Tables.table(s, dir, "documents"), "text")
+        .orderBy("rnk")
+    }),
+
+    // self-calibrating stratified sampling: per-language rates derived
+    // from the data (downsample every stratum toward the smallest)
+    "data_sample_stratified" -> ((s, dir) => {
+      Curation.stratifiedSample(Tables.table(s, dir, "documents"),
+          "doc_id", "lang")
+        .orderBy("stratum")
+    }),
+
+    // Matryoshka truncation + L2 renorm, flat (vec_id, dim) shape
+    "emb_truncate_norm" -> ((s, dir) => {
+      graft.operators.Embeddings
+        .truncateRenorm(Tables.table(s, dir, "embeddings"))
+        .orderBy("vec_id", "i")
+    }),
+
+    // SemDeDup: the k-means fit is the blocking structure — semantic
+    // near-dups found inside TRAINED cells (cluster-mate with
+    // cosine ≥ 0.9 and a smaller id ⇒ this vector is a duplicate).
+    // Runs on the planted-near-dup corpus so the assertion is
+    // non-vacuous (the raw table has NO cos ≥ 0.9 pairs — checked).
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = graft.sources.ExtCorpus.embCorpus(s, dir)
+        .select(col("vec_id"), col("embedding")).cache()
+      // cached: the self-join scans the assignment TWICE (a and b sides)
+      // and would otherwise run the whole unrolled fit per side
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      graft.operators.Dedup.semanticDedup(assigned, 0.9, cos)
+        .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("dup_of"), col("n_dups"), col("max_cos"))
+        .orderBy("vec_id")
+    }),
+
+    // winnowing (MOSS) local fingerprints: windowed-min 3-gram hashes
+    "text_winnow" -> ((s, dir) => {
+      graft.operators.TextAnalysis
+        .winnowFingerprints(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
     }),
 
     // k-means centroid training: 2 unrolled Lloyd iterations, k=4.
@@ -459,6 +509,92 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM scored)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "lm_vocab_topk" -> """
+       WITH c AS (
+         SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY 1),
+       t AS (SELECT SUM(cnt) AS total FROM c),
+       top AS (SELECT word, cnt FROM c ORDER BY cnt DESC, word LIMIT 100)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+           AS rnk,
+         word, cnt,
+         ROUND(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / CAST((SELECT total FROM t) AS DOUBLE), 6) AS cum_frac
+       FROM top ORDER BY rnk""",
+    "data_sample_stratified" -> """
+       WITH c AS (SELECT lang AS stratum, CAST(COUNT(*) AS BIGINT) AS n_total
+                  FROM documents GROUP BY 1),
+       m AS (SELECT MIN(n_total) AS min_cnt FROM c),
+       r AS (SELECT stratum, n_total,
+               CAST(FLOOR(1000.0 * CAST((SELECT min_cnt FROM m) AS DOUBLE)
+                 / CAST(n_total AS DOUBLE)) AS BIGINT) AS permille
+             FROM c),
+       k AS (SELECT d.doc_id, r.stratum, r.n_total, r.permille,
+               (d.doc_id * 3266489917) % 1000 < r.permille AS kept
+             FROM documents d JOIN r ON r.stratum = d.lang)
+       SELECT stratum, n_total, permille,
+         CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_checksum
+       FROM k GROUP BY 1, 2, 3 ORDER BY stratum""",
+    "emb_truncate_norm" -> """
+       WITH p AS (SELECT vec_id,
+                    list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS e
+                  FROM embeddings),
+       n AS (SELECT vec_id, e,
+               sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(e, x -> x * x)), (acc, x) -> acc + x)) AS nrm
+             FROM p),
+       ux AS (SELECT vec_id, generate_subscripts(e, 1) AS i, unnest(e) AS x,
+                nrm
+              FROM n)
+       SELECT vec_id, CAST(i - 1 AS BIGINT) AS i,
+         ROUND(CASE WHEN nrm = 0.0 THEN 0.0 ELSE x / nrm END, 6) AS x_norm,
+         ROUND(nrm, 6) AS norm_k
+       FROM ux ORDER BY vec_id, i""",
+    "dedup_semantic" -> s"""
+       WITH ${graft.sources.ExtCorpus.EmbCorpusCte},
+       ${kmeansChain("emb AS (SELECT vec_id, embedding AS e FROM corpus)")},
+       prs AS (
+         SELECT b.vec_id AS vec_id, b.cluster_id, a.vec_id AS a_id,
+           ${ExtensionQueries.sqlCos("a.e", "b.e")} AS cos
+         FROM a2 a JOIN a2 b
+           ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id)
+       SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         MIN(a_id) AS dup_of, COUNT(*) AS n_dups, ROUND(MAX(cos), 6) AS max_cos
+       FROM prs WHERE cos >= 0.9 GROUP BY 1, 2 ORDER BY vec_id""",
+    "text_winnow" -> s"""
+       WITH words AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+                unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       tri AS (
+         SELECT doc_id, i,
+           w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY i)
+             || ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY i)
+             AS shingle,
+           lead(w,2) OVER (PARTITION BY doc_id ORDER BY i) AS w3
+         FROM words),
+       h AS (
+         SELECT doc_id, i,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(shingle) + 1),
+               j -> CAST(ascii(shingle[j:j]) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % ${graft.operators.Dedup.P}) AS h
+         FROM tri WHERE w3 IS NOT NULL),
+       wm AS (
+         SELECT doc_id, i,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+             ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+         FROM h),
+       sel AS (SELECT DISTINCT doc_id, wmin FROM wm
+               WHERE i <= greatest(n_grams - 3, 1))
+       SELECT doc_id, COUNT(*) AS n_fp, CAST(SUM(wmin) AS BIGINT) AS fp_checksum,
+         MIN(wmin) AS fp_min, MAX(wmin) AS fp_max
+       FROM sel GROUP BY 1 ORDER BY doc_id""",
     "kmeans_train" -> s"""
        WITH $kmeansCtes,
        perdim AS (

@@ -74,7 +74,12 @@ object StreamingQueries {
     "stream_sink_replica" -> ((s, dir) =>
       graft.sources.CdcGen.decodeCustomer(
           CdcStream.customerReplicaStreamSink(s, dir))
-        .orderBy("c_custkey"))
+        .orderBy("c_custkey")),
+
+    // Stateless curation gates on a document stream: map-side quality
+    // filters, no state store — the shape of filter-on-ingest at 100 TB.
+    "stream_quality_gate" -> ((s, dir) =>
+      CdcStream.streamingQualityGate(s, dir).orderBy("doc_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -143,6 +148,17 @@ object StreamingQueries {
                  (SELECT max(ts) FROM events WHERE event_type = 'click'),
                  (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
                - INTERVAL 121 MINUTE)
-         ORDER BY click_id, purchase_id NULLS LAST"""
+         ORDER BY click_id, purchase_id NULLS LAST""",
+    "stream_quality_gate" ->
+      """WITH f AS (
+           SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             ROUND(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+               AS DOUBLE) / len(string_split(text, ' ')), 6) AS rep_ratio
+           FROM documents)
+         SELECT doc_id, lang, n_words, rep_ratio
+         FROM f
+         WHERE n_words >= 20 AND n_words <= 80 AND rep_ratio <= 0.6
+         ORDER BY doc_id"""
   )
 }

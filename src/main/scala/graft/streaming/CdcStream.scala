@@ -508,6 +508,29 @@ object CdcStream {
     runToTable(fp, OutputMode.Append)
   }
 
+  /** Streaming corpus-curation gate: the stateless quality filters
+    * (length band + word-repetition ratio) applied to a DOCUMENT stream.
+    * Every gate is a map-side expression over one row, so the micro-batch
+    * plan has NO state store at all — the filter a 100 TB ingest applies
+    * while data lands, with per-batch cost linear in batch size and zero
+    * memory carried between batches. Append mode; batch ≡ stream by
+    * construction (the oracle is the identical batch filter). */
+  def streamingQualityGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val docs = Tables.table(ss, sfDir, "documents")
+    val stream = streamOf(docs, "documents", sfDir)
+    val toks = split(col("text"), " ")
+    val nWords = size(toks).cast("long")
+    val rep = lit(1.0) -
+      size(array_distinct(toks)).cast("double") / nWords.cast("double")
+    val gated = stream
+      .select(col("doc_id"), col("lang"), nWords.as("n_words"),
+        round(rep, 6).as("rep_ratio"))
+      .where(col("n_words") >= 20 && col("n_words") <= 80 &&
+        col("rep_ratio") <= 0.6)
+    runToTable(gated, OutputMode.Append)
+  }
+
   /** Watermarked stream-stream INNER join (StreamingSymmetricHashJoin):
     * clicks joined to purchases by the same user within the following
     * hour. Both sides carry watermarks and the join condition bounds
