@@ -193,6 +193,41 @@ object Curation {
         max(col("doc_id")).as("last_doc"))
   }
 
+  // ---------- dataset-card statistics ----------
+
+  /** Per-stratum corpus report — the "dataset card" panel a curation run
+    * publishes: doc/token/char totals, token extremes, the LOWER MEDIAN
+    * of tokens-per-doc, and distinct sources. The median is rank-based
+    * (value at row ⌈n/2⌉ in (n_tokens, doc_id) order), NOT an
+    * interpolated percentile: rank selection is pure integer logic, so
+    * both engines pick the identical row — no FP interpolation to
+    * diverge — and it runs as one stratum-keyed window (one shuffle)
+    * instead of a global sort. Mean chars/doc rides the decimal-sum
+    * contract. */
+  def corpusReport(docs: DataFrame, stratumCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val nTokens = size(split(col(textCol), " ")).cast("long")
+    val base = docs.select(col(stratumCol).as("stratum"),
+      col(idCol).as("doc_id"), nTokens.as("n_tokens"),
+      length(col(textCol)).cast("long").as("n_chars"), col("source"))
+    val w = Window.partitionBy(col("stratum"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("stratum"))))
+      .groupBy(col("stratum"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        max(when(col("rn") === floor((col("n") + 1) / 2).cast("long"),
+          col("n_tokens"))).as("median_tokens"),
+        round(sum(col("n_chars").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("mean_chars"),
+        count_distinct(col("source")).as("n_sources"))
+  }
+
   // ---------- arithmetic diversity / repetition scoring ----------
 
   /** Character-diversity (Gini impurity over the character distribution)

@@ -58,6 +58,42 @@ object LangModel {
         round(col("c3").cast("double") / col("c2").cast("double"), 6))
   }
 
+  /** Collocation mining via ratio-form PMI: for adjacent word pairs,
+    * score = P(w1w2) / (P(w1·)·P(·w2)) over BIGRAM EVENTS =
+    * c12·N / (cL(w1)·cR(w2)) — the phrase-mining signal that decides
+    * which pairs a phrase-aware tokenizer should fuse. The log is
+    * dropped (monotone, same ranking — BM25's idf argument), keeping the
+    * score one division of exact-integer products, bit-identical across
+    * engines. Both marginals are WINDOW SUMS over the vocabulary²-sized
+    * bigram count table (the [[trigramProbs]] trick): one corpus explode
+    * + one corpus shuffle total, then model-sized work only. Top-k runs
+    * as TakeOrdered; the rank window sees k rows. */
+  def pmiBigrams(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(col(textCol), " ")
+    val bi = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+        posexplode(toks).as(Seq("i", "w1")))
+      .where(col("i") + 1 < size(col("toks")))
+      .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+    val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    // N is a broadcast scalar (full aggregate → 1 row), NOT a global
+    // window — an empty-frame window would single-partition the whole
+    // bigram table.
+    val scored = c12
+      .withColumn("c_l", sum(col("c12")).over(Window.partitionBy("w1")))
+      .withColumn("c_r", sum(col("c12")).over(Window.partitionBy("w2")))
+      .crossJoin(broadcast(c12.agg(sum(col("c12")).as("n"))))
+      .where(col("c12") >= minCount)
+      .withColumn("pmi_ratio",
+        round((col("c12") * col("n")).cast("double") /
+          (col("c_l") * col("c_r")).cast("double"), 6))
+    val w = Window.orderBy(col("pmi_ratio").desc, col("w1"), col("w2"))
+    scored.orderBy(col("pmi_ratio").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("w1"), col("w2"), col("c12"), col("pmi_ratio"))
+  }
+
   /** Tokenizer-precursor vocabulary: the k most frequent words with
     * rank and cumulative corpus coverage. Counting is one explode + hash
     * aggregate (map-side partial combine); the top-k cut runs as

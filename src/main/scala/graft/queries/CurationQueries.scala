@@ -208,6 +208,20 @@ object CurationQueries {
         .orderBy("split")
     }),
 
+    // ratio-form PMI collocations: phrase-mining over adjacent pairs
+    "lm_pmi_bigrams" -> ((s, dir) => {
+      graft.operators.LangModel
+        .pmiBigrams(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("rnk")
+    }),
+
+    // per-language dataset-card report (rank-based exact median)
+    "corpus_stats_report" -> ((s, dir) => {
+      Curation.corpusReport(Tables.table(s, dir, "documents"),
+          "lang", "doc_id", "text")
+        .orderBy("stratum")
+    }),
+
     // tokenizer-precursor vocabulary: top-100 words, rank + coverage
     "lm_vocab_topk" -> ((s, dir) => {
       graft.operators.LangModel
@@ -509,6 +523,55 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM scored)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "lm_pmi_bigrams" -> """
+       WITH words AS (
+         SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
+                unnest(string_split(text, ' ')) AS w
+         FROM documents),
+       bi AS (
+         SELECT w AS w1,
+           lead(w, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+         FROM words),
+       c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+               FROM bi WHERE w2 IS NOT NULL GROUP BY 1, 2),
+       m AS (
+         SELECT w1, w2, c12,
+           SUM(c12) OVER (PARTITION BY w1) AS c_l,
+           SUM(c12) OVER (PARTITION BY w2) AS c_r,
+           (SELECT SUM(c12) FROM c12) AS n
+         FROM c12),
+       scored AS (
+         SELECT w1, w2, c12,
+           ROUND(CAST(c12 * n AS DOUBLE) / CAST(c_l * c_r AS DOUBLE), 6)
+             AS pmi_ratio
+         FROM m WHERE c12 >= 5),
+       top AS (SELECT * FROM scored
+               ORDER BY pmi_ratio DESC, w1, w2 LIMIT 50)
+       SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio DESC, w1, w2)
+           AS BIGINT) AS rnk,
+         w1, w2, c12, pmi_ratio
+       FROM top ORDER BY rnk""",
+    "corpus_stats_report" -> """
+       WITH base AS (
+         SELECT lang AS stratum, doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars, source
+         FROM documents),
+       rk AS (
+         SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY stratum
+             ORDER BY n_tokens, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY stratum) AS n
+         FROM base)
+       SELECT stratum, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens,
+         MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / 2) AS BIGINT)
+             THEN n_tokens END) AS median_tokens,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(38,18))) AS DOUBLE)
+           / COUNT(*), 6) AS mean_chars,
+         CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+       FROM rk GROUP BY 1 ORDER BY stratum""",
     "lm_vocab_topk" -> """
        WITH c AS (
          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

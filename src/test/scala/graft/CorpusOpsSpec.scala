@@ -78,6 +78,45 @@ class CorpusOpsSpec extends AnyFunSuite {
       .forall(r => r.getDouble(2) === 0.0 && r.getDouble(3) === 0.0))
   }
 
+  test("pmiBigrams: always-adjacent pair outranks independent pairs; marginals exact") {
+    import spark.implicits._
+    // "x y" always adjacent (5 times); "a b" co-occurs 5 of many times
+    val d = Seq(
+      (1L, "x y a b a c a d x y"), (2L, "x y a b a c a d x y"),
+      (3L, "a b a c a d x y a b"), (4L, "b a c a d a b c d a"),
+      (5L, "a b c d a b c d a b")).toDF("doc_id", "text")
+    val got = LangModel.pmiBigrams(d, "doc_id", "text", minCount = 5L, k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.head._2 === "x" && got.head._3 === "y",
+      s"perfect collocation must rank first, got ${got.toSeq}")
+    // hand-check the score of (x,y): c12=5... derive from data
+    val bigrams = d.collect().flatMap { r =>
+      val t = r.getString(1).split(" "); t.zip(t.tail)
+    }
+    val n = bigrams.length.toLong
+    val c12 = bigrams.count(_ == ("x", "y")).toLong
+    val cl = bigrams.count(_._1 == "x").toLong
+    val cr = bigrams.count(_._2 == "y").toLong
+    val expected = BigDecimal((c12 * n).toDouble / (cl * cr).toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val gotScore = LangModel.pmiBigrams(d, "doc_id", "text", 5L, 3)
+      .collect().head.getDouble(4)
+    assert(gotScore === expected)
+  }
+
+  test("corpusReport: lower median picks the exact rank, odd and even strata") {
+    import spark.implicits._
+    // odd stratum: token counts 1,2,3 → median 2; even: 2,4 → lower median 2
+    val d = Seq(
+      (1L, "w", "odd", "s1"), (2L, "w w", "odd", "s1"), (3L, "w w w", "odd", "s2"),
+      (4L, "w w", "even", "s1"), (5L, "w w w w", "even", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = Curation.corpusReport(d, "lang", "doc_id", "text")
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(5), r.getLong(7)))
+    assert(got.toSeq === Seq(("even", 2L, 1L), ("odd", 2L, 2L)))
+  }
+
   test("semanticDedup: finds planted in-cluster dup, never cross-cluster") {
     import spark.implicits._
     val emb = Seq(
