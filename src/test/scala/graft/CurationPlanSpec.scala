@@ -67,4 +67,47 @@ class CurationPlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"centroids must broadcast into the assign pass:\n$plan")
   }
+
+  test("trigramProbs: ONE corpus explode — the c2 marginal is a window sum") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val plan = finalPlan(
+      graft.operators.LangModel.trigramProbs(docs, "doc_id", "text"))
+    // pre-window-sum, the plan had TWO Generate(posexplode) subtrees; the
+    // marginal must now come from the vocab-sized count table, not a
+    // second corpus pass
+    val generates = plan.linesIterator.count(_.contains("Generate"))
+    assert(generates === 1,
+      s"expected exactly 1 corpus explode, found $generates:\n$plan")
+  }
+
+  test("pmiBigrams: N is broadcast, marginal windows are keyed (no global window)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val df = graft.operators.LangModel.pmiBigrams(docs, "doc_id", "text")
+    val plan = finalPlan(df)
+    // one corpus explode; both marginals window over (w1)/(w2) keys; the
+    // only unkeyed window ranks the k=50 TakeOrdered survivors
+    assert(plan.linesIterator.count(_.contains("Generate")) === 1,
+      s"expected exactly 1 corpus explode:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must run as TakeOrdered, not a global sort:\n$plan")
+  }
+
+  test("vocabTopK: the top-k cut is TakeOrdered, never a full-vocab sort") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val plan = finalPlan(
+      graft.operators.LangModel.vocabTopK(docs, "text"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cut must be per-partition heaps + merge:\n$plan")
+  }
+
+  test("stratifiedSample: the rate table broadcasts back to the corpus scan") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val plan = finalPlan(
+      Curation.stratifiedSample(docs, "doc_id", "lang"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-stratum rates must broadcast — shuffling the corpus by " +
+        s"stratum to meet a 5-row rate table defeats the design:\n$plan")
+  }
 }
