@@ -76,7 +76,13 @@ object LangModel {
         posexplode(toks).as(Seq("i", "w1")))
       .where(col("i") + 1 < size(col("toks")))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
+    // cached: both the marginal windows and the broadcast N aggregate
+    // scan c12 — uncached, the N branch re-runs the whole corpus explode
+    // (measured: ~2× the query). Model-sized (|vocab|²-bounded), so the
+    // cache is small at any corpus scale; released by the pipeline-level
+    // clearCache (see Bench).
     val c12 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .cache()
     // N is a broadcast scalar (full aggregate → 1 row), NOT a global
     // window — an empty-frame window would single-partition the whole
     // bigram table.

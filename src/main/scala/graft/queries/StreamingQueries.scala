@@ -79,7 +79,14 @@ object StreamingQueries {
     // Stateless curation gates on a document stream: map-side quality
     // filters, no state store — the shape of filter-on-ingest at 100 TB.
     "stream_quality_gate" -> ((s, dir) =>
-      CdcStream.streamingQualityGate(s, dir).orderBy("doc_id"))
+      CdcStream.streamingQualityGate(s, dir).orderBy("doc_id")),
+
+    // session_window as a stateful STREAMING operator: merging windows,
+    // emitted on watermark eviction (append mode, capped slice for a
+    // boundary-independent drained set — see CdcStream scaladoc).
+    "stream_sessionize" -> ((s, dir) =>
+      CdcStream.streamingSessionize(s, dir)
+        .orderBy("user_id", "session_start"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -149,6 +156,26 @@ object StreamingQueries {
                  (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
                - INTERVAL 121 MINUTE)
          ORDER BY click_id, purchase_id NULLS LAST""",
+    "stream_sessionize" ->
+      """WITH capped AS (
+           SELECT user_id, ts, value FROM events
+           WHERE ts <= (SELECT max(ts) FROM events) - INTERVAL 91 MINUTE),
+         marked AS (
+           SELECT user_id, ts, value,
+             CASE WHEN ts >= lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         + INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+           FROM capped),
+         sessions AS (
+           SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marked)
+         SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+         FROM sessions GROUP BY user_id, sid
+         ORDER BY user_id, session_start""",
     "stream_quality_gate" ->
       """WITH f AS (
            SELECT doc_id, lang,

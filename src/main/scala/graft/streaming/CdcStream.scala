@@ -598,6 +598,47 @@ object CdcStream {
   private val leftJoinBounds =
     new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
 
+  /** max(ts) over events per sfDir — one batch scan per process (same
+    * rationale as [[leftJoinBounds]]). */
+  private val eventMaxTs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.sql.Timestamp]()
+
+  /** Streaming SESSIONIZATION: `session_window` as a stateful streaming
+    * operator — MERGING windows (a late-but-in-gap event extends or
+    * fuses sessions), state the fixed tumbling/sliding grids can't
+    * express. Append mode: a session row is emitted only when the
+    * watermark passes its end (last event + gap), i.e. output IS state
+    * eviction, like the left-outer join.
+    *
+    * Determinism bound: events entering the aggregate are capped at
+    * max(ts) − delay − gap − 1 min (a POST-watermark filter, so the
+    * watermark still advances on the full stream). Every admitted
+    * session then ends strictly before the final watermark — the emitted
+    * set cannot depend on the engine's >-vs-≥ eviction boundary, and the
+    * oracle is plain batch sessionization over the same capped slice.
+    * At 100 TB state is bounded by (active users × open sessions); the
+    * watermark closes sessions as time advances. */
+  def streamingSessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = true)
+    val base = Tables.events(ss, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value"))
+    val maxTs = eventMaxTs.computeIfAbsent(sfDir, _ =>
+      base.agg(max(col("ts"))).head().getTimestamp(0))
+    val bound = new java.sql.Timestamp(maxTs.getTime - 91 * 60 * 1000L)
+    val sessions = streamOf(base, "events_user", sfDir)
+      .withWatermark("ts", "1 hour")
+      .where(col("ts") <= lit(bound))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+    runToTable(sessions, OutputMode.Append)
+  }
+
   def clickPurchaseLeftJoinStream(spark: SparkSession, sfDir: String): DataFrame = {
     // output IS the eviction (null-extended rows) — keep the flush batch
     val ss = streamSession(spark, flush = true)

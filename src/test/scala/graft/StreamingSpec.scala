@@ -19,6 +19,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("streaming sessionize ≡ batch sessionization of the capped slice") {
+    import org.apache.spark.sql.functions._
+    val streamed = CdcStream.streamingSessionize(spark, Sf)
+    val events = graft.sources.Tables.events(spark, Sf)
+    val maxTs = events.agg(max(col("ts"))).head().getTimestamp(0)
+    val bound = new java.sql.Timestamp(maxTs.getTime - 91 * 60 * 1000L)
+    val batch = events
+      .where(col("ts") <= lit(bound))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("session_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("session_value"))
+    assert(streamed.count() > 0, "drained session set must be non-empty")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+      "append-mode drained sessions must equal the batch session set")
+  }
+
   test("D8/D9 — checkpoint resume: restart skips consumed input, restores state") {
     import spark.implicits._
     import java.nio.file.Files
