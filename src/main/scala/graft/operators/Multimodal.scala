@@ -141,6 +141,7 @@ object Multimodal {
       .when(hex(substring(media, 1, 2)) === "FFD8", "jpeg")
       .when(hex(substring(media, 1, 4)) === "52494646" &&
         hex(substring(media, 9, 4)) === "57415645", "wav")
+      .when(hex(substring(media, 5, 4)) === "66747970", "mp4")
       .otherwise("unknown")
 
   private def leU16(media: org.apache.spark.sql.Column, off: Int) =
@@ -246,6 +247,121 @@ object Multimodal {
     media.select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => WavDecoder.decode(id, bytes) } }
+  }
+
+  case class VideoMeta(doc_id: Long, n_bytes: Long, brand: String,
+      timescale: Long, duration: Long, duration_s: Long, mdat_bytes: Long)
+
+  /** REAL MP4 (ISO-BMFF) box parser — the video analogue of
+    * [[WavDecoder]]: a genuine top-level box walk ([size:be32][4cc]
+    * records; `free` boxes interposed so fixed offsets cannot reach
+    * `moov`), then a child walk inside `moov` (a `udta` box precedes
+    * `mvhd`, forcing a real skip-by-size) to the version-0 `mvhd` whose
+    * timescale/duration sit at payload offsets +12/+16. `mdat` size
+    * comes from its own box header. Malformed payloads decode to zeros
+    * rather than throwing. */
+  object Mp4Decoder extends Serializable {
+    def decode(id: Long, p: Array[Byte]): VideoMeta = {
+      def u8(i: Int): Int = p(i) & 0xff
+      def be32(i: Int): Long =
+        ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) |
+          u8(i + 3)).toLong
+      def tag(i: Int): String = new String(p.slice(i, i + 4), "US-ASCII")
+      if (p.length < 16 || tag(4) != "ftyp")
+        return VideoMeta(id, p.length.toLong, "", 0L, 0L, 0L, 0L)
+      var brand = ""
+      var timescale = 0L; var duration = 0L; var mdat = 0L
+      var i = 0
+      var ok = true
+      while (ok && i + 8 <= p.length) {
+        val size = be32(i)
+        val t = tag(i + 4)
+        if (size < 8 || i + size > p.length) ok = false
+        else {
+          t match {
+            case "ftyp" => brand = tag(i + 8)
+            case "mdat" => mdat = size - 8
+            case "moov" =>
+              var j = i + 8
+              while (j + 8 <= i + size) {
+                val cs = be32(j)
+                if (cs < 8 || j + cs > i + size) { j = i + size.toInt }
+                else {
+                  if (tag(j + 4) == "mvhd" && u8(j + 8) == 0 &&
+                      j + 28 <= p.length) {
+                    timescale = be32(j + 20)
+                    duration = be32(j + 24)
+                  }
+                  j += cs.toInt
+                }
+              }
+            case _ => ()
+          }
+          i += size.toInt
+        }
+      }
+      val durS = if (timescale > 0) duration / timescale else 0L
+      VideoMeta(id, p.length.toLong, brand, timescale, duration, durS, mdat)
+    }
+  }
+
+  /** MP4 brand as an expression: `ftyp` is the mandatory FIRST box, so
+    * its major brand sits at a fixed offset — unlike moov/mvhd, which
+    * need [[Mp4Decoder]]'s box walk (a `free` box may precede them). */
+  def mp4Brand(media: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(hex(substring(media, 5, 4)) === "66747970",
+      decode(substring(media, 9, 4), "US-ASCII"))
+
+  /** Synthetic MP4 table (the [[syntheticWavTable]] pattern): real
+    * ISO-BMFF box layout — ftyp(16) [+ free(16) on every 4th doc]
+    * + moov(128: udta(12) then mvhd(108, version 0)) + mdat(8+text) —
+    * with arithmetic-known planted values: brand = doc_id % 3
+    * (isom/mp41/mp42), timescale = 600·(1 + doc_id % 5),
+    * duration_s = 10 + doc_id % 50. */
+  def syntheticMp4Table(docs: DataFrame): DataFrame = {
+    def hex32(v: org.apache.spark.sql.Column) = lpad(hex(v), 8, "0")
+    val brand = element_at(
+      array(lit("69736F6D"), lit("6D703431"), lit("6D703432")),
+      (col("doc_id") % 3).cast("int") + 1)
+    val timescale = (lit(1) + col("doc_id") % 5) * 600
+    val durS = lit(10) + col("doc_id") % 50
+    val duration = durS * timescale
+    val hasFree = col("doc_id") % 4 === 0
+    val textLen = length(col("text"))
+    val mvhd = concat(
+      lit("0000006C"), lit("6D766864"),          // size 108, 'mvhd'
+      lit("00000000"),                           // version 0 + flags
+      lit("00000000"), lit("00000000"),          // creation, modification
+      hex32(timescale), hex32(duration),
+      lit("00010000"), lit("01000000"),          // rate 1.0, volume 1.0 + rsvd
+      lit("0" * 16),                             // reserved2 (8 bytes)
+      lit("00010000" + "0" * 24 + "00010000" + "0" * 24 + "40000000"), // matrix
+      lit("0" * 48),                             // pre_defined (24 bytes)
+      lit("00000002"))                           // next_track_ID
+    val header = concat(
+      lit("00000010"), lit("66747970"), brand, lit("00000200"), // ftyp(16)
+      when(hasFree,
+        concat(lit("00000010"), lit("66726565"), lit("4752414654303030")))
+        .otherwise(lit("")),                                    // free box
+      lit("00000080"), lit("6D6F6F76"),                         // moov(128)
+      lit("0000000C"), lit("75647461"), lit("00000000"),        // udta(12)
+      mvhd,
+      hex32(textLen + 8), lit("6D646174"))                      // mdat
+    docs.select(
+      col("doc_id"),
+      concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
+  }
+
+  /** Batched per-partition MP4 decode (same iterator-to-iterator
+    * contract as [[decodeMedia]]/[[decodeWav]]). */
+  def decodeMp4(media: DataFrame): Dataset[VideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) => Mp4Decoder.decode(id, bytes) }
+      }
   }
 
   /** One thumbnail record: source dims + aspect-fit target dims. */

@@ -177,6 +177,21 @@ object ExtensionQueries {
       sniffed.join(decoded, "doc_id").orderBy("doc_id")
     }),
 
+    // video container beside image + audio: real ISO-BMFF box walks (a
+    // free box shifts moov; a udta child precedes mvhd) in the decoder,
+    // fixed-offset ftyp brand as an expression.
+    "mm_parse_mp4" -> ((s, dir) => {
+      val mp4 = Multimodal.syntheticMp4Table(Tables.table(s, dir, "documents"))
+      val decoded = Multimodal.decodeMp4(mp4).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("brand"),
+          col("timescale"), col("duration"), col("duration_s"),
+          col("mdat_bytes"))
+      val sniffed = mp4.select(col("doc_id"),
+        Multimodal.sniffFormat(col("media")).as("fmt"),
+        Multimodal.mp4Brand(col("media")).as("expr_brand"))
+      sniffed.join(decoded, "doc_id").orderBy("doc_id")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -431,6 +446,20 @@ object ExtensionQueries {
          CAST(1 + doc_id % 2 AS INTEGER) AS channels,
          CAST(16 AS INTEGER) AS bits,
          CAST(length(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_samples
+       FROM documents ORDER BY doc_id""",
+    "mm_parse_mp4" -> """
+       SELECT doc_id, 'mp4' AS fmt,
+         CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41'
+              ELSE 'mp42' END AS expr_brand,
+         CAST(16 + (CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 0 END)
+              + 128 + 8 + length(text) AS BIGINT) AS n_bytes,
+         CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41'
+              ELSE 'mp42' END AS brand,
+         CAST(600 * (1 + doc_id % 5) AS BIGINT) AS timescale,
+         CAST((10 + doc_id % 50) * 600 * (1 + doc_id % 5) AS BIGINT)
+           AS duration,
+         CAST(10 + doc_id % 50 AS BIGINT) AS duration_s,
+         CAST(length(text) AS BIGINT) AS mdat_bytes
        FROM documents ORDER BY doc_id""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the

@@ -107,6 +107,33 @@ class ExtensionSpec extends AnyFunSuite {
     assert((u.sample_rate, u.channels, u.n_samples) === ((0, 0, 0L)))
   }
 
+  test("Mp4Decoder: box walk with free shift + udta skip; truncated box; garbage") {
+    import graft.operators.Multimodal.Mp4Decoder
+    def be32(v: Int) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
+    def cc(s: String) = s.map(_.toInt)
+    def box(t: String, payload: Seq[Int]) = be32(8 + payload.size) ++ cc(t) ++ payload
+    def bytes(xs: Seq[Int]): Array[Byte] = xs.map(_.toByte).toArray
+    def mvhd(ts: Int, dur: Int) = box("mvhd",
+      be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+        Seq.fill(80)(0)) // rate..next_track_id, zero-filled (size is right)
+    val ftyp = box("ftyp", cc("mp42") ++ be32(0))
+    // free box BEFORE moov, udta BEFORE mvhd: both walks must skip by size
+    val full = bytes(ftyp ++ box("free", Seq.fill(8)(0)) ++
+      box("moov", box("udta", be32(0)) ++ mvhd(1000, 42000)) ++
+      box("mdat", Seq.fill(13)(0)))
+    val m = Mp4Decoder.decode(1, full)
+    assert((m.brand, m.timescale, m.duration, m.duration_s, m.mdat_bytes) ===
+      (("mp42", 1000L, 42000L, 42L, 13L)))
+    // a box whose declared size overruns the payload: stop cleanly with
+    // whatever was parsed before it, never read out of bounds
+    val truncated = bytes(ftyp ++ be32(9999) ++ cc("moov"))
+    val t = Mp4Decoder.decode(2, truncated)
+    assert((t.brand, t.timescale) === (("mp42", 0L)))
+    // garbage (no ftyp): zeros, no throw
+    val g = Mp4Decoder.decode(3, bytes(Seq(1, 2, 3, 4, 5)))
+    assert((g.brand, g.timescale, g.mdat_bytes) === (("", 0L, 0L)))
+  }
+
   test("JPEG marker scan consumes 0xFF fill bytes instead of reading a bogus length (B.1.1.2)") {
     import graft.operators.Multimodal.HeaderDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
