@@ -26,7 +26,21 @@ object SourceQueries {
 
   val queries: Map[String, Q] = Map(
     "src_jsonl_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsJsonl(s, dir))),
-    "src_csv_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsCsv(s, dir)))
+    "src_csv_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsCsv(s, dir))),
+
+    // corrupt-record tolerance: PERMISSIVE parse of a dirty JSONL stage
+    // — bad lines are quarantined per-row, never fail the scan, and the
+    // valid rows' checksum proves none were dropped or misparsed
+    "src_jsonl_corrupt" -> ((s, dir) => {
+      val parsed = WireFormats.eventsJsonlDirty(s, dir)
+      parsed.agg(
+        sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L))
+          .as("n_valid"),
+        sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"),
+        sum(when(col("_corrupt_record").isNull, col("event_id"))
+          .otherwise(0L)).as("valid_checksum"))
+    })
   )
 
   private val FidelityOracle =
@@ -40,6 +54,15 @@ object SourceQueries {
 
   val oracles: Map[String, String] = Map(
     "src_jsonl_scan" -> FidelityOracle,
-    "src_csv_scan" -> FidelityOracle
+    "src_csv_scan" -> FidelityOracle,
+    "src_jsonl_corrupt" -> s"""
+       SELECT
+         CAST(SUM(CASE WHEN event_id % ${WireFormats.CorruptEvery} <> 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+         CAST(SUM(CASE WHEN event_id % ${WireFormats.CorruptEvery} = 0
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+         CAST(SUM(CASE WHEN event_id % ${WireFormats.CorruptEvery} <> 0
+           THEN event_id ELSE 0 END) AS BIGINT) AS valid_checksum
+       FROM events"""
   )
 }

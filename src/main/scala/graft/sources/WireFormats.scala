@@ -58,4 +58,45 @@ object WireFormats {
     spark.read.schema(EventsSchema).option("timestampFormat", TsFormat)
       .option("header", "true")
       .csv(stage(spark, sfDir, "csv"))
+
+  /** Every `CorruptEvery`-th event is staged as a BROKEN line in the
+    * dirty JSONL copy (deterministic planting, so the oracle knows the
+    * corrupt set arithmetically). */
+  val CorruptEvery = 13L
+
+  private def stageDirty(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      import org.apache.spark.sql.functions._
+      val key = s"jsonl_dirty_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dir = new java.io.File(s"/tmp/graft_wire/$key")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        dir.getParentFile.mkdirs()
+        val ev = Tables.events(spark, sfDir)
+        ev.select(
+            when(col("event_id") % CorruptEvery === 0,
+              lit("""{"event_id": BROKEN"""))
+              .otherwise(to_json(struct(ev.columns.map(col): _*),
+                Map("timestampFormat" -> TsFormat)))
+              .as("value"))
+          .write.mode("overwrite").text(dir.toString)
+      }
+      dir.toString
+    }
+
+  /** PERMISSIVE read of the dirty JSONL: malformed lines land whole in
+    * `_corrupt_record` with null data columns instead of failing the
+    * scan — the tolerance a 100 TB text-lake ingest needs (FAILFAST on
+    * petabytes of crawled text means one bad line kills the job; schema
+    * inference is equally banned, see [[eventsJsonl]]). Cached before
+    * use: Spark disallows queries over the corrupt column on the raw
+    * lazy scan (the parser may prune it), and the callers aggregate it.
+    */
+  def eventsJsonlDirty(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema(EventsSchema.add("_corrupt_record", StringType))
+      .option("timestampFormat", TsFormat)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(stageDirty(spark, sfDir))
+      .cache()
 }

@@ -81,17 +81,20 @@ class CurationPlanSpec extends AnyFunSuite {
       s"expected exactly 1 corpus explode, found $generates:\n$plan")
   }
 
-  test("pmiBigrams: N is broadcast, marginal windows are keyed (no global window)") {
+  test("pmiBigrams: both consumers scan the CACHED counts; top-k is TakeOrdered") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val df = graft.operators.LangModel.pmiBigrams(docs, "doc_id", "text")
     val plan = finalPlan(df)
-    // one corpus explode; both marginals window over (w1)/(w2) keys; the
-    // only unkeyed window ranks the k=50 TakeOrdered survivors
-    assert(plan.linesIterator.count(_.contains("Generate")) === 1,
-      s"expected exactly 1 corpus explode:\n$plan")
+    // the corpus explode lives only inside the c12 cache build: the
+    // marginal-window branch AND the broadcast-N branch must both read
+    // the InMemory bigram counts, not re-run the explode
+    assert(plan.linesIterator.count(_.contains("InMemoryTableScan")) >= 2,
+      s"both c12 consumers must scan the cache:\n$plan")
+    // the only unkeyed window ranks the k=50 TakeOrdered survivors
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must run as TakeOrdered, not a global sort:\n$plan")
+    df.sparkSession.catalog.clearCache()
   }
 
   test("vocabTopK: the top-k cut is TakeOrdered, never a full-vocab sort") {
