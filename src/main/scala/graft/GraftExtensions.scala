@@ -54,6 +54,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"fold_hash requires exactly 1 argument (string); got ${exprs.length}")
         graft.expressions.FoldHash(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getCanonicalName,
+        "nfc_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"nfc_normalize requires exactly 1 argument (string); got ${exprs.length}")
+        graft.expressions.NfcNormalize(exprs.head)
+      }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
   }
 }

@@ -195,4 +195,23 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_fp"), sum(col("wmin")).as("fp_checksum"),
         min(col("wmin")).as("fp_min"), max(col("wmin")).as("fp_max"))
+
+  /** Unicode-safe text normalization — the pass every pipeline runs
+    * BEFORE hashing/dedup ("café" as `e`+U+0301 vs precomposed U+00E9
+    * must dedup together): NFC (codegen'd [[graft.expressions
+    * .NfcNormalize]]) → collapse whitespace runs to one space → trim.
+    * Pure per-row expressions, zero shuffle at any scale; the NFC kernel
+    * fast-paths already-normalized (e.g. all-ASCII) text, so on a real
+    * crawl the common case allocates nothing. */
+  def normalize(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.expressions.NormalizeOps.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("raw"))
+      .withColumn("norm",
+        trim(regexp_replace(
+          call_function("nfc_normalize", col("raw")), "\\s+", " ")))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("pre_cp"),
+        length(col("norm")).cast("long").as("post_cp"),
+        col("norm"))
+  }
 }

@@ -268,6 +268,30 @@ object ExtensionQueries {
       Dedup.connectedComponents(pairs).orderBy("doc_id")
     }),
 
+    // CCNet-style paragraph-level dedup: first occurrence corpus-wide
+    // survives, docs reassembled from surviving 16-word segments (the
+    // planted exact dups lose everything; near dups keep only the
+    // segments their 3-word tail shifted)
+    "dedup_paragraphs" -> ((s, dir) => {
+      Dedup.paragraphDedup(ExtCorpus.docCorpus(s, dir), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Unicode NFC + whitespace normalization over a corpus with planted
+    // combining sequences and whitespace mess (the raw corpus is pure
+    // ASCII, so the assertion would be vacuous without planting)
+    "text_normalize" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents").withColumn("text2",
+        concat(
+          when(col("doc_id") % 5 === 0, lit("\t  ")).otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit(" cafe\u0301  nai\u0308ve"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit("  A\u0300\u0307 "))
+            .otherwise(lit(""))))
+      TextAnalysis.normalize(d, "doc_id", "text2").orderBy("doc_id")
+    }),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -529,6 +553,52 @@ object ExtensionQueries {
        SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS copies
        FROM corpus GROUP BY text HAVING COUNT(*) > 1
        ORDER BY canonical_id""",
+    // 16-word segments via 1-based inclusive list slices; first
+    // occurrence = ROW_NUMBER over (doc_id, seg_idx) per segment, the
+    // same global order the Spark window uses; reassembly through an
+    // ordered string_agg (COALESCE for fully-duplicate docs, matching
+    // array_join over an empty array)
+    "dedup_paragraphs" -> s"""
+       WITH ${ExtCorpus.DocCorpusCte},
+       ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+       segs AS (
+         SELECT doc_id, CAST(i AS INTEGER) AS seg_idx,
+           array_to_string(w[(i*16+1):(i*16+16)], ' ') AS seg
+         FROM ws, LATERAL unnest(range((len(w) + 15) // 16)) AS t(i)),
+       ranked AS (
+         SELECT doc_id, seg_idx, seg,
+           ROW_NUMBER() OVER (PARTITION BY seg
+             ORDER BY doc_id, seg_idx) AS rn
+         FROM segs)
+       SELECT doc_id, COUNT(*) AS n_seg,
+         CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+           ORDER BY seg_idx), '') AS text_kept
+       FROM ranked GROUP BY doc_id ORDER BY doc_id""",
+    // planted decomposed sequences via chr(): 769=U+0301, 776=U+0308,
+    // 768=U+0300, 775=U+0307, 9=TAB; nfc_normalize is UAX #15 NFC on
+    // both engines (verified codepoint-identical), \\s+ collapse and
+    // space-trim behave identically on the planted ASCII whitespace
+    "text_normalize" -> """
+       WITH p AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN chr(9) || '  ' ELSE '' END ||
+           text ||
+           CASE WHEN doc_id % 7 = 0
+                THEN ' cafe' || chr(769) || '  nai' || chr(776) || 've'
+                ELSE '' END ||
+           CASE WHEN doc_id % 11 = 0
+                THEN '  A' || chr(768) || chr(775) || ' ' ELSE '' END
+             AS text2
+         FROM documents),
+       n AS (
+         SELECT doc_id, text2,
+           trim(regexp_replace(nfc_normalize(text2), '\s+', ' ', 'g'))
+             AS norm
+         FROM p)
+       SELECT doc_id, CAST(len(text2) AS BIGINT) AS pre_cp,
+         CAST(len(norm) AS BIGINT) AS post_cp, norm
+       FROM n ORDER BY doc_id""",
     "dedup_ngram_jaccard" -> s"""
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
        SELECT a_id, b_id, jaccard FROM jacc

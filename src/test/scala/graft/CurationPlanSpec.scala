@@ -113,4 +113,21 @@ class CurationPlanSpec extends AnyFunSuite {
       s"per-stratum rates must broadcast — shuffling the corpus by " +
         s"stratum to meet a 5-row rate table defeats the design:\n$plan")
   }
+
+  test("paragraphDedup: exactly two shuffles — segment-keyed dedup + doc reassembly") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val plan = finalPlan(
+      graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text"))
+    // one exchange keyed by the segment (the corpus-wide first-occurrence
+    // window), one keyed by doc_id (reassembly groupBy) — a third would
+    // mean the plan re-shuffles the exploded segments somewhere it
+    // shouldn't; reassembly must NOT re-scan the corpus
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.size == 2,
+      s"expected exactly 2 hash exchanges (seg window + doc groupBy):\n$plan")
+    assert(exchanges.exists(_.contains("seg")) &&
+      exchanges.exists(_.contains("doc_id")),
+      s"exchanges must key by seg and doc_id:\n$exchanges")
+  }
 }

@@ -227,4 +227,46 @@ class ExtensionSpec extends AnyFunSuite {
     assert(one.n_bytes > 0 && one.width >= 64 && one.n_frames >= 1)
     assert(decoded.count() === media.count())
   }
+
+  test("NfcNormalize composes decomposed marks; normalize collapses whitespace") {
+    import spark.implicits._
+    graft.expressions.NormalizeOps.ensureRegistered(spark)
+    val out = Seq(
+      "café",      // e + combining acute -> precomposed U+00E9
+      "À̇",   // grave composes to U+00C0; dot-above stays combining
+      "plain ascii",     // fast path: already NFC
+      "")
+      .toDF("s")
+      .select(call_function("nfc_normalize", col("s")))
+      .as[String].collect()
+    assert(out(0) === "caf\u00e9")
+    assert(out(1) === "\u00c0\u0307")
+    assert(out(2) === "plain ascii")
+    assert(out(3) === "")
+    // end-to-end: NFC -> whitespace-run collapse -> trim, with codepoint
+    // counts before/after (tab, a+0301, double space, trailing space)
+    val n = TextAnalysis.normalize(
+      Seq((1L, "\t á  b ")).toDF("id", "t"), "id", "t").head()
+    assert(n.getLong(1) === 8L) // \t,' ',a,U+0301,' ',' ',b,' '
+    assert(n.getLong(2) === 3L) // á,' ',b
+    assert(n.getString(3) === "\u00e1 b")
+  }
+
+  test("paragraphDedup: first corpus-wide occurrence survives, docs reassemble in order") {
+    import spark.implicits._
+    // segWords=2: doc 1 = [a b][c d]; doc 2 shares [a b], keeps [x y];
+    // doc 3's only segment [c d] loses to doc 1's (smaller doc_id);
+    // doc 4 duplicates doc 1 entirely; doc 5 has an odd trailing segment
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d"),
+      (4L, "a b c d"), (5L, "a b z")).toDF("id", "text")
+    val out = Dedup.paragraphDedup(docs, "id", "text", 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out(0).getLong(2) === 2L && out(0).getString(3) === "a b c d")
+    assert(out(1).getLong(2) === 1L && out(1).getString(3) === "x y")
+    assert(out(2).getLong(2) === 0L && out(2).getString(3) === "")
+    assert(out(3).getLong(2) === 0L && out(3).getString(3) === "")
+    assert(out(4).getLong(1) === 2L && out(4).getString(3) === "z")
+  }
 }
