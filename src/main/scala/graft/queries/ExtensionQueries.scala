@@ -292,6 +292,18 @@ object ExtensionQueries {
       TextAnalysis.normalize(d, "doc_id", "text2").orderBy("doc_id")
     }),
 
+    // incremental ingest decision: new batch vs existing corpus — every
+    // batch-side table broadcasts (the small-increment-vs-huge-corpus
+    // shape); exact / near / novel classes are all non-vacuous by
+    // construction (planted copies, tailed copies, word-reversed docs)
+    "dedup_incremental" -> ((s, dir) => {
+      Dedup.incremental(
+          Tables.table(s, dir, "documents"),
+          ExtCorpus.incrementalBatch(s, dir),
+          "doc_id", "text", 0.5)
+        .orderBy("doc_id")
+    }),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -615,6 +627,44 @@ object ExtensionQueries {
           JOIN sigs sb ON sb.doc_id = b_id
           WHERE jaccard >= 0.5 AND ($bandCond)
           ORDER BY a_id, b_id"""
+    },
+    // incremental over base ∪ batch: the id ranges mark the sides, so
+    // near pairs are jac ∧ band-match restricted to base→batch; best
+    // match by (jaccard DESC, base id) on the ROUNDED jaccard — the
+    // same ordering key the Spark window uses
+    "dedup_incremental" -> {
+      val bandCond = (0 until Dedup.Bands).map { bi =>
+        val r = Dedup.MinhashParams.size / Dedup.Bands
+        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH ${ExtCorpus.IncrementalCorpusCte}, $ShingleCtes, $sigsCte,
+          exact AS (
+            SELECT c.doc_id, MIN(b.doc_id) AS exact_of
+            FROM corpus c JOIN corpus b ON b.text = c.text
+            WHERE c.doc_id >= 100000 AND b.doc_id < 100000
+            GROUP BY c.doc_id),
+          near AS (
+            SELECT b_id AS doc_id, a_id, jaccard,
+              ROW_NUMBER() OVER (PARTITION BY b_id
+                ORDER BY jaccard DESC, a_id) AS rn
+            FROM jac
+            JOIN sigs sa ON sa.doc_id = a_id
+            JOIN sigs sb ON sb.doc_id = b_id
+            WHERE a_id < 100000 AND b_id >= 100000
+              AND jaccard >= 0.5 AND ($bandCond))
+          SELECT n.doc_id,
+            CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+                 WHEN nr.a_id IS NOT NULL THEN 'near'
+                 ELSE 'novel' END AS verdict,
+            COALESCE(e.exact_of, nr.a_id) AS dup_of,
+            CASE WHEN e.exact_of IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+                 ELSE nr.jaccard END AS jaccard
+          FROM (SELECT doc_id FROM corpus WHERE doc_id >= 100000) n
+          LEFT JOIN exact e ON e.doc_id = n.doc_id
+          LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr
+            ON nr.doc_id = n.doc_id
+          ORDER BY n.doc_id"""
     },
     "dedup_clusters" -> {
       val bandCond = (0 until Dedup.Bands).map { bi =>

@@ -42,6 +42,41 @@ object ExtCorpus {
        SELECT doc_id + 200000, text || ' extra token tail' FROM documents
        WHERE doc_id % 10 = 0)"""
 
+  /** New-ingest batch for incremental dedup: exact copies (id+100000),
+    * near copies with the 3-word tail (id+200000), and NOVEL docs —
+    * word-reversed texts (id+300000), whose shingle sets are disjoint
+    * from the originals' except for palindromic 3-grams (Jaccard ~0,
+    * far below any verify threshold). */
+  def incrementalBatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.table(spark, sfDir, "documents").select($"doc_id", $"text")
+    val exact = d.where($"doc_id" % 17 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val near = d.where($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        concat($"text", lit(NearDupSuffix)).as("text"))
+    val novel = d.where($"doc_id" % 13 === 0)
+      .select(($"doc_id" + 300000L).as("doc_id"),
+        array_join(reverse(split($"text", " ")), " ").as("text"))
+    exact.unionByName(near).unionByName(novel)
+  }
+
+  /** DuckDB twin of base ∪ [[incrementalBatch]] as one `corpus` CTE
+    * (batch ids all ≥ 100000; base ids all below — the id ranges ARE
+    * the side markers). */
+  val IncrementalCorpusCte: String =
+    """corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 0
+       UNION ALL
+       SELECT doc_id + 200000, text || ' extra token tail' FROM documents
+       WHERE doc_id % 10 = 0
+       UNION ALL
+       SELECT doc_id + 300000,
+         array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       FROM documents WHERE doc_id % 13 = 0)"""
+
   def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.table(spark, sfDir, "embeddings")

@@ -114,6 +114,21 @@ class CurationPlanSpec extends AnyFunSuite {
         s"stratum to meet a 5-row rate table defeats the design:\n$plan")
   }
 
+  test("incremental dedup: batch-derived sides broadcast into the corpus scans") {
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val batch = graft.sources.ExtCorpus.incrementalBatch(spark, Sf)
+    val plan = finalPlan(graft.operators.Dedup.incremental(
+      docs, batch, "doc_id", "text", 0.5))
+    // exact matching broadcasts the batch texts; candidate generation
+    // broadcasts the batch band rows — the corpus side must never be
+    // shuffled against itself (the increment-vs-accumulated-corpus shape)
+    val bhj = plan.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(bhj >= 2,
+      s"expected the exact join AND the band-candidate join to broadcast " +
+        s"the batch side (got $bhj BroadcastHashJoins):\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("paragraphDedup: exactly two shuffles — segment-keyed dedup + doc reassembly") {
     val docs = spark.read.parquet(s"$Sf/documents.parquet")
     val plan = finalPlan(

@@ -252,6 +252,26 @@ class ExtensionSpec extends AnyFunSuite {
     assert(n.getString(3) === "\u00e1 b")
   }
 
+  test("incremental: exact / near / novel classification against a fixed corpus") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a b c d e f g h"), (2L, "p q r s t u v w")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c d e f g h"),            // identical to base 1
+      (11L, "a b c d e f g h extra tail"), // 6 shared of 8 trigrams: 0.75
+      (12L, "z y x w v u t s")             // disjoint trigram set
+    ).toDF("doc_id", "text")
+    val out = Dedup.incremental(base, batch, "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(0) === 10L && out(0).getString(1) === "exact" &&
+      out(0).getLong(2) === 1L && out(0).getDouble(3) === 1.0)
+    assert(out(1).getLong(0) === 11L && out(1).getString(1) === "near" &&
+      out(1).getLong(2) === 1L && out(1).getDouble(3) === 0.75)
+    assert(out(2).getLong(0) === 12L && out(2).getString(1) === "novel" &&
+      out(2).isNullAt(2) && out(2).isNullAt(3))
+    spark.catalog.clearCache()
+  }
+
   test("paragraphDedup: first corpus-wide occurrence survives, docs reassemble in order") {
     import spark.implicits._
     // segWords=2: doc 1 = [a b][c d]; doc 2 shares [a b], keeps [x y];
