@@ -146,4 +146,70 @@ object LangModel {
       .select(col("doc_id"), col("n_trigrams"),
         round(col("mean_prob"), 6).as("mean_prob"))
   }
+
+  /** BPE tokenizer training (Sennrich et al. 2016), `rounds` unrolled
+    * merge rounds: count adjacent symbol pairs weighted by word
+    * frequency, merge the most frequent pair (ties: lexicographic),
+    * repeat. Returns the merge table (rnd, lft, rgt, pc, new_sym) — the
+    * artifact a tokenizer ships.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: ONE
+    * corpus explode builds the word-frequency table, and every merge
+    * round runs over THAT (vocabulary-sized) table — pair counting is a
+    * vocab-row aggregate, the argmax is a TakeOrdered top-1, and the
+    * merge application is a map-side fold over vocab rows joined to the
+    * broadcast 1-row winner. The corpus is never re-scanned.
+    *
+    * The merge is a strict left fold over the symbol list (if the
+    * accumulator's last symbol is `lft` and the next is `rgt`, fuse;
+    * else append) — exactly BPE's left-to-right non-overlapping scan,
+    * including runs like `a a a` → `aa a`. A fused symbol can never
+    * re-fuse in the same round (that would need `lft || rgt == lft`,
+    * i.e. an empty `rgt`). String `replace` is NOT equivalent — with
+    * space-delimited symbols it consumes the shared delimiter and skips
+    * consecutive occurrences. DuckDB mirrors the fold with
+    * `list_reduce` over single-element lists prepended with an empty
+    * accumulator, so every merge decision is bit-identical. */
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+    // each round's word table is cached: it is vocabulary-sized, every
+    // round reads its predecessor twice (pair counting + merge
+    // application), and round k's lineage otherwise re-runs the corpus
+    // explode and all previous rounds from scratch (pipeline-level
+    // clearCache releases these, same lifecycle as the dedup caches)
+    var words = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))).as("syms"))
+      .cache()
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      // guard size >= 2 BEFORE sequence(1, size-1): Spark's sequence
+      // steps DOWNWARD when start > stop, so a 1-symbol word would
+      // yield [1, 0] instead of no pairs
+      val pairs = words.where(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("lft"),
+              element_at(col("syms"), i + 1).as("rgt")))).as("p"))
+        .groupBy(col("p.lft").as("lft"), col("p.rgt").as("rgt"))
+        .agg(sum(col("cnt")).as("pc"))
+      val top = pairs.orderBy(col("pc").desc, col("lft"), col("rgt"))
+        .limit(1).withColumn("rnd", lit(r)).cache()
+      merges = if (merges == null) top else merges.unionByName(top)
+      words = words
+        .crossJoin(broadcast(top.select(col("lft").as("mx"), col("rgt").as("my"))))
+        .select(col("word"), col("cnt"),
+          aggregate(col("syms"), array().cast("array<string>"),
+            (acc, s) => when(size(acc) > 0 &&
+                element_at(acc, -1) === col("mx") && s === col("my"),
+              concat(slice(acc, lit(1), size(acc) - 1),
+                array(concat(col("mx"), col("my")))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+        .cache()
+    }
+    merges.select(col("rnd"), col("lft"), col("rgt"), col("pc"),
+      concat(col("lft"), col("rgt")).as("new_sym"))
+  }
 }

@@ -164,6 +164,14 @@ object CurationQueries {
         .orderBy("w1", "w2", "w3")
     }),
 
+    // BPE tokenizer training: 3 unrolled merge rounds over the
+    // word-frequency table — the corpus is exploded exactly once
+    "lm_bpe_train" -> ((s, dir) => {
+      graft.operators.LangModel
+        .bpeTrain(Tables.table(s, dir, "documents"), "text", 3)
+        .orderBy("rnd")
+    }),
+
     // perplexity-style doc scoring under the corpus trigram model
     "lm_doc_score" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
@@ -572,6 +580,48 @@ object CurationQueries {
            / COUNT(*), 6) AS mean_chars,
          CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
        FROM rk GROUP BY 1 ORDER BY stratum""",
+    // BPE merge rounds: each w{k} applies the winning pair with the SAME
+    // strict left fold as the Spark HOF (list_reduce over single-element
+    // lists with an empty-accumulator prepend; acc[-1] on the empty
+    // accumulator is NULL in DuckDB, falling to ELSE exactly like the
+    // Spark short-circuit) — every merge decision is bit-identical
+    "lm_bpe_train" -> {
+      def rnd(k: Int): String = {
+        val prev = s"w${k - 1}"
+        s"""p$k AS (
+           SELECT syms[i] AS lft, syms[i+1] AS rgt,
+             CAST(SUM(cnt) AS BIGINT) AS pc
+           FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+                 FROM $prev WHERE len(syms) >= 2)
+           GROUP BY 1, 2),
+         t$k AS (SELECT lft, rgt, pc FROM p$k
+                 ORDER BY pc DESC, lft, rgt LIMIT 1),
+         w$k AS (
+           SELECT word, cnt,
+             list_reduce(
+               list_prepend(CAST([] AS VARCHAR[]),
+                 list_transform(syms, s -> [s])),
+               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.lft
+                                     AND x[1] = t.rgt
+                           THEN list_append(acc[1:len(acc)-1],
+                                  t.lft || t.rgt)
+                           ELSE list_concat(acc, x) END) AS syms
+           FROM $prev, t$k t)"""
+      }
+      s"""WITH wd AS (
+           SELECT w AS word, COUNT(*) AS cnt
+           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1),
+         w0 AS (SELECT word, cnt,
+           list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+           FROM wd),
+         ${rnd(1)}, ${rnd(2)}, ${rnd(3)}
+         SELECT * FROM (
+           SELECT 1 AS rnd, lft, rgt, pc, lft || rgt AS new_sym FROM t1
+           UNION ALL SELECT 2, lft, rgt, pc, lft || rgt FROM t2
+           UNION ALL SELECT 3, lft, rgt, pc, lft || rgt FROM t3)
+         ORDER BY rnd"""
+    },
     "lm_vocab_topk" -> """
        WITH c AS (
          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (

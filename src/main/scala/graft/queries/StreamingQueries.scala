@@ -81,6 +81,11 @@ object StreamingQueries {
     "stream_quality_gate" -> ((s, dir) =>
       CdcStream.streamingQualityGate(s, dir).orderBy("doc_id")),
 
+    // STREAM-STATIC join: exact-dedup gate for continuous ingest — each
+    // micro-batch joins the static corpus fingerprints, stateless.
+    "stream_dedup_incremental" -> ((s, dir) =>
+      CdcStream.streamingIncrementalDedup(s, dir).orderBy("doc_id")),
+
     // session_window as a stateful STREAMING operator: merging windows,
     // emitted on watermark eviction (append mode, capped slice for a
     // boundary-independent drained set — see CdcStream scaladoc).
@@ -176,6 +181,17 @@ object StreamingQueries {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
          FROM sessions GROUP BY user_id, sid
          ORDER BY user_id, session_start""",
+    // joining on (fp, text) ≡ joining on text (fp is a pure function of
+    // the text), so the oracle needs only the text join
+    "stream_dedup_incremental" -> s"""
+       WITH ${graft.sources.ExtCorpus.IncrementalBatchCte},
+       m AS (SELECT text, MIN(doc_id) AS dup_of FROM documents GROUP BY text)
+       SELECT b.doc_id,
+         CASE WHEN m.dup_of IS NOT NULL THEN 'exact' ELSE 'novel' END
+           AS verdict,
+         m.dup_of
+       FROM batch b LEFT JOIN m USING (text)
+       ORDER BY b.doc_id""",
     "stream_quality_gate" ->
       """WITH f AS (
            SELECT doc_id, lang,

@@ -61,14 +61,11 @@ object ExtCorpus {
     exact.unionByName(near).unionByName(novel)
   }
 
-  /** DuckDB twin of base ∪ [[incrementalBatch]] as one `corpus` CTE
-    * (batch ids all ≥ 100000; base ids all below — the id ranges ARE
-    * the side markers). */
-  val IncrementalCorpusCte: String =
-    """corpus AS (
-       SELECT doc_id, text FROM documents
-       UNION ALL
-       SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 0
+  /** DuckDB twin of [[incrementalBatch]] alone. */
+  val IncrementalBatchCte: String =
+    """batch AS (
+       SELECT doc_id + 100000 AS doc_id, text FROM documents
+       WHERE doc_id % 17 = 0
        UNION ALL
        SELECT doc_id + 200000, text || ' extra token tail' FROM documents
        WHERE doc_id % 10 = 0
@@ -76,6 +73,16 @@ object ExtCorpus {
        SELECT doc_id + 300000,
          array_to_string(list_reverse(string_split(text, ' ')), ' ')
        FROM documents WHERE doc_id % 13 = 0)"""
+
+  /** DuckDB twin of base ∪ [[incrementalBatch]] as one `corpus` CTE
+    * (batch ids all ≥ 100000; base ids all below — the id ranges ARE
+    * the side markers). */
+  val IncrementalCorpusCte: String =
+    s"""$IncrementalBatchCte,
+     corpus AS (
+       SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id, text FROM batch)"""
 
   def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

@@ -531,6 +531,40 @@ object CdcStream {
     runToTable(gated, OutputMode.Append)
   }
 
+  /** STREAM-STATIC join: the continuous-ingest exact-dedup gate — a
+    * stream of newly crawled docs classified against the accumulated
+    * (static) corpus as it arrives. Stream-static joins are STATELESS
+    * (no state store, no watermark: each micro-batch joins against the
+    * static side and forgets), so this scales to an unbounded ingest
+    * stream at fixed memory — the streaming twin of
+    * [[graft.operators.Dedup.incremental]]'s exact tier.
+    *
+    * The static side is pre-aggregated to one row per distinct text
+    * (min doc_id), keyed by the 64-bit [[graft.expressions.FoldHash]]
+    * fingerprint alongside the text — equality on (fp, text) equals
+    * equality on text (fp is a function of text), but the fingerprint
+    * leads the join key, so at 100 TB the shuffle hashes a long, and a
+    * fingerprint-only index table (corpus text stays in place) is the
+    * production variant. */
+  def streamingIncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    graft.expressions.ShingleOps.ensureRegistered(ss)
+    val fp = call_function("fold_hash", col("text"))
+    val batch = graft.sources.ExtCorpus.incrementalBatch(ss, sfDir)
+    val stream = streamOf(batch, "inc_batch", sfDir)
+    val corpus = Tables.table(ss, sfDir, "documents")
+      .select(fp.as("fp"), col("text"), col("doc_id").as("base_id"))
+      .groupBy(col("fp"), col("text"))
+      .agg(min(col("base_id")).as("dup_of"))
+    val gated = stream.withColumn("fp", fp)
+      .join(corpus, Seq("fp", "text"), "left")
+      .select(col("doc_id"),
+        when(col("dup_of").isNotNull, lit("exact"))
+          .otherwise(lit("novel")).as("verdict"),
+        col("dup_of"))
+    runToTable(gated, OutputMode.Append)
+  }
+
   /** Watermarked stream-stream INNER join (StreamingSymmetricHashJoin):
     * clicks joined to purchases by the same user within the following
     * hour. Both sides carry watermarks and the join condition bounds

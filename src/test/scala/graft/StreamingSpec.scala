@@ -309,4 +309,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(!emitted.contains(Seq("b", "2")))
     assert(emitted.count(_.head == "b") === 1) // only the batch-1 insert
   }
+
+  test("stream-static dedup gate is STATELESS: no state store in any micro-batch") {
+    val out = CdcStream.streamingIncrementalDedup(spark, Sf)
+    val n = out.count()
+    assert(n > 0)
+    // a stream-static join must not register state operators — state
+    // growth here would mean the join was planned stream-stream
+    val progress = CdcStream.lastRunProgress
+    assert(progress.nonEmpty)
+    progress.foreach { p =>
+      assert(p.contains("\"stateOperators\":[]"),
+        s"expected no state operators in progress:\n$p")
+    }
+  }
 }
