@@ -311,6 +311,31 @@ object RelationalQueries {
         .limit(15)
     }),
 
+    // observe() metrics: pipeline health counters collected DURING the
+    // main query's own scan — no second pass over the data. The main
+    // query here is a filter+write-shaped pass over lineitem; the
+    // observation rides it and surfaces as a 1-row DataFrame (the O(1)
+    // driver hop is the API's contract, not a collect of data).
+    "q_observe_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation("gate_metrics")
+      val gated = t(s, dir, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("rows_seen"),
+          sum(when($"l_quantity" > 45, 1L).otherwise(0L)).as("rows_dropped"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double")
+            .as("price_seen"))
+        .where($"l_quantity" <= 45)
+      val kept = gated.count() // materializes the pass; obs.get blocks on it
+      val m = obs.get
+      s.createDataFrame(Seq((
+          m("rows_seen").asInstanceOf[Long],
+          m("rows_dropped").asInstanceOf[Long],
+          kept,
+          m("price_seen").asInstanceOf[Double])))
+        .toDF("rows_seen", "rows_dropped", "rows_kept", "price_seen")
+    }),
+
     // As-of join: latest order state per (user, event-time).
     "q_asof_join" -> ((s, dir) => {
       import s.implicits._
@@ -778,6 +803,15 @@ object RelationalQueries {
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""",
+    "q_observe_metrics" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
+         CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_dropped,
+         CAST(SUM(CASE WHEN l_quantity <= 45 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_kept,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS price_seen
+       FROM lineitem""",
     "q_asof_join" ->
       """WITH ord AS (
            SELECT o_custkey AS k, o_orderdate, COUNT(*) AS n_orders

@@ -28,6 +28,20 @@ object SourceQueries {
     "src_jsonl_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsJsonl(s, dir))),
     "src_csv_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsCsv(s, dir))),
 
+    // schema evolution: a pre-`props` epoch and a full-schema epoch read
+    // together via mergeSchema — old rows surface NULL props, and the
+    // fidelity aggregate distinguishes them from genuinely-null values
+    "src_parquet_evolve" -> ((s, dir) => {
+      val merged = WireFormats.eventsParquetEvolved(s, dir)
+      merged.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("n_old_epoch"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // corrupt-record tolerance: PERMISSIVE parse of a dirty JSONL stage
     // — bad lines are quarantined per-row, never fail the scan, and the
     // valid rows' checksum proves none were dropped or misparsed
@@ -55,6 +69,16 @@ object SourceQueries {
   val oracles: Map[String, String] = Map(
     "src_jsonl_scan" -> FidelityOracle,
     "src_csv_scan" -> FidelityOracle,
+    "src_parquet_evolve" -> """
+       SELECT event_type,
+         count(*) AS n,
+         CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old_epoch,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+         CAST(sum(CASE WHEN event_id % 2 = 1
+           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
+           AS BIGINT) AS sum_k
+       FROM events GROUP BY event_type ORDER BY event_type""",
     "src_jsonl_corrupt" -> s"""
        SELECT
          CAST(SUM(CASE WHEN event_id % ${WireFormats.CorruptEvery} <> 0

@@ -99,4 +99,35 @@ object WireFormats {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(stageDirty(spark, sfDir))
       .cache()
+
+  /** Two parquet "epochs" of the events table: epoch 1 (even event_ids)
+    * written BEFORE the `props` column existed, epoch 2 (odd ids) with
+    * the full schema — the long-lived-lake reality that columns get
+    * added over a table's lifetime. */
+  private def stageEvolved(spark: SparkSession, sfDir: String): (String, String) =
+    synchronized {
+      val key = s"parquet_evolve_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dir = new java.io.File(s"/tmp/graft_wire/$key")
+      val (e1, e2) = (new java.io.File(dir, "e1"), new java.io.File(dir, "e2"))
+      if (!new java.io.File(e1, "_SUCCESS").exists() ||
+          !new java.io.File(e2, "_SUCCESS").exists()) {
+        dir.mkdirs()
+        val ev = Tables.events(spark, sfDir)
+        ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 0)
+          .drop("props")
+          .write.mode("overwrite").parquet(e1.toString)
+        ev.where(org.apache.spark.sql.functions.col("event_id") % 2 === 1)
+          .write.mode("overwrite").parquet(e2.toString)
+      }
+      (e1.toString, e2.toString)
+    }
+
+  /** Schema-evolution read: `mergeSchema` unions the epochs' footers —
+    * epoch-1 rows surface NULL `props`, nothing is rewritten. The merge
+    * cost is O(file footers), not O(data); a production lake pins the
+    * merged schema in a catalog and skips even that (same scan plan). */
+  def eventsParquetEvolved(spark: SparkSession, sfDir: String): DataFrame = {
+    val (e1, e2) = stageEvolved(spark, sfDir)
+    spark.read.option("mergeSchema", "true").parquet(e1, e2)
+  }
 }
