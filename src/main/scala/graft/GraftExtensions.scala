@@ -65,6 +65,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.NfcNormalize(exprs.head)
       }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
+    // Tier-(c) whole-operator extension: the grouped top-k logical node
+    // gets a physical plan (partial → shuffle ≤k/key → final), see
+    // graft.plans.TopKPerKey.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }
 

@@ -311,6 +311,21 @@ object RelationalQueries {
         .limit(15)
     }),
 
+    // Grouped top-k through the NATIVE plan operator (tier-(c) extension:
+    // custom LogicalPlan + SparkStrategy + SparkPlan, graft.plans.TopKPerKey).
+    // Partial phase keeps a k-bounded heap per key map-side so the shuffle
+    // carries ≤ k rows per key per partition — the window-rank formulation
+    // of the same query shuffles EVERY row. Plan + shuffle-volume pinned in
+    // TopKPlanSpec.
+    "q_topk_group_native" -> ((s, dir) => {
+      import s.implicits._
+      val o = t(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      graft.plans.TopK.perKey(o, Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 3)
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // observe() metrics: pipeline health counters collected DURING the
     // main query's own scan — no second pass over the data. The main
     // query here is a filter+write-shaped pass over lineitem; the
@@ -803,6 +818,13 @@ object RelationalQueries {
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 15""",
+    "q_topk_group_native" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
     "q_observe_metrics" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS rows_seen,
          CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS BIGINT)
