@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+  * Language Models via Importance Resampling"): score every document in a
+  * raw corpus by how much its hashed n-gram feature distribution looks
+  * like a target domain's, so a downstream sampler can resample the raw
+  * pool toward the target. The reference engine has no equivalent — this
+  * is charter §"training-data pipeline" surface, like Dedup/TextAnalysis.
+  *
+  * Shape, built for 100 TB:
+  *  - features are word bigrams built MAP-SIDE with array `transform`
+  *    (no per-doc window, no shuffle) and hashed into `B` buckets with
+  *    the codegen'd `fold_hash` — the hashing is what bounds the model:
+  *    whatever the vocabulary, the weight table is ≤ B rows.
+  *  - source and target bucket counts come from ONE partial-aggregated
+  *    shuffle of ≤ B·partitions rows (the target is a filter flag
+  *    aggregated in the same pass, not a second scan).
+  *  - the ≤ B-row weight table broadcast-joins back onto the feature
+  *    stream; per-doc scoring is one partial-agg shuffle on doc_id.
+  *  Two passes over the feature stream (estimate, then score) are
+  *  inherent to importance weighting; the stream is cached intra-query
+  *  and both passes are map-side until their bounded aggregations.
+  *
+  * Determinism/oracle parity: Laplace-smoothed ratio weights use one
+  * fixed IEEE division sequence ((tgt+1)/(tgtTot+B)) / ((src+1)/(srcTot+B))
+  * — no logs — and the per-doc mean runs through DECIMAL(38,18) so
+  * summation order can't move the result (ExtensionQueries ground rules).
+  */
+object Importance {
+
+  /** Feature-hash bucket count. 2^10 keeps the sf oracle exercisable;
+    * at 100 TB you'd raise it (DSIR's paper uses 10k hash buckets) — the
+    * weight table stays broadcastable at any plausible B. */
+  val Buckets = 1024
+
+  /** Per-document DSIR weight over hashed word-bigram features.
+    *
+    * @param target row predicate marking the target-domain sample
+    * @return (idCol, n_features, dsir_weight), docs with ≥1 bigram
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      target: Column): DataFrame = {
+    val spark = docs.sparkSession
+    graft.expressions.ShingleOps.ensureRegistered(spark)
+    val b = lit(Buckets.toLong)
+
+    // map-side bigrams: 0-based transform over the token array
+    val features = docs
+      .withColumn("toks", split(col(textCol), " "))
+      .withColumn("bg", expr(
+        """filter(transform(toks, (w, i) ->
+             CASE WHEN i + 1 < size(toks)
+                  THEN concat(w, ' ', toks[i + 1]) END),
+           x -> x IS NOT NULL)"""))
+      .select(col(idCol), target.as("is_target"), explode(col("bg")).as("bg"))
+      .select(col(idCol), col("is_target"),
+        (expr("fold_hash(bg)") % b).as("bucket"))
+      .cache() // two bounded-agg passes: estimate + score
+
+    // one pass for BOTH distributions: target rides as a filtered count
+    val stats = features.groupBy("bucket").agg(
+      count(lit(1)).as("src_n"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_n"))
+    val totals = stats.agg(
+      sum("src_n").as("src_tot"), sum("tgt_n").as("tgt_tot"))
+
+    val weights = stats.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (((col("tgt_n") + 1L).cast("double") / (col("tgt_tot") + b)) /
+         ((col("src_n") + 1L).cast("double") / (col("src_tot") + b))).as("wt"))
+
+    features
+      .join(broadcast(weights), "bucket")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_features"),
+        round(sum(col("wt").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("dsir_weight"))
+  }
+}

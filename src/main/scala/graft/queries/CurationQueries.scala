@@ -294,6 +294,16 @@ object CurationQueries {
           round(col("cx"), 6).as("cx"),
           col("n_members"))
         .orderBy("cluster_id", "i")
+    }),
+
+    // DSIR importance weighting: hashed-bigram distribution match against
+    // the src0 "target domain" — the resampling weight a 100 TB curation
+    // run would feed to data_sample_stratified / data_mix_weighted.
+    "data_dsir_weights" -> ((s, dir) => {
+      graft.operators.Importance.dsirWeights(
+          Tables.table(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy("doc_id")
     })
   )
 
@@ -720,6 +730,45 @@ object CurationQueries {
        SELECT CAST(p.cluster_id AS BIGINT) AS cluster_id, p.i,
          ROUND(p.cx, 6) AS cx, sizes.n_members
        FROM perdim p JOIN sizes USING (cluster_id)
-       ORDER BY cluster_id, i"""
+       ORDER BY cluster_id, i""",
+    // bigrams via 1-based list slices (range(1, len) = 1..len-1), the
+    // char fold is the fold_hash mirror (sids CTE in ExtensionQueries),
+    // weights are one fixed IEEE division sequence — no logs — and the
+    // per-doc mean goes through DECIMAL so order can't move it
+    "data_dsir_weights" -> s"""
+       WITH toks AS (
+         SELECT doc_id, source = 'src0' AS is_target,
+                string_split(text, ' ') AS t
+         FROM documents),
+       bgs AS (
+         SELECT doc_id, is_target,
+           unnest(list_transform(range(1, len(t)),
+             i -> t[i] || ' ' || t[i+1])) AS bg
+         FROM toks),
+       hb AS (
+         SELECT doc_id, is_target,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, length(bg) + 1),
+               i -> CAST(unicode(bg[i:i]) AS BIGINT))),
+             (acc, x) -> (acc * 131 + x) % ${graft.expressions.ShingleOps.P})
+             % ${graft.operators.Importance.Buckets} AS bucket
+         FROM bgs),
+       stats AS (
+         SELECT bucket, COUNT(*) AS src_n,
+           SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS tgt_n
+         FROM hb GROUP BY 1),
+       tot AS (SELECT SUM(src_n) AS src_tot, SUM(tgt_n) AS tgt_tot FROM stats),
+       w AS (
+         SELECT bucket,
+           (CAST(tgt_n + 1 AS DOUBLE)
+              / (tgt_tot + ${graft.operators.Importance.Buckets})) /
+           (CAST(src_n + 1 AS DOUBLE)
+              / (src_tot + ${graft.operators.Importance.Buckets})) AS wt
+         FROM stats CROSS JOIN tot)
+       SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         ROUND(CAST(SUM(CAST(wt AS DECIMAL(38,18))) AS DOUBLE)
+           / COUNT(*), 6) AS dsir_weight
+       FROM hb JOIN w USING (bucket)
+       GROUP BY doc_id ORDER BY doc_id"""
   )
 }

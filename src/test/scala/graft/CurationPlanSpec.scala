@@ -145,4 +145,21 @@ class CurationPlanSpec extends AnyFunSuite {
       exchanges.exists(_.contains("doc_id")),
       s"exchanges must key by seg and doc_id:\n$exchanges")
   }
+
+  test("dsirWeights: features build map-side (no window), weights broadcast back") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+    val df = graft.operators.Importance.dsirWeights(
+      docs, "doc_id", "text", col("source") === "src0")
+    val plan = finalPlan(df)
+    // bigrams come from array transform, not a per-doc lead() window — a
+    // Window here would mean a corpus shuffle before the first aggregate
+    assert(!plan.contains("Window"),
+      s"feature extraction must be map-side:\n$plan")
+    // the ≤B-row weight table must come back via broadcast, never by
+    // shuffling the feature stream a third time
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight table must broadcast onto the feature stream:\n$plan")
+    spark.catalog.clearCache() // release the intra-query feature cache
+  }
 }
