@@ -170,7 +170,41 @@ object LangModel {
     * consecutive occurrences. DuckDB mirrors the fold with
     * `list_reduce` over single-element lists prepended with an empty
     * accumulator, so every merge decision is bit-identical. */
-  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame = {
+  def bpeTrain(docs: DataFrame, textCol: String, rounds: Int = 3): DataFrame =
+    bpeRounds(docs, textCol, rounds)._2
+
+  /** BPE tokenizer APPLICATION — the other half of the train→apply loop
+    * a tokenizer ships with. Encodes at the VOCABULARY level: the merge
+    * rounds rewrite the word-frequency table (as in training) and each
+    * document then joins its words against the encoded vocab — per-doc
+    * cost is a hash join + one partial agg, never a per-document re-run
+    * of the merge fold. At 100 TB the vocab table is the bounded side;
+    * encoding new corpora against a FROZEN tokenizer is the same join
+    * with the vocab read from the artifact instead of recomputed.
+    *
+    * Output per document: word/token counts and an additive fold_hash
+    * checksum over emitted symbols — an exact, order-independent
+    * integer signature of the full token stream (bounded by
+    * words·len·P < 2^63, no overflow). */
+  def bpeEncode(docs: DataFrame, idCol: String, textCol: String,
+      rounds: Int = 3): DataFrame = {
+    graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
+    val vocab = bpeRounds(docs, textCol, rounds)._1
+    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .join(vocab.select(col("word"), col("syms")), "word")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("syms")).cast("long")).as("n_tokens"),
+        sum(expr(
+          "aggregate(syms, CAST(0 AS BIGINT), (acc, s) -> acc + fold_hash(s))"))
+          .as("sym_checksum"))
+  }
+
+  /** Shared merge-round loop: returns (final word table with its merged
+    * symbol lists, merge table). See [[bpeTrain]] for semantics. */
+  private def bpeRounds(docs: DataFrame, textCol: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     // each round's word table is cached: it is vocabulary-sized, every
     // round reads its predecessor twice (pair counting + merge
     // application), and round k's lineage otherwise re-runs the corpus
@@ -209,7 +243,7 @@ object LangModel {
               .otherwise(concat(acc, array(s)))).as("syms"))
         .cache()
     }
-    merges.select(col("rnd"), col("lft"), col("rgt"), col("pc"),
-      concat(col("lft"), col("rgt")).as("new_sym"))
+    (words, merges.select(col("rnd"), col("lft"), col("rgt"), col("pc"),
+      concat(col("lft"), col("rgt")).as("new_sym")))
   }
 }

@@ -35,6 +35,46 @@ object CurationQueries {
      dshingles AS (
        SELECT DISTINCT doc_id, shingle FROM dsh3 WHERE w3 IS NOT NULL)"""
 
+  /** BPE merge-round CTE chain shared by the train and encode oracles:
+    * word-frequency table → char symbols → 3 rounds of (pair count,
+    * lexicographic-tie argmax t{k}, strict-left-fold merge w{k}). Each
+    * w{k} applies the winning pair with the SAME fold as the Spark HOF
+    * (list_reduce over single-element lists with an empty-accumulator
+    * prepend; acc[-1] on the empty accumulator is NULL in DuckDB,
+    * falling to ELSE exactly like the Spark short-circuit). */
+  private def bpeRnd(k: Int): String = {
+    val prev = s"w${k - 1}"
+    s"""p$k AS (
+       SELECT syms[i] AS lft, syms[i+1] AS rgt,
+         CAST(SUM(cnt) AS BIGINT) AS pc
+       FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+             FROM $prev WHERE len(syms) >= 2)
+       GROUP BY 1, 2),
+     t$k AS (SELECT lft, rgt, pc FROM p$k
+             ORDER BY pc DESC, lft, rgt LIMIT 1),
+     w$k AS (
+       SELECT word, cnt,
+         list_reduce(
+           list_prepend(CAST([] AS VARCHAR[]),
+             list_transform(syms, s -> [s])),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.lft
+                                 AND x[1] = t.rgt
+                       THEN list_append(acc[1:len(acc)-1],
+                              t.lft || t.rgt)
+                       ELSE list_concat(acc, x) END) AS syms
+       FROM $prev, t$k t)"""
+  }
+
+  private lazy val BpeCtes: String =
+    s"""wd AS (
+       SELECT w AS word, COUNT(*) AS cnt
+       FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       GROUP BY 1),
+     w0 AS (SELECT word, cnt,
+       list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
+       FROM wd),
+     ${bpeRnd(1)}, ${bpeRnd(2)}, ${bpeRnd(3)}"""
+
   /** DuckDB twin of one KMeansOp.assign pass: nearest centroid from
     * `centCte` (cluster_id, c) for every vector in `emb` (vec_id, e). */
   private def sqlAssign(centCte: String): String =
@@ -170,6 +210,14 @@ object CurationQueries {
       graft.operators.LangModel
         .bpeTrain(Tables.table(s, dir, "documents"), "text", 3)
         .orderBy("rnd")
+    }),
+
+    // BPE tokenizer APPLICATION: vocab-level encode + per-doc join —
+    // the train→apply loop closed (tokens + exact symbol checksum)
+    "lm_bpe_encode" -> ((s, dir) => {
+      graft.operators.LangModel
+        .bpeEncode(Tables.table(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy("doc_id")
     }),
 
     // perplexity-style doc scoring under the corpus trigram model
@@ -595,43 +643,33 @@ object CurationQueries {
     // lists with an empty-accumulator prepend; acc[-1] on the empty
     // accumulator is NULL in DuckDB, falling to ELSE exactly like the
     // Spark short-circuit) — every merge decision is bit-identical
-    "lm_bpe_train" -> {
-      def rnd(k: Int): String = {
-        val prev = s"w${k - 1}"
-        s"""p$k AS (
-           SELECT syms[i] AS lft, syms[i+1] AS rgt,
-             CAST(SUM(cnt) AS BIGINT) AS pc
-           FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
-                 FROM $prev WHERE len(syms) >= 2)
-           GROUP BY 1, 2),
-         t$k AS (SELECT lft, rgt, pc FROM p$k
-                 ORDER BY pc DESC, lft, rgt LIMIT 1),
-         w$k AS (
-           SELECT word, cnt,
-             list_reduce(
-               list_prepend(CAST([] AS VARCHAR[]),
-                 list_transform(syms, s -> [s])),
-               (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.lft
-                                     AND x[1] = t.rgt
-                           THEN list_append(acc[1:len(acc)-1],
-                                  t.lft || t.rgt)
-                           ELSE list_concat(acc, x) END) AS syms
-           FROM $prev, t$k t)"""
-      }
-      s"""WITH wd AS (
-           SELECT w AS word, COUNT(*) AS cnt
-           FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-           GROUP BY 1),
-         w0 AS (SELECT word, cnt,
-           list_transform(range(1, len(word) + 1), i -> word[i:i]) AS syms
-           FROM wd),
-         ${rnd(1)}, ${rnd(2)}, ${rnd(3)}
+    "lm_bpe_train" ->
+      s"""WITH $BpeCtes
          SELECT * FROM (
            SELECT 1 AS rnd, lft, rgt, pc, lft || rgt AS new_sym FROM t1
            UNION ALL SELECT 2, lft, rgt, pc, lft || rgt FROM t2
            UNION ALL SELECT 3, lft, rgt, pc, lft || rgt FROM t3)
-         ORDER BY rnd"""
-    },
+         ORDER BY rnd""",
+    // encode = per-doc join against the trained w3 vocab; the checksum
+    // is an additive fold_hash over emitted symbols (nested list_reduce
+    // — per-symbol char fold summed per word, summed per doc)
+    "lm_bpe_encode" ->
+      s"""WITH $BpeCtes,
+         dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents),
+         enc AS (SELECT doc_id, syms FROM dw JOIN w3 USING (word))
+         SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+           CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(syms, s ->
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(1, length(s) + 1),
+                   j -> CAST(unicode(s[j:j]) AS BIGINT))),
+                 (acc, x) -> (acc * 131 + x)
+                   % ${graft.expressions.ShingleOps.P}))),
+             (acc, x) -> acc + x)) AS BIGINT) AS sym_checksum
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     "lm_vocab_topk" -> """
        WITH c AS (
          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
