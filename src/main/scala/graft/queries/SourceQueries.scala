@@ -42,6 +42,18 @@ object SourceQueries {
         .orderBy("event_type")
     }),
 
+    // DataSource V2 connector over the same JSONL wire bytes: pushed
+    // filters are evaluated inside the reader (they leave the plan
+    // entirely), the scan materializes only the projected columns, and
+    // row-level parity against the parquet oracle proves the absorbed
+    // evaluation is Catalyst-exact
+    "src_dsv2_pushdown" -> ((s, dir) => {
+      s.read.format("cdc-wire").load(WireFormats.jsonlDir(s, dir))
+        .where(col("event_type") === "purchase" && col("user_id") < 30)
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     // corrupt-record tolerance: PERMISSIVE parse of a dirty JSONL stage
     // — bad lines are quarantined per-row, never fail the scan, and the
     // valid rows' checksum proves none were dropped or misparsed
@@ -79,6 +91,10 @@ object SourceQueries {
            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
            AS BIGINT) AS sum_k
        FROM events GROUP BY event_type ORDER BY event_type""",
+    "src_dsv2_pushdown" -> """
+       SELECT event_id, ts, user_id, value FROM events
+       WHERE event_type = 'purchase' AND user_id < 30
+       ORDER BY event_id""",
     "src_jsonl_corrupt" -> s"""
        SELECT
          CAST(SUM(CASE WHEN event_id % ${WireFormats.CorruptEvery} <> 0

@@ -47,6 +47,11 @@ object WireFormats {
       dir.toString
     }
 
+  /** Staged JSONL directory — shared with the [[CdcWireSource]] DSv2
+    * connector, which reads the same wire bytes through its own reader. */
+  def jsonlDir(spark: SparkSession, sfDir: String): String =
+    stage(spark, sfDir, "jsonl")
+
   /** JSON-lines read with explicit schema (no inference pass). */
   def eventsJsonl(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.schema(EventsSchema).option("timestampFormat", TsFormat)

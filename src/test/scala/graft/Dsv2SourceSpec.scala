@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FilterExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.{EqualTo, LessThan}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{CdcWireScan, WireFormats}
+
+/** The DSv2 wire connector's engine contracts, pinned on the PLAN — not
+  * just result parity: absorbed filters leave the plan, the scan schema
+  * is the projection, the limit reaches the reader, residual predicates
+  * stay behind as a post-scan Filter. */
+class Dsv2SourceSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def wire: DataFrame =
+    spark.read.format("cdc-wire").load(WireFormats.jsonlDir(spark, Sf))
+
+  private def scanOf(df: DataFrame): CdcWireScan =
+    df.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b.scan
+    }.get.asInstanceOf[CdcWireScan]
+
+  test("comparison filters are absorbed into the scan and leave the plan") {
+    val df = wire
+      .where(col("event_type") === "purchase" && col("user_id") < 30)
+      .select("event_id", "user_id")
+    val scan = scanOf(df)
+    assert(scan.pushed.contains(EqualTo("event_type", "purchase")))
+    assert(scan.pushed.exists {
+      case LessThan("user_id", v: Number) => v.longValue() == 30L
+      case _ => false
+    })
+    // fully-absorbed predicates are REMOVED: no post-scan Filter remains
+    val filters = df.queryExecution.executedPlan.collect {
+      case f: FilterExec => f
+    }
+    assert(filters.isEmpty, s"residual FilterExec left in plan: $filters")
+  }
+
+  test("column pruning: the scan reads exactly the projected columns") {
+    val df = wire.select("event_id", "value")
+    assert(scanOf(df).readSchema().fieldNames.toSeq ===
+      Seq("event_id", "value"))
+  }
+
+  test("a predicate the reader cannot absorb stays as a post-scan Filter") {
+    val df = wire.where(get_json_object(col("props"), "$.k") === "1")
+    val scan = scanOf(df)
+    assert(!scan.pushed.exists(_.references.contains("props")))
+    assert(df.queryExecution.executedPlan.collect {
+      case f: FilterExec => f
+    }.nonEmpty, "expected the json predicate to remain as a Filter")
+  }
+
+  test("limit is pushed to the reader, partially (global limit kept)") {
+    val df = wire.limit(3)
+    assert(scanOf(df).limit === 3)
+    assert(df.count() === 3)
+  }
+
+  test("one input partition per staged file") {
+    val files = new java.io.File(WireFormats.jsonlDir(spark, Sf))
+      .listFiles().count(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+    assert(scanOf(wire).planInputPartitions().length === files)
+    assert(files >= 1)
+  }
+
+  test("connector scan equals the parquet table row-for-row") {
+    val viaWire = wire
+      .where(col("event_type") === "purchase" && col("user_id") < 5)
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id").collect().toSeq
+    val viaParquet = graft.sources.Tables.events(spark, Sf)
+      .where(col("event_type") === "purchase" && col("user_id") < 5)
+      .select("event_id", "ts", "user_id", "value")
+      .orderBy("event_id").collect().toSeq
+    assert(viaWire.nonEmpty)
+    assert(viaWire === viaParquet)
+  }
+}
