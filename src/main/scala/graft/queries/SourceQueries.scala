@@ -54,6 +54,18 @@ object SourceQueries {
         .orderBy("event_id")
     }),
 
+    // DSv2 write path: events written through the connector's two-phase
+    // commit (task temp files -> driver rename; truncate-overwrite) and
+    // read back through the connector — the full fidelity aggregate over
+    // the round-tripped bytes must still equal the parquet oracle
+    "src_dsv2_roundtrip" -> ((s, dir) => {
+      val out = "/tmp/graft_wire/dsv2_out_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}"
+      graft.sources.Tables.events(s, dir)
+        .write.format("cdc-wire").mode("overwrite").save(out)
+      fidelityAgg(s.read.format("cdc-wire").load(out))
+    }),
+
     // corrupt-record tolerance: PERMISSIVE parse of a dirty JSONL stage
     // — bad lines are quarantined per-row, never fail the scan, and the
     // valid rows' checksum proves none were dropped or misparsed
@@ -91,6 +103,7 @@ object SourceQueries {
            THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END)
            AS BIGINT) AS sum_k
        FROM events GROUP BY event_type ORDER BY event_type""",
+    "src_dsv2_roundtrip" -> FidelityOracle,
     "src_dsv2_pushdown" -> """
        SELECT event_id, ts, user_id, value FROM events
        WHERE event_type = 'purchase' AND user_id < 30

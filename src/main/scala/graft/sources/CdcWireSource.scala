@@ -8,9 +8,10 @@ import java.time.format.DateTimeFormatter
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,6 +45,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class CdcWireSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cdc-wire"
+  override def supportsExternalMetadata(): Boolean = true
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WireFormats.EventsSchema
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -106,13 +108,16 @@ object CdcWireSource {
 }
 
 class CdcWireTable(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"cdc_wire($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CdcWireScanBuilder(path, tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new CdcWireWriteBuilder(path, info.schema())
 }
 
 class CdcWireScanBuilder(path: String, full: StructType)
@@ -164,6 +169,108 @@ class CdcWireReaderFactory(full: StructType, required: StructType,
       full, required, pushed, limit)
 }
 
+class CdcWireWriteBuilder(path: String, querySchema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new CdcWireWrite(path, querySchema, doTruncate)
+}
+
+case class CdcWireCommit(tmp: String, dest: String)
+    extends WriterCommitMessage
+
+/** Batch write with a real two-phase commit: every task writes to an
+  * underscore-prefixed temp file (invisible to the reader's listing),
+  * and only the DRIVER's commit — after Spark's commit coordinator has
+  * picked exactly one winning attempt per partition — renames winners
+  * into place. A failed or speculative task's output never becomes
+  * visible; abort deletes its temp. Truncate-overwrite removes the old
+  * visible files inside the same commit, so readers see old-or-new,
+  * never a mix of partial states. */
+class CdcWireWrite(path: String, querySchema: StructType, truncate: Boolean)
+    extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"CdcWireWrite(truncate=$truncate, ${querySchema.simpleString})"
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    new File(path).mkdirs()
+    new CdcWireWriterFactory(path, querySchema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    if (truncate) {
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith("_tmp-"))
+        .foreach(f => f.delete())
+    }
+    messages.foreach { case CdcWireCommit(tmp, dest) =>
+      val ok = new File(tmp).renameTo(new File(dir, dest))
+      require(ok, s"commit rename failed: $tmp -> $dest")
+    }
+    new java.io.FileOutputStream(new File(dir, "_SUCCESS")).close()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case CdcWireCommit(tmp, _) => new File(tmp).delete(); ()
+      case _ => ()
+    }
+}
+
+class CdcWireWriterFactory(path: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new CdcWireWriter(path, schema, partitionId, taskId)
+}
+
+/** Per-task JSON-lines writer matching the wire serde: schema-ordered
+  * fields, nulls omitted, timestamps at the explicit UTC micros
+  * pattern, doubles/longs through Jackson (shortest representation —
+  * the same bytes Spark's JSON writer emits, so the reader round-trips
+  * bit-exactly). */
+class CdcWireWriter(path: String, schema: StructType, partitionId: Int,
+    taskId: Long) extends DataWriter[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
+  private val tmp = new File(path, s"_tmp-$partitionId-$taskId.json")
+  private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+    new java.io.FileOutputStream(tmp), UTF_8))
+  private val fields = schema.fields
+
+  override def write(row: InternalRow): Unit = {
+    val node = mapper.createObjectNode()
+    var i = 0
+    while (i < fields.length) {
+      val f = fields(i)
+      if (!row.isNullAt(i)) f.dataType match {
+        case LongType => node.put(f.name, row.getLong(i))
+        case DoubleType => node.put(f.name, row.getDouble(i))
+        case StringType => node.put(f.name, row.getUTF8String(i).toString)
+        case TimestampType =>
+          val us = row.getLong(i)
+          val ldt = java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, ZoneOffset.UTC)
+          node.put(f.name, ldt.format(ts))
+          ()
+        case dt => sys.error(s"unsupported wire type $dt")
+      }
+      i += 1
+    }
+    out.write(mapper.writeValueAsString(node))
+    out.newLine()
+  }
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    CdcWireCommit(tmp.getAbsolutePath, s"part-$partitionId-$taskId.json")
+  }
+  override def abort(): Unit = {
+    out.close()
+    tmp.delete()
+    ()
+  }
+  override def close(): Unit = ()
+}
+
 /** Per-file line reader: parse → filter on parsed values → materialize
   * only required columns as an [[InternalRow]]. */
 class CdcWireReader(file: String, full: StructType, required: StructType,
@@ -174,6 +281,7 @@ class CdcWireReader(file: String, full: StructType, required: StructType,
     full.fields.map(f => f.name -> f.dataType).toMap
   private val reader = new BufferedReader(
     new InputStreamReader(new FileInputStream(file), UTF_8))
+  private val outNames: Array[String] = required.fields.map(_.name)
   private var current: InternalRow = _
   private var emitted = 0
 
@@ -207,8 +315,13 @@ class CdcWireReader(file: String, full: StructType, required: StructType,
       val node = mapper.readTree(line)
       val get = (name: String) => field(node, name)
       if (pushed.forall(CdcWireSource.eval(_, get))) {
-        current = InternalRow.fromSeq(
-          required.fields.toSeq.map(f => toCatalyst(get(f.name))))
+        val values = new Array[Any](outNames.length)
+        var i = 0
+        while (i < outNames.length) {
+          values(i) = toCatalyst(field(node, outNames(i)))
+          i += 1
+        }
+        current = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
         emitted += 1
         return true
       }

@@ -70,6 +70,35 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(files >= 1)
   }
 
+  test("write path: two-phase commit leaves only visible part files + _SUCCESS") {
+    val dir = new java.io.File(s"/tmp/graft_wire/dsv2_spec_${Fs.pid}")
+    val ev = graft.sources.Tables.events(spark, Sf)
+    ev.write.format("cdc-wire").mode("overwrite").save(dir.toString)
+    val names = dir.listFiles().map(_.getName).toSeq
+    assert(names.contains("_SUCCESS"))
+    assert(!names.exists(_.startsWith("_tmp-")), s"temp files survived: $names")
+    assert(names.count(_.startsWith("part-")) === ev.rdd.getNumPartitions)
+  }
+
+  test("write path: truncate-overwrite replaces prior content completely") {
+    val dir = s"/tmp/graft_wire/dsv2_spec_trunc_${Fs.pid}"
+    val ev = graft.sources.Tables.events(spark, Sf)
+    ev.write.format("cdc-wire").mode("overwrite").save(dir)
+    val subset = ev.where(col("event_type") === "purchase")
+    subset.write.format("cdc-wire").mode("overwrite").save(dir)
+    assert(spark.read.format("cdc-wire").load(dir).count() === subset.count())
+  }
+
+  test("write path: round-trip through the connector is value-exact") {
+    val dir = s"/tmp/graft_wire/dsv2_spec_rt_${Fs.pid}"
+    val ev = graft.sources.Tables.events(spark, Sf)
+    ev.write.format("cdc-wire").mode("overwrite").save(dir)
+    val back = spark.read.format("cdc-wire").load(dir)
+      .orderBy("event_id").collect().toSeq
+    assert(back === ev.orderBy("event_id").collect().toSeq)
+    assert(back.nonEmpty)
+  }
+
   test("connector scan equals the parquet table row-for-row") {
     val viaWire = wire
       .where(col("event_type") === "purchase" && col("user_id") < 5)
