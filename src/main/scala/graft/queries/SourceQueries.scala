@@ -66,6 +66,24 @@ object SourceQueries {
       fidelityAgg(s.read.format("cdc-wire").load(out))
     }),
 
+    // aggregate pushdown through the connector: the reader emits one
+    // pre-aggregated row per group PER FILE (filters applied first) and
+    // Spark's final aggregate merges the partials — the scan never
+    // ships a raw row. Sum absorbed for longs only; count/min/max are
+    // order-independent, so the result is oracle-exact by construction
+    "src_dsv2_agg_pushdown" -> ((s, dir) => {
+      s.read.format("cdc-wire").load(WireFormats.jsonlDir(s, dir))
+        .where(col("user_id") < 50)
+        .groupBy("event_type")
+        .agg(count(col("event_id")).as("n"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"),
+          min("value").as("min_val"),
+          max("value").as("max_val"),
+          sum("user_id").as("sum_users"))
+        .orderBy("event_type")
+    }),
+
     // corrupt-record tolerance: PERMISSIVE parse of a dirty JSONL stage
     // — bad lines are quarantined per-row, never fail the scan, and the
     // valid rows' checksum proves none were dropped or misparsed
@@ -104,6 +122,16 @@ object SourceQueries {
            AS BIGINT) AS sum_k
        FROM events GROUP BY event_type ORDER BY event_type""",
     "src_dsv2_roundtrip" -> FidelityOracle,
+    "src_dsv2_agg_pushdown" -> """
+       SELECT event_type,
+         count(event_id) AS n,
+         min(event_id) AS min_id,
+         max(event_id) AS max_id,
+         min(value) AS min_val,
+         max(value) AS max_val,
+         CAST(sum(user_id) AS BIGINT) AS sum_users
+       FROM events WHERE user_id < 50
+       GROUP BY event_type ORDER BY event_type""",
     "src_dsv2_pushdown" -> """
        SELECT event_id, ts, user_id, value FROM events
        WHERE event_type = 'purchase' AND user_id < 30

@@ -9,7 +9,8 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform, Expression => V2Expression}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources._
@@ -91,6 +92,36 @@ object CdcWireSource {
   /** Null-rejecting comparison, as Catalyst evaluates it. */
   private def nn(x: Any)(p: Any => Boolean): Boolean = x != null && p(x)
 
+  /** Aggregate kinds the reader can compute per file. All are
+    * MERGEABLE partials — min of mins, max of maxes, sum of counts —
+    * which is exactly what Spark's final aggregate applies on top when
+    * `supportCompletePushDown` is false. */
+  sealed trait WireAggFunc extends Serializable
+  case class AggCount(col: String) extends WireAggFunc
+  case object AggCountStar extends WireAggFunc
+  case class AggMin(col: String) extends WireAggFunc
+  case class AggMax(col: String) extends WireAggFunc
+  case class AggSum(col: String) extends WireAggFunc
+  case class WireAgg(groupCols: Seq[String], funcs: Seq[WireAggFunc])
+      extends Serializable
+
+  /** The scan's output schema in aggregate mode: group columns first,
+    * then one column per pushed function, positionally matching what
+    * `V2ScanRelationPushDown` expects (count/sum partials are LongType;
+    * min/max keep the column's type). */
+  def aggSchema(full: StructType, spec: WireAgg): StructType = {
+    val t = full.fields.map(f => f.name -> f.dataType).toMap
+    StructType(
+      spec.groupCols.map(c => StructField(c, t(c))) ++
+      spec.funcs.map {
+        case AggCount(c) => StructField(s"count_$c", LongType)
+        case AggCountStar => StructField("count_star", LongType)
+        case AggMin(c) => StructField(s"min_$c", t(c))
+        case AggMax(c) => StructField(s"max_$c", t(c))
+        case AggSum(c) => StructField(s"sum_$c", LongType)
+      })
+  }
+
   def eval(f: Filter, get: String => Any): Boolean = f match {
     case EqualTo(a, v) => nn(get(a))(cmp(_, v) == 0)
     case GreaterThan(a, v) => nn(get(a))(cmp(_, v) > 0)
@@ -122,10 +153,14 @@ class CdcWireTable(path: String, tableSchema: StructType)
 
 class CdcWireScanBuilder(path: String, full: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import CdcWireSource._
+
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var limit: Int = -1
+  private var agg: Option[WireAgg] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(CdcWireSource.absorbs)
@@ -134,22 +169,66 @@ class CdcWireScanBuilder(path: String, full: StructType)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
+    // in aggregate mode the scan's schema is the aggregate schema —
+    // Spark re-prunes with that same schema, which must not clobber it
+    if (agg.isEmpty) required = requiredSchema
   // partial push: each partition stops at `l` rows; Spark keeps the
   // global limit (return false), so correctness never rests on it
   override def pushLimit(l: Int): Boolean = { limit = l; false }
-  override def build(): Scan = new CdcWireScan(path, full, required, pushed, limit)
+
+  /** Partial aggregate pushdown ([[SupportsPushDownAggregates]]): the
+    * reader emits one pre-aggregated row per group PER FILE and Spark's
+    * final aggregate merges the partials (min-of-mins, sum-of-counts),
+    * so correctness never depends on the source seeing all files — the
+    * distributed-safe contract. Complete pushdown is declined (default
+    * `supportCompletePushDown` = false). Sum is absorbed only for long
+    * columns: double summation is order-dependent, and a source must
+    * never change float semantics behind the plan's back. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def colOf(e: V2Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0)).filter(c => full.fieldNames.contains(c))
+      case _ => None
+    }
+    def typeOf(c: String): DataType = full(full.fieldIndex(c)).dataType
+    val comparable: String => Boolean = c => typeOf(c) match {
+      case LongType | DoubleType | StringType => true
+      case _ => false
+    }
+    val groups = aggregation.groupByExpressions.toSeq.map(colOf)
+    if (groups.exists(g => g.isEmpty || !comparable(g.get))) return false
+    val funcs: Seq[Option[WireAggFunc]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(AggCountStar)
+        case c: Count if !c.isDistinct => colOf(c.column).map(AggCount)
+        case m: Min => colOf(m.column).filter(comparable).map(AggMin)
+        case m: Max => colOf(m.column).filter(comparable).map(AggMax)
+        case s: Sum if !s.isDistinct =>
+          colOf(s.column).filter(typeOf(_) == LongType).map(AggSum)
+        case _ => None
+      }
+    if (funcs.isEmpty || funcs.exists(_.isEmpty)) return false
+    agg = Some(WireAgg(groups.map(_.get), funcs.map(_.get)))
+    true
+  }
+
+  override def build(): Scan =
+    new CdcWireScan(path, full, agg.map(aggSchema(full, _)).getOrElse(required),
+      pushed, if (agg.isDefined) -1 else limit, agg)
 }
 
 case class CdcWireFilePartition(file: String) extends InputPartition
 
 class CdcWireScan(path: String, full: StructType, val required: StructType,
-    val pushed: Array[Filter], val limit: Int) extends Scan with Batch {
+    val pushed: Array[Filter], val limit: Int,
+    val agg: Option[CdcWireSource.WireAgg] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"CdcWireScan PushedFilters: [${pushed.mkString(", ")}], " +
-      s"ReadSchema: ${required.simpleString}, PushedLimit: $limit"
+      s"ReadSchema: ${required.simpleString}, PushedLimit: $limit" +
+      agg.map(a => s", PushedAggregation: [${a.funcs.mkString(", ")}], " +
+        s"PushedGroupBy: [${a.groupCols.mkString(", ")}]").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] = {
     val files = Option(new File(path).listFiles()).getOrElse(Array.empty)
     files.filter(f => f.isFile && !f.getName.startsWith("_") &&
@@ -158,15 +237,19 @@ class CdcWireScan(path: String, full: StructType, val required: StructType,
       .map(f => CdcWireFilePartition(f.getAbsolutePath): InputPartition)
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new CdcWireReaderFactory(full, required, pushed, limit)
+    new CdcWireReaderFactory(full, required, pushed, limit, agg)
 }
 
 class CdcWireReaderFactory(full: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new CdcWireReader(
-      partition.asInstanceOf[CdcWireFilePartition].file,
-      full, required, pushed, limit)
+    pushed: Array[Filter], limit: Int,
+    agg: Option[CdcWireSource.WireAgg] = None) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[CdcWireFilePartition].file
+    agg match {
+      case Some(spec) => new CdcWireAggReader(file, full, pushed, spec)
+      case None => new CdcWireReader(file, full, required, pushed, limit)
+    }
+  }
 }
 
 class CdcWireWriteBuilder(path: String, querySchema: StructType)
@@ -271,24 +354,16 @@ class CdcWireWriter(path: String, schema: StructType, partitionId: Int,
   override def close(): Unit = ()
 }
 
-/** Per-file line reader: parse → filter on parsed values → materialize
-  * only required columns as an [[InternalRow]]. */
-class CdcWireReader(file: String, full: StructType, required: StructType,
-    pushed: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
-  private val mapper = new ObjectMapper()
+/** Shared line-parse kernel for the wire readers: typed value
+  * extraction per the table schema. Strings stay JVM strings here —
+  * filters compare pre-conversion; UTF8String conversion happens only
+  * for values that reach an output row. */
+private[sources] class WireLineParser(full: StructType) extends Serializable {
   private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
   private val types: Map[String, DataType] =
     full.fields.map(f => f.name -> f.dataType).toMap
-  private val reader = new BufferedReader(
-    new InputStreamReader(new FileInputStream(file), UTF_8))
-  private val outNames: Array[String] = required.fields.map(_.name)
-  private var current: InternalRow = _
-  private var emitted = 0
 
-  /** Typed value of `name` in the parsed line (null-safe). Strings stay
-    * JVM strings here — filters compare pre-conversion; UTF8String
-    * conversion happens only for columns that survive projection. */
-  private def field(node: JsonNode, name: String): Any = {
+  def field(node: JsonNode, name: String): Any = {
     val n = node.get(name)
     if (n == null || n.isNull) null
     else types(name) match {
@@ -303,10 +378,26 @@ class CdcWireReader(file: String, full: StructType, required: StructType,
     }
   }
 
-  private def toCatalyst(v: Any): Any = v match {
+  def toCatalyst(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)
     case other => other
   }
+}
+
+/** Per-file line reader: parse → filter on parsed values → materialize
+  * only required columns as an [[InternalRow]]. */
+class CdcWireReader(file: String, full: StructType, required: StructType,
+    pushed: Array[Filter], limit: Int) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val parser = new WireLineParser(full)
+  private val reader = new BufferedReader(
+    new InputStreamReader(new FileInputStream(file), UTF_8))
+  private val outNames: Array[String] = required.fields.map(_.name)
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  private def field(node: JsonNode, name: String): Any = parser.field(node, name)
+  private def toCatalyst(v: Any): Any = parser.toCatalyst(v)
 
   override def next(): Boolean = {
     if (limit >= 0 && emitted >= limit) return false
@@ -331,4 +422,119 @@ class CdcWireReader(file: String, full: StructType, required: StructType,
   }
   override def get(): InternalRow = current
   override def close(): Unit = reader.close()
+}
+
+/** Aggregate-mode per-file reader: one pass over the file's lines
+  * (pushed filters applied first), accumulating per-group partials in
+  * a hash map, then one output row per group. Each FILE produces its
+  * own partials — Spark's final aggregate merges across files, so a
+  * straggler or retry of one partition never affects another's result.
+  * Memory is O(groups in this file), not O(rows): the 100 TB contract
+  * is that group cardinality per file is bounded (it is here —
+  * event_type), and an unexpectedly-wide group-by simply falls back at
+  * plan time because [[CdcWireScanBuilder.pushAggregation]] only
+  * absorbs columns it knows. */
+class CdcWireAggReader(file: String, full: StructType,
+    pushed: Array[Filter], spec: CdcWireSource.WireAgg)
+    extends PartitionReader[InternalRow] {
+  import CdcWireSource._
+
+  private val mapper = new ObjectMapper()
+  private val parser = new WireLineParser(full)
+
+  /** Catalyst-binary string order (UTF8String), so pushed MIN/MAX over
+    * strings agree with what the engine would have computed. */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x, y) < 0
+    case (x: String, y: String) =>
+      UTF8String.fromString(x).compareTo(UTF8String.fromString(y)) < 0
+    case _ => sys.error(s"incomparable: ${a.getClass}")
+  }
+
+  private var it: Iterator[InternalRow] = _
+  private var current: InternalRow = _
+
+  private def run(): Iterator[InternalRow] = {
+    val acc = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+    val reader = new BufferedReader(
+      new InputStreamReader(new FileInputStream(file), UTF_8))
+    try {
+      var line = reader.readLine()
+      while (line != null) {
+        val node = mapper.readTree(line)
+        val get = (name: String) => parser.field(node, name)
+        if (pushed.forall(CdcWireSource.eval(_, get))) {
+          val key: Seq[Any] = spec.groupCols.map(get)
+          var slots = acc.get(key)
+          if (slots == null) {
+            slots = new Array[Any](spec.funcs.length)
+            var i = 0
+            while (i < spec.funcs.length) {
+              slots(i) = spec.funcs(i) match {
+                case AggCount(_) | AggCountStar => java.lang.Long.valueOf(0L)
+                case _ => null
+              }
+              i += 1
+            }
+            acc.put(key, slots)
+          }
+          var i = 0
+          while (i < spec.funcs.length) {
+            spec.funcs(i) match {
+              case AggCountStar =>
+                slots(i) = java.lang.Long.valueOf(
+                  slots(i).asInstanceOf[java.lang.Long] + 1L)
+              case AggCount(c) => if (get(c) != null)
+                slots(i) = java.lang.Long.valueOf(
+                  slots(i).asInstanceOf[java.lang.Long] + 1L)
+              case AggMin(c) =>
+                val v = get(c)
+                if (v != null && (slots(i) == null || lt(v, slots(i))))
+                  slots(i) = v
+              case AggMax(c) =>
+                val v = get(c)
+                if (v != null && (slots(i) == null || lt(slots(i), v)))
+                  slots(i) = v
+              case AggSum(c) =>
+                val v = get(c)
+                if (v != null) {
+                  val prev = if (slots(i) == null) 0L
+                    else slots(i).asInstanceOf[java.lang.Long].longValue()
+                  slots(i) = java.lang.Long.valueOf(
+                    prev + v.asInstanceOf[java.lang.Long])
+                }
+            }
+            i += 1
+          }
+        }
+        line = reader.readLine()
+      }
+    } finally reader.close()
+    // a global aggregate must yield exactly one partial row per file,
+    // even over zero matching lines (count 0 / null min-max partials)
+    if (spec.groupCols.isEmpty && acc.isEmpty) {
+      val slots = spec.funcs.map {
+        case AggCount(_) | AggCountStar => java.lang.Long.valueOf(0L): Any
+        case _ => null: Any
+      }.toArray
+      acc.put(Nil, slots)
+    }
+    import scala.jdk.CollectionConverters._
+    acc.entrySet().iterator().asScala.map { e =>
+      val values = new Array[Any](spec.groupCols.length + spec.funcs.length)
+      var i = 0
+      e.getKey.foreach { g => values(i) = parser.toCatalyst(g); i += 1 }
+      e.getValue.foreach { a => values(i) = parser.toCatalyst(a); i += 1 }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(values)
+    }
+  }
+
+  override def next(): Boolean = {
+    if (it == null) it = run()
+    if (it.hasNext) { current = it.next(); true } else false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }

@@ -19,10 +19,15 @@ class Dsv2SourceSpec extends AnyFunSuite {
   private def wire: DataFrame =
     spark.read.format("cdc-wire").load(WireFormats.jsonlDir(spark, Sf))
 
-  private def scanOf(df: DataFrame): CdcWireScan =
-    df.queryExecution.executedPlan.collectFirst {
-      case b: BatchScanExec => b.scan
-    }.get.asInstanceOf[CdcWireScan]
+  private def scanOf(df: DataFrame): CdcWireScan = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case b: BatchScanExec => b.scan }
+      .get.asInstanceOf[CdcWireScan]
+  }
 
   test("comparison filters are absorbed into the scan and leave the plan") {
     val df = wire
@@ -97,6 +102,48 @@ class Dsv2SourceSpec extends AnyFunSuite {
       .orderBy("event_id").collect().toSeq
     assert(back === ev.orderBy("event_id").collect().toSeq)
     assert(back.nonEmpty)
+  }
+
+  test("aggregate pushdown: scan emits pre-aggregated partials, merged by Spark") {
+    val df = wire
+      .where(col("user_id") < 50)
+      .groupBy("event_type")
+      .agg(count(col("event_id")).as("n"), min("event_id").as("min_id"),
+        max("value").as("max_val"), sum("user_id").as("sum_users"))
+    val scan = scanOf(df)
+    assert(scan.agg.isDefined, "aggregation was not pushed")
+    assert(scan.agg.get.groupCols === Seq("event_type"))
+    // scan output is the aggregate schema, not raw rows
+    assert(scan.readSchema().length === 5)
+    assert(scan.description().contains("PushedAggregation"))
+    // partial merge across files is exact: parity with the parquet twin
+    val viaParquet = graft.sources.Tables.events(spark, Sf)
+      .where(col("user_id") < 50)
+      .groupBy("event_type")
+      .agg(count(col("event_id")).as("n"), min("event_id").as("min_id"),
+        max("value").as("max_val"), sum("user_id").as("sum_users"))
+      .orderBy("event_type").collect().toSeq
+    assert(df.orderBy("event_type").collect().toSeq === viaParquet)
+    assert(viaParquet.nonEmpty)
+  }
+
+  test("aggregate pushdown: global aggregate over an empty selection is exact") {
+    val agg = wire.where(col("user_id") < -1)
+      .agg(count(col("event_id")).as("n"), min("event_id").as("min_id"))
+    assert(scanOf(agg).agg.isDefined)
+    val row = agg.collect()(0)
+    assert(row.getLong(0) === 0L)
+    assert(row.isNullAt(1))
+  }
+
+  test("aggregate pushdown declines what the reader cannot merge safely") {
+    // double SUM is order-dependent: must NOT be absorbed
+    val df = wire.groupBy("event_type").agg(sum("value").as("s"))
+    assert(scanOf(df).agg.isEmpty)
+    // distinct counts are not mergeable partials: must NOT be absorbed
+    val dd = wire.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("d"))
+    assert(scanOf(dd).agg.isEmpty)
   }
 
   test("connector scan equals the parquet table row-for-row") {
