@@ -42,6 +42,25 @@ object CdcQueries {
     "cdc_sink_partitioned" -> ((s, dir) =>
       ReplicaSink.readNation(s, dir, 7).orderBy("c_custkey")),
 
+    // Dynamic partition pruning over the partitioned replica: the filter
+    // lives on the DIM side (nation.n_regionkey), yet the fact scan must
+    // only read the surviving nations' partition directories — Spark
+    // inserts a dynamicpruning subquery into PartitionFilters, reusing
+    // the join's broadcast. At 100 TB this is runtime partition pruning:
+    // the scan set is decided by the dim filter's result, not statically.
+    // SinkSpec pins the dynamicpruning expression in the executed plan.
+    "q_dpp_join" -> ((s, dir) => {
+      val fact = s.read.parquet(ReplicaSink.partitionedReplica(s, dir))
+      val dim = graft.sources.Tables.table(s, dir, "nation")
+        .where(col("n_regionkey") === 1)
+      fact.join(dim, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("total_bal"))
+        .orderBy("n_name")
+    }),
+
     // D10 — changelog apply, faithful full-image multiset path.
     "cdc_apply_full_image" -> ((s, dir) => {
       val events = CdcGen.customerEvents(s, dir)
@@ -283,6 +302,17 @@ object CdcQueries {
          CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
          FROM customer WHERE c_custkey % 7 <> 0 AND c_nationkey = 7
          ORDER BY c_custkey""",
+    "q_dpp_join" ->
+      """WITH replica AS (
+         SELECT c_custkey, c_nationkey,
+           c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END)
+             AS c_acctbal
+         FROM customer WHERE c_custkey % 7 <> 0)
+         SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM replica JOIN nation ON c_nationkey = n_nationkey
+         WHERE n_regionkey = 1
+         GROUP BY n_name ORDER BY n_name""",
     "cdc_apply_full_image" -> ApplyOracle,
     "cdc_json_roundtrip" -> ApplyOracle,
     "cdc_filter_db_producer" -> s"""$MdeCte

@@ -20,6 +20,18 @@ class SinkSpec extends AnyFunSuite {
       s"nation filter leaked into PushedFilters (full scan), plan:\n$plan")
   }
 
+  test("dim-side filter prunes the fact scan at runtime (dynamic partition pruning)") {
+    val df = graft.queries.CdcQueries.queries("q_dpp_join")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in PartitionFilters, plan:\n$plan")
+    // and it must sit in PartitionFilters (listing-level pruning), not as
+    // a post-scan data filter
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*dynamicpruning[^\\]]*\\].*"),
+      s"dynamicpruning not in PartitionFilters, plan:\n$plan")
+    assert(df.collect().nonEmpty)
+  }
+
   test("partitioned replica: read-back equals the direct apply for that nation") {
     import spark.implicits._
     val direct = graft.operators.ChangelogApply.customerSnapshot(spark, Sf)
