@@ -208,6 +208,16 @@ object ExtensionQueries {
         .orderBy("split")
     }),
 
+    // Z-order layout + file-level min/max skipping: events laid out by
+    // the Morton interleave of (user_id, event_id); a 2-D box query
+    // consults the per-file stats manifest and reads only intersecting
+    // files (ZOrderSpec pins the pruning), then applies the exact
+    // predicate — results identical to a full scan by construction
+    "data_zorder_skip" -> ((s, dir) => {
+      ZOrderLayout.readBox(s, dir, 40L, 59L, 2000L, 3999L)
+        .orderBy("event_id")
+    }),
+
     // PII scrub over planted emails/phones: redact + count removals.
     // The raw corpus has no PII, so plant it deterministically (same
     // pattern as ExtCorpus's planted duplicates) — every 5th doc gains an
@@ -523,6 +533,11 @@ object ExtensionQueries {
              i -> (mn + codes[i] * scale - emb[i]) * (mn + codes[i] * scale - emb[i])),
            (acc, x) -> acc + x) / len(emb), 6) AS recon_mse
        FROM cd ORDER BY vec_id""",
+    "data_zorder_skip" -> """
+       SELECT event_id, user_id, value FROM events
+       WHERE user_id BETWEEN 40 AND 59
+         AND event_id BETWEEN 2000 AND 3999
+       ORDER BY event_id""",
     "data_split" -> """
        WITH s AS (
          SELECT doc_id,
