@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, BloomJoin, SaltedJoin}
 
 /** General relational engine surface (SURVEY.md §2.6 absence-list
   * categories, implemented Spark-first): joins (broadcast/semi/anti/as-of/
@@ -409,6 +409,29 @@ object RelationalQueries {
       a.join(b, $"b_region" === $"a_region" + 1)
         .groupBy($"a_region").agg(count(lit(1)).as("n_pairs"))
         .orderBy($"a_region")
+    }),
+
+    // Bloom-pruned join: the fact side is filtered map-side by a Bloom
+    // filter of the dim's key set BEFORE the join — the shape broadcast
+    // can't save (dim too big to broadcast as rows, key set fits bloom
+    // bits). False positives die in the real join; the result is
+    // exactly the unpruned join's (BloomJoinSpec pins prune + parity).
+    "q_bloom_prune_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "orders").where($"o_totalprice" > 400000.0)
+        .select($"o_orderkey", $"o_orderpriority")
+      val pruned = BloomJoin.pruneFact(
+        t(s, dir, "lineitem"), "l_orderkey", dim, "o_orderkey", dim.count())
+      pruned.join(dim, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          // products are price(2dp) × (1 - disc(2dp)) = exactly 4
+          // decimal digits; quantizing each row at 4dp recovers the
+          // identical decimal on both engines (binary error ~1e-11 ≪
+          // 0.5e-4), so the decimal sums match bit-exactly
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast("decimal(18,4)")).cast("double").as("revenue"))
+        .orderBy($"o_orderpriority")
     }),
 
     // Distinct aggregation.
@@ -863,6 +886,13 @@ object RelationalQueries {
     "q_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_bloom_prune_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_totalprice > 400000
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_approx_distinct" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
          TRUE AS approx_ok
