@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, BloomJoin, SaltedJoin}
+import graft.operators.{AsOfJoin, BloomJoin, IncrementalAgg, SaltedJoin}
 
 /** General relational engine surface (SURVEY.md §2.6 absence-list
   * categories, implemented Spark-first): joins (broadcast/semi/anti/as-of/
@@ -432,6 +432,24 @@ object RelationalQueries {
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
             .cast("decimal(18,4)")).cast("double").as("revenue"))
         .orderBy($"o_orderpriority")
+    }),
+
+    // Incrementally-maintained aggregate table (MV maintenance): the
+    // log arrives as three append batches, each folded into the stored
+    // partials at O(delta + groups) — the already-processed batches
+    // are never rescanned. Algebraic partials make the N-batch fold
+    // bit-identical to one aggregation of the whole log (the oracle).
+    "q_incremental_agg" -> ((s, dir) => {
+      import s.implicits._
+      val stateDir = "/tmp/graft_incragg/" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}"
+      graft.Fs.deleteRecursively(new java.io.File(stateDir))
+      val ev = t(s, dir, "events")
+      Seq(0L, 1L, 2L).foreach { epoch =>
+        IncrementalAgg.update(s, stateDir,
+          ev.where($"event_id" % 3 === epoch))
+      }
+      IncrementalAgg.read(s, stateDir).orderBy("event_type")
     }),
 
     // Distinct aggregation.
@@ -885,6 +903,12 @@ object RelationalQueries {
          GROUP BY 1 ORDER BY a_region""",
     "q_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS users, COUNT(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(user_id) AS BIGINT) AS sum_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_bloom_prune_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
