@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
   *  - the ≤ B-row weight table broadcast-joins back onto the feature
   *    stream; per-doc scoring is one partial-agg shuffle on doc_id.
   *  Two passes over the feature stream (estimate, then score) are
-  *  inherent to importance weighting; the stream is cached intra-query
-  *  and both passes are map-side until their bounded aggregations.
+  *  inherent to importance weighting; the stream is pre-aggregated to
+  *  (doc, bucket, n) multiplicities — map-side combine, then one shuffle
+  *  — before caching, so the cached form is ≤ docs·B rows however long
+  *  the documents are, and both passes start from the compacted form.
   *
   * Determinism/oracle parity: Laplace-smoothed ratio weights use one
   * fixed IEEE division sequence ((tgt+1)/(tgtTot+B)) / ((src+1)/(srcTot+B))
@@ -48,7 +50,8 @@ object Importance {
     val b = lit(Buckets.toLong)
 
     // map-side bigrams: 0-based transform over the token array
-    val features = docs
+    // (fanned out: the bigram build + fold_hash is the CPU-heavy stage)
+    val features = graft.sources.Tables.fanout(docs)
       .withColumn("toks", split(col(textCol), " "))
       .withColumn("bg", expr(
         """filter(transform(toks, (w, i) ->
@@ -58,12 +61,20 @@ object Importance {
       .select(col(idCol), target.as("is_target"), explode(col("bg")).as("bg"))
       .select(col(idCol), col("is_target"),
         (expr("fold_hash(bg)") % b).as("bucket"))
+      // pre-aggregate to (doc, bucket) multiplicity BEFORE caching: the
+      // cache holds ≤ docs·B rows instead of one row per bigram
+      // occurrence, and both downstream passes (estimate, score) start
+      // from the compacted form. Map-side combine does most of the
+      // reduction before the one shuffle. is_target is doc-functional,
+      // so adding it to the key splits nothing.
+      .groupBy(col(idCol), col("is_target"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
       .cache() // two bounded-agg passes: estimate + score
 
     // one pass for BOTH distributions: target rides as a filtered count
     val stats = features.groupBy("bucket").agg(
-      count(lit(1)).as("src_n"),
-      sum(when(col("is_target"), 1L).otherwise(0L)).as("tgt_n"))
+      sum(col("n")).as("src_n"),
+      sum(when(col("is_target"), col("n")).otherwise(0L)).as("tgt_n"))
     val totals = stats.agg(
       sum("src_n").as("src_tot"), sum("tgt_n").as("tgt_tot"))
 
@@ -72,12 +83,17 @@ object Importance {
         (((col("tgt_n") + 1L).cast("double") / (col("tgt_tot") + b)) /
          ((col("src_n") + 1L).cast("double") / (col("src_tot") + b))).as("wt"))
 
+    // n·dec18(wt) computed EXACTLY: decimal(28,18) × decimal(8,0) →
+    // decimal(37,18), inside the 38 cap, so no scale truncation — the sum
+    // is bit-identical to n separate additions of dec18(wt), i.e. to the
+    // pre-compaction form the DuckDB oracle still spells out.
     features
       .join(broadcast(weights), "bucket")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_features"),
-        round(sum(col("wt").cast("decimal(38,18)")).cast("double") /
-          count(lit(1)), 6).as("dsir_weight"))
+        sum(col("n")).as("n_features"),
+        round(sum(col("wt").cast("decimal(28,18)") *
+            col("n").cast("decimal(8,0)")).cast("double") /
+          sum(col("n")), 6).as("dsir_weight"))
   }
 }

@@ -25,7 +25,8 @@ object LangModel {
     * distinct — counts need multiplicity; c.f. Dedup.shingles). */
   def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(col(textCol), " ")
-    docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+    graft.sources.Tables.fanout(docs)
+      .select(col(idCol).as("doc_id"), toks.as("toks"),
         posexplode(toks).as(Seq("i", "w1")))
       .where(col("i") + 2 < size(col("toks")))
       .select(col("doc_id"), col("w1"),
@@ -72,7 +73,8 @@ object LangModel {
       minCount: Long = 5L, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = split(col(textCol), " ")
-    val bi = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+    val bi = graft.sources.Tables.fanout(docs)
+      .select(col(idCol).as("doc_id"), toks.as("toks"),
         posexplode(toks).as(Seq("i", "w1")))
       .where(col("i") + 1 < size(col("toks")))
       .select(col("w1"), element_at(col("toks"), col("i") + 2).as("w2"))
@@ -110,7 +112,7 @@ object LangModel {
     * -token corpus would need the decimal cast — documented, not hit). */
   def vocabTopK(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = docs
+    val counts = graft.sources.Tables.fanout(docs)
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
@@ -190,7 +192,8 @@ object LangModel {
       rounds: Int = 3): DataFrame = {
     graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
     val vocab = bpeRounds(docs, textCol, rounds)._1
-    docs.select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+    graft.sources.Tables.fanout(docs)
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .join(vocab.select(col("word"), col("syms")), "word")
       .groupBy(col(idCol))
       .agg(
@@ -210,7 +213,7 @@ object LangModel {
     // application), and round k's lineage otherwise re-runs the corpus
     // explode and all previous rounds from scratch (pipeline-level
     // clearCache releases these, same lifecycle as the dedup caches)
-    var words = docs
+    var words = graft.sources.Tables.fanout(docs)
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("word"), col("cnt"),

@@ -104,8 +104,8 @@ object TextAnalysis {
   def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = docs.select(col(idCol).as("doc_id"),
-      explode(tokens(col(textCol))).as("term"))
+    val terms = graft.sources.Tables.fanout(docs)
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
@@ -169,7 +169,8 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
     val toks = split(col(textCol), " ")
-    val tri = docs.select(col(idCol).as("doc_id"), toks.as("toks"),
+    val tri = graft.sources.Tables.fanout(docs)
+      .select(col(idCol).as("doc_id"), toks.as("toks"),
         posexplode(toks).as(Seq("i", "w1")))
       .where(col("i") + 2 < size(col("toks")))
       .select(col("doc_id"), col("i"),

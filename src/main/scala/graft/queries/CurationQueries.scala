@@ -159,8 +159,9 @@ object CurationQueries {
     // ann_ivf_topk, but the cells come from the data, not the labels.
     "ann_ivf_trained" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
         .cache()
       val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
       val cents = KMeansOp.update(assigned, "embedding")
@@ -238,7 +239,7 @@ object CurationQueries {
     // filter interactions) and that the composite stays one pipeline:
     // the gates and hashes are map-side, dedup adds the one groupBy.
     "pipeline_curate" -> ((s, dir) => {
-      val docs = Tables.table(s, dir, "documents")
+      val docs = Tables.fanout(Tables.table(s, dir, "documents"))
       val gated = Curation.repeatedNgrams(docs, "doc_id", "text")
         .where(col("keep"))
         .join(docs, "doc_id")
@@ -329,8 +330,9 @@ object CurationQueries {
     // The casted corpus is cached: every assign pass re-scans it (like a
     // real trainer would — per-query lifecycle, see Bench).
     "kmeans_train" -> ((s, dir) => {
-      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")))
         .cache()
       val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
       val sizes = assigned.groupBy(col("cluster_id"))

@@ -94,9 +94,9 @@ object ExtCorpus {
       transform($"embedding", (x, i) =>
         (x.cast("double") + lit(0.01) * ((i % 5).cast("double") - 2.0))
       ).as("embedding"))
-    e.select($"vec_id", $"label",
+    Tables.fanout(e.select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("embedding"))
-      .unionByName(near)
+      .unionByName(near))
   }
 
   /** DuckDB twin of embCorpus. Elementwise perturbation via

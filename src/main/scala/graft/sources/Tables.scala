@@ -9,14 +9,42 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects ([PARQUET_TYPE_ILLEGAL]). Sessions must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Bench/Verify/test builders
-    * all set it); we read the nanos long and truncate to micros — exactly
-    * what DuckDB does internally, so oracle comparisons on `ts` agree.
-    * Config is deliberately NOT mutated here: a conf-set at plan-build time
-    * is a global session side effect (round-1 advice). */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** Fan a narrow scan out to the session's parallelism before a heavy
+    * per-row kernel (shingle explode, fold_hash, trigram build, k-means
+    * distance folds). The sf test tables are ONE parquet row group each,
+    * and a row group is the minimum parquet split unit — so locally
+    * everything upstream of the first shuffle would otherwise run as ONE
+    * task, serializing exactly the CPU-heavy part of every text/embedding
+    * pipeline on a 32-core box. At cluster scale the scan already has
+    * >= cores splits and this is the identity: no shuffle is added (the
+    * same reason a real job repartitions after reading a few large gzip
+    * files). Round-robin repartition is safe everywhere it is used —
+    * every downstream aggregate in this codebase is order-independent by
+    * the decimal-sum/integer-count ground rules. Streaming inputs pass
+    * through untouched (micro-batch scans are planned per-batch). */
+  def fanout(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+
+  /** `events.parquet`'s `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's parquet reader only
+    * accepts as a raw long under `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (Bench/Verify/test builders all set it) — and plain TIMESTAMP(MICROS),
+    * which arrives as TIMESTAMP_NTZ (no UTC-adjust flag). Normalize both to
+    * session-zone TIMESTAMP at micro precision: the nanos long truncates
+    * (exactly what DuckDB does internally), the NTZ form casts — a wall-
+    * clock no-op under the UTC sessions all entry points build. Config is
+    * deliberately NOT mutated here: a conf-set at plan-build time is a
+    * global session side effect (round-1 advice). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
 }

@@ -10,11 +10,13 @@ object Probe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val reps = if (args.length > 2) args(2).toInt else 3
+    // bench parity: same cores/partitions as Bench so timings transfer
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .withExtensions(new graft.GraftExtensions)
       .config("spark.sql.warehouse.dir", s"/tmp/graft_warehouse_${graft.Fs.pid}")
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -24,6 +26,10 @@ object Probe {
     val fn = graft.SparkEntry.queries(name)
     fn(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
+      // bench parity: each rep starts with a clean cache, like Bench's
+      // per-query lifecycle — otherwise reps 2+ of cache-using queries
+      // measure the warm path the bench never takes
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
