@@ -23,12 +23,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.queries ++ RelationalQueries.queries ++
       ExtensionQueries.queries ++ StreamingQueries.queries ++
-      SourceQueries.queries ++ CurationQueries.queries
+      SourceQueries.queries ++ CurationQueries.queries ++
+      Sql4Queries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ RelationalQueries.oracles ++
       ExtensionQueries.oracles ++ StreamingQueries.oracles ++
-      SourceQueries.oracles ++ CurationQueries.oracles
+      SourceQueries.oracles ++ CurationQueries.oracles ++
+      Sql4Queries.oracles
 }

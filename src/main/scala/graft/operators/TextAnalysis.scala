@@ -98,9 +98,10 @@ object TextAnalysis {
     * engines, so the DuckDB oracle reproduces it digit-for-digit (the
     * same reason the cosine fold avoids engine builtins).
     *
-    * Plan shape: explode → two hash aggregations (tf, dl) + one per-term
-    * aggregation (df, broadcast back) + per-doc top-k window. At 100 TB
-    * the tf/dl aggs partial-combine map-side; df is |vocab|-sized. */
+    * Plan shape: ONE explode → tf hash aggregation; dl and df both
+    * derive from the tf table (dl = Σtf per doc), so the corpus explode
+    * appears exactly once in the physical plan instead of twice. At
+    * 100 TB the tf agg partial-combines map-side; df is |vocab|-sized. */
   def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -108,7 +109,9 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // doc length re-aggregates the (already tiny) tf table — NOT a second
+    // pass over the exploded terms, which would double the corpus scan
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Modern SQL-surface queries (Spark 4 features), exercised through the
+  * SQL entry point so the engine's parser/analyzer path is covered, not
+  * just the DataFrame DSL. Each has a DuckDB oracle:
+  *
+  *  - `q_recursive_cte`: WITH RECURSIVE (Catalyst UnionLoop) — the
+  *    iterative-query surface the reference's consumers would use for
+  *    hierarchy walks. Both engines run the SAME standard SQL text.
+  *  - `q_variant_json`: VARIANT ingest (`parse_json`) + typed path
+  *    extraction (`variant_get`) — the semi-structured column story at
+  *    ingest scale (shredded binary encoding, not per-row string
+  *    re-parsing). Oracle strips the roundtrip: JSON encode → VARIANT →
+  *    extract is the identity on the source columns.
+  *  - `q_listagg`: ordered string aggregation (SQL:2016 LISTAGG ...
+  *    WITHIN GROUP) — deterministic because the order-by key is total.
+  *  - `q_sql_udf`: declarative SQL scalar UDFs (CREATE TEMPORARY
+  *    FUNCTION ... RETURN expr). Unlike JVM closures these inline into
+  *    the plan (no serialization wall, full codegen) — the extension
+  *    mechanism a SQL-only user gets. Oracle inlines the same bodies.
+  *  - `q_collation_group`: case-insensitive grouping via UTF8_LCASE
+  *    collation (Spark 4 collations) — equivalent to grouping by
+  *    lower() for the ASCII corpus, which is exactly what the oracle
+  *    does. Output keys are lower()-normalized on both sides because a
+  *    collated group's representative value is whichever variant a
+  *    partition saw first.
+  *
+  * Scale notes: the recursive walk shuffles once per iteration level
+  * (bounded by tree depth, log2 N); VARIANT extraction is map-side;
+  * LISTAGG groups are dimension-sized (nations per region); SQL UDFs
+  * add zero physical operators. No query materializes anything driver-
+  * side.
+  */
+object Sql4Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Binary-tree reachability over doc ids: node i → children 2i, 2i+1
+    * (strictly increasing ⇒ acyclic ⇒ UNION ALL terminates; every node
+    * has one parent ⇒ no duplicate paths). Standard SQL, runs verbatim
+    * on both engines. */
+  private val RecursiveSql = """
+    WITH RECURSIVE walk(doc_id, depth) AS (
+      SELECT doc_id, 0 AS depth FROM documents WHERE doc_id = 1
+      UNION ALL
+      SELECT d.doc_id, w.depth + 1
+      FROM walk w JOIN documents d
+        ON d.doc_id = w.doc_id * 2 OR d.doc_id = w.doc_id * 2 + 1)
+    SELECT depth, COUNT(*) AS n_docs,
+      CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+      MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+    FROM walk GROUP BY depth ORDER BY depth"""
+
+  val queries: Map[String, Q] = Map(
+    "q_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql(RecursiveSql)
+    }),
+
+    "q_variant_json" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("documents")
+      s.sql("""
+        WITH enc AS (
+          SELECT parse_json(to_json(named_struct(
+            'doc_id', doc_id, 'lang', lang,
+            'meta', named_struct('source', source, 'n_chars', n_chars),
+            'tags', slice(split(text, ' '), 1, 2)))) AS v
+          FROM documents),
+        x AS (
+          SELECT variant_get(v, '$.doc_id', 'bigint') AS doc_id,
+                 variant_get(v, '$.lang', 'string') AS lang,
+                 variant_get(v, '$.meta.n_chars', 'bigint') AS n_chars,
+                 variant_get(v, '$.tags[0]', 'string') AS tag0
+          FROM enc)
+        SELECT doc_id, lang, n_chars, tag0 FROM x
+        WHERE n_chars % 7 = 0 ORDER BY doc_id""")
+    }),
+
+    "q_listagg" -> ((s, dir) => {
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql("""
+        SELECT r.r_name,
+          listagg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name)
+            AS nations,
+          COUNT(*) AS n_nations
+        FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name""")
+    }),
+
+    "q_sql_udf" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc(
+                 p DOUBLE, d DOUBLE) RETURNS DOUBLE RETURN p * (1.0 - d)""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_prio_class(
+                 p STRING) RETURNS STRING
+               RETURN CASE WHEN p IN ('1-URGENT', '2-HIGH')
+                           THEN 'expedite' ELSE 'standard' END""")
+      s.sql("""
+        SELECT graft_prio_class(o_orderpriority) AS prio_class,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(graft_disc(o_totalprice, 0.05)
+            AS DECIMAL(28,6))) AS DOUBLE) AS disc_total
+        FROM orders GROUP BY 1 ORDER BY 1""")
+    }),
+
+    "q_collation_group" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT lower(ck) AS prio, COUNT(*) AS n,
+          CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM (
+          SELECT o_orderkey,
+            collate(CASE WHEN o_orderkey % 2 = 0
+                         THEN lower(o_orderpriority)
+                         ELSE o_orderpriority END, 'UTF8_LCASE') AS ck
+          FROM orders)
+        GROUP BY ck ORDER BY prio""")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    // identical SQL text — the point of the recursive-CTE entry
+    "q_recursive_cte" -> RecursiveSql,
+
+    // encode → VARIANT → typed extract is the identity on the columns
+    "q_variant_json" -> """
+      SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+        string_split(text, ' ')[1] AS tag0
+      FROM documents WHERE n_chars % 7 = 0 ORDER BY doc_id""",
+
+    "q_listagg" -> """
+      SELECT r.r_name,
+        string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+        COUNT(*) AS n_nations
+      FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name ORDER BY r.r_name""",
+
+    // UDF bodies inlined. Two float-semantics pins: (a) the discount
+    // factor must be DOUBLE on both engines — DuckDB parses bare
+    // 1.0 - 0.05 as exact DECIMAL subtraction, the Spark UDF's DOUBLE
+    // parameter forces IEEE 1.0d - 0.05d; (b) the sum detours through
+    // DECIMAL scale 6, not 10 — at scale 10 the scaled integer exceeds
+    // 2^53 for ~5e5 prices and DuckDB's double->decimal cast (which
+    // scales IN DOUBLE) stops being correctly rounded, while Spark casts
+    // via the decimal string.
+    "q_sql_udf" -> """
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'expedite' ELSE 'standard' END AS prio_class,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice *
+          (CAST(1.0 AS DOUBLE) - CAST(0.05 AS DOUBLE))
+          AS DECIMAL(28,6))) AS DOUBLE) AS disc_total
+      FROM orders GROUP BY 1 ORDER BY 1""",
+
+    // case-insensitive grouping ≡ grouping by lower() on ASCII data
+    "q_collation_group" -> """
+      SELECT lower(CASE WHEN o_orderkey % 2 = 0
+                        THEN lower(o_orderpriority)
+                        ELSE o_orderpriority END) AS prio,
+        COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders GROUP BY 1 ORDER BY prio"""
+  )
+}

@@ -86,6 +86,12 @@ object StreamingQueries {
     "stream_dedup_incremental" -> ((s, dir) =>
       CdcStream.streamingIncrementalDedup(s, dir).orderBy("doc_id")),
 
+    // transformWithState (arbitrary stateful v2, RocksDB provider):
+    // per-user running stats across TWO named state variables
+    // (ValueState + MapState), carried over a 4-micro-batch replay.
+    "stream_tws_running" -> ((s, dir) =>
+      graft.streaming.TwsOps.runningUserStats(s, dir).orderBy("user_id")),
+
     // session_window as a stateful STREAMING operator: merging windows,
     // emitted on watermark eviction (append mode, capped slice for a
     // boundary-independent drained set — see CdcStream scaladoc).
@@ -192,6 +198,16 @@ object StreamingQueries {
          m.dup_of
        FROM batch b LEFT JOIN m USING (text)
        ORDER BY b.doc_id""",
+    // the final snapshot of the monotone running stats ≡ batch aggregate
+    "stream_tws_running" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MAX(epoch_us(ts)) AS last_us
+         FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_quality_gate" ->
       """WITH f AS (
            SELECT doc_id, lang,

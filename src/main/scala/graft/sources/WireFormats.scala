@@ -42,6 +42,7 @@ object WireFormats {
         fmt match {
           case "jsonl" => w.json(dir.toString)
           case "csv" => w.option("header", "true").csv(dir.toString)
+          case "orc" => w.orc(dir.toString)
         }
       }
       dir.toString
@@ -63,6 +64,15 @@ object WireFormats {
     spark.read.schema(EventsSchema).option("timestampFormat", TsFormat)
       .option("header", "true")
       .csv(stage(spark, sfDir, "csv"))
+
+  /** ORC read (binary columnar alternative to parquet — the lake-format
+    * matrix's third member). ORC is self-describing, so no schema/
+    * timestamp options: fidelity vs the parquet oracle proves the
+    * micros-exact timestamp and JSON-bearing string survive the ORC
+    * writer/reader pair, and `.explain` shows the same pushdown surface
+    * (PushedFilters on the OrcScan) as parquet. */
+  def eventsOrc(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.orc(stage(spark, sfDir, "orc"))
 
   /** Every `CorruptEvery`-th event is staged as a BROKEN line in the
     * dirty JSONL copy (deterministic planting, so the oracle knows the

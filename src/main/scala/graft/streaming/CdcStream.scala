@@ -50,7 +50,7 @@ object CdcStream {
     * `maxFilesPerTrigger` splits the replay into multiple micro-batches
     * (AvailableNow drains them all) — the multi-batch drive of the
     * incremental sinks. */
-  private def streamOf(df: DataFrame, tag: String, sfDir: String,
+  private[graft] def streamOf(df: DataFrame, tag: String, sfDir: String,
       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val key = s"${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     // v2: multi-file layout — never reuse a round-3 single-file staging
@@ -128,7 +128,7 @@ object CdcStream {
     * Checkpoints are keyed by pid + counter so two concurrent JVMs
     * (bench and verify) can never collide on — or delete — each other's
     * live checkpoint (round-3 advice). */
-  private def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
+  private[graft] def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
     val ckpt = new java.io.File(s"$ckptRoot/p${graft.Fs.pid}_$name")

@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{
+  ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
+
+/** Arbitrary stateful processing v2: `transformWithState` with a
+  * [[StatefulProcessor]] — the modern replacement for
+  * flatMapGroupsWithState (multiple named state variables per key, typed
+  * state APIs, TTL, timers) and the API a continuous 100 TB pipeline
+  * would use for custom per-key state today.
+  *
+  * The processor below maintains per-user running engagement stats over
+  * the events stream in TWO independent state variables — a
+  * [[ValueState]] carrying (n, revenue-cents, last-event-micros) and a
+  * [[MapState]] carrying per-event-type counts — and emits a snapshot
+  * row per key per micro-batch. The replay is driven in multiple
+  * micro-batches (maxFilesPerTrigger), so the cross-batch carry of BOTH
+  * variables is what the oracle checks: every emitted column is
+  * monotone, so the final per-user row is the column-wise max of the
+  * emissions, and it must equal the batch aggregate over all events.
+  *
+  * Money rides as exact cents (value is DECIMAL(18,2)-clean by data
+  * contract; the cast happens in the plan, not the processor), so state
+  * is integer-only and the final cents/100.0 double equals DuckDB's
+  * decimal-sum→double cast bit-for-bit.
+  *
+  * transformWithState requires the RocksDB state-store provider — the
+  * provider a large deployment runs anyway (incremental checkpointing,
+  * state larger than heap). The conf is scoped to a dedicated
+  * [[SparkSession.newSession]] (same lifecycle discipline as
+  * [[CdcStream.streamSession]]) so HDFS-backed state stores of the other
+  * streaming queries are untouched.
+  */
+object TwsOps {
+
+  case class EventIn(user_id: Long, event_type: String, cents: Long, us: Long)
+  case class RunState(n: Long, cents: Long, maxUs: Long)
+  case class RunOut(user_id: Long, n_events: Long, n_clicks: Long,
+      n_purchases: Long, revenue_cents: Long, last_us: Long)
+
+  /** Per-user running stats over two named state variables. */
+  class RunningStatsProcessor
+      extends StatefulProcessor[Long, EventIn, RunOut] {
+    @transient private var totals: ValueState[RunState] = _
+    @transient private var byType: MapState[String, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      totals = getHandle.getValueState[RunState](
+        "totals", Encoders.product[RunState], TTLConfig.NONE)
+      byType = getHandle.getMapState[String, Long](
+        "byType", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[RunOut] = {
+      var s = if (totals.exists()) totals.get() else RunState(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        s = RunState(s.n + 1, s.cents + e.cents, math.max(s.maxUs, e.us))
+        val prev = if (byType.containsKey(e.event_type)) byType.getValue(e.event_type) else 0L
+        byType.updateValue(e.event_type, prev + 1L)
+      }
+      totals.update(s)
+      val clicks = if (byType.containsKey("click")) byType.getValue("click") else 0L
+      val purchases = if (byType.containsKey("purchase")) byType.getValue("purchase") else 0L
+      Iterator.single(RunOut(key, s.n, clicks, purchases, s.cents, s.maxUs))
+    }
+  }
+
+  /** Dedicated RocksDB-provider sessions, one per parent (conf isolation
+    * — same reason as CdcStream.streamSession). */
+  private val twsSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  private[graft] def twsSession(parent: SparkSession): SparkSession =
+    twsSessions.computeIfAbsent(parent, { p =>
+      val ss = p.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        CdcStream.DrainStatePartitions.toString)
+      ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss
+    })
+
+  /** Drained per-user running stats; emissions are per (key, batch), the
+    * caller reduces to the final snapshot (column-wise max — every
+    * column is monotone in batch order). */
+  def runningUserStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = twsSession(spark)
+    import ss.implicits._
+    val ev = CdcStream.streamOf(
+      graft.sources.Tables.events(ss, sfDir)
+        .select(col("user_id"),
+          col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+          unix_micros(col("ts")).as("us")),
+      "tws_events", sfDir,
+      // 2 files per micro-batch over the 8-file staging ⇒ 4 micro-batches:
+      // the cross-batch state carry is the thing under test
+      maxFilesPerTrigger = Some(2))
+    val out = ev.as[EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Append())
+    CdcStream.runToTable(out.toDF(), OutputMode.Append)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
+        max(col("n_clicks")).as("n_clicks"),
+        max(col("n_purchases")).as("n_purchases"),
+        (max(col("revenue_cents")) / 100.0).as("revenue"),
+        max(col("last_us")).as("last_us"))
+  }
+}
