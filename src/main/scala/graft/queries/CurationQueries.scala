@@ -76,16 +76,19 @@ object CurationQueries {
      ${bpeRnd(1)}, ${bpeRnd(2)}, ${bpeRnd(3)}"""
 
   /** DuckDB twin of one KMeansOp.assign pass: nearest centroid from
-    * `centCte` (cluster_id, c) for every vector in `emb` (vec_id, e). */
-  private def sqlAssign(centCte: String): String =
+    * `centCte` (cluster_id, c) for every vector in `embCte` (vec_id, e). */
+  private def sqlAssignOn(embCte: String, centCte: String): String =
     s"""SELECT vec_id, e, cluster_id FROM (
-        SELECT emb.vec_id, emb.e, $centCte.cluster_id,
-          ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
-            list_reduce(list_transform(range(1, len(emb.e) + 1),
-              j -> (emb.e[j] - $centCte.c[j]) * (emb.e[j] - $centCte.c[j])),
+        SELECT $embCte.vec_id, $embCte.e, $centCte.cluster_id,
+          ROW_NUMBER() OVER (PARTITION BY $embCte.vec_id ORDER BY
+            list_reduce(list_transform(range(1, len($embCte.e) + 1),
+              j -> ($embCte.e[j] - $centCte.c[j]) *
+                   ($embCte.e[j] - $centCte.c[j])),
               (acc, x) -> acc + x) ASC,
             $centCte.cluster_id) AS rn
-        FROM emb CROSS JOIN $centCte) WHERE rn = 1"""
+        FROM $embCte CROSS JOIN $centCte) WHERE rn = 1"""
+
+  private def sqlAssign(centCte: String): String = sqlAssignOn("emb", centCte)
 
   /** DuckDB twin of one KMeansOp.update pass over assignment CTE `a`:
     * per-dim decimal-exact means re-listed into centroid arrays. */
@@ -113,6 +116,20 @@ object CurationQueries {
     """emb AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
          FROM embeddings)""")
+
+  /** Prefixed kmeans chain (2 Lloyd iterations to final assignment
+    * ${p}a2 + trained codebook ${p}c2) over the [lo:hi] sub-slice of
+    * `emb` — the per-subspace PQ codebook trainer. Prefixing lets two
+    * chains coexist in one WITH clause. */
+  private def pqChain(p: String, lo: Int, hi: Int): String =
+    s"""${p}emb AS (SELECT vec_id, e[$lo:$hi] AS e FROM emb),
+       ${p}seeds AS (SELECT vec_id, e FROM ${p}emb ORDER BY vec_id LIMIT 4),
+       ${p}c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INTEGER)
+                AS cluster_id, e AS c FROM ${p}seeds),
+       ${p}a1 AS (${sqlAssignOn(s"${p}emb", s"${p}c0")}),
+       ${p}c1 AS (${sqlUpdate(s"${p}a1")}),
+       ${p}a2 AS (${sqlAssignOn(s"${p}emb", s"${p}c1")}),
+       ${p}c2 AS (${sqlUpdate(s"${p}a2")})"""
 
   val queries: Map[String, Q] = Map(
     // overlapping token-window chunking (context windows for training)
@@ -344,6 +361,55 @@ object CurationQueries {
           round(col("cx"), 6).as("cx"),
           col("n_members"))
         .orderBy("cluster_id", "i")
+    }),
+
+    // Product-quantization ANN (FAISS-PQ shape): the embedding splits
+    // into M=2 subspaces, each with its OWN trained k=4 codebook
+    // (KMeansOp, 2 unrolled Lloyd iterations on the sub-vectors); every
+    // vector compresses to M codebook ids. A query computes one M×k
+    // distance TABLE (strict-fold sqdist of its sub-vectors against each
+    // sub-centroid — broadcast-sized), and asymmetric distance (ADC) is
+    // a table lookup sum: dist(q, x) ≈ dt0[q, code0(x)] + dt1[q,
+    // code1(x)]. The corpus is scanned in CODE space — no full-width
+    // vector math per (q, x) pair — which is the compressed-domain
+    // search tier between IVF routing and exact rerank at 100 TB: codes
+    // are M bytes per vector, the tables are per-query constants, and
+    // the scan is two broadcast joins + a per-query top-k window.
+    "ann_pq_adc" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e")))
+        .cache()
+      val subs = Seq(0, 1).map { m =>
+        val sub = emb.select(col("vec_id"),
+          slice(col("e"), m * 16 + 1, 16).as("se"))
+        val assigned = KMeansOp.fit(sub, "vec_id", "se", 4, 2).cache()
+        val cents = KMeansOp.update(assigned, "se")
+        (assigned.select(col("vec_id"),
+          col("cluster_id").as(s"code$m")), cents)
+      }
+      val codes = subs(0)._1.join(subs(1)._1, "vec_id")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val dts = Seq(0, 1).map { m =>
+        queries.crossJoin(broadcast(subs(m)._2))
+          .select(col("q_id"), col("cluster_id").as(s"code$m"),
+            KMeansOp.sqDist(slice(col("qe"), m * 16 + 1, 16), col("centroid"))
+              .as(s"d$m"))
+      }
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      codes
+        .join(broadcast(dts(0)), "code0")
+        .join(broadcast(dts(1)), Seq("q_id", "code1"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", col("d0") + col("d1"))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"),
+          round(col("adist"), 6).as("adist"))
+        .orderBy("q_id", "rnk")
     }),
 
     // DSIR importance weighting: hashed-bigram distribution match against
@@ -771,6 +837,42 @@ object CurationQueries {
          ROUND(p.cx, 6) AS cx, sizes.n_members
        FROM perdim p JOIN sizes USING (cluster_id)
        ORDER BY cluster_id, i""",
+    // two prefixed codebook chains + per-query distance tables; the ADC
+    // sum d0 + d1 is two strict folds added in fixed order, so ranking
+    // agrees bit-for-bit and ties break on vec_id
+    "ann_pq_adc" -> s"""
+       WITH emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       q AS (SELECT vec_id AS q_id, e FROM emb WHERE vec_id % 100 = 0),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.e[j] - c.c[j]) * (q.e[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.e[j + 16] - c.c[j]) * (q.e[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1
+         FROM s0a2 a JOIN s1a2 b USING (vec_id)),
+       scored AS (
+         SELECT t0.q_id, c.vec_id, t0.d0 + t1.d1 AS adist
+         FROM codes c
+         JOIN dt0 t0 ON t0.code0 = c.code0
+         JOIN dt1 t1 ON t1.q_id = t0.q_id AND t1.code1 = c.code1
+         WHERE c.vec_id <> t0.q_id)
+       SELECT q_id, rnk, vec_id, ROUND(adist, 6) AS adist
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY adist, vec_id) AS rnk FROM scored)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
     // bigrams via 1-based list slices (range(1, len) = 1..len-1), the
     // char fold is the fold_hash mirror (sids CTE in ExtensionQueries),
     // weights are one fixed IEEE division sequence — no logs — and the
