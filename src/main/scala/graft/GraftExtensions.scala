@@ -64,6 +64,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"nfc_normalize requires exactly 1 argument (string); got ${exprs.length}")
         graft.expressions.NfcNormalize(exprs.head)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sliding_windows"),
+      new ExpressionInfo(classOf[graft.expressions.SlidingWindows].getCanonicalName,
+        "sliding_windows"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            "sliding_windows requires exactly 3 arguments " +
+              s"(array, size, step); got ${exprs.length}")
+        graft.expressions.SlidingWindows(exprs(0), exprs(1), exprs(2))
+      }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
     // Tier-(c) whole-operator extension: the grouped top-k logical node
     // gets a physical plan (partial → shuffle ≤k/key → final), see

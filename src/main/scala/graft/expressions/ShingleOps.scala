@@ -42,6 +42,10 @@ object ShingleOps {
     if (!reg.functionExists(FunctionIdentifier("fold_hash")))
       reg.createOrReplaceTempFunction(
         "fold_hash", exprs => FoldHash(exprs.head), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("sliding_windows")))
+      reg.createOrReplaceTempFunction(
+        "sliding_windows",
+        exprs => SlidingWindows(exprs(0), exprs(1), exprs(2)), "built-in")
   }
 
   def wordShingles(text: UTF8String): ArrayData = {

@@ -363,6 +363,29 @@ object CurationQueries {
         .orderBy("cluster_id", "i")
     }),
 
+    // Custom table-generating expression (Catalyst Generator tier):
+    // sliding token windows emitted as ROWS by `sliding_windows` inside
+    // the scan's Generate node — the UDTF extension path. Per-doc
+    // window count + an order-sensitive fold_hash checksum over each
+    // window's joined text prove content AND order of every generated
+    // row. Map-side except the one per-doc aggregation.
+    "q_generator_windows" -> ((s, dir) => {
+      graft.expressions.ShingleOps.ensureRegistered(s)
+      Tables.fanout(Tables.table(s, dir, "documents"))
+        .select(col("doc_id"),
+          expr("sliding_windows(split(text, ' '), 8, 4)").as(
+            Seq("win_idx", "window")))
+        .select(col("doc_id"), col("win_idx"),
+          expr("fold_hash(array_join(window, ' '))").as("h"),
+          size(col("window")).as("wlen"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          sum(col("h")).as("win_checksum"),
+          max(col("wlen")).cast("long").as("max_wlen"),
+          min(col("wlen")).cast("long").as("min_wlen"))
+        .orderBy("doc_id")
+    }),
+
     // Product-quantization ANN (FAISS-PQ shape): the embedding splits
     // into M=2 subspaces, each with its OWN trained k=4 codebook
     // (KMeansOp, 2 unrolled Lloyd iterations on the sub-vectors); every
@@ -837,6 +860,30 @@ object CurationQueries {
          ROUND(p.cx, 6) AS cx, sizes.n_members
        FROM perdim p JOIN sizes USING (cluster_id)
        ORDER BY cluster_id, i""",
+    // windows start at 0, step, 2·step … while start < len (trailing
+    // window partial); the checksum is the char fold over the joined
+    // window text, summed per doc — content- and order-sensitive
+    "q_generator_windows" -> s"""
+       WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+                  FROM documents),
+       w AS (SELECT doc_id, tk,
+               unnest(range(0, len(tk), 4)) AS start FROM t),
+       s AS (SELECT doc_id,
+               array_to_string(tk[start + 1 : least(start + 8, len(tk))],
+                 ' ') AS wtext,
+               least(start + 8, len(tk)) - start AS wlen
+             FROM w)
+       SELECT doc_id, COUNT(*) AS n_windows,
+         CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(wtext) + 1),
+             i -> CAST(unicode(wtext[i:i]) AS BIGINT))),
+           (acc, x) -> (acc * 131 + x)
+             % ${graft.expressions.ShingleOps.P})) AS BIGINT)
+           AS win_checksum,
+         CAST(MAX(wlen) AS BIGINT) AS max_wlen,
+         CAST(MIN(wlen) AS BIGINT) AS min_wlen
+       FROM s GROUP BY doc_id ORDER BY doc_id""",
+
     // two prefixed codebook chains + per-query distance tables; the ADC
     // sum d0 + d1 is two strict folds added in fixed order, so ranking
     // agrees bit-for-bit and ties break on vec_id

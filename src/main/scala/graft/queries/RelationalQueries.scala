@@ -544,6 +544,48 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Higher-order array-function family as the USER-facing surface:
+    // transform / filter / exists / forall / aggregate / zip_with
+    // lambdas over per-row arrays, all map-side (zero shuffle). Folds
+    // are strict-left with a typed 0L init (the list_reduce mirror);
+    // zip_with pairs each token with its mirror-position twin.
+    "q_hof_funcs" -> ((s, dir) => {
+      import s.implicits._
+      val toks = split($"text", " ")
+      val lens = transform(toks, w => length(w).cast("long"))
+      t(s, dir, "documents")
+        .select($"doc_id",
+          aggregate(lens, lit(0L), (a, x) => a + x).as("sum_len"),
+          size(filter(toks, w => length(w) > 4)).cast("long").as("n_long"),
+          exists(toks, w => w === "the").as("has_the"),
+          forall(toks, w => length(w) <= 12).as("all_short"),
+          array_max(lens).as("max_len"),
+          aggregate(
+            zip_with(toks, reverse(toks),
+              (a, b) => when(length(a) === length(b), 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x).as("n_mirror"))
+        .orderBy($"doc_id")
+    }),
+
+    // Window VALUE functions: first/last with IGNORE NULLS semantics +
+    // nth_value over an explicit full frame, on a planted-null column
+    // (every 10th key) so null skipping is non-vacuous.
+    "q_window_value" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderkey")
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .withColumn("p", when($"o_orderkey" % 10 === 0,
+          lit(null).cast("double")).otherwise($"o_totalprice"))
+        .select($"o_custkey", $"o_orderkey",
+          first($"p", ignoreNulls = true).over(w).as("first_nn"),
+          last($"p", ignoreNulls = true).over(wf).as("last_nn"),
+          nth_value($"p", 2).over(wf).as("second_p"))
+        .orderBy($"o_custkey", $"o_orderkey")
+    }),
+
     // Map function family: per-row map construction, lookup, keys,
     // size — reduced to scalars whose truth is the underlying columns.
     "q_map_funcs" -> ((s, dir) => {
@@ -967,6 +1009,46 @@ object RelationalQueries {
            CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
            CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS key_sum
          FROM a ORDER BY o_custkey""",
+    // forall(p) ≡ len(filter(NOT p)) = 0; zip-with-reverse ≡ compare
+    // t[i] against t[n-i+1] by index; the length fold prepends a typed
+    // 0 so the strict left fold starts identically
+    "q_hof_funcs" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+                    FROM documents)
+         SELECT doc_id,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(t, w -> CAST(length(w) AS BIGINT))),
+             (a, x) -> a + x) AS BIGINT) AS sum_len,
+           CAST(len(list_filter(t, w -> length(w) > 4)) AS BIGINT)
+             AS n_long,
+           list_contains(t, 'the') AS has_the,
+           len(list_filter(t, w -> length(w) > 12)) = 0 AS all_short,
+           list_aggregate(list_transform(t, w -> CAST(length(w) AS BIGINT)),
+             'max') AS max_len,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(t) + 1),
+               i -> CAST(CASE WHEN length(t[i]) = length(t[len(t) - i + 1])
+                              THEN 1 ELSE 0 END AS BIGINT))),
+             (a, x) -> a + x) AS BIGINT) AS n_mirror
+         FROM d ORDER BY doc_id""",
+    "q_window_value" ->
+      """WITH p AS (
+           SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                  ELSE o_totalprice END AS p
+           FROM orders)
+         SELECT o_custkey, o_orderkey,
+           first_value(p IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey) AS first_nn,
+           last_value(p IGNORE NULLS) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_nn,
+           nth_value(p, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_p
+         FROM p ORDER BY o_custkey, o_orderkey""",
     "q_map_funcs" ->
       """SELECT o_orderkey,
          o_orderstatus AS status_val,

@@ -92,6 +92,14 @@ object StreamingQueries {
     "stream_tws_running" -> ((s, dir) =>
       graft.streaming.TwsOps.runningUserStats(s, dir).orderBy("user_id")),
 
+    // transformWithState with INITIAL STATE: per-user stats warm-start
+    // from a batch snapshot (event_id % 3 == 0), the stream replays the
+    // tail — the snapshot-plus-changelog bootstrap a migrating consumer
+    // runs. Final snapshot ≡ batch aggregate over ALL events.
+    "stream_tws_bootstrap" -> ((s, dir) =>
+      graft.streaming.TwsOps.snapshotBootstrapStats(s, dir)
+        .orderBy("user_id")),
+
     // session_window as a stateful STREAMING operator: merging windows,
     // emitted on watermark eviction (append mode, capped slice for a
     // boundary-independent drained set — see CdcStream scaladoc).
@@ -198,6 +206,16 @@ object StreamingQueries {
          m.dup_of
        FROM batch b LEFT JOIN m USING (text)
        ORDER BY b.doc_id""",
+    // keys seen in the tail carry snapshot + tail state; snapshot-only
+    // keys never enter handleInputRows and emit nothing
+    "stream_tws_bootstrap" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           MAX(epoch_us(ts)) AS last_us
+         FROM events
+         WHERE user_id IN (SELECT DISTINCT user_id FROM events
+                           WHERE event_id % 3 <> 0)
+         GROUP BY user_id ORDER BY user_id""",
     // the final snapshot of the monotone running stats ≡ batch aggregate
     "stream_tws_running" ->
       """SELECT user_id, COUNT(*) AS n_events,

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  ListState, MapState, OutputMode, StatefulProcessor, TimeMode, TimerValues,
-  TTLConfig, ValueState}
+  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Arbitrary stateful processing v2: `transformWithState` with a
   * [[StatefulProcessor]] — the modern replacement for
@@ -69,6 +69,37 @@ object TwsOps {
     }
   }
 
+  case class SnapOut(user_id: Long, n_events: Long, revenue_cents: Long,
+      last_us: Long)
+
+  /** Warm-start variant: state bootstraps from a SNAPSHOT (the
+    * snapshot-plus-changelog migration shape — exactly how a replica
+    * consumer starts from a base dump and applies the tail). Spark
+    * feeds every key's initial-state row through [[handleInitialState]]
+    * on the first micro-batch, then the stream's events fold on top. */
+  class RunningStatsWithInit
+      extends StatefulProcessorWithInitialState[Long, EventIn, SnapOut, RunState] {
+    @transient private var totals: ValueState[RunState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[RunState](
+        "totals", Encoders.product[RunState], TTLConfig.NONE)
+
+    override def handleInitialState(key: Long, initialState: RunState,
+        timerValues: TimerValues): Unit =
+      totals.update(initialState)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[SnapOut] = {
+      var s = if (totals.exists()) totals.get() else RunState(0L, 0L, Long.MinValue)
+      rows.foreach { e =>
+        s = RunState(s.n + 1, s.cents + e.cents, math.max(s.maxUs, e.us))
+      }
+      totals.update(s)
+      Iterator.single(SnapOut(key, s.n, s.cents, s.maxUs))
+    }
+  }
+
   /** Dedicated RocksDB-provider sessions, one per parent (conf isolation
     * — same reason as CdcStream.streamSession). */
   private val twsSessions =
@@ -110,6 +141,43 @@ object TwsOps {
       .agg(max(col("n_events")).as("n_events"),
         max(col("n_clicks")).as("n_clicks"),
         max(col("n_purchases")).as("n_purchases"),
+        (max(col("revenue_cents")) / 100.0).as("revenue"),
+        max(col("last_us")).as("last_us"))
+  }
+
+  /** Snapshot-plus-changelog bootstrap: state warm-starts from the batch
+    * aggregate of the "historical" slice (event_id % 3 == 0) and the
+    * stream replays only the tail (% 3 != 0). The final snapshot over
+    * keys that appear in the TAIL must equal the batch aggregate over
+    * ALL their events — the invariant a migrating consumer relies on.
+    * (Keys live only in the snapshot emit nothing: handleInputRows
+    * never fires for them — mirrored by the oracle's key filter.) */
+  def snapshotBootstrapStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = twsSession(spark)
+    import ss.implicits._
+    def slim(df: DataFrame) = df.select(col("event_id"), col("user_id"),
+      col("event_type"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      unix_micros(col("ts")).as("us"))
+    val all = slim(graft.sources.Tables.events(ss, sfDir))
+    val snapshot = all.where(col("event_id") % 3 === 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+        max(col("us")).as("maxUs"))
+      .as[(Long, Long, Long, Long)]
+      .map { case (u, n, c, m) => (u, RunState(n, c, m)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    val tail = CdcStream.streamOf(
+      all.where(col("event_id") % 3 =!= 0).drop("event_id"),
+      "tws_tail_events", sfDir, maxFilesPerTrigger = Some(2))
+    val out = tail.as[EventIn]
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningStatsWithInit,
+        TimeMode.None(), OutputMode.Append(), snapshot)
+    CdcStream.runToTable(out.toDF(), OutputMode.Append)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_events")).as("n_events"),
         (max(col("revenue_cents")) / 100.0).as("revenue"),
         max(col("last_us")).as("last_us"))
   }
