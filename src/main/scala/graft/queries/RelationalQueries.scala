@@ -544,6 +544,41 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Error-safe try_* family (ingest-grade semantics: malformed input
+    // yields NULL, never a task failure): try_divide on a planted zero
+    // divisor, try_cast on both a parsing and a non-parsing slice,
+    // try_add at the bigint overflow edge, try_element_at out of range.
+    "q_try_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .select($"o_orderkey",
+          expr("try_divide(100L, o_orderkey % 7)").as("safe_div"),
+          expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)")
+            .as("prio_num"),
+          expr("try_cast(o_orderstatus AS INT)").as("bad_cast"),
+          expr("try_add(o_orderkey, 9223372036854775800L)").as("edge_add"),
+          expr("try_element_at(split(o_orderpriority, '-'), 3)")
+            .as("no_third"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // URL parsing family (parse_url HOST/PATH/QUERY-param): the URL is
+    // constructed from columns, so the oracle re-derives the parts
+    // directly — parse_url must exactly invert the construction.
+    "q_parse_url" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), $"source",
+          lit(".example.com/docs/"), $"doc_id", lit("?lang="), $"lang",
+          lit("&v=2")))
+        .select($"doc_id",
+          parse_url($"url", lit("HOST")).as("host"),
+          parse_url($"url", lit("PATH")).as("path"),
+          parse_url($"url", lit("QUERY"), lit("lang")).as("q_lang"),
+          parse_url($"url", lit("QUERY"), lit("missing")).as("q_missing"))
+        .orderBy($"doc_id")
+    }),
+
     // Higher-order array-function family as the USER-facing surface:
     // transform / filter / exists / forall / aggregate / zip_with
     // lambdas over per-row arrays, all map-side (zero shuffle). Folds
@@ -1009,6 +1044,25 @@ object RelationalQueries {
            CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
            CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS key_sum
          FROM a ORDER BY o_custkey""",
+    // DuckDB has TRY_CAST but no try_* arithmetic (overflow errors), so
+    // the add mirrors via a guard; OOB list index is natively NULL
+    "q_try_funcs" ->
+      """SELECT o_orderkey,
+         100.0 / nullif(o_orderkey % 7, 0) AS safe_div,
+         TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+         TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast,
+         CASE WHEN o_orderkey <= 7
+              THEN o_orderkey + 9223372036854775800 END AS edge_add,
+         string_split(o_orderpriority, '-')[3] AS no_third
+         FROM orders ORDER BY o_orderkey""",
+    // the URL is built from columns; parsing must invert construction
+    "q_parse_url" ->
+      """SELECT doc_id,
+         source || '.example.com' AS host,
+         '/docs/' || doc_id AS path,
+         lang AS q_lang,
+         CAST(NULL AS VARCHAR) AS q_missing
+         FROM documents ORDER BY doc_id""",
     // forall(p) ≡ len(filter(NOT p)) = 0; zip-with-reverse ≡ compare
     // t[i] against t[n-i+1] by index; the length fold prepends a typed
     // 0 so the strict left fold starts identically
