@@ -36,6 +36,53 @@ class TwsSpec extends AnyFunSuite {
       s"TWS replay must span multiple micro-batches, saw $batches")
   }
 
+  test("state v2 restores across query restarts (ValueState + MapState)") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.TwsOps.{EventIn, RunningStatsProcessor}
+    val ss = TwsOps.twsSession(spark)
+    import ss.implicits._
+    val inDir = Files.createTempDirectory("graft_tws_in").toString
+    val ckpt = Files.createTempDirectory("graft_tws_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_tws_out").toString
+
+    def writeBatch(name: String, rows: EventIn*): Unit =
+      rows.toSeq.toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    def runOnce(): Unit = {
+      val stream = ss.readStream.schema(Encoders.product[EventIn].schema)
+        .parquet(s"$inDir/*").as[EventIn]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new RunningStatsProcessor,
+          TimeMode.None(), OutputMode.Append())
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    writeBatch("b1", EventIn(1, "click", 100, 20), EventIn(1, "view", 50, 10),
+      EventIn(2, "purchase", 500, 30))
+    runOnce()
+    writeBatch("b2", EventIn(1, "purchase", 25, 40), EventIn(3, "click", 10, 50))
+    runOnce()
+
+    // run-2 emissions must CARRY run-1 state from the checkpoint: user
+    // 1's totals (ValueState) AND click count (MapState) continue, the
+    // consumed b1 is not reprocessed (no duplicate run-1 emissions).
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val want = Map(
+      (1L, 2L, 1L, 0L, 150L, 20L) -> 1, // run 1: 2 events, 1 click
+      (2L, 1L, 0L, 1L, 500L, 30L) -> 1,
+      (1L, 3L, 1L, 1L, 175L, 40L) -> 1, // run 2: carried + purchase
+      (3L, 1L, 1L, 0L, 10L, 50L) -> 1)
+    assert(got === want, s"got $got")
+  }
+
   test("RocksDB provider is scoped to the TWS session only") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val tws = TwsOps.twsSession(spark)
