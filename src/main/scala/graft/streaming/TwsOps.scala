@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{
-  MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState,
-  TimeMode, TimerValues, TTLConfig, ValueState}
+  ExpiredTimerInfo, ListState, MapState, OutputMode, StatefulProcessor,
+  StatefulProcessorWithInitialState, TimeMode, TimerValues, TTLConfig,
+  ValueState}
 
 /** Arbitrary stateful processing v2: `transformWithState` with a
   * [[StatefulProcessor]] — the modern replacement for
@@ -97,6 +98,50 @@ object TwsOps {
       }
       totals.update(s)
       Iterator.single(SnapOut(key, s.n, s.cents, s.maxUs))
+    }
+  }
+
+  case class Click(user_id: Long, ts: java.sql.Timestamp)
+  case class Session(user_id: Long, n_events: Long, first_ms: Long)
+
+  /** Event-time TIMER sessionization: clicks buffer in a [[ListState]];
+    * each input batch re-registers the key's single timer to
+    * last-click + `gapMs`; when the WATERMARK passes the timer,
+    * [[handleExpiredTimer]] emits the session and clears the buffer.
+    * This is session_window's semantics rebuilt on the state-v2
+    * primitives — the API shape for custom eviction policies
+    * session_window can't express (per-key gaps, cross-field
+    * conditions). Emission happens only on watermark progress, so state
+    * is bounded by OPEN sessions at any scale. */
+  class SessionTimerProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, Click, Session] {
+    @transient private var buf: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long](
+        "clicks", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Click],
+        timerValues: TimerValues): Iterator[Session] = {
+      var maxMs = Long.MinValue
+      rows.foreach { c =>
+        val ms = c.ts.getTime
+        buf.appendValue(ms)
+        if (ms > maxMs) maxMs = ms
+      }
+      // one live timer per key: extending the session supersedes the
+      // previous deadline
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer(maxMs + gapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[Session] = {
+      val times = buf.get().toArray
+      buf.clear()
+      if (times.isEmpty) Iterator.empty
+      else Iterator.single(Session(key, times.length.toLong, times.min))
     }
   }
 

@@ -83,6 +83,58 @@ class TwsSpec extends AnyFunSuite {
     assert(got === want, s"got $got")
   }
 
+  test("event-time timers + ListState: sessions emit on watermark expiry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.TwsOps.{Click, Session, SessionTimerProcessor}
+    val ss = TwsOps.twsSession(spark)
+    import ss.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = ss.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+
+    val in = MemoryStream[Click]
+    val out = in.toDS()
+      .withWatermark("ts", "10 seconds")
+      .as[Click]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(30000L),
+        TimeMode.EventTime(), OutputMode.Append())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_timer_ckpt")
+    val q = out.toDF().writeStream.format("memory").queryName("tws_timers")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    def drained(): Set[(Long, Long, Long)] = {
+      q.processAllAvailable()
+      ss.table("tws_timers").as[(Long, Long, Long)].collect().toSet
+    }
+
+    // batch 1: user 1 clicks at 1,2,3s; user 2 at 5s. Timers land at
+    // 33s and 35s; watermark after the batch is 5s-10s — nothing fires.
+    in.addData(Click(1, ts(1)), Click(1, ts(2)), Click(1, ts(3)),
+      Click(2, ts(5)))
+    assert(drained() === Set.empty)
+
+    // batch 2: user 1 again at 60s — EXTENDS user 1's session (timer
+    // re-registered to 90s). Watermark afterwards: 50s.
+    in.addData(Click(1, ts(60)))
+    assert(drained() === Set.empty)
+
+    // batch 3: unrelated key at 120s. During this batch the watermark
+    // (50s) passes user 2's 35s timer → user 2's session emits; user
+    // 1's re-registered 90s timer must NOT fire (the old 33s one was
+    // deleted — this is the re-registration pin).
+    in.addData(Click(99, ts(120)))
+    assert(drained() === Set((2L, 1L, 5000L)))
+
+    // batch 4: advance the watermark past 90s → user 1 emits ONE
+    // session of all 4 buffered clicks (ListState carried across three
+    // batches), first at 1s.
+    in.addData(Click(98, ts(200)))
+    assert(drained() === Set((2L, 1L, 5000L), (1L, 4L, 1000L)))
+    q.stop()
+    graft.Fs.deleteRecursively(ckpt.toFile)
+  }
+
   test("RocksDB provider is scoped to the TWS session only") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val tws = TwsOps.twsSession(spark)
