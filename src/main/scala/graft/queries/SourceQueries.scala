@@ -28,6 +28,7 @@ object SourceQueries {
     "src_jsonl_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsJsonl(s, dir))),
     "src_csv_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsCsv(s, dir))),
     "src_orc_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsOrc(s, dir))),
+    "src_xml_scan" -> ((s, dir) => fidelityAgg(WireFormats.eventsXml(s, dir))),
 
     // schema evolution: a pre-`props` epoch and a full-schema epoch read
     // together via mergeSchema — old rows surface NULL props, and the
@@ -113,6 +114,7 @@ object SourceQueries {
     "src_jsonl_scan" -> FidelityOracle,
     "src_csv_scan" -> FidelityOracle,
     "src_orc_scan" -> FidelityOracle,
+    "src_xml_scan" -> FidelityOracle,
     "src_parquet_evolve" -> """
        SELECT event_type,
          count(*) AS n,

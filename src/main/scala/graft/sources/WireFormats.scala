@@ -43,6 +43,7 @@ object WireFormats {
           case "jsonl" => w.json(dir.toString)
           case "csv" => w.option("header", "true").csv(dir.toString)
           case "orc" => w.orc(dir.toString)
+          case "xml" => w.option("rowTag", "event").xml(dir.toString)
         }
       }
       dir.toString
@@ -73,6 +74,17 @@ object WireFormats {
     * (PushedFilters on the OrcScan) as parquet. */
   def eventsOrc(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.orc(stage(spark, sfDir, "orc"))
+
+  /** XML read (Spark 4's built-in XML source) with explicit schema +
+    * rowTag — the enterprise-feed wire format beside JSONL/CSV. The
+    * JSON-bearing `props` column exercises entity escaping both ways;
+    * the µs timestamp rides the same explicit pattern as the text
+    * readers (XML is a text format — inference is likewise a full extra
+    * scan and likewise never acceptable). */
+  def eventsXml(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.schema(EventsSchema).option("timestampFormat", TsFormat)
+      .option("rowTag", "event")
+      .xml(stage(spark, sfDir, "xml"))
 
   /** Every `CorruptEvery`-th event is staged as a BROKEN line in the
     * dirty JSONL copy (deterministic planting, so the oracle knows the
