@@ -47,6 +47,26 @@ class GeneratorSpec extends AnyFunSuite {
     assert(e2.getMessage.toLowerCase.contains("array"), e2.getMessage)
   }
 
+  test("partition property: step == size windows concatenate to the input") {
+    val rnd = new scala.util.Random(42)
+    (1 to 25).foreach { _ =>
+      val n = rnd.nextInt(40) + 1
+      val arr = Seq.fill(n)(rnd.alphanumeric.take(3).mkString)
+      val size = rnd.nextInt(8) + 1
+      val ws = windows(arr, size, size)
+      assert(ws.map(_._1) === ws.indices, "window indices dense from 0")
+      assert(ws.flatMap(_._2) === arr,
+        s"step==size windows must partition the input (n=$n size=$size)")
+      // overlapping windows: every element appears in ceil coverage and
+      // each window starts on the step grid
+      val ov = windows(arr, size + 1, size)
+      ov.zipWithIndex.foreach { case ((i, w), k) =>
+        assert(i === k)
+        assert(w === arr.slice(k * size, k * size + size + 1))
+      }
+    }
+  }
+
   test("plans into a Generate node (the built-in UDTF path)") {
     val df = graft.SparkEntry.queries("q_generator_windows")(spark, Sf)
     val analyzed = df.queryExecution.analyzed.toString()
