@@ -269,6 +269,30 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Edit-distance VERIFY tier over the LSH candidates: Jaccard over
+    // shingle SETS is blind to ordering and multiplicity, so a strict
+    // pipeline confirms candidate pairs with a character-level metric
+    // before acting on them. levenshtein runs ONLY on the ≤
+    // |candidates| surviving pairs — never corpus-wide (O(n·m) per
+    // pair makes it unusable as a generator, which is why LSH generates
+    // and edit distance confirms; the standard two-tier shape).
+    "dedup_edit_verify" -> ((s, dir) => {
+      val corpus = ExtCorpus.docCorpus(s, dir).cache()
+      Dedup.minhashLsh(corpus, "doc_id", "text", 0.5)
+        .join(corpus.select(col("doc_id").as("a_id"),
+          col("text").as("a_text")), "a_id")
+        .join(corpus.select(col("doc_id").as("b_id"),
+          col("text").as("b_text")), "b_id")
+        .select(col("a_id"), col("b_id"), col("jaccard"),
+          levenshtein(col("a_text"), col("b_text")).cast("long")
+            .as("edit_dist"),
+          round(levenshtein(col("a_text"), col("b_text")).cast("double") /
+            greatest(length(col("a_text")), length(col("b_text"))), 6)
+            .as("edit_ratio"))
+        .withColumn("confirmed", col("edit_ratio") <= 0.3)
+        .orderBy("a_id", "b_id")
+    }),
+
     // near-dup pairs → connected components → keep/drop clusters: the
     // step that turns pairwise output into an actionable dedup decision
     "dedup_clusters" -> ((s, dir) => {
@@ -643,6 +667,33 @@ object ExtensionQueries {
           WHERE jaccard >= 0.5 AND ($bandCond)
           ORDER BY a_id, b_id"""
     },
+    // same candidate set as dedup_minhash_lsh, confirmed by DuckDB's
+    // levenshtein (identical unit-cost DP definition)
+    "dedup_edit_verify" -> {
+      val bandCond = (0 until Dedup.Bands).map { bi =>
+        val r = Dedup.MinhashParams.size / Dedup.Bands
+        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes, $sigsCte,
+          pairs AS (
+            SELECT a_id, b_id, jaccard FROM jac
+            JOIN sigs sa ON sa.doc_id = a_id
+            JOIN sigs sb ON sb.doc_id = b_id
+            WHERE jaccard >= 0.5 AND ($bandCond))
+          SELECT p.a_id, p.b_id, p.jaccard,
+            CAST(levenshtein(ca.text, cb.text) AS BIGINT) AS edit_dist,
+            ROUND(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) /
+              greatest(length(ca.text), length(cb.text)), 6) AS edit_ratio,
+            ROUND(CAST(levenshtein(ca.text, cb.text) AS DOUBLE) /
+              greatest(length(ca.text), length(cb.text)), 6) <= 0.3
+              AS confirmed
+          FROM pairs p
+          JOIN corpus ca ON ca.doc_id = p.a_id
+          JOIN corpus cb ON cb.doc_id = p.b_id
+          ORDER BY p.a_id, p.b_id"""
+    },
+
     // incremental over base ∪ batch: the id ranges mark the sides, so
     // near pairs are jac ∧ band-match restricted to base→batch; best
     // match by (jaccard DESC, base id) on the ROUNDED jaccard — the

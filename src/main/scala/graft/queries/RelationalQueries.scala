@@ -544,6 +544,22 @@ object RelationalQueries {
         .orderBy($"o_custkey")
     }),
 
+    // Bitwise family: the bit_and/bit_or/bit_xor AGGREGATES (flag-mask
+    // folding over grouped rows) plus &, shiftleft scalars — the bitmap
+    // arithmetic a feature-flag or partition-mask column needs.
+    "q_bitwise_funcs" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          expr("bit_and(o_orderkey)").as("all_bits"),
+          expr("bit_or(o_orderkey % 256)").as("any_low"),
+          expr("bit_xor(o_orderkey)").as("xor_keys"),
+          sum(expr("o_orderkey & 255")).as("sum_masked"),
+          sum(expr("shiftleft(o_orderkey % 16, 2)")).as("sum_shifted"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // Error-safe try_* family (ingest-grade semantics: malformed input
     // yields NULL, never a task failure): try_divide on a planted zero
     // divisor, try_cast on both a parsing and a non-parsing slice,
@@ -1044,6 +1060,14 @@ object RelationalQueries {
            CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct,
            CAST(list_reduce(arr, (acc, x) -> acc + x) AS BIGINT) AS key_sum
          FROM a ORDER BY o_custkey""",
+    "q_bitwise_funcs" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+         bit_and(o_orderkey) AS all_bits,
+         bit_or(o_orderkey % 256) AS any_low,
+         bit_xor(o_orderkey) AS xor_keys,
+         CAST(SUM(o_orderkey & 255) AS BIGINT) AS sum_masked,
+         CAST(SUM((o_orderkey % 16) << 2) AS BIGINT) AS sum_shifted
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     // DuckDB has TRY_CAST but no try_* arithmetic (overflow errors), so
     // the add mirrors via a guard; OOB list index is natively NULL
     "q_try_funcs" ->
