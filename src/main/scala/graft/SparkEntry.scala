@@ -24,7 +24,7 @@ object SparkEntry {
     CdcQueries.queries ++ RelationalQueries.queries ++
       ExtensionQueries.queries ++ StreamingQueries.queries ++
       SourceQueries.queries ++ CurationQueries.queries ++
-      Sql4Queries.queries
+      Sql4Queries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +32,5 @@ object SparkEntry {
     CdcQueries.oracles ++ RelationalQueries.oracles ++
       ExtensionQueries.oracles ++ StreamingQueries.oracles ++
       SourceQueries.oracles ++ CurationQueries.oracles ++
-      Sql4Queries.oracles
+      Sql4Queries.oracles ++ AnalyticsQueries.oracles
 }

@@ -1,0 +1,243 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Graph, TimeSeries}
+import graft.sources.Tables
+
+/** Advanced-analytics queries rounding out the engine surface: time-series
+  * gap-fill, graph triangle counting, ANN recall evaluation, mergeable
+  * distinct-count sketches, and an integer-exact Gram matrix — each with a
+  * DuckDB oracle under the repo's exactness ground rules (integer/decimal
+  * arithmetic wherever summation order could differ; doubles only for
+  * values both engines derive by the identical IEEE operation).
+  */
+object AnalyticsQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Away-from-zero round-to-integer written only with floor/ceil so BOTH
+    * engines evaluate the identical double expression — Spark's
+    * double→long cast truncates while DuckDB's rounds, so neither cast
+    * nor engine `round` appears in the quantization. */
+  private def sqlQuant(x: String): String =
+    s"CASE WHEN $x >= 0 THEN floor($x * 1000 + 0.5) ELSE ceil($x * 1000 - 0.5) END"
+
+  val queries: Map[String, Q] = Map(
+    // time-series resample + forward-fill over the hour grid
+    "ts_gapfill" -> ((s, dir) =>
+      TimeSeries.gapFillHourly(Tables.events(s, dir), maxUser = 8)),
+
+    // co-occurrence graph → degree-oriented triangle count (broadcast-
+    // adjacency edge-iterator; the partitioned wedge join is the
+    // beyond-broadcast fallback, pinned equal in GraphSpec)
+    "graph_triangles" -> ((s, dir) =>
+      Graph.triangleCountAdj(Graph.coOccurrenceEdges(Tables.events(s, dir)))),
+
+    // recall@5 of the IVF cell search against brute-force ground truth —
+    // the accuracy/efficiency trade every ANN deployment must measure.
+    // Both pipelines are the already-verified queries; the eval is a
+    // per-query left-semi intersection count, so recall is hits/5 — an
+    // identical IEEE division on both engines.
+    "ann_recall_eval" -> ((s, dir) => {
+      val brute = ExtensionQueries.queries("ann_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = ExtensionQueries.queries("ann_ivf_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      brute.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    }),
+
+    // mergeable HLL sketches: per-(type, day) sketches built map-side,
+    // merged across days with hll_union_agg — the re-aggregatable
+    // distinct-count cube pattern (store one sketch per cell, answer any
+    // rollup by union, never re-scan). The estimate is asserted within
+    // 5% of exact — vacuously tight here (sparse-mode HLL is exact at
+    // these cardinalities) but the bound, not the estimate, is the
+    // cross-engine-stable output.
+    "q_sketch_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(merged, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <=
+            col("n_exact").cast("double") * 0.05).as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
+    // URL canonicalization dedup: four planted spellings of every
+    // resource (host/scheme case, :443 default port, utm_ tracking key,
+    // param order, fragment, trailing slash) collapse to ONE canonical
+    // key — pure map-side regexp/HOF column work + one hash aggregate.
+    // The oracle knows the planted group arithmetic AND the exact
+    // canonical string, so a canonicalizer that over- or under-merges
+    // fails on rows, strings, or counts.
+    "dedup_url" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), expr("doc_id DIV 4").as("base"),
+          (col("doc_id") % 4).as("v"))
+      val url = when(col("v") === 0,
+          concat(lit("https://Example.COM/page/"), col("base"), lit("?b=2&a=1#frag")))
+        .when(col("v") === 1,
+          concat(lit("https://example.com:443/page/"), col("base"), lit("?a=1&b=2")))
+        .when(col("v") === 2,
+          concat(lit("HTTPS://example.com/page/"), col("base"), lit("?a=1&utm_source=x&b=2")))
+        .otherwise(
+          concat(lit("https://example.com/page/"), col("base"), lit("/?a=1&b=2")))
+      d.withColumn("canon_url", graft.operators.UrlCanon.canonicalize(url))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("keeper"))
+        .orderBy("keeper")
+    }),
+
+    // integer-exact Gram matrix over mx1000-quantized embeddings: each
+    // row emits its upper-triangle outer product MAP-SIDE via nested
+    // array transforms (no self-join — at 100 TB the d²/2 per-row expand
+    // into a d²/2-group partial aggregate is the classic one-shuffle
+    // X'X build; d=64 → 2080 groups), then one hash aggregate. BIGINT
+    // products/sums → bit-exact oracle.
+    "emb_gram_topk" -> ((s, dir) => {
+      val emb = Tables.fanout(Tables.table(s, dir, "embeddings"))
+      val quant = emb.select(expr(
+        s"""transform(embedding, x -> CAST(${sqlQuant("CAST(x AS DOUBLE)")}
+            AS BIGINT))""").as("q"))
+      val tri = quant.select(explode(expr(
+        """flatten(transform(q, (xi, i) ->
+             transform(slice(q, i + 1, size(q) - i), (xj, j) ->
+               struct(i AS i, i + j AS j, xi * xj AS p))))""")).as("c"))
+      tri.groupBy(col("c.i").as("i"), col("c.j").as("j"))
+        .agg(sum(col("c.p")).as("gram"))
+        .orderBy(abs(col("gram")).desc, col("i"), col("j"))
+        .limit(20)
+    })
+  )
+
+  private def gapfillOracle: String = """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS rev
+      FROM events WHERE user_id < 8 GROUP BY 1, 2),
+    span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+             FROM hourly GROUP BY 1),
+    grid AS (SELECT user_id,
+               unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM span),
+    j AS (SELECT g.user_id, g.hour, h.n, h.rev
+          FROM grid g LEFT JOIN hourly h USING (user_id, hour))
+    SELECT user_id, hour, COALESCE(n, 0) AS n,
+      CAST(last_value(rev IGNORE NULLS) OVER (
+        PARTITION BY user_id ORDER BY hour
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS rev_filled,
+      (n IS NULL) AS is_gap
+    FROM j ORDER BY user_id, hour"""
+
+  private def trianglesOracle: String = """
+    WITH acts AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS hb, user_id
+      FROM events WHERE event_type = 'purchase'),
+    edges AS (
+      SELECT DISTINCT l.user_id AS a, r.user_id AS b
+      FROM acts l JOIN acts r USING (hb)
+      WHERE l.user_id < r.user_id)
+    SELECT COUNT(*) AS n_triangles,
+      CAST(SUM(e1.a + e1.b + e2.b) AS BIGINT) AS node_checksum
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b"""
+
+  private def recallOracle: String = s"""
+    WITH emb AS (
+      SELECT vec_id, label,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings),
+    q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+          WHERE vec_id % 100 = 0),
+    brute AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY ROUND(${ExtensionQueries.sqlCos("q.q_emb", "e.embedding")}, 6)
+              DESC, e.vec_id) AS rnk
+        FROM q JOIN emb e ON e.vec_id <> q.q_id)
+      WHERE rnk <= 5),
+    flat AS (
+      SELECT label, generate_subscripts(embedding, 1) AS i,
+             unnest(embedding) AS x
+      FROM emb),
+    cent AS (
+      SELECT label AS c_label, list(cx ORDER BY i) AS centroid FROM (
+        SELECT label, i,
+          CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx
+        FROM flat GROUP BY label, i) GROUP BY label),
+    routed AS (
+      SELECT q_id, q_emb, c_label AS best_label FROM (
+        SELECT q.q_id, q.q_emb, c.c_label,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id
+            ORDER BY ROUND(${ExtensionQueries.sqlCos("q.q_emb", "c.centroid")}, 6)
+              DESC, c.c_label) AS crn
+        FROM q CROSS JOIN cent c) WHERE crn = 1),
+    ivf AS (
+      SELECT q_id, vec_id FROM (
+        SELECT r.q_id, e.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY r.q_id
+            ORDER BY ROUND(${ExtensionQueries.sqlCos("r.q_emb", "e.embedding")}, 6)
+              DESC, e.vec_id) AS rnk
+        FROM routed r JOIN emb e
+          ON e.label = r.best_label AND e.vec_id <> r.q_id)
+      WHERE rnk <= 5),
+    hits AS (
+      SELECT b.q_id, COUNT(*) AS hits FROM brute b
+      WHERE EXISTS (SELECT 1 FROM ivf i
+                    WHERE i.q_id = b.q_id AND i.vec_id = b.vec_id)
+      GROUP BY b.q_id)
+    SELECT q.q_id, COALESCE(h.hits, 0) AS hits,
+      CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(5 AS DOUBLE) AS recall
+    FROM (SELECT DISTINCT q_id FROM brute) q
+    LEFT JOIN hits h USING (q_id) ORDER BY q_id"""
+
+  private def gramOracle: String = s"""
+    WITH quant AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(${sqlQuant("CAST(x AS DOUBLE)")} AS BIGINT)) AS q
+      FROM embeddings),
+    flat AS (
+      SELECT vec_id, generate_subscripts(q, 1) - 1 AS i, unnest(q) AS x
+      FROM quant),
+    gram AS (
+      SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS gram
+      FROM flat a JOIN flat b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+    SELECT i, j, gram FROM gram
+    ORDER BY abs(gram) DESC, i, j LIMIT 20"""
+
+  val oracles: Map[String, String] = Map(
+    "ts_gapfill" -> gapfillOracle,
+    "graph_triangles" -> trianglesOracle,
+    "ann_recall_eval" -> recallOracle,
+    "q_sketch_union" -> """
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        TRUE AS within_5pct
+      FROM events GROUP BY event_type ORDER BY event_type""",
+    "emb_gram_topk" -> gramOracle,
+    // the planted-group arithmetic: every base has exactly its residue
+    // class of variants, and the canonical string is fully determined
+    "dedup_url" -> """
+      SELECT 'https://example.com/page/' || CAST(doc_id // 4 AS VARCHAR)
+          || '?a=1&b=2' AS canon_url,
+        COUNT(*) AS n_variants, MIN(doc_id) AS keeper
+      FROM documents GROUP BY doc_id // 4 ORDER BY keeper"""
+  )
+}

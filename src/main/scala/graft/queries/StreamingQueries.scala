@@ -105,7 +105,12 @@ object StreamingQueries {
     // boundary-independent drained set — see CdcStream scaladoc).
     "stream_sessionize" -> ((s, dir) =>
       CdcStream.streamingSessionize(s, dir)
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+
+    // State Data Source: the drained aggregation's state store read back
+    // offline as a batch DataFrame — decoded state ≡ batch aggregate.
+    "stream_state_inspect" -> ((s, dir) =>
+      CdcStream.stateStoreInspect(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -225,6 +230,11 @@ object StreamingQueries {
              AS BIGINT) AS n_purchases,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            MAX(epoch_us(ts)) AS last_us
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    // what the state store holds ≡ the batch aggregate over the input
+    "stream_state_inspect" ->
+      """SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM events GROUP BY user_id ORDER BY user_id""",
     "stream_quality_gate" ->
       """WITH f AS (

@@ -835,4 +835,52 @@ object CdcStream {
     } finally graft.Fs.deleteRecursively(ckpt)
     ReplicaSink.readReplicaImages(ss, replicaDir.toString)
   }
+
+  // ---------- operational introspection: the State Data Source ----------
+
+  /** Read a streaming checkpoint's STATE back as a batch DataFrame via
+    * the `statestore` data source — the operational "what is my job
+    * holding" query (skew triage, eviction validation, state audits)
+    * that at 100 TB replaces guessing from metrics: state files are
+    * scanned partition-parallel, offline, without touching a running
+    * query. A per-user streaming aggregation (count + exact decimal
+    * revenue) drains into a RETAINED checkpoint; the last committed
+    * batch's aggregation state is then read back and decoded. The
+    * decoded state must equal the batch aggregate over the same input —
+    * the stream≡batch claim, verified from INSIDE the state store
+    * rather than at the sink. The state scan is materialized (lineage
+    * cut) before the throwaway checkpoint is deleted. */
+  def stateStoreInspect(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val ev = streamOf(Tables.events(ss, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type"),
+        col("user_id"), col("value")), "events_user", sfDir)
+    val agg = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("revenue"))
+    val name = s"graft_sink_${nameCounter.incrementAndGet()}"
+    val ckpt = new java.io.File(s"$ckptRoot/p${graft.Fs.pid}_$name")
+    try {
+      // Update mode, no watermark: every group's buffer stays in state,
+      // so the store holds the complete aggregate when the drain ends.
+      val q = agg.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode(OutputMode.Update)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      lastRunProgress = q.recentProgress.toSeq.map(_.json)
+      val state = ss.read.format("statestore")
+        .option("path", ckpt.toString).load()
+      // value = the DeclarativeAggregate buffers: count's `count`, sum's
+      // (`sum`, `isEmpty`) — isEmpty decodes to SQL NULL (never hit here:
+      // every keyed group saw ≥1 row)
+      state.select(col("key.user_id").as("user_id"),
+          col("value.count").as("n"),
+          when(col("value.isEmpty"), lit(null))
+            .otherwise(col("value.sum")).cast("double").as("revenue"))
+        .localCheckpoint(true) // materialize before the ckpt dir dies
+        .orderBy("user_id")
+    } finally graft.Fs.deleteRecursively(ckpt)
+  }
 }

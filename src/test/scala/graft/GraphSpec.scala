@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Graph, TimeSeries}
+
+/** Triangle counting (both physical strategies) + time-series gap-fill. */
+class GraphSpec extends AnyFunSuite {
+  import SparkTest._
+
+  /** Hand-auditable graph: K4 on {1,2,3,4} (4 triangles) + pendant 5-1 +
+    * disjoint triangle {6,7,8} + isolated edge 9-10. */
+  private val handEdges = Seq(
+    (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+    (1L, 5L), (6L, 7L), (6L, 8L), (7L, 8L), (9L, 10L))
+
+  test("triangleCount: K4 + pendant + disjoint triangle, both strategies") {
+    import spark.implicits._
+    val edges = handEdges.toDF("a", "b")
+    // 4 triangles in K4 (Σ nodes: 123+124+134+234 = 6+7+8+9 = 30)
+    // + {6,7,8} (Σ 21) → 5 triangles, checksum 51
+    for (fn <- Seq(Graph.triangleCount _, Graph.triangleCountAdj _)) {
+      val Array(row) = fn(edges).as[(Long, Long)].collect()
+      assert(row === ((5L, 51L)))
+    }
+  }
+
+  test("wedge-join and broadcast-adjacency strategies agree on real co-occurrence edges") {
+    import spark.implicits._
+    val edges = Graph.coOccurrenceEdges(
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.01"))
+    val a = Graph.triangleCount(edges).as[(Long, Long)].collect().head
+    val b = Graph.triangleCountAdj(edges).as[(Long, Long)].collect().head
+    assert(a === b)
+    assert(a._1 > 0) // non-vacuous: the graph actually has triangles
+  }
+
+  test("gapFillHourly: gaps carry the last observed value and are flagged") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 5.0),
+      (1L, ts("2024-01-01 00:40:00"), 7.0),
+      // hours 01 and 02 silent
+      (1L, ts("2024-01-01 03:05:00"), 1.5),
+      (2L, ts("2024-01-01 10:00:00"), 2.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.gapFillHourly(events, maxUser = 100)
+      .select($"user_id", $"hour".cast("string"), $"n", $"rev_filled", $"is_gap")
+      .as[(Long, String, Long, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      (1L, "2024-01-01 00:00:00", 2L, 12.0, false),
+      (1L, "2024-01-01 01:00:00", 0L, 12.0, true), // forward-filled
+      (1L, "2024-01-01 02:00:00", 0L, 12.0, true),
+      (1L, "2024-01-01 03:00:00", 1L, 1.5, false),
+      (2L, "2024-01-01 10:00:00", 1L, 2.0, false)))
+  }
+}
