@@ -56,6 +56,17 @@ object Sql4Queries {
       MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
     FROM walk GROUP BY depth ORDER BY depth"""
 
+  /** Top-2 orders per (sampled) customer through a correlated LATERAL
+    * derived table with LIMIT — identical text on both engines. */
+  private val LateralTopkSql = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+    WHERE c.c_custkey % 100 = 0
+    ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey"""
+
   val queries: Map[String, Q] = Map(
     "q_recursive_cte" -> ((s, dir) => {
       t(s, dir, "documents").createOrReplaceTempView("documents")
@@ -109,6 +120,36 @@ object Sql4Queries {
         FROM orders GROUP BY 1 ORDER BY 1""")
     }),
 
+    // LATERAL correlated derived table (Spark 4 planner: DomainJoin
+    // decorrelation of a per-row dependent subquery with LIMIT) — the
+    // top-2 orders per customer, the query shape window-rank users
+    // reach for LATERAL to express. Same standard SQL text runs on both
+    // engines.
+    "q_lateral_topk" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(LateralTopkSql)
+    }),
+
+    // SQL:2003 linear-regression aggregate family. Inputs are INTEGER-
+    // valued doubles (key residues), so every internal sum is exact in
+    // IEEE double on both engines; rounding margins validated with exact
+    // rational arithmetic (see the oracle's comment).
+    "q_regr_agg" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderpriority,
+          regr_count(CAST(o_custkey % 97 AS DOUBLE),
+                     CAST(o_orderkey % 113 AS DOUBLE)) AS n,
+          ROUND(regr_slope(CAST(o_custkey % 97 AS DOUBLE),
+                           CAST(o_orderkey % 113 AS DOUBLE)), 5) AS slope,
+          ROUND(regr_intercept(CAST(o_custkey % 97 AS DOUBLE),
+                               CAST(o_orderkey % 113 AS DOUBLE)), 5) AS icept,
+          ROUND(regr_avgx(CAST(o_custkey % 97 AS DOUBLE),
+                          CAST(o_orderkey % 113 AS DOUBLE)), 5) AS mean_x
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
+
     "q_collation_group" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""
@@ -127,6 +168,28 @@ object Sql4Queries {
   val oracles: Map[String, String] = Map(
     // identical SQL text — the point of the recursive-CTE entry
     "q_recursive_cte" -> RecursiveSql,
+
+    // identical SQL text — the LATERAL decorrelation claim
+    "q_lateral_topk" -> LateralTopkSql,
+
+    // DuckDB's regr_* over the same integer-valued doubles. Inputs are
+    // small integer residues so every internal sum is exact; the
+    // engines' one-pass-vs-Welford implementation differences live
+    // ~1e-11 from the exact value, and the (97, 113, round-5) choice
+    // was validated with exact rational arithmetic: at both test SFs
+    // every slope/intercept/avgx sits ≥ 4e-7 from the nearest 0.5e-5
+    // rounding boundary — four orders of margin over the float noise.
+    "q_regr_agg" -> """
+      SELECT o_orderpriority,
+        regr_count(CAST(o_custkey % 97 AS DOUBLE),
+                   CAST(o_orderkey % 113 AS DOUBLE)) AS n,
+        ROUND(regr_slope(CAST(o_custkey % 97 AS DOUBLE),
+                         CAST(o_orderkey % 113 AS DOUBLE)), 5) AS slope,
+        ROUND(regr_intercept(CAST(o_custkey % 97 AS DOUBLE),
+                             CAST(o_orderkey % 113 AS DOUBLE)), 5) AS icept,
+        ROUND(regr_avgx(CAST(o_custkey % 97 AS DOUBLE),
+                        CAST(o_orderkey % 113 AS DOUBLE)), 5) AS mean_x
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     // encode → VARIANT → typed extract is the identity on the columns
     "q_variant_json" -> """
