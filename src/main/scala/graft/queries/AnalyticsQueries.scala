@@ -76,6 +76,25 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // mergeable quantile sketch beside the HLL cube: percentile_approx
+    // is the GK-style summary whose partials merge across partitions /
+    // cells — the scalable quantile path where exact percentile means a
+    // full sort per group. The rank guarantee (ε = 1/accuracy = 0.001)
+    // is the cross-engine-stable claim: the approx median must sit
+    // between the exact 0.45 and 0.55 quantiles, with ~49× headroom.
+    "q_sketch_quantile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.groupBy("event_type").agg(
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("ap"),
+          expr("percentile(value, 0.45)").as("lo"),
+          expr("percentile(value, 0.55)").as("hi"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi"))
+            .as("within_rank_bound"))
+        .orderBy("event_type")
+    }),
+
     // URL canonicalization dedup: four planted spellings of every
     // resource (host/scheme case, :443 default port, utm_ tracking key,
     // param order, fragment, trailing slash) collapse to ONE canonical
@@ -232,6 +251,9 @@ object AnalyticsQueries {
         TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
     "emb_gram_topk" -> gramOracle,
+    "q_sketch_quantile" -> """
+      SELECT event_type, COUNT(*) AS n, TRUE AS within_rank_bound
+      FROM events GROUP BY event_type ORDER BY event_type""",
     // the planted-group arithmetic: every base has exactly its residue
     // class of variants, and the canonical string is fully determined
     "dedup_url" -> """
