@@ -192,6 +192,22 @@ object ExtensionQueries {
       sniffed.join(decoded, "doc_id").orderBy("doc_id")
     }),
 
+    // frame-sampling planner over DECODED video durations: the
+    // frames-for-training selection (every 5 s, capped at 8 frames per
+    // video) emitted as one row per planned frame via sequence+posexplode
+    // — the list a downstream codec stage (the batched decode seam)
+    // would consume. durations come from the real mvhd parse, the
+    // oracle re-derives them arithmetically from the planted layout.
+    "mm_frame_sample" -> ((s, dir) => {
+      val mp4 = Multimodal.syntheticMp4Table(Tables.table(s, dir, "documents"))
+      Multimodal.decodeMp4(mp4).toDF()
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0L),
+            least(col("duration_s"), lit(35L)), lit(5L)))
+            .as(Seq("frame_idx", "ts_s")))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -531,6 +547,16 @@ object ExtensionQueries {
          CAST(10 + doc_id % 50 AS BIGINT) AS duration_s,
          CAST(length(text) AS BIGINT) AS mdat_bytes
        FROM documents ORDER BY doc_id""",
+    "mm_frame_sample" -> """
+       WITH m AS (SELECT doc_id,
+                    CAST(10 + doc_id % 50 AS BIGINT) AS dur
+                  FROM documents)
+       SELECT doc_id,
+         CAST(generate_subscripts(
+           generate_series(0, least(dur, 35), 5), 1) - 1 AS INTEGER)
+           AS frame_idx,
+         unnest(generate_series(0, least(dur, 35), 5)) AS ts_s
+       FROM m ORDER BY doc_id, frame_idx""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the
     // Spark zip_with) so every double is bit-identical

@@ -145,6 +145,38 @@ object TwsOps {
     }
   }
 
+  case class TtlOut(user_id: Long, short_n: Long, long_n: Long)
+
+  /** State TTL: two per-key counters over the same input, differing only
+    * in their [[TTLConfig]] — the bounded-state answer for keyspaces
+    * that churn (abandoned sessions, one-shot users) where neither a
+    * watermark bound nor an explicit timer fits: expired values read as
+    * absent and their storage is reclaimed by the store's background
+    * maintenance, so state is bounded by the ACTIVE keyset however
+    * unbounded the total keyset grows. The short/long pair makes
+    * expiry observable in both directions in one restart (TwsSpec). */
+  class TtlCountsProcessor(shortTtlMs: Long)
+      extends StatefulProcessor[Long, EventIn, TtlOut] {
+    @transient private var shortN: ValueState[Long] = _
+    @transient private var longN: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      shortN = getHandle.getValueState[Long]("short_n", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(shortTtlMs)))
+      longN = getHandle.getValueState[Long]("long_n", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofHours(1)))
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[EventIn],
+        timerValues: TimerValues): Iterator[TtlOut] = {
+      val n = rows.size.toLong
+      val s = (if (shortN.exists()) shortN.get() else 0L) + n
+      val l = (if (longN.exists()) longN.get() else 0L) + n
+      shortN.update(s); longN.update(l)
+      Iterator.single(TtlOut(key, s, l))
+    }
+  }
+
   /** Dedicated RocksDB-provider sessions, one per parent (conf isolation
     * — same reason as CdcStream.streamSession). */
   private val twsSessions =

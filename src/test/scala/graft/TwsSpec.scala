@@ -135,6 +135,46 @@ class TwsSpec extends AnyFunSuite {
     graft.Fs.deleteRecursively(ckpt.toFile)
   }
 
+  test("state TTL: short-TTL value expires across a restart, long-TTL survives") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import graft.streaming.TwsOps.{EventIn, TtlCountsProcessor}
+    val ss = TwsOps.twsSession(spark)
+    import ss.implicits._
+    val inDir = Files.createTempDirectory("graft_ttl_in").toString
+    val ckpt = Files.createTempDirectory("graft_ttl_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_ttl_out").toString
+
+    def writeBatch(name: String, rows: EventIn*): Unit =
+      rows.toSeq.toDS().toDF().coalesce(1)
+        .write.mode("overwrite").parquet(s"$inDir/$name")
+    def runOnce(): Unit = {
+      val stream = ss.readStream.schema(Encoders.product[EventIn].schema)
+        .parquet(s"$inDir/*").as[EventIn]
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new TtlCountsProcessor(shortTtlMs = 200L),
+          TimeMode.ProcessingTime(), OutputMode.Append())
+        .toDF().writeStream.format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    writeBatch("b1", EventIn(1, "click", 1, 1), EventIn(1, "view", 1, 2))
+    runOnce()
+    Thread.sleep(1000) // >> the 200ms short TTL; << the 1h long TTL
+    writeBatch("b2", EventIn(1, "click", 1, 3))
+    runOnce()
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long)].collect().toSet
+    // run 1: both counters 2. run 2: the short-TTL counter restarted
+    // from absent (expired), the long-TTL counter carried 2 → 3.
+    assert(got === Set((1L, 2L, 2L), (1L, 1L, 3L)), s"got $got")
+  }
+
   test("RocksDB provider is scoped to the TWS session only") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val tws = TwsOps.twsSession(spark)
