@@ -105,6 +105,44 @@ object ExtensionQueries {
 
   // ---------- queries ----------
 
+  /** IVF cell search: route each query to its `nprobe` nearest per-label
+    * centroids (broadcast, node-count rows), exact top-5 within those
+    * cells only — the candidate scan is nprobe/nlist of the corpus.
+    * `best_label` reports the rank-1 cell (scheme-stable across nprobe
+    * so both variants share output shape). */
+  private def ivfTopK(s: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import s.implicits._
+    val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+    val emb = Tables.table(s, dir, "embeddings").select($"vec_id", $"label",
+      transform($"embedding", x => x.cast("double")).as("embedding"))
+    val flat = emb.select($"label", posexplode($"embedding").as(Seq("i", "x")))
+    val cent = flat.groupBy($"label", $"i")
+      .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
+        count(lit(1))).as("cx"))
+      .groupBy($"label")
+      .agg(array_sort(collect_list(struct($"i", $"cx"))).as("sorted"))
+      .select($"label".as("c_label"),
+        transform($"sorted", p => p.getField("cx")).as("centroid"))
+    val q = emb.where($"vec_id" % 100 === 0)
+      .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
+    val wq = Window.partitionBy($"q_id")
+      .orderBy($"ccos".desc, $"c_label")
+    val routed = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", round(cos($"q_emb", $"centroid"), 6))
+      .withColumn("crn", row_number().over(wq))
+      .where($"crn" <= nprobe)
+      .select($"q_id", $"q_emb", $"c_label", $"crn")
+    val wk = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
+    routed.join(emb, $"label" === $"c_label" && $"vec_id" =!= $"q_id")
+      .withColumn("cos", round(cos($"q_emb", $"embedding"), 6))
+      .withColumn("best_label",
+        min(when($"crn" === 1, $"c_label")).over(Window.partitionBy($"q_id")))
+      .withColumn("rnk", row_number().over(wk))
+      .where($"rnk" <= 5)
+      .select($"q_id", $"best_label", $"rnk", $"vec_id", $"cos")
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     // token + BPE-ish subword counting
     "text_tokens" -> ((s, dir) => {
@@ -396,36 +434,13 @@ object ExtensionQueries {
     // IVF-style ANN: per-label centroids (exact decimal means), route each
     // query to its nearest centroid, exact top-k within that cell only —
     // the sublinear scale path (scan 1/nlist of the corpus per query).
-    "ann_ivf_topk" -> ((s, dir) => {
-      import s.implicits._
-      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
-      val emb = Tables.table(s, dir, "embeddings").select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("embedding"))
-      val flat = emb.select($"label", posexplode($"embedding").as(Seq("i", "x")))
-      val cent = flat.groupBy($"label", $"i")
-        .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("cx"))
-        .groupBy($"label")
-        .agg(array_sort(collect_list(struct($"i", $"cx"))).as("sorted"))
-        .select($"label".as("c_label"),
-          transform($"sorted", p => p.getField("cx")).as("centroid"))
-      val q = emb.where($"vec_id" % 100 === 0)
-        .select($"vec_id".as("q_id"), $"embedding".as("q_emb"))
-      val wq = Window.partitionBy($"q_id")
-        .orderBy($"ccos".desc, $"c_label")
-      val routed = q.crossJoin(broadcast(cent))
-        .withColumn("ccos", round(cos($"q_emb", $"centroid"), 6))
-        .withColumn("crn", row_number().over(wq))
-        .where($"crn" === 1)
-        .select($"q_id", $"q_emb", $"c_label".as("best_label"))
-      val wk = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
-      routed.join(emb, $"label" === $"best_label" && $"vec_id" =!= $"q_id")
-        .withColumn("cos", round(cos($"q_emb", $"embedding"), 6))
-        .withColumn("rnk", row_number().over(wk))
-        .where($"rnk" <= 5)
-        .select($"q_id", $"best_label", $"rnk", $"vec_id", $"cos")
-        .orderBy("q_id", "rnk")
-    }),
+    "ann_ivf_topk" -> ((s, dir) => ivfTopK(s, dir, nprobe = 1)),
+
+    // the recall/cost knob: nprobe = 2 scans the two nearest cells per
+    // query (2/nlist of the corpus) — recall@5 can only grow vs
+    // nprobe = 1 on the same routing (ExtensionSpec pins it does);
+    // same plan shape, the candidate set is a 2-cell semi-join.
+    "ann_ivf_nprobe2" -> ((s, dir) => ivfTopK(s, dir, nprobe = 2)),
 
     // multimodal: binary payload + stub decode through mapPartitions
     "mm_decode_stub" -> ((s, dir) => {
@@ -869,6 +884,41 @@ object ExtensionQueries {
        SELECT q_id, best_label, rnk, vec_id, cos FROM (
          SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
            ORDER BY cos DESC, vec_id) AS rnk FROM scored)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "ann_ivf_nprobe2" -> s"""
+       WITH emb AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       flat AS (
+         SELECT label, generate_subscripts(embedding, 1) AS i,
+                unnest(embedding) AS x
+         FROM emb),
+       cent AS (
+         SELECT label AS c_label, list(cx ORDER BY i) AS centroid FROM (
+           SELECT label, i,
+             CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS cx
+           FROM flat GROUP BY label, i) GROUP BY label),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, q_emb, c_label, crn FROM (
+           SELECT q.q_id, q.q_emb, c.c_label,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id
+               ORDER BY ROUND(${sqlCos("q.q_emb", "c.centroid")}, 6) DESC,
+                        c.c_label) AS crn
+           FROM q CROSS JOIN cent c) WHERE crn <= 2),
+       best AS (SELECT q_id, c_label AS best_label FROM routed WHERE crn = 1),
+       scored AS (
+         SELECT r.q_id, e.vec_id,
+           ROUND(${sqlCos("r.q_emb", "e.embedding")}, 6) AS cos
+         FROM routed r JOIN emb e
+           ON e.label = r.c_label AND e.vec_id <> r.q_id)
+       SELECT q_id, best_label, rnk, vec_id, cos FROM (
+         SELECT s.q_id, s.vec_id, s.cos, b.best_label,
+           ROW_NUMBER() OVER (PARTITION BY s.q_id
+             ORDER BY s.cos DESC, s.vec_id) AS rnk
+         FROM scored s JOIN best b USING (q_id))
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "mm_decode_stub" ->
       """SELECT doc_id,

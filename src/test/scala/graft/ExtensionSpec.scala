@@ -289,4 +289,19 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(3).getLong(2) === 0L && out(3).getString(3) === "")
     assert(out(4).getLong(1) === 2L && out(4).getString(3) === "z")
   }
+
+  test("IVF nprobe knob: recall@5 vs brute force never drops when nprobe grows") {
+    import org.apache.spark.sql.DataFrame
+    val dir = "/root/testdata/sf0.01"
+    def pairs(name: String): Set[(Long, Long)] = {
+      val df: DataFrame = graft.queries.ExtensionQueries.queries(name)(spark, dir)
+      df.select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val truth = pairs("ann_cosine_topk")
+    val h1 = (pairs("ann_ivf_topk") & truth).size
+    val h2 = (pairs("ann_ivf_nprobe2") & truth).size
+    assert(h2 >= h1, s"recall dropped: nprobe1=$h1 nprobe2=$h2")
+    assert(h1 > 0) // non-vacuous: single-cell search already finds hits
+  }
 }
