@@ -76,6 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.SlidingWindows(exprs(0), exprs(1), exprs(2))
       }))
     ext.injectOptimizerRule(_ => AnchoredRegexToPrefix)
+    // Window-rank top-k idiom → native TopKPerKey (guards in the rule's
+    // scaladoc; TopKPlanSpec pins the rewrite + the non-rewrites)
+    ext.injectOptimizerRule(_ => graft.plans.RankLimitToTopK)
     // Tier-(c) whole-operator extension: the grouped top-k logical node
     // gets a physical plan (partial → shuffle ≤k/key → final), see
     // graft.plans.TopKPerKey.

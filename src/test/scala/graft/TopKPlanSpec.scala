@@ -76,4 +76,43 @@ class TopKPlanSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     // bounded by k · keys · map-partitions, and no smaller than the answer
     assert(shipped >= finalRows)
   }
+
+  test("RankLimitToTopK: the window idiom silently plans as the native operator") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val idiom = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn")
+    val plan = executed(idiom)
+    val phases = collect(plan) { case e: TopKPerKeyExec => e }
+    assert(phases.size === 2, s"expected the native operator:\n$plan")
+    assert(!plan.toString.contains("Window"),
+      s"window machinery must be gone:\n$plan")
+
+    // ground truth from a session with the rewrite excluded: a REAL
+    // window plan, same rows
+    val ctl = spark.newSession()
+    ctl.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.RankLimitToTopK")
+    val ordersCtl = ctl.read.parquet(s"$Sf/orders.parquet")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val ctlDf = ordersCtl.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3).drop("rn")
+    assert(collect(executed(ctlDf)) { case e: TopKPerKeyExec => e }.isEmpty,
+      "control session must keep the window plan")
+    assert(idiom.orderBy("o_custkey", "o_orderkey").collect()
+      .sameElements(ctlDf.orderBy("o_custkey", "o_orderkey").collect()))
+  }
+
+  test("RankLimitToTopK guards: projected rank or rank() do NOT rewrite") {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    // rnk is in the output → the native operator can't produce it
+    val keepsRank = orders.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+    assert(collect(executed(keepsRank)) { case e: TopKPerKeyExec => e }.isEmpty)
+    // rank() admits >k rows on ties — semantics the heap can't express
+    val rankFn = orders.withColumn("rn", rank().over(w))
+      .where(col("rn") <= 3).drop("rn")
+    assert(collect(executed(rankFn)) { case e: TopKPerKeyExec => e }.isEmpty)
+  }
 }
