@@ -150,6 +150,39 @@ object Sql4Queries {
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     }),
 
+    // SQL scripting (SQL/PSM, Spark 4): DECLARE/WHILE/SET procedural
+    // control flow around data-driven scalar subqueries — the migration
+    // surface for stored-procedure workloads. The script's iterative
+    // accumulation has a closed form the oracle states directly.
+    "q_sql_script" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      // parser gate for BEGIN...END blocks; scoped to this session
+      s.conf.set("spark.sql.scripting.enabled", "true")
+      s.sql("""
+        BEGIN
+          DECLARE total BIGINT DEFAULT 0;
+          DECLARE i INT DEFAULT 0;
+          WHILE i < 5 DO
+            SET total = total +
+              (SELECT COUNT(*) FROM orders WHERE o_orderkey % 5 = i) * (i + 1);
+            SET i = i + 1;
+          END WHILE;
+          SELECT total AS weighted_n;
+        END""")
+    }),
+
+    // EXECUTE IMMEDIATE with positional params INCLUDING the table name
+    // (IDENTIFIER(?)) — dynamic SQL built at runtime without string
+    // concatenation, the injection-safe form of generated queries.
+    "q_execute_immediate" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""EXECUTE IMMEDIATE
+        'SELECT o_orderpriority AS prio, COUNT(*) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+         FROM IDENTIFIER(?) WHERE o_orderkey % 2 = ? GROUP BY 1 ORDER BY 1'
+        USING 'orders', 0""")
+    }),
+
     "q_collation_group" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""
@@ -190,6 +223,17 @@ object Sql4Queries {
         ROUND(regr_avgx(CAST(o_custkey % 97 AS DOUBLE),
                         CAST(o_orderkey % 113 AS DOUBLE)), 5) AS mean_x
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    // the WHILE accumulation's closed form
+    "q_sql_script" -> """
+      SELECT CAST(SUM(o_orderkey % 5 + 1) AS BIGINT) AS weighted_n
+      FROM orders""",
+
+    // the dynamic text with params substituted
+    "q_execute_immediate" -> """
+      SELECT o_orderpriority AS prio, COUNT(*) AS n,
+        CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1""",
 
     // encode → VARIANT → typed extract is the identity on the columns
     "q_variant_json" -> """
