@@ -366,6 +366,22 @@ object RelationalQueries {
         .orderBy($"event_id")
     }),
 
+    // NEAREST-direction as-of: minimize |right - left| within the key,
+    // distance ties backward — both directions resolved over ONE union
+    // shuffle (two in-partition window sorts, no range join).
+    "q_asof_nearest" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id".as("k"), $"ts")
+      val ord = t(s, dir, "orders")
+        .groupBy($"o_custkey".as("k"), $"o_orderdate")
+        .agg(count(lit(1)).as("n_orders"))
+      AsOfJoin.asOfNearest(ev, ord, key = "k", leftTime = "ts",
+          rightTime = "o_orderdate", payload = Seq("n_orders"))
+        .select($"event_id", $"k".as("user_id"), $"asof_n_orders", $"asof_ts")
+        .orderBy($"event_id")
+    }),
+
     // Interval/range join: follow-up events of the same user within 1 hour.
     // The join key is (user, hour-bucket): each probe row checks its own
     // and the next bucket (b_ts ∈ (ts, ts+1h] ⟹ floor_h(b_ts) ∈
@@ -977,6 +993,21 @@ object RelationalQueries {
              WHERE ord.k = e.user_id AND ord.o_orderdate <= e.ts
              ORDER BY ord.o_orderdate DESC LIMIT 1) AS asof_n_orders
          FROM events e ORDER BY e.event_id""",
+
+    // nearest ≡ minimize (|Δt|, right time): the tie rule "backward
+    // wins" is exactly the secondary ascending right-time sort
+    "q_asof_nearest" ->
+      """WITH ord AS (
+           SELECT o_custkey AS k, o_orderdate, COUNT(*) AS n_orders
+           FROM orders GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, x.asof_n_orders, x.asof_ts
+         FROM events e LEFT JOIN LATERAL (
+           SELECT n_orders AS asof_n_orders, o_orderdate AS asof_ts
+           FROM ord WHERE ord.k = e.user_id
+           ORDER BY abs(epoch_us(e.ts) - epoch_us(o_orderdate)),
+             o_orderdate
+           LIMIT 1) x ON TRUE
+         ORDER BY e.event_id""",
     "q_interval_join" ->
       """SELECT a.event_id, COUNT(*) AS followups
          FROM events a JOIN events b ON a.user_id = b.user_id

@@ -35,4 +35,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(out("l2") === "r@15") // latest preceding wins
     assert(out("lx") === null) // key with no right side at all
   }
+
+  test("asOfNearest: closer side wins, exact-distance ties go backward") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000000L)
+    val left = Seq((1L, ts(10), "only-after"), (1L, ts(100), "closer-before"),
+      (1L, ts(52), "tie"), (2L, ts(5), "no-right"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, ts(50), "r@50"), (1L, ts(54), "r@54"),
+      (1L, ts(110), "r@110")).toDF("k", "rt", "payload")
+    val out = AsOfJoin.asOfNearest(left, right, key = "k",
+        leftTime = "t", rightTime = "rt", payload = Seq("payload"))
+      .select($"tag", $"asof_payload").as[(String, String)]
+      .collect().toMap
+    assert(out("only-after") === "r@50") // nothing before t=10 → forward
+    assert(out("closer-before") === "r@110") // |100-110| < |100-54|
+    assert(out("tie") === "r@50") // |52-50| == |54-52| → backward wins
+    assert(out("no-right") === null)
+  }
 }
