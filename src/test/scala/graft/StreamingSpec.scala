@@ -323,4 +323,40 @@ class StreamingSpec extends AnyFunSuite {
         s"expected no state operators in progress:\n$p")
     }
   }
+
+  test("streaming observe(): per-micro-batch gate metrics sum to batch totals") {
+    import org.apache.spark.sql.functions._
+    val ss = CdcStream.streamSession(spark, flush = false)
+    val ev = graft.sources.Tables.events(ss, Sf)
+      .select(col("event_id"), col("event_type"), col("value"))
+    // multi-batch replay so per-batch metric ROWS actually accumulate
+    val src = CdcStream.streamOf(ev, "events_obs", Sf,
+      maxFilesPerTrigger = Some(3))
+    val gated = src.observe("gate",
+        count(lit(1)).as("seen"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("clicks"))
+      .where(col("event_type") === "click")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_obs_ckpt")
+    val q = gated.writeStream.format("memory").queryName("obs_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      val per = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("gate")))
+        .map(r => (r.getAs[Long]("seen"), r.getAs[Long]("clicks")))
+      assert(per.size >= 2, s"expected multi-batch metrics, got $per")
+      val batch = ev.agg(count(lit(1)),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)))
+        .head()
+      assert(per.map(_._1).sum === batch.getLong(0))
+      assert(per.map(_._2).sum === batch.getLong(1))
+      // and the sink got exactly the clicks the metric counted
+      assert(ss.table("obs_sink").count() === per.map(_._2).sum)
+    } finally {
+      if (q.isActive) q.stop()
+      graft.Fs.deleteRecursively(ckpt.toFile)
+    }
+  }
 }
