@@ -324,6 +324,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("state CHANGE FEED: per-batch state history replays to the final aggregate") {
+    import org.apache.spark.sql.functions._
+    val ss = CdcStream.streamSession(spark, flush = false)
+    val ev = graft.sources.Tables.events(ss, Sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val src = CdcStream.streamOf(ev, "events_cf", Sf,
+      maxFilesPerTrigger = Some(3))
+    val agg = src.groupBy("user_id").agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cf_ckpt")
+    val q = agg.writeStream.format("memory").queryName("cf_sink")
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination()
+      // the state AUDIT LOG: every (batch, key, buffer) transition —
+      // what a 100 TB operator replays to debug "when did this key's
+      // state go wrong" without rerunning the job
+      val cf = ss.read.format("statestore")
+        .option("readChangeFeed", "true").option("changeStartBatchId", "0")
+        .load(ckpt.toString)
+        .select(col("batch_id"), col("change_type"),
+          col("key.user_id").as("user_id"), col("value.count").as("n"))
+      val feed = cf.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(feed.map(_._1).distinct.size >= 2,
+        s"expected multi-batch history, got batches ${feed.map(_._1).distinct}")
+      assert(feed.forall(_._2 == "update"))
+      // latest change per key == the batch aggregate
+      val last = feed.groupBy(_._3).view
+        .mapValues(ch => ch.maxBy(_._1)._4).toMap
+      val want = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last === want)
+      // counts must be non-decreasing per key across batches (an
+      // aggregation buffer only accumulates)
+      feed.groupBy(_._3).values.foreach { ch =>
+        val sorted = ch.sortBy(_._1).map(_._4)
+        assert(sorted === sorted.sorted, s"non-monotone history: $ch")
+      }
+    } finally {
+      if (q.isActive) q.stop()
+      graft.Fs.deleteRecursively(ckpt.toFile)
+    }
+  }
+
   test("streaming observe(): per-micro-batch gate metrics sum to batch totals") {
     import org.apache.spark.sql.functions._
     val ss = CdcStream.streamSession(spark, flush = false)
