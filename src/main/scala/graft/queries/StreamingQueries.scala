@@ -110,7 +110,26 @@ object StreamingQueries {
     // State Data Source: the drained aggregation's state store read back
     // offline as a batch DataFrame — decoded state ≡ batch aggregate.
     "stream_state_inspect" -> ((s, dir) =>
-      CdcStream.stateStoreInspect(s, dir))
+      CdcStream.stateStoreInspect(s, dir)),
+
+    // the DSv2 connector as a MICRO-BATCH STREAM source: file-count
+    // offsets over the name-sorted topic segments, maxFilesPerTrigger
+    // admission control (6 files / 2 per batch → 3 micro-batches),
+    // filter+column pushdown applying per batch — the connector-level
+    // form of the reference's offset-consuming SPU stream (S4/D9).
+    "stream_dsv2_source" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.streaming.OutputMode
+      import graft.sources.WireFormats
+      val ss = CdcStream.streamSession(s, flush = false)
+      val src = ss.readStream.format("cdc-wire")
+        .schema(WireFormats.EventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .load(WireFormats.jsonlStreamDir(ss, dir))
+        .where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "value")
+      CdcStream.runToTable(src, OutputMode.Append).orderBy("event_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -236,6 +255,10 @@ object StreamingQueries {
       """SELECT user_id, COUNT(*) AS n,
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM events GROUP BY user_id ORDER BY user_id""",
+    // the drained multi-batch connector stream ≡ the batch filter
+    "stream_dsv2_source" ->
+      """SELECT event_id, user_id, value FROM events
+         WHERE event_type = 'purchase' ORDER BY event_id""",
     "stream_quality_gate" ->
       """WITH f AS (
            SELECT doc_id, lang,

@@ -144,14 +144,16 @@ class CdcWireTable(path: String, tableSchema: StructType)
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new CdcWireScanBuilder(path, tableSchema)
+    new CdcWireScanBuilder(path, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new CdcWireWriteBuilder(path, info.schema())
 }
 
-class CdcWireScanBuilder(path: String, full: StructType)
+class CdcWireScanBuilder(path: String, full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
@@ -214,16 +216,24 @@ class CdcWireScanBuilder(path: String, full: StructType)
 
   override def build(): Scan =
     new CdcWireScan(path, full, agg.map(aggSchema(full, _)).getOrElse(required),
-      pushed, if (agg.isDefined) -1 else limit, agg)
+      pushed, if (agg.isDefined) -1 else limit, agg, options)
 }
 
 case class CdcWireFilePartition(file: String) extends InputPartition
 
 class CdcWireScan(path: String, full: StructType, val required: StructType,
     val pushed: Array[Filter], val limit: Int,
-    val agg: Option[CdcWireSource.WireAgg] = None) extends Scan with Batch {
+    val agg: Option[CdcWireSource.WireAgg] = None,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(agg.isEmpty, "aggregate pushdown is batch-only for cdc-wire")
+    new CdcWireMicroBatchStream(path, full, required, pushed,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+  }
   override def description(): String =
     s"CdcWireScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.simpleString}, PushedLimit: $limit" +
@@ -238,6 +248,80 @@ class CdcWireScan(path: String, full: StructType, val required: StructType,
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new CdcWireReaderFactory(full, required, pushed, limit, agg)
+}
+
+/** Micro-batch streaming read of the wire directory — the connector-level
+  * form of the reference's offset-consuming SPU stream (SURVEY.md §2.1
+  * S4/D9, cdc-mysql's consumer resumes from a stored topic offset): the
+  * OFFSET is "first N files of the name-sorted listing consumed"
+  * (append-only topic segments; rotation appends later-sorting names, as
+  * in S3 index rotation). Admission control honors `maxFilesPerTrigger`
+  * (bounded micro-batches) and Trigger.AvailableNow snapshots the listing
+  * ONCE up front, so a drain has a fixed endpoint even while producers
+  * keep appending. Filter/column pushdown from the batch scan applies
+  * unchanged to every micro-batch; each batch plans one partition per
+  * newly-admitted file. Progress/recovery is Spark's offset log — the
+  * same checkpoint contract as every other source (D8). */
+class CdcWireMicroBatchStream(path: String, full: StructType,
+    required: StructType, pushed: Array[Filter], maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxFiles}
+
+  private def visibleFiles: Array[File] =
+    Option(new File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+      .sortBy(_.getName)
+
+  // AvailableNow endpoint: fixed at prepare time, immune to appends
+  @volatile private var availableTarget: Int = -1
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableTarget = visibleFiles.length
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = CdcWireOffset(0)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[CdcWireOffset].n
+    val cap = if (availableTarget >= 0) availableTarget else visibleFiles.length
+    val next = limit match {
+      case m: ReadMaxFiles => math.min(cap, cur + m.maxFiles())
+      case _ => cap
+    }
+    CdcWireOffset(math.max(cur, next))
+  }
+
+  override def reportLatestOffset(): Offset = CdcWireOffset(visibleFiles.length)
+
+  override def deserializeOffset(json: String): Offset =
+    CdcWireOffset(new ObjectMapper().readTree(json).get("n").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcWireOffset].n
+    val e = end.asInstanceOf[CdcWireOffset].n
+    visibleFiles.slice(s, e)
+      .map(f => CdcWireFilePartition(f.getAbsolutePath): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new CdcWireReaderFactory(full, required, pushed, -1, None)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+case class CdcWireOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"n":$n}"""
 }
 
 class CdcWireReaderFactory(full: StructType, required: StructType,

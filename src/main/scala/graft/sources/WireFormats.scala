@@ -54,6 +54,22 @@ object WireFormats {
   def jsonlDir(spark: SparkSession, sfDir: String): String =
     stage(spark, sfDir, "jsonl")
 
+  /** Multi-file JSONL staging for the connector's MICRO-BATCH stream:
+    * six topic-segment files so `maxFilesPerTrigger` produces a real
+    * multi-batch replay (the single-file batch staging would collapse
+    * to one batch). */
+  def jsonlStreamDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = s"jsonl_stream_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
+      val dir = new java.io.File(s"/tmp/graft_wire/$key")
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        dir.getParentFile.mkdirs()
+        Tables.events(spark, sfDir).repartition(6).write.mode("overwrite")
+          .option("timestampFormat", TsFormat).json(dir.toString)
+      }
+      dir.toString
+    }
+
   /** JSON-lines read with explicit schema (no inference pass). */
   def eventsJsonl(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.schema(EventsSchema).option("timestampFormat", TsFormat)

@@ -158,4 +158,60 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(viaWire.nonEmpty)
     assert(viaWire === viaParquet)
   }
+
+  test("micro-batch stream: admission control paces batches; restart resumes at the offset") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // private copy of the staged segments — the test appends a file
+    val srcDir = Paths.get(WireFormats.jsonlStreamDir(spark, Sf))
+    val dir = Files.createTempDirectory("graft_wire_stream")
+    Files.list(srcDir).forEach { p =>
+      val n = p.getFileName.toString
+      if (!n.startsWith("_") && !n.startsWith("."))
+        Files.copy(p, dir.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val nFiles = Files.list(dir).count().toInt
+    assert(nFiles >= 4, s"need multi-file staging, got $nFiles")
+
+    val ckpt = Files.createTempDirectory("graft_wire_ckpt")
+    val out = Files.createTempDirectory("graft_wire_out")
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("cdc-wire")
+        .schema(WireFormats.EventsSchema)
+        .option("maxFilesPerTrigger", "2")
+        .load(dir.toString)
+        .select(col("event_id"))
+        .writeStream.format("parquet").option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batches = q.recentProgress.toSeq.filter(_.numInputRows > 0)
+      assert(batches.size <= math.ceil(nFiles / 2.0).toInt + 1)
+      if (Files.list(out).count() > 0) () // parquet sink wrote
+    }
+    runOnce()
+    val afterFirst = spark.read.parquet(out.toString).count()
+    val total = wire.count()
+    assert(afterFirst === total, "first drain must consume every segment")
+
+    // ROTATION: a new segment appears; the restarted stream must consume
+    // ONLY it (offset log resume), never reprocess the old segments
+    val extra = spark.range(1).select(
+      lit(9999999L).as("event_id"), lit("2024-02-01 00:00:00.000000").as("ts"),
+      lit(1L).as("user_id"), lit("click").as("event_type"),
+      lit(1.5).as("value"), lit("""{"k": 1}""").as("props"))
+    val tmpNew = Files.createTempDirectory("graft_wire_new")
+    extra.coalesce(1).write.mode("overwrite").json(tmpNew.toString)
+    val newFile = Files.list(tmpNew).filter(_.getFileName.toString.endsWith(".json"))
+      .findFirst().get()
+    // later-sorting name = appended segment
+    Files.copy(newFile, dir.resolve("part-zzzz-rotated.json"))
+    runOnce()
+    val afterSecond = spark.read.parquet(out.toString).count()
+    assert(afterSecond === total + 1,
+      s"restart must consume only the rotated-in segment: $afterFirst -> $afterSecond")
+    Seq(dir, ckpt, out, tmpNew).foreach(p =>
+      graft.Fs.deleteRecursively(p.toFile))
+  }
 }
