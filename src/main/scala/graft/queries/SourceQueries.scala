@@ -14,7 +14,7 @@ object SourceQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def fidelityAgg(df: DataFrame): DataFrame = {
+  private[queries] def fidelityAgg(df: DataFrame): DataFrame = {
     df.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"),
@@ -101,7 +101,7 @@ object SourceQueries {
     })
   )
 
-  private val FidelityOracle =
+  private[queries] val FidelityOracle =
     """SELECT event_type,
        count(*) AS n,
        CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,

@@ -129,6 +129,31 @@ object StreamingQueries {
         .where(col("event_type") === "purchase")
         .select("event_id", "user_id", "value")
       CdcStream.runToTable(src, OutputMode.Append).orderBy("event_id")
+    }),
+
+    // …and the WRITE direction: the connector as a streaming K1 sink.
+    // Each micro-batch commits one visible wire segment per (epoch,
+    // partition) — epoch-replay-idempotent (REPLACE move, taskId-free
+    // dest names). The drained topic read back through the batch
+    // connector must reproduce the full-fidelity aggregate.
+    "stream_dsv2_sink" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.sources.{Tables, WireFormats}
+      val ss = CdcStream.streamSession(s, flush = false)
+      val src = CdcStream.streamOf(Tables.events(ss, dir), "events_full", dir,
+        maxFilesPerTrigger = Some(3))
+      val out = new java.io.File("/tmp/graft_wire/stream_sink_" +
+        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(out) // fresh topic per invocation
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_wsink_ckpt")
+      val q = src.writeStream.format("cdc-wire")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      finally graft.Fs.deleteRecursively(ckpt.toFile)
+      SourceQueries.fidelityAgg(ss.read.format("cdc-wire")
+        .schema(WireFormats.EventsSchema).load(out.toString))
     })
   )
 
@@ -259,6 +284,8 @@ object StreamingQueries {
     "stream_dsv2_source" ->
       """SELECT event_id, user_id, value FROM events
          WHERE event_type = 'purchase' ORDER BY event_id""",
+    // round-trip through the streaming sink ≡ the source fidelity oracle
+    "stream_dsv2_sink" -> SourceQueries.FidelityOracle,
     "stream_quality_gate" ->
       """WITH f AS (
            SELECT doc_id, lang,

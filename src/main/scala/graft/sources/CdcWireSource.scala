@@ -145,7 +145,8 @@ class CdcWireTable(path: String, tableSchema: StructType)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new CdcWireScanBuilder(path, tableSchema, options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -355,8 +356,13 @@ case class CdcWireCommit(tmp: String, dest: String)
   * visible files inside the same commit, so readers see old-or-new,
   * never a mix of partial states. */
 class CdcWireWrite(path: String, querySchema: StructType, truncate: Boolean)
-    extends Write with BatchWrite {
+    extends Write with BatchWrite
+    with org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   override def toBatch: BatchWrite = this
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = this
+  // both parent defaults are `true`; the diamond needs an explicit pick
+  override def useCommitCoordinator(): Boolean = true
   override def description(): String =
     s"CdcWireWrite(truncate=$truncate, ${querySchema.simpleString})"
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
@@ -381,6 +387,37 @@ class CdcWireWrite(path: String, querySchema: StructType, truncate: Boolean)
       case CdcWireCommit(tmp, _) => new File(tmp).delete(); ()
       case _ => ()
     }
+
+  // ---- streaming (K1 topic sink at the connector): one visible segment
+  // per (epoch, partition). Epoch REPLAYS after a failure re-produce the
+  // same dest names, and the commit's REPLACE move makes re-commits
+  // idempotent — readers see each epoch's data exactly once. The
+  // speculative-attempt story is unchanged: only the coordinator-chosen
+  // attempt's message reaches commit, losers' temps are aborted.
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    new File(path).mkdirs()
+    new CdcWireStreamingWriterFactory(path, querySchema)
+  }
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val dir = new File(path)
+    messages.foreach { case CdcWireCommit(tmp, dest) =>
+      java.nio.file.Files.move(new File(tmp).toPath,
+        new File(dir, dest).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = abort(messages)
+}
+
+class CdcWireStreamingWriterFactory(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new CdcWireWriter(path, schema, partitionId, taskId, Some(epochId))
 }
 
 class CdcWireWriterFactory(path: String, schema: StructType)
@@ -395,10 +432,11 @@ class CdcWireWriterFactory(path: String, schema: StructType)
   * the same bytes Spark's JSON writer emits, so the reader round-trips
   * bit-exactly). */
 class CdcWireWriter(path: String, schema: StructType, partitionId: Int,
-    taskId: Long) extends DataWriter[InternalRow] {
+    taskId: Long, epoch: Option[Long] = None) extends DataWriter[InternalRow] {
   private val mapper = new ObjectMapper()
   private val ts = DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS")
-  private val tmp = new File(path, s"_tmp-$partitionId-$taskId.json")
+  private val tmp = new File(path,
+    s"_tmp-${epoch.map(e => s"e$e-").getOrElse("")}$partitionId-$taskId.json")
   private val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
     new java.io.FileOutputStream(tmp), UTF_8))
   private val fields = schema.fields
@@ -428,7 +466,11 @@ class CdcWireWriter(path: String, schema: StructType, partitionId: Int,
   }
   override def commit(): WriterCommitMessage = {
     out.close()
-    CdcWireCommit(tmp.getAbsolutePath, s"part-$partitionId-$taskId.json")
+    // epoch dests EXCLUDE taskId: every attempt of (epoch, partition)
+    // names the same segment, so replays overwrite instead of duplicate
+    CdcWireCommit(tmp.getAbsolutePath,
+      epoch.map(e => s"part-e$e-$partitionId.json")
+        .getOrElse(s"part-$partitionId-$taskId.json"))
   }
   override def abort(): Unit = {
     out.close()

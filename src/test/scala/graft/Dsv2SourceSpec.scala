@@ -214,4 +214,33 @@ class Dsv2SourceSpec extends AnyFunSuite {
     Seq(dir, ckpt, out, tmpNew).foreach(p =>
       graft.Fs.deleteRecursively(p.toFile))
   }
+
+  test("streaming write: one visible segment per (epoch, partition), temps gone") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.Files
+    val in = Files.createTempDirectory("graft_wsink_in")
+    graft.sources.Tables.events(spark, Sf).repartition(4)
+      .write.mode("overwrite").parquet(in.toString)
+    val out = Files.createTempDirectory("graft_wsink_out")
+    val ckpt = Files.createTempDirectory("graft_wsink_ck")
+    val q = spark.readStream
+      .schema(graft.sources.Tables.events(spark, Sf).schema)
+      .option("maxFilesPerTrigger", "2").parquet(in.toString)
+      .writeStream.format("cdc-wire").option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val names = Option(out.toFile.listFiles()).get.map(_.getName).toSeq
+    assert(names.forall(!_.startsWith("_tmp")), s"temps survived: $names")
+    val seg = "part-e(\\d+)-(\\d+)\\.json".r
+    val epochs = names.collect { case seg(e, _) => e.toLong }.distinct
+    assert(epochs.size >= 2, s"expected multi-epoch segments, got $names")
+    assert(names.count(seg.matches) === names.count(_.endsWith(".json")))
+    // the topic's content equals the input
+    val back = spark.read.format("cdc-wire")
+      .schema(graft.sources.Tables.events(spark, Sf).schema)
+      .load(out.toString)
+    assert(back.count() === graft.sources.Tables.events(spark, Sf).count())
+    Seq(in, out, ckpt).foreach(p => graft.Fs.deleteRecursively(p.toFile))
+  }
 }
