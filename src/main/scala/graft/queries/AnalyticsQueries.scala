@@ -76,6 +76,53 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // corpus snapshot diff — the dataset-versioning audit between two
+    // crawls/ingests: epoch B is derived from A by arithmetic plan
+    // (drop %13, edit %10, add a fresh doc per %17), the diff is ONE
+    // full-outer join on doc_id with a text compare — added / removed /
+    // changed / same counts + id checksums. At 100 TB this is the
+    // epoch-promotion gate (expected-churn bounds) run before a new
+    // snapshot replaces production.
+    "corpus_diff" -> ((s, dir) => {
+      val a = Tables.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val maxId = lit(1000000L)
+      val bKept = a.where(col("doc_id") % 13 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val bNew = a.where(col("doc_id") % 17 === 0)
+        .select((col("doc_id") + maxId).as("doc_id"), col("text"))
+      val b = bKept.unionAll(bNew)
+      a.select(col("doc_id"), col("text").as("text_a"))
+        .join(b.select(col("doc_id"), col("text").as("text_b")),
+          Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("text_b").isNull, "removed")
+            .when(col("text_a").isNull, "added")
+            .when(col("text_a") =!= col("text_b"), "changed")
+            .otherwise("same").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_checksum"))
+        .orderBy("status")
+    }),
+
+    // key-skew report — the pre-join diagnostic that decides whether a
+    // key needs salting/AQE-skew handling: per-key counts in one
+    // aggregate, then exact min/p50/max over the count distribution
+    // (p50 positions land on .0/.5 so midpoint arithmetic is exact in
+    // double on both engines) and the max/p50 skew ratio.
+    "data_skew_report" -> ((s, dir) => {
+      val cnt = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("cnt"))
+      cnt.agg(
+          count(lit(1)).as("n_keys"),
+          min(col("cnt")).as("min_cnt"),
+          expr("percentile(cnt, 0.5)").as("p50_cnt"),
+          max(col("cnt")).as("max_cnt"))
+        .select(col("n_keys"), col("min_cnt"), col("p50_cnt"), col("max_cnt"),
+          round(col("max_cnt") / col("p50_cnt"), 6).as("skew_ratio"))
+    }),
+
     // mergeable quantile sketch beside the HLL cube: percentile_approx
     // is the GK-style summary whose partials merge across partitions /
     // cells — the scalable quantile path where exact percentile means a
@@ -251,6 +298,33 @@ object AnalyticsQueries {
         TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
     "emb_gram_topk" -> gramOracle,
+    "corpus_diff" -> """
+      WITH a AS (SELECT doc_id, text FROM documents),
+      b AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM a WHERE doc_id % 13 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM a WHERE doc_id % 17 = 0),
+      d AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN b.doc_id IS NULL THEN 'removed'
+               WHEN a.doc_id IS NULL THEN 'added'
+               WHEN a.text <> b.text THEN 'changed'
+               ELSE 'same' END AS status
+        FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      SELECT status, COUNT(*) AS n,
+        CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+      FROM d GROUP BY status ORDER BY status""",
+
+    "data_skew_report" -> """
+      WITH cnt AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+      SELECT COUNT(*) AS n_keys, MIN(cnt) AS min_cnt,
+        quantile_cont(cnt, 0.5) AS p50_cnt, MAX(cnt) AS max_cnt,
+        ROUND(MAX(cnt) / quantile_cont(cnt, 0.5), 6) AS skew_ratio
+      FROM cnt""",
+
     "q_sketch_quantile" -> """
       SELECT event_type, COUNT(*) AS n, TRUE AS within_rank_bound
       FROM events GROUP BY event_type ORDER BY event_type""",
