@@ -76,6 +76,32 @@ object AnalyticsQueries {
         .orderBy("event_type")
     }),
 
+    // linear interpolation across the hour grid (the gap-fill's smooth
+    // sibling) — the interpolation expression is mirrored verbatim in
+    // the oracle so both engines run the identical IEEE sequence
+    "ts_interpolate" -> ((s, dir) =>
+      TimeSeries.interpolateHourly(Tables.events(s, dir), maxUser = 8)),
+
+    // gaps-and-islands: merge per-user activity into islands (>45 min
+    // silence splits); lag-flag + running-sum island ids, all-integer
+    // aggregate — the session-merge shape without session_window
+    "ts_islands" -> ((s, dir) =>
+      TimeSeries.activityIslands(Tables.events(s, dir), gapMin = 45)),
+
+    // GROUPING()/grouping-id disambiguation: which NULLs are "rolled
+    // up" vs genuine — the id arithmetic (g1*2+g2) is portable
+    "q_grouping_id" -> ((s, dir) => {
+      Tables.table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+          GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+          COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""")
+    }),
+
     // corpus snapshot diff — the dataset-versioning audit between two
     // crawls/ingests: epoch B is derived from A by arithmetic plan
     // (drop %13, edit %10, add a fresh doc per %17), the diff is ONE
@@ -298,6 +324,72 @@ object AnalyticsQueries {
         TRUE AS within_5pct
       FROM events GROUP BY event_type ORDER BY event_type""",
     "emb_gram_topk" -> gramOracle,
+    "ts_interpolate" -> """
+      WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hour,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        FROM events WHERE user_id < 8 GROUP BY 1, 2),
+      span AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1
+               FROM hourly GROUP BY 1),
+      grid AS (SELECT user_id,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+               FROM span),
+      j AS (SELECT g.user_id, g.hour, h.rev
+            FROM grid g LEFT JOIN hourly h USING (user_id, hour)),
+      f AS (SELECT user_id, hour, rev,
+        last_value(rev IGNORE NULLS) OVER back AS prev_v,
+        last_value(CASE WHEN rev IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER back AS prev_h,
+        first_value(rev IGNORE NULLS) OVER fwd AS next_v,
+        first_value(CASE WHEN rev IS NOT NULL THEN hour END IGNORE NULLS)
+          OVER fwd AS next_h
+        FROM j
+        WINDOW back AS (PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        fwd AS (PARTITION BY user_id ORDER BY hour
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT user_id, hour,
+        CASE WHEN rev IS NOT NULL THEN rev
+             WHEN next_v IS NULL THEN prev_v
+             ELSE prev_v + (next_v - prev_v) *
+               CAST(epoch_us(hour) - epoch_us(prev_h) AS DOUBLE) /
+               CAST(epoch_us(next_h) - epoch_us(prev_h) AS DOUBLE)
+        END AS rev_interp,
+        (rev IS NULL) AS is_gap
+      FROM f ORDER BY user_id, hour""",
+
+    "ts_islands" -> """
+      WITH marked AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                    > CAST(45 AS BIGINT) * 60 * 1000000
+               THEN 1 ELSE 0 END AS new_island
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      ids AS (
+        SELECT user_id, ts,
+          SUM(new_island) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM marked),
+      spans AS (
+        SELECT user_id, island,
+          (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS span_s
+        FROM ids GROUP BY user_id, island)
+      SELECT user_id, COUNT(*) AS n_islands,
+        CAST(SUM(span_s) AS BIGINT) AS covered_s,
+        CAST(MAX(span_s) AS BIGINT) AS longest_s
+      FROM spans GROUP BY user_id ORDER BY user_id""",
+
+    "q_grouping_id" -> """
+      SELECT o_orderstatus, o_orderpriority,
+        GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+        COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY gid, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST""",
+
     "corpus_diff" -> """
       WITH a AS (SELECT doc_id, text FROM documents),
       b AS (

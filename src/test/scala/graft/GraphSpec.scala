@@ -35,6 +35,40 @@ class GraphSpec extends AnyFunSuite {
     assert(a._1 > 0) // non-vacuous: the graph actually has triangles
   }
 
+  test("activityIslands: adjacent events merge, a gap splits, span is exact") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:30:00")),
+      (1L, ts("2024-01-01 01:00:00")), // island 1: span 3600s
+      (1L, ts("2024-01-01 03:00:00")), // >45min gap → island 2: span 0
+      (2L, ts("2024-01-01 00:00:00")), (2L, ts("2024-01-01 00:45:00"))
+    ).toDF("user_id", "ts")
+    val out = TimeSeries.activityIslands(events, gapMin = 45)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 2L, 3600L, 3600L),
+      (2L, 1L, 2700L, 2700L))) // exactly 45min apart: NOT a split (>, not >=)
+  }
+
+  test("interpolateHourly: gap values sit on the line between observations") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10.0),
+      // hours 01, 02 silent → interpolate 10 → 40 linearly
+      (1L, ts("2024-01-01 03:05:00"), 40.0)
+    ).toDF("user_id", "ts", "value")
+    val out = TimeSeries.interpolateHourly(events, maxUser = 100)
+      .select($"hour".cast("string"), $"rev_interp", $"is_gap")
+      .as[(String, Double, Boolean)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01 00:00:00", 10.0, false),
+      ("2024-01-01 01:00:00", 20.0, true),
+      ("2024-01-01 02:00:00", 30.0, true),
+      ("2024-01-01 03:00:00", 40.0, false)))
+  }
+
   test("gapFillHourly: gaps carry the last observed value and are flagged") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
