@@ -62,4 +62,20 @@ class TimeSeriesPropSpec extends AnyFunSuite {
       assert(got === want, s"seed $seed: got $got want $want")
     }
   }
+
+  test("interpolate's second window adds NO exchange over the gap-fill plan") {
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "Exchange (hash|range)partitioning".r
+        .findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val nFill = exchanges(TimeSeries.gapFillHourly(ev, maxUser = 8))
+    val nInterp = exchanges(TimeSeries.interpolateHourly(ev, maxUser = 8))
+    // the forward window reuses the backward window's user_id hash
+    // partitioning — "nearest in both directions" must cost a sort,
+    // never a shuffle, over the one-direction plan
+    assert(nInterp === nFill,
+      s"interpolate added a shuffle: gapfill=$nFill interpolate=$nInterp")
+  }
 }
