@@ -25,7 +25,8 @@ object UrlCanon {
     *  - `#fragment` dropped;
     *  - query params: `utm_*` tracking keys dropped, the rest sorted
     *    byte-wise (param ORDER is not resource identity);
-    *  - one trailing `/` stripped from a non-root path; empty path → `/`.
+    *  - ALL trailing `/` stripped (so re-canonicalizing is a no-op even
+    *    for `/p//`); empty or all-slash path → `/`.
     */
   def canonicalize(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
@@ -38,9 +39,11 @@ object UrlCanon {
         regexp_replace(hostPort, ":80$", ""))
       .otherwise(hostPort)
     val path0 = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
-    val path = when(path0 === "", lit("/"))
-      .when(path0 =!= "/", regexp_replace(path0, "/$", ""))
-      .otherwise(path0)
+    // Idempotence requires stripping EVERY trailing slash in one pass:
+    // a single-slash strip maps "/p//" -> "/p/" -> "/p" across two passes,
+    // splitting dedup groups between a first-pass and a re-ingested corpus.
+    val stripped = regexp_replace(path0, "/+$", "")
+    val path = when(stripped === "", lit("/")).otherwise(stripped)
     val rawQuery = regexp_extract(noFrag, "\\?([^#]*)", 1)
     val params = filter(
       split(rawQuery, "&"),

@@ -132,11 +132,14 @@ object ExtensionQueries {
       .withColumn("crn", row_number().over(wq))
       .where($"crn" <= nprobe)
       .select($"q_id", $"q_emb", $"c_label", $"crn")
+      // best_label comes from the ROUTING, pre-join: a rank-1 cell that
+      // contributes no candidate rows (e.g. it holds only the query vector)
+      // would otherwise leave best_label NULL on rows found via crn=2.
+      .withColumn("best_label",
+        min(when($"crn" === 1, $"c_label")).over(Window.partitionBy($"q_id")))
     val wk = Window.partitionBy($"q_id").orderBy($"cos".desc, $"vec_id")
     routed.join(emb, $"label" === $"c_label" && $"vec_id" =!= $"q_id")
       .withColumn("cos", round(cos($"q_emb", $"embedding"), 6))
-      .withColumn("best_label",
-        min(when($"crn" === 1, $"c_label")).over(Window.partitionBy($"q_id")))
       .withColumn("rnk", row_number().over(wk))
       .where($"rnk" <= 5)
       .select($"q_id", $"best_label", $"rnk", $"vec_id", $"cos")

@@ -285,31 +285,65 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = CdcWireOffset(0)
+  /** Offset at index `n` of a listing: carries the name of the last
+    * admitted file as a HIGH WATERMARK, so a later re-listing that
+    * disagrees (earlier-sorting filename written, consumed segment
+    * deleted/compacted) fails fast instead of silently remapping
+    * positions to different files. */
+  private def offsetAt(n: Int, files: Array[File]): CdcWireOffset =
+    CdcWireOffset(n, if (n == 0) "" else files(n - 1).getName)
+
+  override def initialOffset(): Offset = CdcWireOffset(0, "")
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val cur = start.asInstanceOf[CdcWireOffset].n
-    val cap = if (availableTarget >= 0) availableTarget else visibleFiles.length
+    val so = start.asInstanceOf[CdcWireOffset]
+    val files = visibleFiles
+    val cap = if (availableTarget >= 0) availableTarget else files.length
     val next = limit match {
-      case m: ReadMaxFiles => math.min(cap, cur + m.maxFiles())
+      case m: ReadMaxFiles => math.min(cap, so.n + m.maxFiles())
       case _ => cap
     }
-    CdcWireOffset(math.max(cur, next))
+    require(next <= files.length,
+      s"cdc-wire listing drift: admission target $next but only " +
+        s"${files.length} files visible (segment deleted mid-drain?)")
+    if (next <= so.n) so else offsetAt(next, files)
   }
 
-  override def reportLatestOffset(): Offset = CdcWireOffset(visibleFiles.length)
+  override def reportLatestOffset(): Offset = {
+    val files = visibleFiles
+    offsetAt(files.length, files)
+  }
 
-  override def deserializeOffset(json: String): Offset =
-    CdcWireOffset(new ObjectMapper().readTree(json).get("n").asInt())
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    CdcWireOffset(node.get("n").asInt(),
+      Option(node.get("last")).map(_.asText()).getOrElse(""))
+  }
 
+  /** The admitted range [start, end) is positional, so before slicing we
+    * re-check both boundaries against the watermarks the offsets carry.
+    * Any drift of the name-sorted listing under committed positions
+    * (deletion, compaction, an out-of-order producer) throws here —
+    * rows are never silently skipped or replayed. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[CdcWireOffset].n
-    val e = end.asInstanceOf[CdcWireOffset].n
-    visibleFiles.slice(s, e)
+    val so = start.asInstanceOf[CdcWireOffset]
+    val eo = end.asInstanceOf[CdcWireOffset]
+    val files = visibleFiles
+    def check(o: CdcWireOffset): Unit = if (o.n > 0 && o.last.nonEmpty) {
+      require(o.n <= files.length,
+        s"cdc-wire listing drift: offset $o but only ${files.length} files visible")
+      val actual = files(o.n - 1).getName
+      require(actual == o.last,
+        s"cdc-wire listing drift at position ${o.n}: committed watermark " +
+          s"'${o.last}' but listing now has '$actual' — a consumed segment " +
+          "was removed or an earlier-sorting name appeared")
+    }
+    check(so); check(eo)
+    files.slice(so.n, eo.n)
       .map(f => CdcWireFilePartition(f.getAbsolutePath): InputPartition)
   }
 
@@ -320,9 +354,14 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
   override def stop(): Unit = ()
 }
 
-case class CdcWireOffset(n: Int)
+case class CdcWireOffset(n: Int, last: String = "")
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"n":$n}"""
+  override def json(): String = {
+    val node = new ObjectMapper().createObjectNode()
+    node.put("n", n)
+    node.put("last", last)
+    node.toString
+  }
 }
 
 class CdcWireReaderFactory(full: StructType, required: StructType,
@@ -402,6 +441,18 @@ class CdcWireWrite(path: String, querySchema: StructType, truncate: Boolean)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
     val dir = new File(path)
+    val committed = messages.map { case CdcWireCommit(_, dest) => dest }.toSet
+    // An epoch REPLAY can run with a different partition count than the
+    // crashed first attempt (repartition/AQE between attempts). REPLACE
+    // only fixes same-name re-commits; segments from the first attempt's
+    // higher partition ids would survive alongside the replay's output
+    // and duplicate rows on read. Make the epoch's visible file set
+    // exactly the committed one: drop any part-e<epoch>-* not in it.
+    val prefix = s"part-e$epochId-"
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith(prefix) &&
+        !committed.contains(f.getName))
+      .foreach(f => f.delete())
     messages.foreach { case CdcWireCommit(tmp, dest) =>
       java.nio.file.Files.move(new File(tmp).toPath,
         new File(dir, dest).toPath,

@@ -215,6 +215,70 @@ class Dsv2SourceSpec extends AnyFunSuite {
       graft.Fs.deleteRecursively(p.toFile))
   }
 
+  test("micro-batch offsets carry a file-name watermark; listing drift fails fast") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val dir = Files.createTempDirectory("graft_wire_drift")
+    Seq("seg-a.json", "seg-b.json", "seg-c.json").foreach { n =>
+      Files.write(dir.resolve(n),
+        """{"event_id":1,"user_id":1,"event_type":"click","value":1.0}""".getBytes)
+    }
+    val stream = new graft.sources.CdcWireMicroBatchStream(
+      dir.toString, WireFormats.EventsSchema, WireFormats.EventsSchema,
+      Array.empty, None)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    // watermark round-trips through the offset log serde
+    val endBack = stream.deserializeOffset(end.json())
+    assert(endBack === end)
+    assert(end.asInstanceOf[graft.sources.CdcWireOffset].last === "seg-c.json")
+    assert(stream.planInputPartitions(start, end).length === 3)
+
+    // an earlier-sorting name appears: committed positions no longer map
+    // to the files they named — must throw, not silently remap
+    Files.write(dir.resolve("seg-0.json"),
+      """{"event_id":2,"user_id":2,"event_type":"view","value":2.0}""".getBytes)
+    val e1 = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(start, end)
+    }
+    assert(e1.getMessage.contains("listing drift"))
+    Files.delete(dir.resolve("seg-0.json"))
+
+    // a consumed segment vanishes (compaction): same fail-fast
+    Files.delete(dir.resolve("seg-b.json"))
+    val e2 = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(start, end)
+    }
+    assert(e2.getMessage.contains("listing drift"))
+    graft.Fs.deleteRecursively(dir.toFile)
+  }
+
+  test("epoch re-commit with fewer partitions removes the first attempt's extra segments") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_wire_epoch")
+    // first attempt of epoch 5 committed 4 partitions before the driver died
+    (0 until 4).foreach { p =>
+      Files.write(dir.resolve(s"part-e5-$p.json"), s"""{"event_id":$p}""".getBytes)
+    }
+    // unrelated epoch must survive untouched
+    Files.write(dir.resolve("part-e4-0.json"), """{"event_id":40}""".getBytes)
+    // replay of epoch 5 runs with only 2 partitions
+    val msgs: Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+      (0 until 2).map { p =>
+        val tmp = dir.resolve(s"_tmp-e5-$p-99.json")
+        Files.write(tmp, s"""{"event_id":${100 + p}}""".getBytes)
+        graft.sources.CdcWireCommit(tmp.toString, s"part-e5-$p.json")
+          : org.apache.spark.sql.connector.write.WriterCommitMessage
+      }.toArray
+    val write = new graft.sources.CdcWireWrite(
+      dir.toString, WireFormats.EventsSchema, truncate = false)
+    write.commit(5L, msgs)
+    val names = dir.toFile.listFiles().map(_.getName).toSet
+    assert(names === Set("part-e5-0.json", "part-e5-1.json", "part-e4-0.json"),
+      s"epoch 5's visible set must be exactly the committed one: $names")
+    graft.Fs.deleteRecursively(dir.toFile)
+  }
+
   test("streaming write: one visible segment per (epoch, partition), temps gone") {
     import org.apache.spark.sql.streaming.Trigger
     import java.nio.file.Files

@@ -19,7 +19,8 @@ class UrlCanonPropSpec extends AnyFunSuite {
   import SparkTest._
 
   private val hostGen = Gen.oneOf("a.com", "Sub.Host.ORG", "x-y.net")
-  private val pathGen = Gen.oneOf("", "/", "/p", "/p/q", "/p/q/")
+  private val pathGen =
+    Gen.oneOf("", "/", "//", "///", "/p", "/p/", "/p//", "/p/q", "/p/q/", "/p//q//")
   private val paramGen = Gen.oneOf("a=1", "b=2", "zz=9", "utm_source=s",
     "utm_medium=m", "k=v%20w")
   private val urlGen: Gen[String] = for {
