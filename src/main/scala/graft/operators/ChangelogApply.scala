@@ -158,8 +158,11 @@ object ChangelogApply {
       // DATABASE parses to no ops and is correctly dropped (T5).
       .flatMap { e =>
         if (e.op == Cdc.OpQuery)
-          SchemaRegistry.parseDdl(e.query).map(_.table).distinct
-            .map(t => e.copy(tbl = t))
+          // registry ops AND verbatim-executed table statements (TRUNCATE;
+          // mysql_manager.rs:89-95 runs every Query on the follower)
+          (SchemaRegistry.parseDdl(e.query) ++
+              SchemaRegistry.parsePassthrough(e.query))
+            .map(_.table).distinct.map(t => e.copy(tbl = t))
         else Seq(e)
       }
 
@@ -215,6 +218,9 @@ object ChangelogApply {
                         case SchemaRegistry.DropTable(_) =>
                           cols = null; state.clear()
                       }
+                    // TRUNCATE: rows gone, column list stays in force
+                    SchemaRegistry.parsePassthrough(e.query)
+                      .filter(_.table == tbl).foreach(_ => state.clear())
                   case Cdc.OpAdd =>
                     e.rows.foreach(r =>
                       state.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))

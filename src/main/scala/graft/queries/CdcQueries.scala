@@ -230,6 +230,17 @@ object CdcQueries {
       CdcGen.decodePet(st.where(col("tbl") === "pet")).orderBy("name")
     }),
 
+    // Verbatim-Query replay (mysql_manager.rs:77-95): a mid-stream
+    // TRUNCATE — a statement the registry parser ignores but the follower
+    // executes — must wipe the table's rows while its columns stay in
+    // force, and must not touch sibling tables. The fixture follows the
+    // TRUNCATE with an ALTER ADD so the fold proves state cleared without
+    // schema reset.
+    "cdc_apply_truncate" -> ((s, _) => {
+      val st = ChangelogApply.applyWithSchema(CdcGen.truncateEvents(s))
+      CdcGen.decodeTruncate(st).orderBy("tbl", "id")
+    }),
+
     // Typed Value wire fidelity (values.rs:8-45): every remaining Value
     // variant family — SignedInteger, Decimal, DateTime, Blob, Timestamp,
     // Double, Enum, Year, Float, Time, Json, Null — encoded as tagged
@@ -384,6 +395,12 @@ object CdcQueries {
            ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
          AS t(name, owner, species, sex, birth, last_vaccine)
          ORDER BY name""",
+    "cdc_apply_truncate" ->
+      """SELECT * FROM (VALUES
+           ('box', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),
+           ('crate', CAST(4 AS BIGINT), 'delta', CAST(7 AS BIGINT)))
+         AS t(tbl, id, txt, qty)
+         ORDER BY tbl, id""",
     "cdc_typed_roundtrip" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), 'Goldie II', CAST(NULL AS DECIMAL(18,6)),

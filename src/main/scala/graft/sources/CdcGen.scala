@@ -280,6 +280,69 @@ object CdcGen {
     (pet ++ zoo).toDS().toDF()
   }
 
+  /** Fixture log for the verbatim-Query replay semantic
+    * (mysql_manager.rs:77-95: EVERY Query statement runs on the follower,
+    * registry op or not): a mid-stream TRUNCATE wipes the table's live
+    * rows while its column list stays in force, then a post-TRUNCATE
+    * ALTER widens survivors — so the fold must clear state WITHOUT
+    * resetting schema. A second table in the same db proves the TRUNCATE
+    * routes only to the table it names. */
+  def truncateEvents(spark: SparkSession): DataFrame = {
+    import graft.model.Value._
+    import graft.model.{CdcEvent, CdcRowImages}
+    import spark.implicits._
+
+    val host = "flv://mysql-leader"
+    val crate2 = Seq("id", "label")
+    val crate3 = crate2 :+ "qty"
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def q(seq: Long, sql: String) = CdcEvent(
+      seq, s"$host/wh", "binlog.000001", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, tbl: String, op: String, cols: Seq[String],
+        before: Seq[String], after: Seq[String]) = CdcEvent(
+      seq, s"$host/wh/$tbl", "binlog.000001", seq, op, null, cols,
+      Seq(CdcRowImages(before, after)))
+
+    Seq(
+      q(1, "CREATE DATABASE wh"),
+      q(2, "CREATE TABLE crate (id INT, label VARCHAR(20))"),
+      row(3, "crate", Cdc.OpAdd, crate2, null,
+        cells(VSignedInteger(1), VString("alpha"))),
+      row(4, "crate", Cdc.OpAdd, crate2, null,
+        cells(VSignedInteger(2), VString("beta"))),
+      row(5, "crate", Cdc.OpUpdate, crate2,
+        cells(VSignedInteger(2), VString("beta")),
+        cells(VSignedInteger(2), VString("beta2"))),
+      q(6, "CREATE TABLE box (id INT, note VARCHAR(20))"),
+      row(7, "box", Cdc.OpAdd, Seq("id", "note"), null,
+        cells(VSignedInteger(9), VString("keep"))),
+      // db-qualified, server-comment-suffixed — the verbatim form MySQL
+      // ships (query_parser strips comments; TableRef takes the last
+      // path segment)
+      q(8, "TRUNCATE TABLE `wh`.`crate` /* generated by server */"),
+      row(9, "crate", Cdc.OpAdd, crate2, null,
+        cells(VSignedInteger(3), VString("gamma"))),
+      q(10, "ALTER TABLE crate ADD COLUMN qty INT"),
+      row(11, "crate", Cdc.OpAdd, crate3, null,
+        cells(VSignedInteger(4), VString("delta"), VSignedInteger(7))),
+      // post-ALTER 3-cell delete must match the widened pre-ALTER insert
+      row(12, "crate", Cdc.OpDelete, crate3, null,
+        cells(VSignedInteger(3), VString("gamma"), VNull))
+    ).toDS().toDF()
+  }
+
+  /** Typed decode of the [[truncateEvents]] replica: (tbl, id, txt, qty)
+    * with `txt` the table's string column (crate.label / box.note). */
+  def decodeTruncate(state: DataFrame): DataFrame = {
+    import graft.operators.ValueCodec._
+    def cell(n: String) = cellByName(col("image"), col("columns"), n)
+    state.select(
+      col("tbl"),
+      decodeLong(cell("id")).as("id"),
+      coalesce(decodeString(cell("label")), decodeString(cell("note"))).as("txt"),
+      decodeLong(cell("qty")).as("qty"))
+  }
+
   /** Registry-driven typed decode of the final pet table: cells located by
     * NAME against the registry column list (ValueCodec.cellByName — the D7
     * decode path), then decoded per the self-described value tag. */

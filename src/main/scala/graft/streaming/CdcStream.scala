@@ -275,6 +275,9 @@ object CdcStream {
               }
             case DropTable(_) => cols = null; ms.clear()
           }
+          // TRUNCATE: rows gone, column list stays in force
+          SchemaRegistry.parsePassthrough(e.query)
+            .filter(_.table == tbl).foreach(_ => ms.clear())
         case Cdc.OpAdd =>
           e.rows.foreach(r =>
             ms.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))
@@ -311,8 +314,9 @@ object CdcStream {
       .as[SchemaEv]
       .flatMap { e =>
         if (e.op == Cdc.OpQuery)
-          graft.operators.SchemaRegistry.parseDdl(e.query).map(_.table)
-            .distinct.map(t => e.copy(tbl = t))
+          (graft.operators.SchemaRegistry.parseDdl(e.query) ++
+              graft.operators.SchemaRegistry.parsePassthrough(e.query))
+            .map(_.table).distinct.map(t => e.copy(tbl = t))
         else Seq(e)
       }
     routed

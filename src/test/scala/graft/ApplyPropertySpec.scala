@@ -187,6 +187,9 @@ class ApplyPropertySpec extends AnyFunSuite {
           case 2 if cols.contains("v") =>
             ddl("ALTER TABLE t RENAME COLUMN v TO v2")
             cols = cols.map(c => if (c == "v") "v2" else c)
+          case 3 => // verbatim passthrough: rows wiped, columns kept
+            ddl("TRUNCATE TABLE t")
+            live.clear()
           case n if n < 6 =>
             val k = s"k${rnd.nextInt(20)}"
             if (!live.contains(k)) {

@@ -170,6 +170,49 @@ class StreamingSpec extends AnyFunSuite {
       Seq("a", "b", "c"))))
   }
 
+  test("schema-aware FMGWS: a later-batch TRUNCATE wipes carried state, keeps columns") {
+    import spark.implicits._
+    import graft.model.Value._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[CdcEvent]
+    val q = CdcStream.applySchemaStream(input.toDF())
+      .writeStream.format("memory").queryName("trunc_t")
+      .outputMode("append").start()
+
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def ddl(seq: Long, sql: String) = CdcEvent(
+      seq, "flv://m/d3", "f", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, op: String, before: Seq[String], after: Seq[String]) =
+      CdcEvent(seq, "flv://m/d3/t", "f", seq, op, null, null,
+        Seq(CdcRowImages(before, after)))
+
+    // batch 1: create + two inserts
+    input.addData(
+      ddl(1, "CREATE TABLE t (a INT, b INT)"),
+      row(2, Cdc.OpAdd, null, cells(VSignedInteger(1), VString("x"))),
+      row(3, Cdc.OpAdd, null, cells(VSignedInteger(2), VString("y"))))
+    q.processAllAvailable()
+    // batch 2: TRUNCATE (verbatim passthrough) + one post-wipe insert —
+    // state carried from batch 1 must be gone, the column list must not
+    input.addData(
+      ddl(4, "TRUNCATE TABLE t"),
+      row(5, Cdc.OpAdd, null, cells(VSignedInteger(3), VString("z"))))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("trunc_t")
+      .select($"image", $"columns").as[(Seq[String], Seq[String])]
+      .collect().toSeq
+    // append mode emits each batch's live snapshot: pre-TRUNCATE rows
+    // appear ONCE (batch 1 only — a failed wipe would re-emit them in
+    // batch 2), the post-TRUNCATE row once, with the column list intact
+    assert(out.count(_._1 == cells(VSignedInteger(1), VString("x"))) === 1)
+    assert(out.count(_._1 == cells(VSignedInteger(2), VString("y"))) === 1)
+    assert(out.count(_ == (cells(VSignedInteger(3), VString("z")),
+      Seq("a", "b"))) === 1)
+    assert(out.size === 3)
+  }
+
   test("keyed schema-aware apply: per-image counts, DDL via the broadcast timeline") {
     import spark.implicits._
     import graft.model.Value._
