@@ -87,6 +87,28 @@ object Graph {
     * oriented adjacency fits an executor (O(m) — hundreds of millions of
     * edges in practice); past that, [[triangleCount]]'s partitioned
     * wedge join is the fallback — GraphSpec pins both counts identical. */
+  /** Edge count above which the oriented adjacency (O(m) longs plus
+    * per-node overhead, concentrated on the driver and every executor)
+    * stops being broadcast-safe and the partitioned wedge join takes
+    * over. 50M edges ≈ low-single-digit GB of adjacency arrays — inside
+    * a standard 8–16 GB executor with headroom; past it the wedge join's
+    * shuffled O(m^1.5) plan is the one that still scales. */
+  val AdjBroadcastMaxEdges: Long = 50000000L
+
+  /** Size-dispatched triangle count: pick [[triangleCountAdj]] (broadcast
+    * adjacency, no wedge shuffle) while the edge set fits an executor,
+    * else [[triangleCount]] (partitioned wedge join). The dispatch count
+    * runs over the persisted edge set so neither path pays a second
+    * construction pass; both paths produce identical (count, checksum)
+    * rows (GraphSpec pins equality and the flip). */
+  def triangleCountAuto(edges: DataFrame,
+      broadcastMaxEdges: Long = AdjBroadcastMaxEdges): DataFrame = {
+    edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = edges.count()
+    if (m <= broadcastMaxEdges) triangleCountAdj(edges)
+    else triangleCount(edges)
+  }
+
   def triangleCountAdj(edges: DataFrame): DataFrame = {
     val oriented = orientByDegree(edges)
     val adj = oriented.groupBy(col("src"))

@@ -35,6 +35,23 @@ class GraphSpec extends AnyFunSuite {
     assert(a._1 > 0) // non-vacuous: the graph actually has triangles
   }
 
+  test("triangleCountAuto dispatches on edge count and both tiers agree") {
+    import spark.implicits._
+    val edges = handEdges.toDF("a", "b") // 11 edges, 5 triangles
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // small side of the threshold → broadcast-adjacency tier
+    // (its signature op is the map-side array_intersect)
+    val small = Graph.triangleCountAuto(edges, broadcastMaxEdges = 100)
+    assert(planOf(small).contains("array_intersect"))
+    assert(small.as[(Long, Long)].collect().head === ((5L, 51L)))
+    // a "dense" graph past the threshold → partitioned wedge join
+    // (no broadcast adjacency anywhere in the plan)
+    val big = Graph.triangleCountAuto(edges, broadcastMaxEdges = 10)
+    assert(!planOf(big).contains("array_intersect"))
+    assert(big.as[(Long, Long)].collect().head === ((5L, 51L)))
+  }
+
   test("activityIslands: adjacent events merge, a gap splits, span is exact") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
