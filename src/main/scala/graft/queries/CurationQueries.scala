@@ -435,6 +435,79 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVFADC (FAISS IVF+PQ composed): the 100 TB serving shape. The
+    // trained coarse quantizer routes each query to its nearest cell
+    // (nprobe=2 — recall insurance the pure-PQ scan doesn't need,
+    // since cell edges are where ADC loses neighbors), the scan then
+    // touches ONLY the routed cells' inverted lists, and distance is
+    // PQ-compressed ADC: per-query M×k lookup tables, corpus read in
+    // code space. A final exact-cosine rerank over the ADC top-50
+    // restores metric fidelity — the standard two-stage ANN contract
+    // (compressed recall, exact precision). Every join is broadcast
+    // (routing pairs, distance tables); the only corpus-sized pass is
+    // the code scan.
+    "ann_ivf_pq" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("e")))
+        .cache()
+      // coarse quantizer over the full 32-dim vectors
+      val coarse = KMeansOp.fit(emb, "vec_id", "e", 4, 2).cache()
+      val coarseCents = KMeansOp.update(coarse, "e")
+      // per-subspace PQ codebooks (M=2, k=4), as in ann_pq_adc
+      val subs = Seq(0, 1).map { m =>
+        val sub = emb.select(col("vec_id"), slice(col("e"), m * 16 + 1, 16).as("se"))
+        val assigned = KMeansOp.fit(sub, "vec_id", "se", 4, 2).cache()
+        val cents = KMeansOp.update(assigned, "se")
+        (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")), cents)
+      }
+      // inverted lists: every vector's PQ codes tagged with its cell
+      val codes = subs(0)._1.join(subs(1)._1, "vec_id")
+        .join(coarse.select(col("vec_id"), col("cluster_id").as("cell")), "vec_id")
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      // nprobe=2 routing against the trained coarse centroids
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("cdist"), col("cell"))
+      val routed = queries.crossJoin(broadcast(
+          coarseCents.select(col("cluster_id").as("cell"), col("centroid"))))
+        .withColumn("cdist", KMeansOp.sqDist(col("qe"), col("centroid")))
+        .withColumn("crn", row_number().over(wr))
+        .where(col("crn") <= 2)
+        .select(col("q_id"), col("cell"))
+      // per-query ADC lookup tables
+      val dts = Seq(0, 1).map { m =>
+        queries.crossJoin(broadcast(subs(m)._2))
+          .select(col("q_id"), col("cluster_id").as(s"code$m"),
+            KMeansOp.sqDist(slice(col("qe"), m * 16 + 1, 16), col("centroid"))
+              .as(s"d$m"))
+      }
+      val wa = Window.partitionBy(col("q_id"))
+        .orderBy(col("adist"), col("vec_id"))
+      val adcTop = codes
+        .join(broadcast(routed), "cell")
+        .join(broadcast(dts(0)), Seq("q_id", "code0"))
+        .join(broadcast(dts(1)), Seq("q_id", "code1"))
+        .where(col("vec_id") =!= col("q_id"))
+        .withColumn("adist", col("d0") + col("d1"))
+        .withColumn("arn", row_number().over(wa))
+        .where(col("arn") <= 50)
+        .select(col("q_id"), col("vec_id"))
+      // exact rerank of the ADC shortlist (50 rows/query — broadcast)
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      val wf = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      adcTop
+        .join(queries, "q_id")
+        .join(emb, "vec_id")
+        .withColumn("cos", round(cos(col("qe"), col("e")), 6))
+        .withColumn("rnk", row_number().over(wf))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
     // run would feed to data_sample_stratified / data_mix_weighted.
@@ -918,6 +991,61 @@ object CurationQueries {
        SELECT q_id, rnk, vec_id, ROUND(adist, 6) AS adist
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY adist, vec_id) AS rnk FROM scored)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    // coarse kmeans chain + two PQ codebook chains + nprobe-2 routing +
+    // cell-restricted ADC top-50 shortlist + exact-cosine rerank — every stage
+    // the Spark plan runs, in the same strict-fold arithmetic
+    "ann_ivf_pq" -> s"""
+       WITH $kmeansCtes,
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id)
+         JOIN a2 m USING (vec_id)),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN emb m ON m.vec_id = s.vec_id)
+       SELECT q_id, rnk, vec_id, cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM rr)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
     // bigrams via 1-based list slices (range(1, len) = 1..len-1), the

@@ -11,6 +11,23 @@ import graft.operators.{Curation, KMeansOp}
 class CurationSpec extends AnyFunSuite {
   import SparkTest._
 
+  test("IVFADC recall@5 is at least the plain-IVF tier's (exact rerank pays for PQ loss)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val brute = graft.queries.ExtensionQueries.queries("ann_cosine_topk")(spark, dir)
+      .select(col("q_id"), col("vec_id")).cache()
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val hits = brute.join(df.select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_semi").count()
+      hits.toDouble / brute.count()
+    }
+    val rIvf = recall(graft.queries.ExtensionQueries.queries("ann_ivf_topk")(spark, dir))
+    val rPq = recall(graft.queries.CurationQueries.queries("ann_ivf_pq")(spark, dir))
+    assert(rPq >= rIvf,
+      s"IVFADC recall@5 $rPq must not trail plain IVF $rIvf")
+    assert(rPq > 0.0)
+  }
+
   test("chunk: window coverage, overlap, and short-final-window semantics") {
     import spark.implicits._
     // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
