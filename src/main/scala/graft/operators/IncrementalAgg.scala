@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   * the whole table.
   *
   * Sums ride decimals (value quantized at 2dp per row, summed exactly)
-  * so merge order cannot perturb a float accumulation. The state write
-  * is staged to a temp dir then swapped in (old state deleted after
-  * the new one is fully written) — an object-store deployment swaps a
-  * manifest pointer instead, same protocol as
-  * [[graft.sources.CdcWireSource]]'s commit.
+  * so merge order cannot perturb a float accumulation. Each update
+  * writes an immutable versioned snapshot dir and publishes it with a
+  * [[SnapshotManifest]] pointer swap — the object-store-safe commit:
+  * a crash between snapshot write and swap leaves the previous state
+  * fully readable, and the orphan dir is collected by the next
+  * successful commit.
   */
 object IncrementalAgg {
 
@@ -50,25 +51,32 @@ object IncrementalAgg {
 
   /** Fold one append batch into the stored aggregate table. */
   def update(spark: SparkSession, stateDir: String, delta: DataFrame): Unit = {
-    val cur = new java.io.File(stateDir, "cur")
+    val root = new java.io.File(stateDir)
+    val m = SnapshotManifest.read(root)
     val p = partials(delta)
-    val merged =
-      if (new java.io.File(cur, "_SUCCESS").exists())
-        merge(spark.read.parquet(cur.toString).unionByName(p))
-      else merge(p)
-    val tmp = new java.io.File(stateDir, "tmp")
-    graft.Fs.deleteRecursively(tmp)
+    val merged = m.entries.get("cur") match {
+      case Some(rel) =>
+        merge(spark.read.parquet(new java.io.File(root, rel).toString)
+          .unionByName(p))
+      case None => merge(p)
+    }
+    val next = s"v${m.version + 1}"
     // groups are few: one file keeps the state read O(1) tasks
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    graft.Fs.deleteRecursively(cur)
-    java.nio.file.Files.move(tmp.toPath, cur.toPath)
-    ()
+    merged.coalesce(1).write.mode("overwrite")
+      .parquet(new java.io.File(root, next).toString)
+    val ns = SnapshotManifest.State(m.version + 1, Map("cur" -> next))
+    SnapshotManifest.commit(root, ns) // the commit point
+    SnapshotManifest.gc(root, ns, "v")
   }
 
-  /** The maintained table, presentation form (decimal sum → double). */
-  def read(spark: SparkSession, stateDir: String): DataFrame =
-    spark.read.parquet(new java.io.File(stateDir, "cur").toString)
+  /** The maintained table, presentation form (decimal sum → double),
+    * resolved through the manifest pointer. */
+  def read(spark: SparkSession, stateDir: String): DataFrame = {
+    val root = new java.io.File(stateDir)
+    val m = SnapshotManifest.read(root)
+    spark.read.parquet(new java.io.File(root, m.entries("cur")).toString)
       .select(col("event_type"), col("n"), col("sum_users"),
         col("sum_value").cast("double").as("sum_value"),
         col("min_value"), col("max_value"))
+  }
 }

@@ -49,9 +49,12 @@ object ReplicaSink {
   /** Replica key-hash buckets. Each micro-batch rewrites ONLY the buckets
     * its keys hash into — at 100 TB this is thousands of buckets and a
     * batch touches a handful, so upsert cost is O(touched buckets), not
-    * O(replica). (A lakehouse table format's MERGE does the same
-    * copy-on-write at file granularity; plain parquet makes the mechanism
-    * explicit: write merged buckets to a temp dir, then atomic-rename.) */
+    * O(replica). Commit is the [[SnapshotManifest]] pointer swap — the
+    * object-store-safe protocol a lakehouse MERGE uses: each batch writes
+    * its merged buckets under a fresh immutable epoch dir, then one
+    * atomic manifest write makes them current; readers resolve the
+    * manifest first, so a crash at any point leaves the previous
+    * snapshot fully readable. */
   val ReplicaBuckets = 16
 
   /** Upsert invocations of the current/most recent streaming sink query —
@@ -63,12 +66,15 @@ object ReplicaSink {
     * Within a batch the FMGWS fold already collapsed each key to its
     * post-batch state, so the merge is: drop every touched key from its
     * bucket, re-insert the keys that are live. Buckets the batch does not
-    * touch are never read or written. The temp-dir + rename keeps readers
-    * consistent and avoids Spark's (correct) refusal to overwrite a path
-    * it is reading from. */
+    * touch are never read or written: their manifest entries carry over
+    * unchanged. The batch's merged buckets land in an immutable
+    * `epoch_<batchId>` dir; the [[SnapshotManifest]] swap is the commit
+    * point, and a replay of a crashed batch overwrites the same epoch
+    * dir before re-swapping (idempotent). */
   def upsertBatch(dir: String)(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long): Unit = {
     val spark = batch.sparkSession
+    val root = new java.io.File(dir)
     val delta = batch
       .withColumn("bucket", pmod(hash(col("uri"), col("key")), lit(ReplicaBuckets)))
       .persist()
@@ -77,41 +83,39 @@ object ReplicaSink {
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
         lastUpsertBatches += 1
-        val existingDirs = affected
-          .map(b => new java.io.File(dir, s"bucket=$b"))
-          .filter(d => new java.io.File(d, "_keep").exists())
+        val m = SnapshotManifest.read(root)
+        val existing = affected.toSeq
+          .flatMap(b => m.entries.get(s"bucket=$b").map(b -> _))
+          .map { case (b, rel) =>
+            // bucket dirs are read directly (partition column re-attached
+            // from the manifest key, not path inference)
+            spark.read.parquet(new java.io.File(root, rel).toString)
+              .select(col("uri"), col("key"), col("image"))
+              .withColumn("bucket", lit(b))
+          }
         val live = delta.where(!col("deleted"))
           .select(col("uri"), col("key"), col("image"), col("bucket"))
-        val merged = if (existingDirs.isEmpty) live else {
-          val existing = spark.read
-            .option("basePath", dir)
-            .parquet(existingDirs.map(_.toString): _*)
-            .select(col("uri"), col("key"), col("image"), col("bucket"))
-          existing.join(delta.select(col("uri"), col("key")).distinct(),
+        val merged = if (existing.isEmpty) live else {
+          existing.reduce(_ unionByName _)
+            .join(delta.select(col("uri"), col("key")).distinct(),
               Seq("uri", "key"), "left_anti")
             .unionByName(live)
         }
-        val tmp = new java.io.File(s"${dir}_tmp_$batchId")
+        val epochDir = new java.io.File(root, s"epoch_$batchId")
         // Cluster by bucket BEFORE the partitioned write: without it every
         // shuffle partition writes into every touched bucket dir —
         // tasks × buckets small files per batch (measured 32×16 here).
         // One task per touched bucket is also the 100 TB shape: file
         // count stays O(buckets), not O(tasks × buckets).
         merged.repartition(affected.length.max(1), col("bucket"))
-          .write.mode("overwrite").partitionBy("bucket").parquet(tmp.toString)
-        affected.foreach { b =>
-          val dst = new java.io.File(dir, s"bucket=$b")
-          val src = new java.io.File(tmp, s"bucket=$b")
-          graft.Fs.deleteRecursively(dst)
-          if (src.exists()) {
-            java.nio.file.Files.move(src.toPath, dst.toPath)
-            // marker: partition dirs need a non-hidden co-file so an empty
-            // rewrite is distinguishable from never-written; also lets the
-            // existence check above skip parquet listing
-            new java.io.File(dst, "_keep").createNewFile()
-          }
-        }
-        graft.Fs.deleteRecursively(tmp)
+          .write.mode("overwrite").partitionBy("bucket").parquet(epochDir.toString)
+        val written = affected
+          .filter(b => new java.io.File(epochDir, s"bucket=$b").exists())
+        val entries = (m.entries -- affected.map(b => s"bucket=$b")) ++
+          written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b")
+        val next = SnapshotManifest.State(m.version + 1, entries)
+        SnapshotManifest.commit(root, next) // the commit point
+        SnapshotManifest.gc(root, next, "epoch_")
       }
     } finally {
       delta.unpersist(blocking = false)
@@ -119,11 +123,21 @@ object ReplicaSink {
     }
   }
 
-  /** Read the streaming replica back as memory-sink-shaped images. */
-  def readReplicaImages(spark: SparkSession, dir: String): DataFrame =
-    spark.read
-      .schema("uri STRING, key STRING, image ARRAY<STRING>")
-      .option("basePath", dir)
-      .parquet(dir)
-      .select(col("image"))
+  /** Read the streaming replica back as memory-sink-shaped images —
+    * strictly through the manifest: only data dirs the current snapshot
+    * names are ever listed, so a crash between an epoch write and its
+    * pointer swap is invisible here. */
+  def readReplicaImages(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.isEmpty)
+      spark.range(0).select(lit(null).cast("array<string>").as("image"))
+    else
+      m.entries.values.toSeq.sorted
+        .map(rel => spark.read
+          .schema("uri STRING, key STRING, image ARRAY<STRING>")
+          .parquet(new java.io.File(root, rel).toString))
+        .reduce(_ unionByName _)
+        .select(col("image"))
+  }
 }

@@ -82,4 +82,64 @@ class SinkSpec extends AnyFunSuite {
     assert(ReplicaSink.readReplicaImages(spark, dir).as[Seq[String]]
       .collect().toSet === Set(Seq("a", "2")))
   }
+
+  test("replica reads go through the manifest: a crashed epoch write is invisible") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_manifest").toString
+    val b0 = Seq(("flv://m/g/t", "a", Seq("a", "1"), false))
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(b0, 0)
+    val before = ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet
+    assert(before === Set(Seq("a", "1")))
+    // simulate a crash BETWEEN the epoch-1 data write and the manifest
+    // swap: the epoch dir exists on disk with conflicting data, but no
+    // pointer ever named it
+    val orphan = Seq(("flv://m/g/t", "a", Seq("a", "CRASHED"), false))
+      .toDF("uri", "key", "image", "deleted")
+      .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.hash($"uri", $"key"),
+        org.apache.spark.sql.functions.lit(ReplicaSink.ReplicaBuckets)))
+    orphan.write.mode("overwrite")
+      .partitionBy("bucket").parquet(s"$dir/epoch_1")
+    // the old snapshot stays fully readable — reads never list the dir
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === before)
+    // the next SUCCESSFUL commit supersedes and collects the orphan
+    val b2 = Seq(("flv://m/g/t", "a", Seq("a", "2"), false))
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(b2, 2)
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === Set(Seq("a", "2")))
+    assert(!new java.io.File(s"$dir/epoch_1").exists(),
+      "gc after the next commit must collect the crashed epoch's orphan")
+  }
+
+  test("incremental aggregate state: crash between snapshot write and swap keeps old state") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("graft_incragg_crash").toString
+    val ev = graft.sources.Tables.events(spark, Sf)
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 2 === 0))
+    val before = graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq
+    // crashed second update: snapshot dir written, pointer never swapped
+    graft.operators.IncrementalAgg
+      .partials(ev.where(col("event_id") % 2 === 1))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/v2")
+    assert(graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq === before)
+    // the replayed update commits v2 content properly and equals one
+    // aggregation of the whole log
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 2 === 1))
+    val after = graft.operators.IncrementalAgg.read(spark, stateDir)
+    val oneShot = graft.operators.IncrementalAgg.partials(ev)
+      .select(col("event_type"), col("n"), col("sum_users"),
+        col("sum_value").cast("double").as("sum_value"),
+        col("min_value"), col("max_value"))
+    assert(after.except(oneShot).isEmpty && oneShot.except(after).isEmpty)
+  }
 }
