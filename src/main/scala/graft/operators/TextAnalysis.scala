@@ -105,7 +105,10 @@ object TextAnalysis {
   def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val terms = graft.sources.Tables.fanout(docs)
+    // deliberately NOT fanned out: tokenize+tf is cheap per row and the
+    // fan-out shuffle cost it back (measured 1.48 -> 0.93 s at sf0.1);
+    // a cluster-scale scan already has >= cores splits
+    val terms = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

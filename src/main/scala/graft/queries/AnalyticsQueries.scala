@@ -33,7 +33,7 @@ object AnalyticsQueries {
     // adjacency edge-iterator; the partitioned wedge join is the
     // beyond-broadcast fallback, pinned equal in GraphSpec)
     "graph_triangles" -> ((s, dir) =>
-      Graph.triangleCountAuto(Graph.coOccurrenceEdges(Tables.events(s, dir)))),
+      Graph.triangleCountAutoFromEvents(Tables.events(s, dir))),
 
     // recall@5 of the IVF cell search against brute-force ground truth —
     // the accuracy/efficiency trade every ANN deployment must measure.

@@ -176,9 +176,9 @@ object CurationQueries {
     // ann_ivf_topk, but the cells come from the data, not the labels.
     "ann_ivf_trained" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+      val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
         .cache()
       val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
       val cents = KMeansOp.update(assigned, "embedding")
@@ -347,9 +347,9 @@ object CurationQueries {
     // The casted corpus is cached: every assign pass re-scans it (like a
     // real trainer would — per-query lifecycle, see Bench).
     "kmeans_train" -> ((s, dir) => {
-      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+      val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("embedding")))
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
         .cache()
       val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
       val sizes = assigned.groupBy(col("cluster_id"))
@@ -400,9 +400,9 @@ object CurationQueries {
     // the scan is two broadcast joins + a per-query top-k window.
     "ann_pq_adc" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+      val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e")))
+          transform(col("embedding"), x => x.cast("double")).as("e"))
         .cache()
       val subs = Seq(0, 1).map { m =>
         val sub = emb.select(col("vec_id"),
@@ -448,9 +448,9 @@ object CurationQueries {
     // the code scan.
     "ann_ivf_pq" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val emb = Tables.fanout(Tables.table(s, dir, "embeddings")
+      val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("e")))
+          transform(col("embedding"), x => x.cast("double")).as("e"))
         .cache()
       // coarse quantizer over the full 32-dim vectors
       val coarse = KMeansOp.fit(emb, "vec_id", "e", 4, 2).cache()

@@ -30,6 +30,14 @@ object StreamingQueries {
         .orderBy("name")
     }),
 
+    // The TRUNCATE fixture through the keyed streaming apply: the table
+    // wipe is a column-timeline generation bump (zero state-store wipe
+    // ops) — stream ≡ batch ≡ the cdc_apply_truncate golden.
+    "stream_apply_truncate" -> ((s, _) => {
+      graft.sources.CdcGen.decodeTruncate(CdcStream.truncateSnapshotStream(s))
+        .orderBy("tbl", "id")
+    }),
+
     // The keyed schema-aware apply at sf scale: 10k+ generated customer
     // events through per-image FMGWS state — the 100 TB streaming path —
     // checked against the same replica oracle as every other apply.
@@ -175,6 +183,12 @@ object StreamingQueries {
            ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
          AS t(name, owner, species, sex, birth, last_vaccine)
          ORDER BY name""",
+    "stream_apply_truncate" ->
+      """SELECT * FROM (VALUES
+           ('box', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),
+           ('crate', CAST(4 AS BIGINT), 'delta', CAST(7 AS BIGINT)))
+         AS t(tbl, id, txt, qty)
+         ORDER BY tbl, id""",
     // the replica after the full replay must equal the batch apply — the
     // same claim as stream_cdc_apply, now through the durable sink
     "stream_sink_replica" ->

@@ -493,6 +493,19 @@ object CdcStream {
     runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
   }
 
+  /** Streaming replay of the TRUNCATE fixture through the KEYED
+    * schema-aware apply — the streaming twin of cdc_apply_truncate. The
+    * table wipe rides the column-timeline GENERATION bump (pre-TRUNCATE
+    * images canonicalize to None map-side), so the keyed state store
+    * performs zero per-key wipe operations — the only way a 100 TB
+    * replica can absorb a TRUNCATE. */
+  def truncateSnapshotStream(spark: SparkSession): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val batch = CdcGen.truncateEvents(ss)
+    val events = streamOf(batch, "truncate_events", "fixture")
+    runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
+  }
+
   /** Streaming exact dedup over the documents table: Spark's
     * StreamingDeduplicate stateful operator (`dropDuplicates` on an
     * unbounded stream) keyed by the arithmetic document fingerprint —

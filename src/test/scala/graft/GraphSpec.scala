@@ -52,6 +52,17 @@ class GraphSpec extends AnyFunSuite {
     assert(big.as[(Long, Long)].collect().head === ((5L, 51L)))
   }
 
+  test("triangleCountAutoFromEvents: bucket-bound dispatch, tiers agree on real events") {
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val viaAdj = Graph.triangleCountAutoFromEvents(events)
+      .as[(Long, Long)].collect().head
+    // a 1-edge threshold forces the wedge tier on the same events
+    val viaWedge = Graph.triangleCountAutoFromEvents(events, broadcastMaxEdges = 1)
+      .as[(Long, Long)].collect().head
+    assert(viaAdj === viaWedge)
+  }
+
   test("activityIslands: adjacent events merge, a gap splits, span is exact") {
     import spark.implicits._
     val ts = java.sql.Timestamp.valueOf(_: String)
