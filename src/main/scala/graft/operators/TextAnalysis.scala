@@ -102,37 +102,72 @@ object TextAnalysis {
     * derive from the tf table (dl = Σtf per doc), so the corpus explode
     * appears exactly once in the physical plan instead of twice. At
     * 100 TB the tf agg partial-combines map-side; df is |vocab|-sized. */
-  def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // deliberately NOT fanned out: tokenize+tf is cheap per row and the
-    // fan-out shuffle cost it back (measured 1.48 -> 0.93 s at sf0.1);
-    // a cluster-scale scan already has >= cores splits
+  /** Every (doc, term) BM25-scored — the shared build behind keyword
+    * extraction and retrieval. UNROUNDED `score`; callers round at their
+    * output. One explode → tf hash aggregation; dl and df derive from
+    * the tf table so the corpus is scanned once. Deliberately NOT fanned
+    * out: tokenize+tf is cheap per row and the fan-out shuffle cost it
+    * back (measured 1.48 -> 0.93 s at sf0.1); a cluster-scale scan
+    * already has >= cores splits. */
+  private def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
+      k1: Double, b: Double): DataFrame = {
     val terms = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // doc length re-aggregates the (already tiny) tf table — NOT a second
-    // pass over the exploded terms, which would double the corpus scan
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
+    tf
       .join(dl, "doc_id")
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf",
         (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      .withColumn("score", round(
+      .withColumn("score",
         col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))),
-        6))
+          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+  }
+
+  def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(docs, idCol, textCol, k1, b)
+      .withColumn("score", round(col("score"), 6))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     scored
       .withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("score"))
+  }
+
+  /** BM25 retrieval: top-k documents per QUERY over the corpus — the
+    * lexical serving twin of the ANN family (benchmark decontamination
+    * and eval-set dedup run exactly this shape corpus-wide). `queries`
+    * is (q_id, term) — already tokenized, distinct terms.
+    *
+    * Scale shape: the query set BROADCASTS against the (doc, term) score
+    * table — the inverted-index probe; only postings of matched terms
+    * flow into the (q_id, doc_id) aggregation, everything else is pruned
+    * at the join. Per-pair scores sum through DECIMAL so term addition
+    * order cannot move the rounded output (the cross-engine ground
+    * rule), and ranking uses the EXACT decimal sum — ties break on
+    * doc_id identically in both engines. */
+  def bm25Retrieve(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bm25Scored(docs, idCol, textCol, k1, b)
+    val hits = scored.join(broadcast(queries), "term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sdec").desc, col("doc_id"))
+    hits
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        round(col("sdec").cast("double"), 6).as("score"))
   }
 
   /** Document fingerprint: position-weighted rolling hash over tokens,

@@ -40,6 +40,36 @@ object AnalyticsQueries {
     // Both pipelines are the already-verified queries; the eval is a
     // per-query left-semi intersection count, so recall is hits/5 — an
     // identical IEEE division on both engines.
+    // Ordered-funnel analysis (view -> click -> purchase): each stage's
+    // completion is the user's FIRST qualifying event STRICTLY AFTER the
+    // previous stage's completion — the product-analytics primitive.
+    // Three stage aggregations, each shuffling only on user_id, each
+    // input pre-filtered to one event type (filter reaches the scan);
+    // lag totals stay in integer microseconds (exact cross-engine).
+    "q_funnel" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val s2 = ev.where(col("event_type") === "click")
+        .join(s1, "user_id").where(col("ts") > col("t1"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("t2"), min(col("t1")).as("t1"))
+      val s3 = ev.where(col("event_type") === "purchase")
+        .join(s2.select(col("user_id"), col("t2")), "user_id")
+        .where(col("ts") > col("t2"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("t3"), min(col("t2")).as("t2"))
+      s1.select(lit("1_view").as("stage"), col("user_id"), lit(0L).as("lag_us"))
+        .unionByName(s2.select(lit("2_view_click").as("stage"), col("user_id"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("lag_us")))
+        .unionByName(s3.select(lit("3_full_funnel").as("stage"), col("user_id"),
+          (unix_micros(col("t3")) - unix_micros(col("t2"))).as("lag_us")))
+        .groupBy("stage")
+        .agg(count(lit(1)).as("users"), sum(col("lag_us")).as("total_lag_us"))
+        .orderBy("stage")
+    }),
+
     "ann_recall_eval" -> ((s, dir) => {
       val brute = ExtensionQueries.queries("ann_cosine_topk")(s, dir)
         .select(col("q_id"), col("vec_id"))
@@ -319,6 +349,27 @@ object AnalyticsQueries {
     "ts_gapfill" -> gapfillOracle,
     "graph_triangles" -> trianglesOracle,
     "ann_recall_eval" -> recallOracle,
+    "q_funnel" -> """
+      WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2, MIN(s1.t1) AS t1
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3, MIN(s2.t2) AS t2
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      SELECT stage, COUNT(*) AS users,
+             CAST(SUM(lag_us) AS BIGINT) AS total_lag_us
+      FROM (
+        SELECT '1_view' AS stage, user_id, 0 AS lag_us FROM s1
+        UNION ALL
+        SELECT '2_view_click', user_id, epoch_us(t2) - epoch_us(t1) FROM s2
+        UNION ALL
+        SELECT '3_full_funnel', user_id, epoch_us(t3) - epoch_us(t2) FROM s3)
+      GROUP BY 1 ORDER BY stage""",
     "q_sketch_union" -> """
       SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
         TRUE AS within_5pct

@@ -300,6 +300,20 @@ object ExtensionQueries {
         .orderBy("doc_id", "rnk")
     }),
 
+    // BM25 retrieval: top-5 documents per query (queries = first three
+    // tokens of every 100th document) — the lexical serving twin of the
+    // ANN family; the query set broadcasts against the inverted
+    // (term -> postings) view, so only matched postings shuffle
+    "text_retrieval_bm25" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5)
+        .orderBy("q_id", "rnk")
+    }),
+
     // positional rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"), "text")
@@ -640,6 +654,37 @@ object ExtensionQueries {
          FROM scored)
        SELECT doc_id, rnk, term, score FROM ranked WHERE rnk <= 3
        ORDER BY doc_id, rnk""",
+    // retrieval: UNROUNDED per-term scores summed through DECIMAL (term
+    // addition order cannot move the output), ranked on the exact sum
+    "text_retrieval_bm25" -> s"""
+       WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       qterms AS (
+         SELECT DISTINCT doc_id AS q_id,
+           unnest(string_split(text, ' ')[1:3]) AS term
+         FROM documents WHERE doc_id % 100 = 0),
+       hits AS (
+         SELECT q.q_id, s.doc_id,
+           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
+         FROM scored s JOIN qterms q USING (term)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, doc_id, sdec,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY sdec DESC, doc_id) AS rnk
+         FROM hits)
+       SELECT q_id, rnk, doc_id, ROUND(CAST(sdec AS DOUBLE), 6) AS score
+       FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "text_fingerprint" -> s"""
        SELECT doc_id, $SqlFingerprintExpr AS fingerprint
        FROM documents ORDER BY doc_id""",
