@@ -35,10 +35,16 @@ object Graph {
     * produce a near-complete K_users whose wedge set is quadratic in the
     * user count, the densification any bucketing choice must be audited
     * for before it ships (measured: 261 s vs ~5 s for the whole count). */
-  def coOccurrenceEdges(events: DataFrame): DataFrame = {
-    val acts = events.where(col("event_type") === "purchase")
+  /** The (hour-bucket, user) activity table both the edge build and the
+    * dispatch bound derive from — one definition so they can never
+    * desynchronize. */
+  private def activity(events: DataFrame): DataFrame =
+    events.where(col("event_type") === "purchase")
       .select(date_trunc("hour", col("ts")).as("hb"), col("user_id"))
       .distinct()
+
+  def coOccurrenceEdges(events: DataFrame): DataFrame = {
+    val acts = activity(events)
     val l = acts.select(col("hb"), col("user_id").as("a"))
     val r = acts.select(col("hb"), col("user_id").as("b"))
     l.join(r, Seq("hb"))
@@ -102,7 +108,11 @@ object Graph {
     * identical (count, checksum) rows (GraphSpec pins equality and the
     * flip). Prefer [[triangleCountAutoFromEvents]] when the edges come
     * from co-occurrence bucketing — it dispatches on a bound computed
-    * BEFORE pair generation, avoiding a second construction pass. */
+    * BEFORE pair generation, avoiding a second construction pass.
+    * The edge set stays persisted for the returned (lazy) plan to read;
+    * the CALLER owns the release — Bench/Verify drop all RDD-level
+    * blocks at their per-query boundary, library users unpersist after
+    * the action. */
   def triangleCountAuto(edges: DataFrame,
       broadcastMaxEdges: Long = AdjBroadcastMaxEdges): DataFrame = {
     edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -121,12 +131,12 @@ object Graph {
     * shuffled wedge join early — safe in the direction that matters. */
   def triangleCountAutoFromEvents(events: DataFrame,
       broadcastMaxEdges: Long = AdjBroadcastMaxEdges): DataFrame = {
-    val acts = events.where(col("event_type") === "purchase")
-      .select(date_trunc("hour", col("ts")).as("hb"), col("user_id"))
-      .distinct()
-    val bound = acts.groupBy(col("hb")).agg(count(lit(1)).as("n"))
+    val row = activity(events).groupBy(col("hb")).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"))
-      .collect()(0).getDouble(0)
+      .collect()(0)
+    // sum over zero buckets is SQL NULL — an eventless (or purchase-less)
+    // frame has no pairs, not an undefined bound
+    val bound = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     val edges = coOccurrenceEdges(events)
     if (bound <= broadcastMaxEdges.toDouble) triangleCountAdj(edges)
     else triangleCount(edges)

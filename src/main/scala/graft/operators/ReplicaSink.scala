@@ -69,8 +69,10 @@ object ReplicaSink {
     * touch are never read or written: their manifest entries carry over
     * unchanged. The batch's merged buckets land in an immutable
     * `epoch_<batchId>` dir; the [[SnapshotManifest]] swap is the commit
-    * point, and a replay of a crashed batch overwrites the same epoch
-    * dir before re-swapping (idempotent). */
+    * point. Replays are idempotent on BOTH sides of the commit: before
+    * the swap, the replay overwrites the orphan epoch dir; after it,
+    * the manifest already references this epoch and the replay is a
+    * detected no-op (re-merging would destroy the snapshot it reads). */
   def upsertBatch(dir: String)(batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
       batchId: Long): Unit = {
     val spark = batch.sparkSession
@@ -82,8 +84,17 @@ object ReplicaSink {
       val affected = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
-        lastUpsertBatches += 1
         val m = SnapshotManifest.read(root)
+        // Replay of an ALREADY-COMMITTED batch (driver died after the
+        // manifest swap but before the streaming checkpoint recorded the
+        // batch): the manifest already points into this batch's epoch
+        // dir. Re-running would overwrite epoch_<id> while reading from
+        // inside it — deleting the current snapshot out from under the
+        // merge. foreachBatch replays deliver identical data, so the
+        // correct move is a no-op: the committed snapshot IS this
+        // batch's result.
+        if (m.entries.values.exists(_.startsWith(s"epoch_$batchId/"))) return
+        lastUpsertBatches += 1
         val existingPaths = affected.toSeq
           .flatMap(b => m.entries.get(s"bucket=$b"))
           .map(rel => new java.io.File(root, rel).toString)

@@ -286,12 +286,15 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
     maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
 
   /** Offset at index `n` of a listing: carries the name of the last
-    * admitted file as a HIGH WATERMARK, so a later re-listing that
-    * disagrees (earlier-sorting filename written, consumed segment
-    * deleted/compacted) fails fast instead of silently remapping
+    * admitted file as a HIGH WATERMARK plus a signature folded over ALL
+    * admitted names, so a later re-listing that disagrees anywhere in
+    * the prefix (earlier-sorting filename written, consumed segment
+    * deleted/compacted — even a paired delete+insert that preserves the
+    * boundary name and count) fails fast instead of silently remapping
     * positions to different files. */
   private def offsetAt(n: Int, files: Array[File]): CdcWireOffset =
-    CdcWireOffset(n, if (n == 0) "" else files(n - 1).getName)
+    CdcWireOffset(n, if (n == 0) "" else files(n - 1).getName,
+      CdcWireOffset.listingSig(files, n))
 
   override def initialOffset(): Offset = CdcWireOffset(0, "")
 
@@ -321,7 +324,9 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
     CdcWireOffset(node.get("n").asInt(),
-      Option(node.get("last")).map(_.asText()).getOrElse(""))
+      Option(node.get("last")).map(_.asText()).getOrElse(""),
+      Option(node.get("sig")).map(_.asLong())
+        .getOrElse(CdcWireOffset.NoSig))
   }
 
   /** The admitted range [start, end) is positional, so before slicing we
@@ -341,6 +346,14 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
         s"cdc-wire listing drift at position ${o.n}: committed watermark " +
           s"'${o.last}' but listing now has '$actual' — a consumed segment " +
           "was removed or an earlier-sorting name appeared")
+      // boundary match is necessary but not sufficient: a paired
+      // delete+insert inside the prefix preserves position AND boundary;
+      // the full-prefix signature catches any such remapping
+      require(o.sig == CdcWireOffset.NoSig ||
+          o.sig == CdcWireOffset.listingSig(files, o.n),
+        s"cdc-wire listing drift: the first ${o.n} file names no longer " +
+          s"match the committed offset's listing signature — segments were " +
+          "replaced under committed positions")
     }
     check(so); check(eo)
     files.slice(so.n, eo.n)
@@ -354,13 +367,31 @@ class CdcWireMicroBatchStream(path: String, full: StructType,
   override def stop(): Unit = ()
 }
 
-case class CdcWireOffset(n: Int, last: String = "")
+case class CdcWireOffset(n: Int, last: String = "",
+    sig: Long = CdcWireOffset.NoSig)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {
     val node = new ObjectMapper().createObjectNode()
     node.put("n", n)
     node.put("last", last)
+    node.put("sig", sig)
     node.toString
+  }
+}
+
+object CdcWireOffset {
+  /** Sentinel for offsets recovered from a pre-signature checkpoint —
+    * the signature check is skipped (boundary checks still apply). */
+  val NoSig: Long = Long.MinValue
+
+  /** Order-sensitive fold over the first `n` listed names (String
+    * .hashCode is specified by the JLS, so the value is stable across
+    * JVMs and restarts). */
+  def listingSig(files: Array[File], n: Int): Long = {
+    var acc = 17L
+    var i = 0
+    while (i < n) { acc = acc * 31 + files(i).getName.hashCode; i += 1 }
+    acc
   }
 }
 

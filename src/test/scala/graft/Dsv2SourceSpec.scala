@@ -244,12 +244,26 @@ class Dsv2SourceSpec extends AnyFunSuite {
     assert(e1.getMessage.contains("listing drift"))
     Files.delete(dir.resolve("seg-0.json"))
 
-    // a consumed segment vanishes (compaction): same fail-fast
-    Files.delete(dir.resolve("seg-b.json"))
+    // a PAIRED delete+insert that preserves both the count and the
+    // boundary name: positions remap but n and `last` still match —
+    // only the full-prefix listing signature can catch it
+    Files.delete(dir.resolve("seg-a.json"))
+    Files.write(dir.resolve("seg-0.json"),
+      """{"event_id":3,"user_id":3,"event_type":"view","value":3.0}""".getBytes)
     val e2 = intercept[IllegalArgumentException] {
       stream.planInputPartitions(start, end)
     }
-    assert(e2.getMessage.contains("listing drift"))
+    assert(e2.getMessage.contains("listing signature"))
+    Files.delete(dir.resolve("seg-0.json"))
+    Files.write(dir.resolve("seg-a.json"),
+      """{"event_id":1,"user_id":1,"event_type":"click","value":1.0}""".getBytes)
+
+    // a consumed segment vanishes (compaction): same fail-fast
+    Files.delete(dir.resolve("seg-b.json"))
+    val e3 = intercept[IllegalArgumentException] {
+      stream.planInputPartitions(start, end)
+    }
+    assert(e3.getMessage.contains("listing drift"))
     graft.Fs.deleteRecursively(dir.toFile)
   }
 

@@ -116,6 +116,29 @@ class SinkSpec extends AnyFunSuite {
       "gc after the next commit must collect the crashed epoch's orphan")
   }
 
+  test("replay of an already-committed batch is a no-op, not a snapshot corruption") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_replay").toString
+    val b0 = Seq(("flv://m/g/t", "a", Seq("a", "1"), false))
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(b0, 0)
+    val b1 = Seq(("flv://m/g/t", "a", Seq("a", "2"), false),
+        ("flv://m/g/t", "b", Seq("b", "1"), false))
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(b1, 1)
+    val committed = ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet
+    assert(committed === Set(Seq("a", "2"), Seq("b", "1")))
+    // driver died after batch 1's manifest swap but before the streaming
+    // checkpoint recorded it: foreachBatch replays batchId 1 — the sink
+    // must detect the committed epoch and leave the snapshot untouched
+    // (re-merging would overwrite epoch_1 while reading from inside it)
+    ReplicaSink.upsertBatch(dir)(b1, 1)
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === committed)
+  }
+
   test("incremental aggregate state: crash between snapshot write and swap keeps old state") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
