@@ -49,10 +49,19 @@ object IncrementalAgg {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
-  /** Fold one append batch into the stored aggregate table. */
-  def update(spark: SparkSession, stateDir: String, delta: DataFrame): Unit = {
+  /** Fold one append batch into the stored aggregate table. Pass the
+    * micro-batch's `batchId` when driving this from a stream
+    * (foreachBatch): an update is a MERGE, not an overwrite, so a
+    * replay of an already-folded batch would double-count its delta —
+    * with a batchId the committed manifest records the last folded
+    * batch and the replay becomes a detected no-op, the same
+    * exactly-once contract as [[ReplicaSink.upsertBatch]]. */
+  def update(spark: SparkSession, stateDir: String, delta: DataFrame,
+      batchId: Long = -1L): Unit = {
     val root = new java.io.File(stateDir)
     val m = SnapshotManifest.read(root)
+    if (batchId >= 0L && m.entries.get("lastBatch").contains(batchId.toString))
+      return
     val p = partials(delta)
     val merged = m.entries.get("cur") match {
       case Some(rel) =>
@@ -64,7 +73,9 @@ object IncrementalAgg {
     // groups are few: one file keeps the state read O(1) tasks
     merged.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, next).toString)
-    val ns = SnapshotManifest.State(m.version + 1, Map("cur" -> next))
+    val entries = Map("cur" -> next) ++
+      (if (batchId >= 0L) Map("lastBatch" -> batchId.toString) else Map.empty)
+    val ns = SnapshotManifest.State(m.version + 1, entries)
     SnapshotManifest.commit(root, ns) // the commit point
     SnapshotManifest.gc(root, ns, "v")
   }

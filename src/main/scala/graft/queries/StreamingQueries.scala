@@ -38,6 +38,12 @@ object StreamingQueries {
         .orderBy("tbl", "id")
     }),
 
+    // Streaming MV maintenance: per-micro-batch algebraic-partial folds
+    // into the manifest-committed aggregate table; batchId makes replays
+    // no-ops. Final state ≡ one aggregation of the whole log.
+    "stream_incremental_agg" -> ((s, dir) =>
+      CdcStream.streamIncrementalAgg(s, dir).orderBy("event_type")),
+
     // The keyed schema-aware apply at sf scale: 10k+ generated customer
     // events through per-image FMGWS state — the 100 TB streaming path —
     // checked against the same replica oracle as every other apply.
@@ -183,6 +189,12 @@ object StreamingQueries {
            ('Spot', 'Jane', 'dog', 'm', DATE '2010-11-02', DATE '2020-06-10'))
          AS t(name, owner, species, sex, birth, last_vaccine)
          ORDER BY name""",
+    "stream_incremental_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(user_id) AS BIGINT) AS sum_users,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+         MIN(value) AS min_value, MAX(value) AS max_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "stream_apply_truncate" ->
       """SELECT * FROM (VALUES
            ('box', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),

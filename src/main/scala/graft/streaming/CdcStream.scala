@@ -853,6 +853,37 @@ object CdcStream {
     ReplicaSink.readReplicaImages(ss, replicaDir.toString)
   }
 
+  /** Streaming materialized-view maintenance: every micro-batch of the
+    * event stream folds into the durable aggregate table through
+    * [[graft.operators.IncrementalAgg.update]] with its batchId, so a
+    * replayed batch is a detected no-op instead of a double-count —
+    * the algebraic-partials MV pattern (count/sum/min/max merge) driven
+    * end-to-end by foreachBatch with the manifest-pointer commit. */
+  def streamIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val events = streamOf(graft.sources.Tables.events(ss, sfDir), "mv_events",
+      sfDir, maxFilesPerTrigger = Some(3))
+    val stateDir = new java.io.File(
+      s"/tmp/graft_incragg_stream/p${graft.Fs.pid}_" +
+        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.Fs.deleteRecursively(stateDir) // fresh replay per invocation
+    stateDir.mkdirs()
+    val ckpt = new java.io.File(
+      s"$ckptRoot/p${graft.Fs.pid}_mv_${nameCounter.incrementAndGet()}")
+    val sink: (DataFrame, Long) => Unit = (batch, id) =>
+      graft.operators.IncrementalAgg.update(
+        batch.sparkSession, stateDir.toString, batch, id)
+    val q = events.writeStream
+      .foreachBatch(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally graft.Fs.deleteRecursively(ckpt)
+    graft.operators.IncrementalAgg.read(ss, stateDir.toString)
+  }
+
   // ---------- operational introspection: the State Data Source ----------
 
   /** Read a streaming checkpoint's STATE back as a batch DataFrame via

@@ -139,6 +139,27 @@ class SinkSpec extends AnyFunSuite {
       .as[Seq[String]].collect().toSet === committed)
   }
 
+  test("incremental aggregate update with a batchId is idempotent under replay") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("graft_incragg_replay").toString
+    val ev = graft.sources.Tables.events(spark, Sf)
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 2 === 0), batchId = 0L)
+    val once = graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq
+    // foreachBatch replay after a committed fold: must NOT double-count
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 2 === 0), batchId = 0L)
+    assert(graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq === once)
+    // the NEXT batch still folds
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 2 === 1), batchId = 1L)
+    assert(graft.operators.IncrementalAgg.read(spark, stateDir)
+      .agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
+  }
+
   test("incremental aggregate state: crash between snapshot write and swap keeps old state") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
