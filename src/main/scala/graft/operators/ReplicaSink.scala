@@ -141,7 +141,20 @@ object ReplicaSink {
     * pointer swap is invisible here. */
   def readReplicaImages(spark: SparkSession, dir: String): DataFrame = {
     val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
+    readState(spark, root, SnapshotManifest.read(root))
+  }
+
+  /** Time travel: the replica as of an earlier committed version, while
+    * it remains inside [[SnapshotManifest.Retain]] — the audit/rollback
+    * read every incremental replica eventually needs. */
+  def readReplicaImagesAt(spark: SparkSession, dir: String,
+      version: Long): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SnapshotManifest.readAt(root, version).map(readState(spark, root, _))
+  }
+
+  private def readState(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State): DataFrame =
     if (m.entries.isEmpty)
       spark.range(0).select(lit(null).cast("array<string>").as("image"))
     else
@@ -151,5 +164,4 @@ object ReplicaSink {
           .parquet(new java.io.File(root, rel).toString))
         .reduce(_ unionByName _)
         .select(col("image"))
-  }
 }

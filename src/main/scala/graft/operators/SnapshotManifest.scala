@@ -29,49 +29,90 @@ object SnapshotManifest {
   final case class State(version: Long, entries: Map[String, String])
 
   private val Name = "MANIFEST.json"
+  private val HistoryDir = "_history"
+
+  /** Snapshot versions retained for time travel beyond the current one:
+    * [[commit]] archives each manifest under `_history/` and [[gc]]
+    * keeps every data dir any retained manifest references, so
+    * [[readAt]] can open the previous `Retain` versions — rollback and
+    * audit-read, the lakehouse retention contract in miniature. */
+  val Retain = 2
 
   def read(root: File): State = {
     val f = new File(root, Name)
-    if (!f.exists()) State(0L, Map.empty)
-    else {
-      val node = new ObjectMapper().readTree(f)
-      val es = scala.collection.mutable.LinkedHashMap.empty[String, String]
-      val it = node.get("entries").fields()
-      while (it.hasNext) {
-        val e = it.next()
-        es(e.getKey) = e.getValue.asText()
-      }
-      State(node.get("version").asLong(), es.toMap)
-    }
+    if (!f.exists()) State(0L, Map.empty) else parse(f)
   }
 
-  /** Publish a snapshot: serialize to a temp name, one atomic move onto
-    * the manifest. The data dirs `s.entries` names must already be fully
-    * written — this call is the commit point. */
-  def commit(root: File, s: State): Unit = {
-    root.mkdirs()
+  private def serialize(s: State): Array[Byte] = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", s.version)
     val es = node.putObject("entries")
     s.entries.foreach { case (k, v) => es.put(k, v); () }
+    node.toString.getBytes(UTF_8)
+  }
+
+  private def parse(f: File): State = {
+    val node = new ObjectMapper().readTree(f)
+    val es = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val it = node.get("entries").fields()
+    while (it.hasNext) {
+      val e = it.next()
+      es(e.getKey) = e.getValue.asText()
+    }
+    State(node.get("version").asLong(), es.toMap)
+  }
+
+  /** Publish a snapshot: serialize to a temp name, one atomic move onto
+    * the manifest. The data dirs `s.entries` names must already be fully
+    * written — this call is the commit point. An archive copy lands in
+    * `_history/` first (before the pointer swap, so a crash in between
+    * leaves the archive as a harmless orphan) and archives older than
+    * [[Retain]] versions are pruned. */
+  def commit(root: File, s: State): Unit = {
+    root.mkdirs()
+    val bytes = serialize(s)
+    val hist = new File(root, HistoryDir)
+    hist.mkdirs()
+    java.nio.file.Files.write(
+      new File(hist, s"v${s.version}.json").toPath, bytes)
+    Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("v\\d+\\.json") &&
+        f.getName.stripPrefix("v").stripSuffix(".json").toLong
+          < s.version - Retain)
+      .foreach(_.delete())
     val tmp = new File(root, s"_$Name.tmp")
-    java.nio.file.Files.write(tmp.toPath, node.toString.getBytes(UTF_8))
+    java.nio.file.Files.write(tmp.toPath, bytes)
     java.nio.file.Files.move(tmp.toPath, new File(root, Name).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ()
   }
 
+  /** Time travel: the committed snapshot at `version`, if still within
+    * the retention window. */
+  def readAt(root: File, version: Long): Option[State] = {
+    val f = new File(new File(root, HistoryDir), s"v$version.json")
+    // an archive is written BEFORE its pointer swap; only trust archives
+    // at or below the committed current version
+    if (f.exists() && version <= read(root).version) Some(parse(f)) else None
+  }
+
   /** Remove snapshot dirs (top-level children of `root` whose name
-    * starts with `snapshotPrefix`) that the committed state no longer
-    * references — crash orphans and superseded snapshots. Partially
-    * referenced dirs (an epoch some of whose buckets are still current)
-    * lose only their unreferenced children. Runs strictly AFTER
-    * [[commit]], so a reader holding the old manifest has already been
-    * superseded when its files disappear. */
+    * starts with `snapshotPrefix`) that neither the committed state nor
+    * any RETAINED history version references — crash orphans and
+    * snapshots past the time-travel window. Partially referenced dirs
+    * (an epoch some of whose buckets are still current) lose only their
+    * unreferenced children. Runs strictly AFTER [[commit]], so a reader
+    * holding the old manifest has already been superseded when its
+    * files disappear. */
   def gc(root: File, s: State, snapshotPrefix: String): Unit = {
-    val referenced = s.entries.values.toSet
+    val hist = new File(root, HistoryDir)
+    val retained = Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .flatMap(f => scala.util.Try(parse(f)).toOption)
+      .flatMap(_.entries.values)
+    val referenced = s.entries.values.toSet ++ retained
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.isDirectory && d.getName.startsWith(snapshotPrefix))
       .foreach { d =>
