@@ -60,7 +60,11 @@ object IncrementalAgg {
       batchId: Long = -1L): Unit = {
     val root = new java.io.File(stateDir)
     val m = SnapshotManifest.read(root)
-    if (batchId >= 0L && m.entries.get("lastBatch").contains(batchId.toString))
+    // <= not ==: a checkpoint reset against a kept state dir replays the
+    // stream from batch 0, and every batch at or below the recorded
+    // watermark is already folded (Delta's txnVersion contract)
+    if (batchId >= 0L &&
+        m.entries.get("lastBatch").exists(_.toLong >= batchId))
       return
     val p = partials(delta)
     val merged = m.entries.get("cur") match {

@@ -146,7 +146,13 @@ object ReplicaSink {
 
   /** Time travel: the replica as of an earlier committed version, while
     * it remains inside [[SnapshotManifest.Retain]] — the audit/rollback
-    * read every incremental replica eventually needs. */
+    * read every incremental replica eventually needs.
+    *
+    * The returned plan is LAZY over the retained epoch dirs: consume it
+    * before further commits age the version past the retention window,
+    * or gc will delete its files out from under a later action (the
+    * same contract as any snapshot-isolation reader — hold the version,
+    * finish the read). */
   def readReplicaImagesAt(spark: SparkSession, dir: String,
       version: Long): Option[DataFrame] = {
     val root = new java.io.File(dir)

@@ -76,16 +76,19 @@ object SnapshotManifest {
     hist.mkdirs()
     java.nio.file.Files.write(
       new File(hist, s"v${s.version}.json").toPath, bytes)
-    Option(hist.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("v\\d+\\.json") &&
-        f.getName.stripPrefix("v").stripSuffix(".json").toLong
-          < s.version - Retain)
-      .foreach(_.delete())
     val tmp = new File(root, s"_$Name.tmp")
     java.nio.file.Files.write(tmp.toPath, bytes)
     java.nio.file.Files.move(tmp.toPath, new File(root, Name).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // prune AFTER the pointer swap: a crash before this point must not
+    // shrink the still-committed older version's retention window (a
+    // deleted archive is not a harmless orphan; an extra one is)
+    Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("v\\d+\\.json") &&
+        f.getName.stripPrefix("v").stripSuffix(".json").toLong
+          < s.version - Retain)
+      .foreach(_.delete())
     ()
   }
 

@@ -826,22 +826,21 @@ object CdcStream {
     * [[graft.operators.ReplicaSink.upsertBatch]] — only the buckets a
     * batch touches are rewritten. Returns the replica read back in the
     * memory-sink `image` shape for [[CdcGen.decodeCustomer]]. */
-  def customerReplicaStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.ReplicaSink
-    val ss = streamSession(spark, flush = false)
-    val events = streamOf(CdcGen.customerEvents(ss, sfDir), "cdc_events", sfDir,
-      maxFilesPerTrigger = Some(3)) // 8 staged files → 3 micro-batches
-    val replicaDir = new java.io.File(
-      s"/tmp/graft_replica_stream/p${graft.Fs.pid}_" +
+  /** Shared drain scaffolding for foreachBatch-driven durable sinks: a
+    * fresh pid-keyed state dir, a throwaway checkpoint, an AvailableNow
+    * drain of `df` into `sink(stateDir)`, progress capture, checkpoint
+    * cleanup. Returns the state dir for the caller's read-back. */
+  private def drainToStateDir(df: DataFrame, dirPrefix: String,
+      sfDir: String, sink: String => (DataFrame, Long) => Unit): String = {
+    val stateDir = new java.io.File(
+      s"/tmp/$dirPrefix/p${graft.Fs.pid}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.Fs.deleteRecursively(replicaDir) // fresh replay per invocation
-    replicaDir.mkdirs()
+    graft.Fs.deleteRecursively(stateDir) // fresh replay per invocation
+    stateDir.mkdirs()
     val ckpt = new java.io.File(
       s"$ckptRoot/p${graft.Fs.pid}_sink_${nameCounter.incrementAndGet()}")
-    ReplicaSink.lastUpsertBatches = 0
-    val sink: (DataFrame, Long) => Unit = ReplicaSink.upsertBatch(replicaDir.toString)
-    val q = applyStreamDeltas(events).writeStream
-      .foreachBatch(sink)
+    val q = df.writeStream
+      .foreachBatch(sink(stateDir.toString))
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
@@ -850,7 +849,18 @@ object CdcStream {
       q.awaitTermination()
       lastRunProgress = q.recentProgress.toSeq.map(_.json)
     } finally graft.Fs.deleteRecursively(ckpt)
-    ReplicaSink.readReplicaImages(ss, replicaDir.toString)
+    stateDir.toString
+  }
+
+  def customerReplicaStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.ReplicaSink
+    val ss = streamSession(spark, flush = false)
+    val events = streamOf(CdcGen.customerEvents(ss, sfDir), "cdc_events", sfDir,
+      maxFilesPerTrigger = Some(3)) // 8 staged files → 3 micro-batches
+    ReplicaSink.lastUpsertBatches = 0
+    val replicaDir = drainToStateDir(applyStreamDeltas(events),
+      "graft_replica_stream", sfDir, dir => ReplicaSink.upsertBatch(dir))
+    ReplicaSink.readReplicaImages(ss, replicaDir)
   }
 
   /** Streaming materialized-view maintenance: every micro-batch of the
@@ -863,25 +873,10 @@ object CdcStream {
     val ss = streamSession(spark, flush = false)
     val events = streamOf(graft.sources.Tables.events(ss, sfDir), "mv_events",
       sfDir, maxFilesPerTrigger = Some(3))
-    val stateDir = new java.io.File(
-      s"/tmp/graft_incragg_stream/p${graft.Fs.pid}_" +
-        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-    graft.Fs.deleteRecursively(stateDir) // fresh replay per invocation
-    stateDir.mkdirs()
-    val ckpt = new java.io.File(
-      s"$ckptRoot/p${graft.Fs.pid}_mv_${nameCounter.incrementAndGet()}")
-    val sink: (DataFrame, Long) => Unit = (batch, id) =>
-      graft.operators.IncrementalAgg.update(
-        batch.sparkSession, stateDir.toString, batch, id)
-    val q = events.writeStream
-      .foreachBatch(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally graft.Fs.deleteRecursively(ckpt)
-    graft.operators.IncrementalAgg.read(ss, stateDir.toString)
+    val stateDir = drainToStateDir(events, "graft_incragg_stream", sfDir,
+      dir => (batch, id) =>
+        graft.operators.IncrementalAgg.update(batch.sparkSession, dir, batch, id))
+    graft.operators.IncrementalAgg.read(ss, stateDir)
   }
 
   // ---------- operational introspection: the State Data Source ----------

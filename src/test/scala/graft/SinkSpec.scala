@@ -157,9 +157,18 @@ class SinkSpec extends AnyFunSuite {
     assert(v2.isDefined, "version 2 must be inside the retention window")
     assert(v2.get.as[Seq[String]].collect().toSet ===
       Set(Seq("a", "1"), Seq("b", "1")))
-    // a future version is not readable; a version past the horizon
-    // eventually ages out (Retain=2 keeps v1 here, so probe v99)
+    // a version that never existed is not readable
     assert(ReplicaSink.readReplicaImagesAt(spark, dir, 99L).isEmpty)
+    // drive past the horizon: after v4 and v5 commit (Retain=2 keeps
+    // v3..v5), v1 and v2 must age out — the archive is pruned AND gc may
+    // reclaim their data — while v3 stays exactly readable
+    ReplicaSink.upsertBatch(dir)(batch(("c", Seq("c", "1"), false)), 3)
+    ReplicaSink.upsertBatch(dir)(batch(("d", Seq("d", "1"), false)), 4)
+    assert(ReplicaSink.readReplicaImagesAt(spark, dir, 1L).isEmpty)
+    assert(ReplicaSink.readReplicaImagesAt(spark, dir, 2L).isEmpty)
+    val v3 = ReplicaSink.readReplicaImagesAt(spark, dir, 3L)
+    assert(v3.isDefined, "version 3 must still be retained after v5")
+    assert(v3.get.as[Seq[String]].collect().toSet === Set(Seq("a", "2")))
   }
 
   test("incremental aggregate update with a batchId is idempotent under replay") {
