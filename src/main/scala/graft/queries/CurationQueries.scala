@@ -435,6 +435,33 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Prototype-distance pruning (SSL-prototypes shape): each vector's
+    // squared distance to its TRAINED cluster centroid ranks how
+    // (a)typical it is; the per-cluster top-5 farthest are the prune/
+    // keep candidates a curation pass acts on. One broadcast join
+    // (k centroids) + one per-cluster top-k — the same row_number idiom
+    // the RankLimitToTopK rule rewrites to the native k-heap.
+    "data_prune_prototypes" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val cents = KMeansOp.update(assigned, "embedding")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("dist").desc, col("vec_id"))
+      // rank on the UNROUNDED distance (identical strict-fold bits in
+      // both engines); round only at output — round(double) is not
+      // cross-engine order-stable at the rounding boundary
+      assigned.join(broadcast(cents), "cluster_id")
+        .withColumn("dist", KMeansOp.sqDist(col("embedding"), col("centroid")))
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("cluster_id").cast("long").as("cluster_id"),
+          col("rnk"), col("vec_id"), round(col("dist"), 6).as("dist"))
+        .orderBy("cluster_id", "rnk")
+    }),
+
     // IVFADC (FAISS IVF+PQ composed): the 100 TB serving shape. The
     // trained coarse quantizer routes each query to its nearest cell
     // (nprobe=2 — recall insurance the pure-PQ scan doesn't need,
@@ -992,6 +1019,24 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY adist, vec_id) AS rnk FROM scored)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "data_prune_prototypes" -> s"""
+       WITH $kmeansCtes,
+       c2 AS (${sqlUpdate("a2")}),
+       d AS (
+         SELECT a.cluster_id, a.vec_id,
+           list_reduce(list_transform(range(1, len(a.e) + 1),
+             j -> (a.e[j] - c.c[j]) * (a.e[j] - c.c[j])),
+             (acc, x) -> acc + x) AS dist
+         FROM a2 a JOIN c2 c USING (cluster_id)),
+       ranked AS (
+         SELECT cluster_id, vec_id, dist,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+             ORDER BY dist DESC, vec_id) AS rnk
+         FROM d)
+       SELECT CAST(cluster_id AS BIGINT) AS cluster_id, rnk, vec_id,
+              ROUND(dist, 6) AS dist
+       FROM ranked WHERE rnk <= 5 ORDER BY cluster_id, rnk""",
 
     // coarse kmeans chain + two PQ codebook chains + nprobe-2 routing +
     // cell-restricted ADC top-50 shortlist + exact-cosine rerank — every stage

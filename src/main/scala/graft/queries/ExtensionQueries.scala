@@ -334,6 +334,30 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Cross-source overlap matrix: near-dup pairs rolled up by source
+    // pair — the curation report that decides which ingest feeds
+    // duplicate which ("is src2 just a re-crawl of src0?"). Rides the
+    // ngram-Jaccard pair pipeline unchanged; the doc→source map is a
+    // broadcast (documents-table-sized dimension); the matrix is one
+    // |sources|² aggregation. Pair sources are least/greatest-ordered so
+    // the matrix is upper-triangular regardless of pair orientation.
+    "dedup_overlap_matrix" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccard(ExtCorpus.docCorpus(s, dir),
+        "doc_id", "text", 0.5)
+      val src = Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("base"), col("source"))
+      val sa = src.select(col("base").as("base_a"), col("source").as("source_a"))
+      val sb = src.select(col("base").as("base_b"), col("source").as("source_b"))
+      pairs
+        // planted corpus copies carry base id + k*100000 (ExtCorpus)
+        .join(broadcast(sa), pairs("a_id") % 100000 === col("base_a"))
+        .join(broadcast(sb), pairs("b_id") % 100000 === col("base_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_a"),
+          greatest(col("source_a"), col("source_b")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // MinHash + LSH banding + verification
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
@@ -743,6 +767,17 @@ object ExtensionQueries {
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
        SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    "dedup_overlap_matrix" -> s"""
+       WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,
+       p AS (SELECT a_id, b_id FROM jacc WHERE jaccard >= 0.5),
+       m AS (
+         SELECT least(da.source, db.source) AS src_a,
+                greatest(da.source, db.source) AS src_b
+         FROM p
+         JOIN documents da ON da.doc_id = p.a_id % 100000
+         JOIN documents db ON db.doc_id = p.b_id % 100000)
+       SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM m GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_minhash_lsh" -> {
       val bandCond = (0 until Dedup.Bands).map { bi =>
         val r = Dedup.MinhashParams.size / Dedup.Bands
