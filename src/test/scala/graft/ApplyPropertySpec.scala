@@ -190,6 +190,13 @@ class ApplyPropertySpec extends AnyFunSuite {
           case 3 => // verbatim passthrough: rows wiped, columns kept
             ddl("TRUNCATE TABLE t")
             live.clear()
+          case 4 if rnd.nextInt(4) == 0 => // drop + recreate: generation
+            // bump with a SCHEMA reset (the other wipe path the keyed
+            // timeline must replay identically to the serial fold)
+            ddl("DROP TABLE t")
+            ddl("CREATE TABLE t (k INT, v INT)")
+            cols = Seq("k", "v")
+            live.clear()
           case n if n < 6 =>
             val k = s"k${rnd.nextInt(20)}"
             if (!live.contains(k)) {
