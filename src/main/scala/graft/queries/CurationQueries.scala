@@ -435,6 +435,30 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Single-pass table profile: per-column row/null/distinct counts and
+    // min/max — the data-quality report every ingest runs first. ONE
+    // scan: all columns' stats in one aggregate (the multi-countDistinct
+    // compiles to a single Expand pass, rows x columns, still one read
+    // of the table), then stack() to long form. At 100 TB swap the exact
+    // distincts for approx_count_distinct; everything else is already a
+    // mergeable partial.
+    "data_profile" -> ((s, dir) => {
+      val d = Tables.table(s, dir, "documents")
+      val cols = d.schema.fieldNames.toSeq
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
+        Seq(count(col(f)).as(s"cnt_$f"),
+          countDistinct(col(f)).as(s"nd_$f"),
+          min(col(f)).cast("string").as(s"min_$f"),
+          max(col(f)).cast("string").as(s"max_$f"))
+      }
+      d.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"stack(${cols.size}, " + cols.map(f =>
+            s"'$f', n_rows, n_rows - cnt_$f, nd_$f, min_$f, max_$f")
+          .mkString(", ") +
+          ") as (col_name, n_rows, n_null, n_distinct, min_repr, max_repr)")
+        .orderBy("col_name")
+    }),
+
     // Prototype-distance pruning (SSL-prototypes shape): each vector's
     // squared distance to its TRAINED cluster centroid ranks how
     // (a)typical it is; the per-cluster top-5 farthest are the prune/
@@ -1020,6 +1044,17 @@ object CurationQueries {
                ORDER BY adist, vec_id) AS rnk FROM scored)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
+    "data_profile" -> {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      cols.map { f =>
+        s"""SELECT '$f' AS col_name, COUNT(*) AS n_rows,
+            COUNT(*) - COUNT($f) AS n_null,
+            CAST(COUNT(DISTINCT $f) AS BIGINT) AS n_distinct,
+            CAST(MIN($f) AS VARCHAR) AS min_repr,
+            CAST(MAX($f) AS VARCHAR) AS max_repr
+            FROM documents"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
     "data_prune_prototypes" -> s"""
        WITH $kmeansCtes,
        c2 AS (${sqlUpdate("a2")}),
