@@ -131,6 +131,12 @@ object CurationQueries {
        ${p}a2 AS (${sqlAssignOn(s"${p}emb", s"${p}c1")}),
        ${p}c2 AS (${sqlUpdate(s"${p}a2")})"""
 
+  /** data_profile's column list — ONE definition shared by the Spark
+    * plan and its DuckDB oracle (the "keep adjacent so they cannot
+    * drift" convention): a documents-schema change breaks both sides
+    * loudly and symmetrically instead of desynchronizing the compare. */
+  private val ProfileCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
   val queries: Map[String, Q] = Map(
     // overlapping token-window chunking (context windows for training)
     "text_chunk" -> ((s, dir) => {
@@ -444,7 +450,7 @@ object CurationQueries {
     // mergeable partial.
     "data_profile" -> ((s, dir) => {
       val d = Tables.table(s, dir, "documents")
-      val cols = d.schema.fieldNames.toSeq
+      val cols = ProfileCols
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { f =>
         Seq(count(col(f)).as(s"cnt_$f"),
           countDistinct(col(f)).as(s"nd_$f"),
@@ -1045,7 +1051,7 @@ object CurationQueries {
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
     "data_profile" -> {
-      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val cols = ProfileCols
       cols.map { f =>
         s"""SELECT '$f' AS col_name, COUNT(*) AS n_rows,
             COUNT(*) - COUNT($f) AS n_null,
