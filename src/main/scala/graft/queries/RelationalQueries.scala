@@ -33,7 +33,7 @@ object RelationalQueries {
           sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
           sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(28,10)"))
-            .cast("double").as("sum_disc_price"),
+            .cast("decimal(38,4)").cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
     }),
@@ -52,7 +52,8 @@ object RelationalQueries {
         .join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
         .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast("decimal(28,10)")).cast("double").as("revenue"))
+          .cast("decimal(28,10)")).cast("decimal(38,4)")
+          .cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"l_orderkey")
         .limit(10)
     }),
@@ -81,7 +82,8 @@ object RelationalQueries {
         .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
         .groupBy($"n_name")
         .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast("decimal(28,10)")).cast("double").as("revenue"),
+          .cast("decimal(28,10)")).cast("decimal(38,4)")
+          .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"n_name")
     }),
@@ -832,13 +834,13 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
          COUNT(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q3_join_topk" ->
       """SELECT l_orderkey, o_orderdate,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DOUBLE) AS revenue
+         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          WHERE c_mktsegment = 'BUILDING'
@@ -848,8 +850,8 @@ object RelationalQueries {
          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_multiway_join" ->
       """SELECT n_name,
-         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-           AS DECIMAL(28,10))) AS DOUBLE) AS revenue,
+         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+           AS DECIMAL(28,10))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
          COUNT(*) AS n_lines
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
