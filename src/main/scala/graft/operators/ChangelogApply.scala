@@ -126,6 +126,70 @@ object ChangelogApply {
   case class SchemaEv(db: String, tbl: String, sequence: Long,
       op: String, query: String, rows: Seq[graft.model.CdcRowImages])
 
+  /** [[SchemaEv]] routed to its table INSTANCE (see
+    * [[SchemaRegistry.TableIdentity]]): `inst` is the partition/fold key
+    * — stable across RENAME TABLE, fresh after a DROP DATABASE re-create
+    * — and `outName` the name the instance is bound to at end of log,
+    * i.e. the emission name. */
+  case class RoutedEv(inst: String, outName: String, ev: SchemaEv)
+
+  /** Cap on the driver-side Query-slice collect that builds the identity
+    * map (same bound and rationale as the keyed streaming path's
+    * timeline collect — a changelog's DDL is KBs where its rows are TBs,
+    * but unenforced smallness is an OOM waiting for a malformed log). */
+  val MaxDdlEvents = 100000
+
+  /** Collect the changelog's Query slice driver-side: (db, sequence,
+    * query), capped at [[MaxDdlEvents]]. */
+  private[graft] def ddlSlice(events: DataFrame): Seq[(String, Long, String)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = events
+      .where(col("op") === Cdc.OpQuery && col("query").isNotNull)
+      .select(
+        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
+        col("sequence"), col("query"))
+      .as[(String, Long, String)].take(MaxDdlEvents + 1)
+    if (rows.length > MaxDdlEvents)
+      throw new IllegalStateException(
+        s"changelog DDL slice exceeds $MaxDdlEvents Query events — refusing " +
+          "the driver-side identity collect (malformed changelog?)")
+    rows.toSeq
+  }
+
+  /** Shared event routing for the batch and serial-streaming schema
+    * applies. Query events fan out one copy per affected table instance
+    * (a DROP DATABASE reaches every instance bound in the db at that
+    * sequence; a RENAME TABLE reaches none — it is pure identity remap,
+    * realized entirely by `inst`/`outName`); row events route by the
+    * name's instance at their sequence. Row events of fallback tables
+    * (no in-log DDL) that a later DROP DATABASE kills are dropped
+    * map-side — the identity layer is the only place that can see the
+    * drop for tables whose existence the DDL slice never mentions. */
+  private[graft] def routeEvent(
+      ids: SchemaRegistry.TableIdentity.Identities)(e: SchemaEv): Seq[RoutedEv] = {
+    import SchemaRegistry._
+    if (e.op == Cdc.OpQuery) {
+      val ops = parseDdl(e.query) ++ parsePassthrough(e.query)
+      ops.flatMap {
+        case RenameTable(_, _) => Nil
+        case DropDatabase(db0) =>
+          ids.dropTargets.getOrElse((db0, e.sequence), Nil).map {
+            case (name, inst) =>
+              RoutedEv(inst, ids.finalNameOf(inst, name), e.copy(tbl = name))
+          }
+        case op =>
+          val inst = ids.instanceAt(e.db, op.table, e.sequence)
+          Seq(RoutedEv(inst, ids.finalNameOf(inst, op.table),
+            e.copy(tbl = op.table)))
+      }.distinctBy(r => (r.inst, r.ev.tbl))
+    } else if (ids.fallbackDead(e.db, e.tbl, e.sequence)) Nil
+    else {
+      val inst = ids.instanceAt(e.db, e.tbl, e.sequence)
+      Seq(RoutedEv(inst, ids.finalNameOf(inst, e.tbl), e))
+    }
+  }
+
   /** Faithful replica materialization WITH DDL execution — the complete
     * consumer semantics (mysql_manager.rs:60-95): Query events replay DDL
     * against the state exactly as the follower MySQL would (ALTER ADD
@@ -152,6 +216,11 @@ object ChangelogApply {
       nullCell: String = graft.model.Value.NullCell): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    // identity metadata from the tiny Query slice (driver-side, capped):
+    // what lets RENAME TABLE keep state across names and DROP DATABASE
+    // fan out to every table of the db (mysql_manager.rs:89-95 executes
+    // both verbatim on the follower)
+    val ids = SchemaRegistry.TableIdentity.build(ddlSlice(events))
     val parsed = events
       .where(col("op").isin(Cdc.OpQuery, Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
       .select(
@@ -161,21 +230,14 @@ object ChangelogApply {
         col("sequence"), col("op"), col("query"), col("rows"))
       .as[SchemaEv]
       // Query events carry no table in their URI (bn_message.rs:40-59);
-      // route them by the table(s) named in the DDL text. CREATE/DROP
-      // DATABASE parses to no ops and is correctly dropped (T5).
-      .flatMap { e =>
-        if (e.op == Cdc.OpQuery)
-          // registry ops AND verbatim-executed table statements (TRUNCATE;
-          // mysql_manager.rs:89-95 runs every Query on the follower)
-          (SchemaRegistry.parseDdl(e.query) ++
-              SchemaRegistry.parsePassthrough(e.query))
-            .map(_.table).distinct.map(t => e.copy(tbl = t))
-        else Seq(e)
-      }
+      // route them by the table instance(s) the statement affects.
+      // CREATE/DROP DATABASE parses to no registry ops (T5); DROP
+      // DATABASE still fans out as a verbatim wipe via the identity map.
+      .flatMap(routeEvent(ids))
 
     parsed
-      .repartition(col("db"), col("tbl"))
-      .sortWithinPartitions(col("db"), col("tbl"), col("sequence"))
+      .repartition(col("inst"))
+      .sortWithinPartitions(col("inst"), col("ev.sequence"))
       .mapPartitions { rows =>
         val buf = rows.buffered
         new Iterator[(String, String, Seq[String], Seq[String])] {
@@ -183,15 +245,17 @@ object ChangelogApply {
             Iterator.empty
           private def advance(): Unit =
             while (!out.hasNext && buf.hasNext) {
-              val (db, tbl) = (buf.head.db, buf.head.tbl)
+              val inst = buf.head.inst
+              val (db, outName) = (buf.head.ev.db, buf.head.outName)
               var cols: Seq[String] = null
               val state = mutable.LinkedHashMap.empty[Seq[String], Long]
-              while (buf.hasNext && buf.head.db == db && buf.head.tbl == tbl) {
-                val e = buf.next()
+              while (buf.hasNext && buf.head.inst == inst) {
+                val r = buf.next()
+                val e = r.ev
                 e.op match {
                   case Cdc.OpQuery =>
                     SchemaRegistry.parseDdl(e.query)
-                      .filter(_.table == tbl).foreach {
+                      .filter(_.table == e.tbl).foreach {
                         case SchemaRegistry.CreateTable(_, cs) =>
                           if (cols == null) { cols = cs; state.clear() }
                         case SchemaRegistry.AddColumn(_, _) if cols == null => ()
@@ -225,9 +289,16 @@ object ChangelogApply {
                         case SchemaRegistry.DropTable(_) =>
                           cols = null; state.clear()
                       }
-                    // TRUNCATE: rows gone, column list stays in force
-                    SchemaRegistry.parsePassthrough(e.query)
-                      .filter(_.table == tbl).foreach(_ => state.clear())
+                    SchemaRegistry.parsePassthrough(e.query).foreach {
+                      // TRUNCATE: rows gone, column list stays in force
+                      case SchemaRegistry.TruncateTable(t) if t == e.tbl =>
+                        state.clear()
+                      // DROP DATABASE: routed copy already scoped to this
+                      // instance — table and schema both gone
+                      case SchemaRegistry.DropDatabase(_) =>
+                        cols = null; state.clear()
+                      case _ => () // RENAME TABLE: pure identity remap
+                    }
                   case Cdc.OpAdd =>
                     e.rows.foreach(r =>
                       state.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))
@@ -244,7 +315,7 @@ object ChangelogApply {
               }
               val finalCols = cols
               out = state.iterator.flatMap { case (img, n) =>
-                Iterator.fill(n.toInt)((db, tbl, img, finalCols))
+                Iterator.fill(n.toInt)((db, outName, img, finalCols))
               }
             }
           def hasNext: Boolean = { advance(); out.hasNext }

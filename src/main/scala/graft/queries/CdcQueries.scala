@@ -241,6 +241,26 @@ object CdcQueries {
       CdcGen.decodeTruncate(st).orderBy("tbl", "id")
     }),
 
+    // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
+    // follower moves the table's whole state to the new name — rows
+    // inserted pre-rename are updated/deleted/widened post-rename under
+    // the new identity, and a re-CREATE of the old name starts fresh.
+    // The registry never sees the rename (query_parser fall-through);
+    // the apply resolves it via the table-identity remap.
+    "cdc_apply_rename" -> ((s, _) => {
+      val st = ChangelogApply.applyWithSchema(CdcGen.renameEvents(s))
+      CdcGen.decodeDbTables(st).orderBy("tbl", "id")
+    }),
+
+    // Verbatim-Query replay, DROP DATABASE (mysql_manager.rs:89-95): the
+    // follower wipes EVERY table of the db — a statement the registry
+    // explicitly ignores (query_parser.rs:63-66) but the replica must
+    // execute. A sibling db survives; a post-drop re-CREATE is empty.
+    "cdc_apply_dropdb" -> ((s, _) => {
+      val st = ChangelogApply.applyWithSchema(CdcGen.dropDbEvents(s))
+      CdcGen.decodeDbTables(st).orderBy("db", "tbl", "id")
+    }),
+
     // Typed Value wire fidelity (values.rs:8-45): every remaining Value
     // variant family — SignedInteger, Decimal, DateTime, Blob, Timestamp,
     // Double, Enum, Year, Float, Time, Json, Null — encoded as tagged
@@ -401,6 +421,21 @@ object CdcQueries {
            ('crate', CAST(4 AS BIGINT), 'delta', CAST(7 AS BIGINT)))
          AS t(tbl, id, txt, qty)
          ORDER BY tbl, id""",
+    "cdc_apply_rename" ->
+      """SELECT * FROM (VALUES
+           ('inv', 'audit', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),
+           ('inv', 'stock', CAST(7 AS BIGINT), 'fresh', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(1 AS BIGINT), 'bolt-x', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(3 AS BIGINT), 'washer', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(4 AS BIGINT), 'pin', CAST(5 AS BIGINT)))
+         AS t(db, tbl, id, txt, qty)
+         ORDER BY tbl, id""",
+    "cdc_apply_dropdb" ->
+      """SELECT * FROM (VALUES
+           ('app', 'users', CAST(3 AS BIGINT), 'carol', CAST(NULL AS BIGINT)),
+           ('keepdb', 'logs', CAST(5 AS BIGINT), 'hello', CAST(NULL AS BIGINT)))
+         AS t(db, tbl, id, txt, qty)
+         ORDER BY db, tbl, id""",
     "cdc_typed_roundtrip" ->
       """SELECT * FROM (VALUES
            (CAST(2 AS BIGINT), 'Goldie II', CAST(NULL AS DECIMAL(18,6)),

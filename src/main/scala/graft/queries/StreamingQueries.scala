@@ -38,6 +38,22 @@ object StreamingQueries {
         .orderBy("tbl", "id")
     }),
 
+    // The RENAME TABLE fixture through the keyed streaming apply: the
+    // state move is an identity remap (zero state-store move ops) —
+    // stream ≡ batch ≡ the cdc_apply_rename golden.
+    "stream_apply_rename" -> ((s, _) => {
+      graft.sources.CdcGen.decodeDbTables(CdcStream.renameSnapshotStream(s))
+        .orderBy("tbl", "id")
+    }),
+
+    // The DROP DATABASE fixture through the keyed streaming apply: the
+    // db-wide wipe is a per-instance timeline kill (zero state-store
+    // wipe ops) — stream ≡ batch ≡ the cdc_apply_dropdb golden.
+    "stream_apply_dropdb" -> ((s, _) => {
+      graft.sources.CdcGen.decodeDbTables(CdcStream.dropDbSnapshotStream(s))
+        .orderBy("db", "tbl", "id")
+    }),
+
     // Streaming MV maintenance: per-micro-batch algebraic-partial folds
     // into the manifest-committed aggregate table; batchId makes replays
     // no-ops. Final state ≡ one aggregation of the whole log.
@@ -201,6 +217,21 @@ object StreamingQueries {
            ('crate', CAST(4 AS BIGINT), 'delta', CAST(7 AS BIGINT)))
          AS t(tbl, id, txt, qty)
          ORDER BY tbl, id""",
+    "stream_apply_rename" ->
+      """SELECT * FROM (VALUES
+           ('inv', 'audit', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),
+           ('inv', 'stock', CAST(7 AS BIGINT), 'fresh', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(1 AS BIGINT), 'bolt-x', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(3 AS BIGINT), 'washer', CAST(NULL AS BIGINT)),
+           ('inv', 'stock_v2', CAST(4 AS BIGINT), 'pin', CAST(5 AS BIGINT)))
+         AS t(db, tbl, id, txt, qty)
+         ORDER BY tbl, id""",
+    "stream_apply_dropdb" ->
+      """SELECT * FROM (VALUES
+           ('app', 'users', CAST(3 AS BIGINT), 'carol', CAST(NULL AS BIGINT)),
+           ('keepdb', 'logs', CAST(5 AS BIGINT), 'hello', CAST(NULL AS BIGINT)))
+         AS t(db, tbl, id, txt, qty)
+         ORDER BY db, tbl, id""",
     // the replica after the full replay must equal the batch apply — the
     // same claim as stream_cdc_apply, now through the durable sink
     "stream_sink_replica" ->

@@ -331,6 +331,117 @@ object CdcGen {
     ).toDS().toDF()
   }
 
+  /** Fixture log for the RENAME TABLE passthrough semantic
+    * (mysql_manager.rs:89-95: the follower executes every Query verbatim,
+    * so a rename MOVES the table's entire state to the new name while the
+    * producer registry keeps the old one): rows inserted under `stock`
+    * must survive a mid-stream RENAME to `stock_v2`, be updatable and
+    * deletable there, and a post-rename ALTER must widen the moved rows.
+    * The old name is then re-CREATEd — a fresh table whose rows must NOT
+    * mix with the renamed instance's. A sibling table proves scoping. */
+  def renameEvents(spark: SparkSession): DataFrame = {
+    import graft.model.Value._
+    import graft.model.{CdcEvent, CdcRowImages}
+    import spark.implicits._
+
+    val host = "flv://mysql-leader"
+    val c2 = Seq("id", "label")
+    val c3 = c2 :+ "qty"
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def q(seq: Long, sql: String) = CdcEvent(
+      seq, s"$host/inv", "binlog.000001", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, tbl: String, op: String, cols: Seq[String],
+        before: Seq[String], after: Seq[String]) = CdcEvent(
+      seq, s"$host/inv/$tbl", "binlog.000001", seq, op, null, cols,
+      Seq(CdcRowImages(before, after)))
+
+    Seq(
+      q(1, "CREATE DATABASE inv"),
+      q(2, "CREATE TABLE stock (id INT, label VARCHAR(20))"),
+      row(3, "stock", Cdc.OpAdd, c2, null,
+        cells(VSignedInteger(1), VString("bolt"))),
+      row(4, "stock", Cdc.OpAdd, c2, null,
+        cells(VSignedInteger(2), VString("nut"))),
+      q(5, "CREATE TABLE audit (id INT, note VARCHAR(20))"),
+      row(6, "audit", Cdc.OpAdd, Seq("id", "note"), null,
+        cells(VSignedInteger(9), VString("keep"))),
+      // db-qualified, comment-suffixed — the verbatim wire form
+      q(7, "RENAME TABLE `inv`.`stock` TO `inv`.`stock_v2` /* by server */"),
+      row(8, "stock_v2", Cdc.OpAdd, c2, null,
+        cells(VSignedInteger(3), VString("washer"))),
+      // a PRE-rename row updated POST-rename: state moved with the name
+      row(9, "stock_v2", Cdc.OpUpdate, c2,
+        cells(VSignedInteger(1), VString("bolt")),
+        cells(VSignedInteger(1), VString("bolt-x"))),
+      // post-rename DDL lands on the moved instance (timeline continuity)
+      q(10, "ALTER TABLE stock_v2 ADD COLUMN qty INT"),
+      row(11, "stock_v2", Cdc.OpAdd, c3, null,
+        cells(VSignedInteger(4), VString("pin"), VSignedInteger(5))),
+      // widened PRE-rename row deleted post-rename+ALTER
+      row(12, "stock_v2", Cdc.OpDelete, c3, null,
+        cells(VSignedInteger(2), VString("nut"), VNull)),
+      // the old name re-created: a FRESH table, disjoint from stock_v2
+      q(13, "CREATE TABLE stock (id INT, label VARCHAR(20))"),
+      row(14, "stock", Cdc.OpAdd, c2, null,
+        cells(VSignedInteger(7), VString("fresh")))
+    ).toDS().toDF()
+  }
+
+  /** Fixture log for the DROP DATABASE passthrough semantic
+    * (mysql_manager.rs:89-95): the follower wipes EVERY table of the
+    * dropped db — both its tables go, a sibling db's table stays, and a
+    * post-drop re-CREATE of one name starts from empty state. */
+  def dropDbEvents(spark: SparkSession): DataFrame = {
+    import graft.model.Value._
+    import graft.model.{CdcEvent, CdcRowImages}
+    import spark.implicits._
+
+    val host = "flv://mysql-leader"
+    def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+    def q(seq: Long, db: String, sql: String) = CdcEvent(
+      seq, s"$host/$db", "binlog.000001", seq, Cdc.OpQuery, sql, null, null)
+    def row(seq: Long, db: String, tbl: String, op: String, cols: Seq[String],
+        before: Seq[String], after: Seq[String]) = CdcEvent(
+      seq, s"$host/$db/$tbl", "binlog.000001", seq, op, null, cols,
+      Seq(CdcRowImages(before, after)))
+
+    Seq(
+      q(1, "app", "CREATE DATABASE app"),
+      q(2, "app", "CREATE TABLE users (id INT, name VARCHAR(20))"),
+      row(3, "app", "users", Cdc.OpAdd, Seq("id", "name"), null,
+        cells(VSignedInteger(1), VString("ann"))),
+      row(4, "app", "users", Cdc.OpAdd, Seq("id", "name"), null,
+        cells(VSignedInteger(2), VString("bob"))),
+      q(5, "app", "CREATE TABLE carts (id INT, item VARCHAR(20))"),
+      row(6, "app", "carts", Cdc.OpAdd, Seq("id", "item"), null,
+        cells(VSignedInteger(10), VString("x"))),
+      q(7, "keepdb", "CREATE DATABASE keepdb"),
+      q(8, "keepdb", "CREATE TABLE logs (id INT, msg VARCHAR(20))"),
+      row(9, "keepdb", "logs", Cdc.OpAdd, Seq("id", "msg"), null,
+        cells(VSignedInteger(5), VString("hello"))),
+      // the verbatim wipe: both app tables go; keepdb.logs stays
+      q(10, "app", "DROP DATABASE app /* generated by server */"),
+      // re-create one name post-drop: fresh instance, empty state
+      q(11, "app", "CREATE TABLE users (id INT, name VARCHAR(20))"),
+      row(12, "app", "users", Cdc.OpAdd, Seq("id", "name"), null,
+        cells(VSignedInteger(3), VString("carol")))
+    ).toDS().toDF()
+  }
+
+  /** Typed decode of the [[renameEvents]] / [[dropDbEvents]] replicas:
+    * (db, tbl, id, txt) with `txt` the table's string column. */
+  def decodeDbTables(state: DataFrame): DataFrame = {
+    import graft.operators.ValueCodec._
+    def cell(n: String) = cellByName(col("image"), col("columns"), n)
+    state.select(
+      col("db"), col("tbl"),
+      decodeLong(cell("id")).as("id"),
+      coalesce(decodeString(cell("label")), decodeString(cell("note")),
+        decodeString(cell("name")), decodeString(cell("item")),
+        decodeString(cell("msg"))).as("txt"),
+      decodeLong(cell("qty")).as("qty"))
+  }
+
   /** Typed decode of the [[truncateEvents]] replica: (tbl, id, txt, qty)
     * with `txt` the table's string column (crate.label / box.note). */
   def decodeTruncate(state: DataFrame): DataFrame = {

@@ -232,26 +232,30 @@ object CdcStream {
   case class TableApplyState(cols: Seq[String], images: Seq[(Seq[String], Long)])
 
   /** Serial streaming twin of ChangelogApply.applyWithSchema: FMGWS keyed
-    * by (db, table) — the reference's serial apply unit — folding DDL and
-    * full-image DML onto carried state. Per batch, a group's events fold
-    * in sequence order onto the state and the group emits its live images
-    * (append mode; a single-micro-batch run emits exactly the final
-    * snapshot). See [[TableApplyState]] for why this is fixture-only. */
-  def applySchemaEvents(
-      key: (String, String),
-      it: Iterator[graft.operators.ChangelogApply.SchemaEv],
+    * by table INSTANCE (see SchemaRegistry.TableIdentity — the reference's
+    * serial apply unit, made stable across RENAME TABLE) — folding DDL
+    * and full-image DML onto carried state. Per batch, a group's events
+    * fold in sequence order onto the state and the group emits its live
+    * images (append mode; a single-micro-batch run emits exactly the
+    * final snapshot). See [[TableApplyState]] for why this is
+    * fixture-only. */
+  def applySchemaEvents(nullCell: String)(
+      key: String,
+      it: Iterator[graft.operators.ChangelogApply.RoutedEv],
       state: GroupState[TableApplyState]): Iterator[(String, String, Seq[String], Seq[String])] = {
     import graft.operators.SchemaRegistry
     import graft.operators.SchemaRegistry._
-    val (db, tbl) = key
+    val evs = it.toArray.sortBy(_.ev.sequence)
+    if (evs.isEmpty) return Iterator.empty
+    val (db, outName) = (evs.head.ev.db, evs.head.outName)
     val prev = state.getOption.getOrElse(TableApplyState(null, Nil))
     var cols = prev.cols
     val ms = scala.collection.mutable.LinkedHashMap[Seq[String], Long](prev.images: _*)
-    val nullCell = graft.model.Value.NullCell
-    it.toArray.sortBy(_.sequence).foreach { e =>
+    evs.foreach { r =>
+      val e = r.ev
       e.op match {
         case Cdc.OpQuery =>
-          SchemaRegistry.parseDdl(e.query).filter(_.table == tbl).foreach {
+          SchemaRegistry.parseDdl(e.query).filter(_.table == e.tbl).foreach {
             case CreateTable(_, cs) => if (cols == null) { cols = cs; ms.clear() }
             case AddColumn(_, _) if cols == null => ()
             case AddColumn(_, c) =>
@@ -275,9 +279,13 @@ object CdcStream {
               }
             case DropTable(_) => cols = null; ms.clear()
           }
-          // TRUNCATE: rows gone, column list stays in force
-          SchemaRegistry.parsePassthrough(e.query)
-            .filter(_.table == tbl).foreach(_ => ms.clear())
+          SchemaRegistry.parsePassthrough(e.query).foreach {
+            // TRUNCATE: rows gone, column list stays in force
+            case TruncateTable(t) if t == e.tbl => ms.clear()
+            // DROP DATABASE: routed copy already scoped to this instance
+            case DropDatabase(_) => cols = null; ms.clear()
+            case _ => () // RENAME TABLE: pure identity remap
+          }
         case Cdc.OpAdd =>
           e.rows.foreach(r =>
             ms.updateWith(r.cols)(c => Some(c.getOrElse(0L) + 1L)))
@@ -295,16 +303,27 @@ object CdcStream {
     state.update(TableApplyState(cols, ms.toSeq))
     val finalCols = cols
     ms.iterator.flatMap { case (img, n) =>
-      Iterator.fill(n.toInt)((db, tbl, img, finalCols))
+      Iterator.fill(n.toInt)((db, outName, img, finalCols))
     }
   }
 
   /** Serial streaming schema-aware apply over a typed changelog stream
-    * (fixture-only — see [[TableApplyState]]). */
-  def applySchemaStream(events: DataFrame): DataFrame = {
+    * (fixture-only — see [[TableApplyState]]). `ddlEvents` is an optional
+    * BATCH frame of the changelog's Query slice: with it the identity
+    * map resolves RENAME TABLE (state survives under the new name) and
+    * DROP DATABASE (every table of the db wiped); without it those two
+    * verbatim statements are ignored, as before identities existed. */
+  def applySchemaStream(events: DataFrame, ddlEvents: DataFrame = null,
+      nullCell: String = graft.model.Value.NullCell): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    import graft.operators.ChangelogApply
     import graft.operators.ChangelogApply.SchemaEv
+    import graft.operators.SchemaRegistry.TableIdentity
+    val ids =
+      if (ddlEvents == null)
+        TableIdentity.Identities(Map.empty, Map.empty, Map.empty, Map.empty)
+      else TableIdentity.build(ChangelogApply.ddlSlice(ddlEvents))
     val routed = events
       .where(col("op").isin(Cdc.OpQuery, Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
       .select(
@@ -312,17 +331,11 @@ object CdcStream {
         try_element_at(split(col("uri"), "/"), lit(5)).as("tbl"),
         col("sequence"), col("op"), col("query"), col("rows"))
       .as[SchemaEv]
-      .flatMap { e =>
-        if (e.op == Cdc.OpQuery)
-          (graft.operators.SchemaRegistry.parseDdl(e.query) ++
-              graft.operators.SchemaRegistry.parsePassthrough(e.query))
-            .map(_.table).distinct.map(t => e.copy(tbl = t))
-        else Seq(e)
-      }
+      .flatMap(ChangelogApply.routeEvent(ids))
     routed
-      .groupByKey(e => (e.db, e.tbl))
+      .groupByKey(_.inst)
       .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(applySchemaEvents)
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(applySchemaEvents(nullCell))
       .toDF("db", "tbl", "image", "columns")
   }
 
@@ -386,13 +399,10 @@ object CdcStream {
     * `ddlEvents` is a BATCH frame of the changelog's Query slice (same
     * Cdc.EventSchema); output is (db, tbl, image, columns) with images in
     * final-schema form, one row per live copy. */
-  /** Cap on the driver-side DDL-slice collect in
-    * [[applySchemaStreamKeyed]] (round-3 verdict #6). The smallness
-    * argument — a changelog's DDL is KBs where its rows are TBs — is
-    * sound for any real binlog, but unenforced it would let a malformed
-    * or adversarial changelog with millions of Query events OOM the
-    * driver; beyond the cap we fail with a clear error instead. */
-  val MaxDdlEvents = 100000
+  /** Cap on the driver-side DDL-slice collect (round-3 verdict #6) —
+    * shared with the batch identity collect; see
+    * [[graft.operators.ChangelogApply.MaxDdlEvents]]. */
+  val MaxDdlEvents: Int = graft.operators.ChangelogApply.MaxDdlEvents
 
   def applySchemaStreamKeyed(events: DataFrame, ddlEvents: DataFrame,
       nullCell: String = graft.model.Value.NullCell,
@@ -400,18 +410,9 @@ object CdcStream {
     val spark = events.sparkSession
     import spark.implicits._
     import graft.operators.SchemaRegistry.ColumnTimeline
-    val ddlRows = ddlEvents
-      .where(col("op") === Cdc.OpQuery && col("query").isNotNull)
-      .select(
-        try_element_at(split(col("uri"), "/"), lit(4)).as("db"),
-        col("sequence"), col("query"))
-      .as[(String, Long, String)].take(MaxDdlEvents + 1)
-    if (ddlRows.length > MaxDdlEvents)
-      throw new IllegalStateException(
-        s"changelog DDL slice exceeds $MaxDdlEvents Query events — refusing " +
-          "the driver-side timeline collect (malformed changelog?)")
-    val ddl = ddlRows.toSeq
-    val timelines = ColumnTimeline.build(ddl)
+    val timelines =
+      ColumnTimeline.build(graft.operators.ChangelogApply.ddlSlice(ddlEvents))
+    val ids = timelines.identities
 
     val deltas = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
@@ -421,27 +422,40 @@ object CdcStream {
         col("sequence"), col("op"), col("rows"))
       .as[(String, String, Long, String, Seq[graft.model.CdcRowImages])]
       .flatMap { case (db, tbl, seq, op, rows) =>
-        val tl = timelines.get((db, tbl))
+        // resolve the name to its table INSTANCE: a renamed table's pre-
+        // and post-rename events share a timeline (state survives, zero
+        // state-store ops — the identity remap), and the group/output
+        // key is the instance's END-OF-LOG name
+        val tl = timelines.tableFor(db, tbl, seq)
+        val outName =
+          ids.finalNameOf(ids.instanceAt(db, tbl, seq), tbl)
         def canon(cells: Seq[String]): Option[Seq[String]] = tl match {
-          case None => Option(cells) // no DDL → fixed schema, identity
+          case None =>
+            // no column history → fixed schema, identity — unless a
+            // DROP DATABASE kills this fallback table's rows
+            if (ids.fallbackDead(db, tbl, seq)) None else Option(cells)
           case Some(t) => t.canonicalize(seq, cells, nullCell)
         }
         Option(rows).getOrElse(Nil).flatMap { r =>
           op match {
             case Cdc.OpAdd =>
-              canon(r.cols).map(ImageDelta(db, tbl, _, seq, 1, 1)).toSeq
+              canon(r.cols).map(ImageDelta(db, outName, _, seq, 1, 1)).toSeq
             case Cdc.OpDelete =>
-              canon(r.cols).map(ImageDelta(db, tbl, _, seq, 0, 0)).toSeq
+              canon(r.cols).map(ImageDelta(db, outName, _, seq, 0, 0)).toSeq
             case Cdc.OpUpdate =>
-              canon(r.before_cols).map(ImageDelta(db, tbl, _, seq, 0, 0)).toSeq ++
-                canon(r.cols).map(ImageDelta(db, tbl, _, seq, 1, 1)).toSeq
+              canon(r.before_cols).map(ImageDelta(db, outName, _, seq, 0, 0)).toSeq ++
+                canon(r.cols).map(ImageDelta(db, outName, _, seq, 1, 1)).toSeq
             case _ => Nil
           }
         }
       }
 
+    // final column lists keyed by the instance's end-of-log name — the
+    // key space the post-fold emission sees
     val finalCols: Map[(String, String), Seq[String]] =
-      timelines.map { case (k, t) => k -> t.finalNames }
+      timelines.tables.flatMap { case ((db, inst), t) =>
+        ids.finalNames.get(inst).map(n => (db, n) -> t.finalNames)
+      }
     val timeoutConf =
       if (reapTombstones) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
@@ -503,6 +517,31 @@ object CdcStream {
     val ss = streamSession(spark, flush = false)
     val batch = CdcGen.truncateEvents(ss)
     val events = streamOf(batch, "truncate_events", "fixture")
+    runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
+  }
+
+  /** Streaming replay of the RENAME TABLE fixture through the KEYED
+    * schema-aware apply — the streaming twin of cdc_apply_rename. The
+    * state move rides the table-identity remap: pre- and post-rename
+    * events resolve to the same instance timeline, so the keyed state
+    * store performs ZERO move operations and only the output name
+    * changes — the only way a 100 TB replica can absorb a table rename. */
+  def renameSnapshotStream(spark: SparkSession): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val batch = CdcGen.renameEvents(ss)
+    val events = streamOf(batch, "rename_events", "fixture")
+    runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
+  }
+
+  /** Streaming replay of the DROP DATABASE fixture through the KEYED
+    * schema-aware apply — the streaming twin of cdc_apply_dropdb. The
+    * db-wide wipe rides per-instance timeline kills (pre-drop images
+    * canonicalize to None map-side), zero state-store wipe ops — the
+    * TRUNCATE trick applied across every table of the db at once. */
+  def dropDbSnapshotStream(spark: SparkSession): DataFrame = {
+    val ss = streamSession(spark, flush = false)
+    val batch = CdcGen.dropDbEvents(ss)
+    val events = streamOf(batch, "dropdb_events", "fixture")
     runToTable(applySchemaStreamKeyed(events, batch), OutputMode.Append)
   }
 

@@ -158,13 +158,14 @@ class ApplyPropertySpec extends AnyFunSuite {
     (1 to 5).foreach { seed =>
       val rnd = new scala.util.Random(seed)
       var cols = Seq("k", "v")
+      var curName = "t" // RENAME TABLE flips the live identity t <-> t2
       val live = scala.collection.mutable.LinkedHashMap.empty[String, Seq[String]]
       val events = scala.collection.mutable.ArrayBuffer.empty[CdcEvent]
       events += CdcEvent(0L, "flv://m/g", "f", 0L, Cdc.OpQuery,
         "CREATE TABLE t (k INT, v INT)", null, null)
       var seqNo = 1L
       def row(op: String, b: Seq[String], a: Seq[String]): Unit = {
-        events += CdcEvent(seqNo, "flv://m/g/t", "f", seqNo, op, null, null,
+        events += CdcEvent(seqNo, s"flv://m/g/$curName", "f", seqNo, op, null, null,
           Seq(CdcRowImages(b, a)))
         seqNo += 1
       }
@@ -174,29 +175,41 @@ class ApplyPropertySpec extends AnyFunSuite {
         seqNo += 1
       }
       (1 to 40).foreach { _ =>
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
           case 0 if !cols.contains("extra") =>
-            ddl("ALTER TABLE t ADD COLUMN extra INT")
+            ddl(s"ALTER TABLE $curName ADD COLUMN extra INT")
             cols = cols :+ "extra"
             live.mapValuesInPlace((_, img) => img :+ (null: String))
           case 1 if cols.contains("v") =>
-            ddl("ALTER TABLE t DROP COLUMN v")
+            ddl(s"ALTER TABLE $curName DROP COLUMN v")
             val i = cols.indexOf("v")
             cols = cols.patch(i, Nil, 1)
             live.mapValuesInPlace((_, img) => img.patch(i, Nil, 1))
           case 2 if cols.contains("v") =>
-            ddl("ALTER TABLE t RENAME COLUMN v TO v2")
+            ddl(s"ALTER TABLE $curName RENAME COLUMN v TO v2")
             cols = cols.map(c => if (c == "v") "v2" else c)
           case 3 => // verbatim passthrough: rows wiped, columns kept
-            ddl("TRUNCATE TABLE t")
+            ddl(s"TRUNCATE TABLE $curName")
             live.clear()
-          case 4 if rnd.nextInt(4) == 0 => // drop + recreate: generation
-            // bump with a SCHEMA reset (the other wipe path the keyed
-            // timeline must replay identically to the serial fold)
-            ddl("DROP TABLE t")
-            ddl("CREATE TABLE t (k INT, v INT)")
+          case 4 if rnd.nextInt(4) == 0 =>
+            if (rnd.nextBoolean()) {
+              // drop + recreate: generation bump with a SCHEMA reset
+              // (the other wipe path the keyed timeline must replay
+              // identically to the serial fold)
+              ddl(s"DROP TABLE $curName")
+              ddl(s"CREATE TABLE $curName (k INT, v INT)")
+            } else {
+              // verbatim DROP DATABASE: every table of the db wiped,
+              // then the current name re-created as a FRESH instance
+              ddl("DROP DATABASE g")
+              ddl(s"CREATE TABLE $curName (k INT, v INT)")
+            }
             cols = Seq("k", "v")
             live.clear()
+          case 10 => // verbatim RENAME TABLE: state survives, name flips
+            val next = if (curName == "t") "t2" else "t"
+            ddl(s"RENAME TABLE $curName TO $next")
+            curName = next
           case n if n < 6 =>
             val k = s"k${rnd.nextInt(20)}"
             if (!live.contains(k)) {
@@ -223,7 +236,8 @@ class ApplyPropertySpec extends AnyFunSuite {
 
       val batchDf = events.toSeq.toDS().toDF()
       def multiset(df: org.apache.spark.sql.DataFrame) = df
-        .select($"image", $"columns").as[(Seq[String], Seq[String])]
+        .select($"tbl", $"image", $"columns")
+        .as[(String, Seq[String], Seq[String])]
         .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
       val batchOut = multiset(
         ChangelogApply.applyWithSchema(batchDf, nullCell = null))
@@ -238,6 +252,20 @@ class ApplyPropertySpec extends AnyFunSuite {
       q.processAllAvailable(); q.stop()
       val streamOut = multiset(spark.table(name))
       assert(streamOut === batchOut, s"seed $seed")
+
+      // the SERIAL streaming twin (FMGWS keyed by table instance) must
+      // replay the same log to the same state — renames and db drops
+      // included via the identity side input
+      val input2 = MemoryStream[CdcEvent]
+      val name2 = s"prop_serial_$seed"
+      val q2 = graft.streaming.CdcStream
+        .applySchemaStream(input2.toDF(), batchDf, nullCell = null)
+        .writeStream.format("memory").queryName(name2)
+        .outputMode("append").start()
+      input2.addData(events.toSeq: _*)
+      q2.processAllAvailable(); q2.stop()
+      val serialOut = multiset(spark.table(name2))
+      assert(serialOut === batchOut, s"seed $seed serial")
     }
   }
 
