@@ -42,22 +42,28 @@ object ChangelogApply {
     * reference applies per-table; round-1 advice).
     *
     * Physical shape: ONE hash aggregate with `max_by(struct(op, image),
-    * sequence)` — partial map-side combine reduces every task's
-    * contribution to one row per key BEFORE the shuffle, so a
+    * struct(sequence, pos))` — partial map-side combine reduces every
+    * task's contribution to one row per key BEFORE the shuffle, so a
     * pathological hot key (millions of updates on one row) costs each
     * mapper O(1) state and the reducer sees only num_mappers partials.
     * The earlier row_number-window form sorted every event of a key in
     * ONE task — the round-5 verdict's single watch item. Sequence is
-    * unique per event (publish-time monotonic stamp, flv_message.rs:17-27)
-    * so the argmax is deterministic. */
+    * unique per EVENT (publish-time monotonic stamp,
+    * flv_message.rs:17-27) but an event's exploded rows share it, so the
+    * ordering key folds in the row's position within the event — two
+    * same-key rows inside one multi-row event then resolve to the later
+    * one deterministically (MySQL applies a row event's rows in order). */
   def latestImage(events: DataFrame, keyIdx: Int = 0): DataFrame = {
     events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
-      .select(col("uri"), col("sequence"), col("op"), explode(col("rows")).as("r"))
-      .select(col("uri"), col("sequence"), col("op"), col("r.cols").as("image"))
+      .select(col("uri"), col("sequence"), col("op"),
+        posexplode(col("rows")).as(Seq("pos", "r")))
+      .select(col("uri"), col("sequence"), col("pos"), col("op"),
+        col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
       .groupBy(col("uri"), col("key"))
-      .agg(max_by(struct(col("op"), col("image")), col("sequence")).as("last"))
+      .agg(max_by(struct(col("op"), col("image")),
+        struct(col("sequence"), col("pos"))).as("last"))
       .where(col("last.op") =!= Cdc.OpDelete)
       .select(col("last.image").as("image"))
   }

@@ -77,7 +77,12 @@ object IncrementalAgg {
     // groups are few: one file keeps the state read O(1) tasks
     merged.coalesce(1).write.mode("overwrite")
       .parquet(new java.io.File(root, next).toString)
-    val entries = Map("cur" -> next) ++
+    // a manual (batchId-less) update must CARRY the committed lastBatch
+    // watermark forward — rebuilding entries from scratch would silently
+    // erase replay protection on a stream-maintained state dir and let a
+    // checkpoint replay double-count
+    val entries = m.entries.view.filterKeys(_ == "lastBatch").toMap ++
+      Map("cur" -> next) ++
       (if (batchId >= 0L) Map("lastBatch" -> batchId.toString) else Map.empty)
     val ns = SnapshotManifest.State(m.version + 1, entries)
     SnapshotManifest.commit(root, ns) // the commit point

@@ -87,13 +87,17 @@ object ReplicaSink {
         val m = SnapshotManifest.read(root)
         // Replay of an ALREADY-COMMITTED batch (driver died after the
         // manifest swap but before the streaming checkpoint recorded the
-        // batch): the manifest already points into this batch's epoch
-        // dir. Re-running would overwrite epoch_<id> while reading from
-        // inside it — deleting the current snapshot out from under the
-        // merge. foreachBatch replays deliver identical data, so the
-        // correct move is a no-op: the committed snapshot IS this
-        // batch's result.
-        if (m.entries.values.exists(_.startsWith(s"epoch_$batchId/"))) return
+        // batch): re-running would overwrite epoch_<id> while reading
+        // from inside it — deleting the current snapshot out from under
+        // the merge. foreachBatch replays deliver identical data, so the
+        // correct move is a no-op: the committed snapshot IS this batch's
+        // result. Detection keys on the recorded lastBatch watermark
+        // (Delta's txnVersion contract), NOT on an epoch path appearing
+        // among the entries — a committed batch whose touched buckets
+        // all ended empty (pure-delete batch) leaves no epoch entry, and
+        // its replay would otherwise burn a manifest version and shift
+        // the time-travel retention window on a logical no-op.
+        if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
         lastUpsertBatches += 1
         val existingPaths = affected.toSeq
           .flatMap(b => m.entries.get(s"bucket=$b"))
@@ -124,7 +128,8 @@ object ReplicaSink {
         val written = affected
           .filter(b => new java.io.File(epochDir, s"bucket=$b").exists())
         val entries = (m.entries -- affected.map(b => s"bucket=$b")) ++
-          written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b")
+          written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
+          Map("lastBatch" -> batchId.toString)
         val next = SnapshotManifest.State(m.version + 1, entries)
         SnapshotManifest.commit(root, next) // the commit point
         SnapshotManifest.gc(root, next, "epoch_")
@@ -160,14 +165,19 @@ object ReplicaSink {
   }
 
   private def readState(spark: SparkSession, root: java.io.File,
-      m: SnapshotManifest.State): DataFrame =
-    if (m.entries.isEmpty)
+      m: SnapshotManifest.State): DataFrame = {
+    // only bucket entries name data dirs; lastBatch is the replay watermark
+    val dirs = m.entries.collect {
+      case (k, rel) if k.startsWith("bucket=") => rel
+    }.toSeq.sorted
+    if (dirs.isEmpty)
       spark.range(0).select(lit(null).cast("array<string>").as("image"))
     else
-      m.entries.values.toSeq.sorted
+      dirs
         .map(rel => spark.read
           .schema("uri STRING, key STRING, image ARRAY<STRING>")
           .parquet(new java.io.File(root, rel).toString))
         .reduce(_ unionByName _)
         .select(col("image"))
+  }
 }

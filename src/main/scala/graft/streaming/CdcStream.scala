@@ -26,13 +26,18 @@ object CdcStream {
   /** Keyed row-level event, the FMGWS input. State is keyed by
     * (uri, key): a changelog spanning multiple tables with colliding key
     * values must not merge their states (same fix as
-    * ChangelogApply.latestImage; round-1 advice). */
+    * ChangelogApply.latestImage; round-1 advice). `pos` is the row's
+    * position within its (possibly multi-row) event: sequence is unique
+    * per event, so (sequence, pos) totally orders rows and two same-key
+    * rows inside one event resolve deterministically to the later one. */
   case class KeyedImageEvent(
-      sequence: Long, op: String, image: Seq[String], uri: String, key: String)
+      sequence: Long, pos: Int, op: String, image: Seq[String],
+      uri: String, key: String)
 
   /** Apply state per row key: newest image wins (latest-image semantics,
-    * the scale path of ChangelogApply). */
-  case class ApplyState(image: Seq[String], sequence: Long, deleted: Boolean)
+    * the scale path of ChangelogApply), ordered by (sequence, pos). */
+  case class ApplyState(image: Seq[String], sequence: Long, pos: Int,
+      deleted: Boolean)
 
   private val nameCounter = new AtomicInteger()
 
@@ -168,13 +173,15 @@ object CdcStream {
       it: Iterator[KeyedImageEvent],
       state: GroupState[ApplyState]): Iterator[Seq[String]] = {
     if (state.hasTimedOut) { state.remove(); return Iterator.empty }
-    val sorted = it.toArray.sortBy(_.sequence)
-    var cur = state.getOption.getOrElse(ApplyState(null, Long.MinValue, deleted = true))
+    val sorted = it.toArray.sortBy(e => (e.sequence, e.pos))
+    var cur = state.getOption.getOrElse(
+      ApplyState(null, Long.MinValue, -1, deleted = true))
     sorted.foreach { e =>
-      if (e.sequence > cur.sequence) {
+      if (e.sequence > cur.sequence ||
+          (e.sequence == cur.sequence && e.pos > cur.pos)) {
         cur = e.op match {
-          case Cdc.OpDelete => ApplyState(null, e.sequence, deleted = true)
-          case _ => ApplyState(e.image, e.sequence, deleted = false)
+          case Cdc.OpDelete => ApplyState(null, e.sequence, e.pos, deleted = true)
+          case _ => ApplyState(e.image, e.sequence, e.pos, deleted = false)
         }
       }
     }
@@ -203,8 +210,10 @@ object CdcStream {
     import spark.implicits._
     val keyed = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
-      .select(col("sequence"), col("op"), col("uri"), explode(col("rows")).as("r"))
-      .select(col("sequence"), col("op"), col("uri"), col("r.cols").as("image"))
+      .select(col("sequence"), col("op"), col("uri"),
+        posexplode(col("rows")).as(Seq("pos", "r")))
+      .select(col("sequence"), col("pos"), col("op"), col("uri"),
+        col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
       .as[KeyedImageEvent]
     val timeoutConf =
@@ -823,13 +832,15 @@ object CdcStream {
       key: (String, String),
       it: Iterator[KeyedImageEvent],
       state: GroupState[ApplyState]): Iterator[(String, String, Seq[String], Boolean)] = {
-    val sorted = it.toArray.sortBy(_.sequence)
-    var cur = state.getOption.getOrElse(ApplyState(null, Long.MinValue, deleted = true))
+    val sorted = it.toArray.sortBy(e => (e.sequence, e.pos))
+    var cur = state.getOption.getOrElse(
+      ApplyState(null, Long.MinValue, -1, deleted = true))
     sorted.foreach { e =>
-      if (e.sequence > cur.sequence) {
+      if (e.sequence > cur.sequence ||
+          (e.sequence == cur.sequence && e.pos > cur.pos)) {
         cur = e.op match {
-          case Cdc.OpDelete => ApplyState(null, e.sequence, deleted = true)
-          case _ => ApplyState(e.image, e.sequence, deleted = false)
+          case Cdc.OpDelete => ApplyState(null, e.sequence, e.pos, deleted = true)
+          case _ => ApplyState(e.image, e.sequence, e.pos, deleted = false)
         }
       }
     }
@@ -845,8 +856,10 @@ object CdcStream {
     import spark.implicits._
     val keyed = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
-      .select(col("sequence"), col("op"), col("uri"), explode(col("rows")).as("r"))
-      .select(col("sequence"), col("op"), col("uri"), col("r.cols").as("image"))
+      .select(col("sequence"), col("op"), col("uri"),
+        posexplode(col("rows")).as(Seq("pos", "r")))
+      .select(col("sequence"), col("pos"), col("op"), col("uri"),
+        col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
       .as[KeyedImageEvent]
     keyed

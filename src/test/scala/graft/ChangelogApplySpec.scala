@@ -48,6 +48,31 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(snap.except(expect).isEmpty && expect.except(snap).isEmpty)
   }
 
+  test("latest-image: same-key rows within one multi-row event resolve to the LAST row") {
+    import spark.implicits._
+    // one event, three rows, two sharing key "k": sequence alone cannot
+    // order them — the (sequence, pos) argmax must pick the later row
+    // deterministically (MySQL applies a row event's rows in order)
+    val e = CdcEvent(1L, "flv://m/graft/t", "f", 1L, Cdc.OpAdd, null,
+      Seq("a", "b"), Seq(
+        CdcRowImages(null, Seq("k", "first")),
+        CdcRowImages(null, Seq("other", "x")),
+        CdcRowImages(null, Seq("k", "second"))))
+    val out = ChangelogApply.latestImage(Seq(e).toDS().toDF())
+      .as[Seq[String]].collect().toSet
+    assert(out === Set(Seq("k", "second"), Seq("other", "x")))
+    // the streaming keyed apply agrees
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[CdcEvent]
+    val q = graft.streaming.CdcStream.applyStream(input.toDF())
+      .writeStream.format("memory").queryName("pos_det")
+      .outputMode("append").start()
+    input.addData(e)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("pos_det").as[Seq[String]].collect().toSet === out)
+  }
+
   test("latest-image: planted hot key folds via partial aggregation, not a one-task sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

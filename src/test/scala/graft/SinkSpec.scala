@@ -192,6 +192,48 @@ class SinkSpec extends AnyFunSuite {
       .agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
   }
 
+  test("pure-delete batch: replay detected via lastBatch watermark, no version burned") {
+    import spark.implicits._
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_puredel").toString
+    def batch(rows: (String, Seq[String], Boolean)*) = rows
+      .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "1"), false)), 0)
+    // batch 1 deletes the bucket's only key: its epoch dir has no
+    // surviving bucket files, so no epoch entry lands in the manifest —
+    // the replay guard must still see the batch as committed
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "1"), true)), 1)
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().isEmpty)
+    val root = new java.io.File(dir)
+    val v = graft.operators.SnapshotManifest.read(root).version
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "1"), true)), 1)
+    assert(graft.operators.SnapshotManifest.read(root).version === v,
+      "replaying a committed pure-delete batch must not burn a manifest version")
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().isEmpty)
+  }
+
+  test("manual incremental-agg update carries the stream-recorded lastBatch forward") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    val stateDir = Files.createTempDirectory("graft_incragg_manual").toString
+    val ev = graft.sources.Tables.events(spark, Sf)
+    val b0 = ev.where(col("event_id") % 3 === 0)
+    graft.operators.IncrementalAgg.update(spark, stateDir, b0, batchId = 0L)
+    // a manual (batchId-less) fold — e.g. an operator backfill — between
+    // stream batches must not erase the replay watermark
+    graft.operators.IncrementalAgg.update(spark, stateDir,
+      ev.where(col("event_id") % 3 === 1))
+    val after = graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq
+    // checkpoint replay of batch 0 must STILL be a detected no-op
+    graft.operators.IncrementalAgg.update(spark, stateDir, b0, batchId = 0L)
+    assert(graft.operators.IncrementalAgg.read(spark, stateDir)
+      .orderBy("event_type").collect().toSeq === after)
+  }
+
   test("incremental aggregate state: crash between snapshot write and swap keeps old state") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files

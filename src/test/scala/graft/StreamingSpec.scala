@@ -278,7 +278,7 @@ class StreamingSpec extends AnyFunSuite {
   test("tombstone eviction: timed-out state is removed; a re-insert starts fresh") {
     import graft.streaming.CdcStream.{ApplyState, KeyedImageEvent}
     def ev(seq: Long, op: String, img: Seq[String]) =
-      KeyedImageEvent(seq, op, img, "u", "k")
+      KeyedImageEvent(seq, 0, op, img, "u", "k")
 
     // 1. delete → tombstone kept, reap timeout armed
     val s1 = TestGroupState.create[ApplyState](Optional.empty(),
