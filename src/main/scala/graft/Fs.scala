@@ -20,4 +20,19 @@ object Fs {
     f.delete()
     ()
   }
+
+  /** Recursive copy (scratch-dir cloning, e.g. seeding a fresh stream
+    * state dir from a memoized trained artifact). */
+  def copyRecursively(from: java.io.File, to: java.io.File): Unit = {
+    if (from.isDirectory) {
+      to.mkdirs()
+      val children = from.listFiles()
+      if (children != null)
+        children.foreach(c => copyRecursively(c, new java.io.File(to, c.getName)))
+    } else {
+      java.nio.file.Files.copy(from.toPath, to.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
 }

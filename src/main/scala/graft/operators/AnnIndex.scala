@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVFADC index with SPLIT train/serve — the 100 TB ANN serving shape.
+  *
+  * `ann_ivf_pq` composes the same stages but trains its three k-means
+  * models (coarse quantizer + per-subspace PQ codebooks) INLINE on every
+  * run — the right shape for a one-shot batch query, the wrong one for a
+  * serving index, where training runs once (or per index rebuild) and
+  * queries only route + scan. [[train]] persists the trained artifacts
+  * as a manifest-committed snapshot ([[SnapshotManifest]] — the same
+  * object-store-safe pointer-swap protocol as the replica sink and the
+  * incremental-aggregate MV):
+  *
+  *   - `coarse`:  k coarse centroids (the cell router)
+  *   - `pq0..pqM`: per-subspace PQ codebooks
+  *   - `codes/...`: the inverted lists — every vector's (cell, PQ codes),
+  *     written PARTITIONED BY cell so a serving scan can prune to the
+  *     routed cells at FILE level (dynamic partition pruning from the
+  *     broadcast routing join), and appendable per micro-batch segment
+  *     ([[appendBatch]]) under the manifest's exactly-once watermark.
+  *
+  * [[serve]] builds the query-time plan from the artifacts alone: route
+  * each query to its nprobe nearest cells against the loaded coarse
+  * centroids, ADC-scan only the routed cells' inverted lists with
+  * per-query distance lookup tables (broadcast, M×k rows each), exact-
+  * cosine rerank of the shortlist. NO k-means iteration appears in the
+  * serving plan — PqServePlanSpec pins that.
+  *
+  * Training math is identical (same [[KMeansOp]] decimal-exact folds),
+  * so served results are bit-identical to the inline-trained query and
+  * share its DuckDB oracle.
+  */
+object AnnIndex {
+
+  val CoarseK = 4
+  val PqM = 2
+  val PqK = 4
+  val SubDim = 16
+  val Iters = 2
+  val NProbe = 2
+  val Shortlist = 50
+  val TopK = 5
+
+  /** Embeddings in double space: (vec_id, e). */
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    graft.sources.Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  private def sub(embCol: org.apache.spark.sql.Column, m: Int) =
+    slice(embCol, m * SubDim + 1, SubDim)
+
+  /** Train coarse + PQ models over `emb` and commit the index snapshot
+    * at `dir` (version 1: codebooks + the base inverted lists). */
+  def train(emb: DataFrame, dir: String): Unit = {
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    val cached = emb.cache()
+    try {
+      val coarseAssigned =
+        KMeansOp.fit(cached, "vec_id", "e", CoarseK, Iters).cache()
+      val coarseCents = KMeansOp.update(coarseAssigned, "e")
+      val subs = (0 until PqM).map { m =>
+        val s = cached.select(col("vec_id"), sub(col("e"), m).as("se"))
+        val assigned = KMeansOp.fit(s, "vec_id", "se", PqK, Iters)
+        (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")),
+          KMeansOp.update(assigned, "se"))
+      }
+      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+        .join(coarseAssigned.select(col("vec_id"), col("cluster_id").as("cell")),
+          "vec_id")
+      coarseCents.coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(root, "v1/coarse").toString)
+      subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
+        .parquet(new java.io.File(root, s"v1/pq$m").toString))
+      // one writer task per cell: file count stays O(cells), not
+      // O(tasks × cells) — the 100 TB layout (same idiom as ReplicaSink)
+      codes.repartition(CoarseK, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(root, "v1/codes").toString)
+      val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "v1/codes") ++
+        (0 until PqM).map(m => s"pq$m" -> s"v1/pq$m")
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L, entries))
+    } finally {
+      cached.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** Fold one micro-batch of NEW embeddings into the inverted lists:
+    * encode against the FROZEN codebooks (no retraining — the standard
+    * IVF maintenance contract; codebook drift is handled by periodic
+    * full rebuilds), write the batch's codes as an immutable segment,
+    * swap the manifest. Replays of a committed batch are detected
+    * no-ops via the lastBatch watermark, exactly like
+    * [[IncrementalAgg.update]] — so the maintained index is exactly-once
+    * under foreachBatch retry semantics. */
+  def appendBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val emb = batch.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+    if (batch.isEmpty) {
+      // still advance the watermark: an empty committed batch must not
+      // be re-merged on replay either
+      SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+        m.entries + ("lastBatch" -> batchId.toString)))
+      return
+    }
+    val encoded = encode(spark, root, m, emb)
+    val seg = s"epoch_$batchId"
+    encoded.repartition(CoarseK, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new java.io.File(root, seg).toString)
+    val entries = m.entries ++
+      Map(s"codes/$seg" -> seg, "lastBatch" -> batchId.toString)
+    val next = SnapshotManifest.State(m.version + 1, entries)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "epoch_") // crashed-segment orphans
+  }
+
+  private def readCents(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, key: String): DataFrame =
+    spark.read.parquet(new java.io.File(root, m.entries(key)).toString)
+
+  /** Encode embeddings against the index's frozen codebooks:
+    * (vec_id, cell, code0..codeM). */
+  private def encode(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, emb: DataFrame): DataFrame = {
+    val coarse = KMeansOp.assign(emb, readCents(spark, root, m, "coarse"),
+        "vec_id", "e")
+      .select(col("vec_id"), col("e"), col("cluster_id").as("cell"))
+    (0 until PqM).foldLeft(coarse) { case (acc, i) =>
+      val s = acc.select(col("vec_id"), sub(col("e"), i).as("se"))
+      val assigned = KMeansOp.assign(s, readCents(spark, root, m, s"pq$i"),
+        "vec_id", "se")
+      acc.join(assigned.select(col("vec_id"),
+        col("cluster_id").as(s"code$i")), "vec_id")
+    }.select(col("vec_id") +: col("cell") +:
+      (0 until PqM).map(i => col(s"code$i")): _*)
+  }
+
+  /** All committed inverted-list segments, unioned. */
+  private def readCodes(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State): DataFrame =
+    m.entries.collect { case (k, rel) if k.startsWith("codes/") => rel }
+      .toSeq.sorted
+      .map(rel => spark.read
+        .parquet(new java.io.File(root, rel).toString)
+        .select(col("vec_id") +: col("cell") +:
+          (0 until PqM).map(i => col(s"code$i")): _*))
+      .reduce(_ unionByName _)
+
+  /** Query-time plan from the committed index: route → ADC scan of the
+    * routed cells' lists → exact rerank. `queries` is (q_id, qe); `emb`
+    * supplies exact vectors for the rerank only. */
+  def serve(spark: SparkSession, dir: String, queries: DataFrame,
+      emb: DataFrame): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val coarseCents = readCents(spark, root, m, "coarse")
+    val codes = readCodes(spark, root, m)
+    // nprobe routing against the loaded coarse centroids
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cell"))
+    val routed = queries.crossJoin(broadcast(
+        coarseCents.select(col("cluster_id").as("cell"), col("centroid"))))
+      .withColumn("cdist", KMeansOp.sqDist(col("qe"), col("centroid")))
+      .withColumn("crn", row_number().over(wr))
+      .where(col("crn") <= NProbe)
+      .select(col("q_id"), col("cell"))
+    // per-query ADC lookup tables (M×k rows each — broadcast)
+    val dts = (0 until PqM).map { i =>
+      queries.crossJoin(broadcast(readCents(spark, root, m, s"pq$i")))
+        .select(col("q_id"), col("cluster_id").as(s"code$i"),
+          KMeansOp.sqDist(sub(col("qe"), i), col("centroid")).as(s"d$i"))
+    }
+    val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
+    val adcTop = dts.zipWithIndex.foldLeft(codes.join(broadcast(routed), "cell")) {
+        case (acc, (dt, i)) => acc.join(broadcast(dt), Seq("q_id", s"code$i"))
+      }
+      .where(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", (0 until PqM).map(i => col(s"d$i")).reduce(_ + _))
+      .withColumn("arn", row_number().over(wa))
+      .where(col("arn") <= Shortlist)
+      .select(col("q_id"), col("vec_id"))
+    // exact rerank of the shortlist
+    val cos = graft.expressions.CosineSimilarity.cosineSim(spark) _
+    val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    adcTop
+      .join(queries, "q_id")
+      .join(emb, "vec_id")
+      .withColumn("cos", round(cos(col("qe"), col("e")), 6))
+      .withColumn("rnk", row_number().over(wf))
+      .where(col("rnk") <= TopK)
+      .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
+  }
+
+  /** Train-once-per-(process, sfDir) memoized index dir — the serving
+    * contract: queries pay routing + scan, never training. */
+  def trainedIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/tmp/graft_ann_index/p${graft.Fs.pid}_$key")
+    if (SnapshotManifest.read(dir).version == 0L)
+      train(embeddings(spark, sfDir), dir.toString)
+    dir.toString
+  }
+
+  /** Memoized BASE-slice training for the incremental-maintenance
+    * stream: training is a property of the immutable base corpus, so it
+    * runs once per (process, sfDir, tag) and each stream invocation
+    * CLONES the committed artifact into its fresh state dir — replays
+    * then re-run only the appends, which is exactly the production
+    * split (index rebuilds are scheduled; ingest is continuous). */
+  def cloneTrained(base: => DataFrame, sfDir: String, tag: String,
+      toDir: String): Unit = synchronized {
+    val key = s"${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val cache = new java.io.File(s"/tmp/graft_ann_base/p${graft.Fs.pid}_$key")
+    if (SnapshotManifest.read(cache).version == 0L)
+      train(base, cache.toString)
+    graft.Fs.copyRecursively(cache, new java.io.File(toDir))
+  }
+}

@@ -565,6 +565,34 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // IVFADC with SPLIT train/serve — the real serving shape: the coarse
+    // quantizer, PQ codebooks, and cell-partitioned inverted lists are a
+    // manifest-committed index artifact trained ONCE per corpus
+    // (AnnIndex.train); the query-time plan loads them and only routes,
+    // ADC-scans the routed cells, and reranks — zero k-means iterations
+    // in the serving plan (PqServePlanSpec pins that). Training math is
+    // identical to ann_ivf_pq's inline version, so the results — and the
+    // DuckDB oracle — are shared bit-for-bit.
+    "ann_ivf_pq_served" -> ((s, dir) => {
+      val idx = graft.operators.AnnIndex.trainedIndexDir(s, dir)
+      val emb = graft.operators.AnnIndex.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      graft.operators.AnnIndex.serve(s, idx, queries, emb)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Incremental ANN index maintenance driven by a REAL stream: base
+    // slice trains the index, the remaining embeddings arrive in
+    // micro-batches and are folded into the cell-partitioned inverted
+    // lists per batch (frozen codebooks, manifest-committed segments,
+    // replay-idempotent) — then the query serves from the maintained
+    // index. Oracle: base-slice k-means training + frozen-codebook
+    // encoding of the appended rows, then the same route/ADC/rerank.
+    "stream_ann_index" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamAnnIndex(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
     // run would feed to data_sample_stratified / data_mix_weighted.
@@ -575,6 +603,58 @@ object CurationQueries {
         .orderBy("doc_id")
     })
   )
+
+  private lazy val ivfPqOracle: String = s"""
+       WITH $kmeansCtes,
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id)
+         JOIN a2 m USING (vec_id)),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN emb m ON m.vec_id = s.vec_id)
+       SELECT q_id, rnk, vec_id, cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM rr)
+       WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   val oracles: Map[String, String] = Map(
     "text_chunk" -> """
@@ -1082,12 +1162,37 @@ object CurationQueries {
     // coarse kmeans chain + two PQ codebook chains + nprobe-2 routing +
     // cell-restricted ADC top-50 shortlist + exact-cosine rerank — every stage
     // the Spark plan runs, in the same strict-fold arithmetic
-    "ann_ivf_pq" -> s"""
-       WITH $kmeansCtes,
+    "ann_ivf_pq" -> ivfPqOracle,
+    // identical training math, identical results: the served variant's
+    // oracle IS the inline variant's
+    "ann_ivf_pq_served" -> ivfPqOracle,
+
+    // base-slice training + frozen-codebook encoding of the appended
+    // slice, then the shared route/ADC/rerank tail — the DuckDB twin of
+    // train(base) + appendBatch(rest) + serve
+    "stream_ann_index" -> s"""
+       WITH emball AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       ${kmeansChain(
+        "emb AS (SELECT vec_id, e FROM emball WHERE vec_id % 10 < 8)")},
        c2 AS (${sqlUpdate("a2")}),
        ${pqChain("s0", 1, 16)},
        ${pqChain("s1", 17, 32)},
-       q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+       app AS (SELECT vec_id, e FROM emball WHERE vec_id % 10 >= 8),
+       appa AS (${sqlAssignOn("app", "c2")}),
+       apps0 AS (SELECT vec_id, e[1:16] AS e FROM app),
+       apps0a AS (${sqlAssignOn("apps0", "s0c2")}),
+       apps1 AS (SELECT vec_id, e[17:32] AS e FROM app),
+       apps1a AS (${sqlAssignOn("apps1", "s1c2")}),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id) JOIN a2 m USING (vec_id)
+         UNION ALL
+         SELECT a.vec_id, a.cluster_id, b.cluster_id, m.cluster_id
+         FROM apps0a a JOIN apps1a b USING (vec_id) JOIN appa m USING (vec_id)),
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emball WHERE vec_id % 100 = 0),
        routed AS (
          SELECT q_id, cluster_id AS cell FROM (
            SELECT q.q_id, c2.cluster_id,
@@ -1097,11 +1202,6 @@ object CurationQueries {
                  (acc, x) -> acc + x) ASC,
                c2.cluster_id) AS crn
            FROM q CROSS JOIN c2) WHERE crn <= 2),
-       codes AS (
-         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
-                m.cluster_id AS cell
-         FROM s0a2 a JOIN s1a2 b USING (vec_id)
-         JOIN a2 m USING (vec_id)),
        dt0 AS (
          SELECT q.q_id, c.cluster_id AS code0,
            list_reduce(list_transform(range(1, 17),
@@ -1128,11 +1228,12 @@ object CurationQueries {
          SELECT s.q_id, s.vec_id,
            ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
          FROM shortlist s JOIN q ON q.q_id = s.q_id
-         JOIN emb m ON m.vec_id = s.vec_id)
+         JOIN emball m ON m.vec_id = s.vec_id)
        SELECT q_id, rnk, vec_id, cos
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM rr)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
 
     // bigrams via 1-based list slices (range(1, len) = 1..len-1), the
     // char fold is the fold_hash mirror (sids CTE in ExtensionQueries),

@@ -883,12 +883,14 @@ object CdcStream {
     * drain of `df` into `sink(stateDir)`, progress capture, checkpoint
     * cleanup. Returns the state dir for the caller's read-back. */
   private def drainToStateDir(df: DataFrame, dirPrefix: String,
-      sfDir: String, sink: String => (DataFrame, Long) => Unit): String = {
+      sfDir: String, sink: String => (DataFrame, Long) => Unit,
+      init: String => Unit = _ => ()): String = {
     val stateDir = new java.io.File(
       s"/tmp/$dirPrefix/p${graft.Fs.pid}_" +
         sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     graft.Fs.deleteRecursively(stateDir) // fresh replay per invocation
     stateDir.mkdirs()
+    init(stateDir.toString)
     val ckpt = new java.io.File(
       s"$ckptRoot/p${graft.Fs.pid}_sink_${nameCounter.incrementAndGet()}")
     val q = df.writeStream
@@ -929,6 +931,33 @@ object CdcStream {
       dir => (batch, id) =>
         graft.operators.IncrementalAgg.update(batch.sparkSession, dir, batch, id))
     graft.operators.IncrementalAgg.read(ss, stateDir)
+  }
+
+  /** Incremental ANN index maintenance (round-7 item 3): the IVFADC
+    * index is TRAINED on the base corpus slice, then every micro-batch
+    * of newly arrived embeddings is ENCODED against the frozen codebooks
+    * and appended to the cell-partitioned inverted lists through the
+    * manifest protocol ([[graft.operators.AnnIndex.appendBatch]] — the
+    * stream_incremental_agg exactly-once pattern applied to an index
+    * artifact). The returned result SERVES from the incrementally
+    * maintained index; AnnIndexSpec pins that it equals a one-shot
+    * encode of the same rows, and the DuckDB oracle reproduces base
+    * training + frozen-codebook encoding end-to-end. */
+  def streamAnnIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val ss = streamSession(spark, flush = false)
+    val emb = AnnIndex.embeddings(ss, sfDir)
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val rest = graft.sources.Tables.table(ss, sfDir, "embeddings")
+      .where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val stream = streamOf(rest, "ann_rest", sfDir, maxFilesPerTrigger = Some(3))
+    val stateDir = drainToStateDir(stream, "graft_ann_stream", sfDir,
+      dir => (batch, id) => AnnIndex.appendBatch(dir)(batch.toDF(), id),
+      dir => AnnIndex.cloneTrained(base, sfDir, "b8", dir))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    AnnIndex.serve(ss, stateDir, queries, emb)
   }
 
   // ---------- operational introspection: the State Data Source ----------

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{AnnIndex, SnapshotManifest}
+
+/** Train/serve split + incremental maintenance of the IVFADC index
+  * (round-7 items 2 and 3): the serving plan must be training-free and
+  * cell-pruned, served results must equal the inline-trained query, and
+  * per-batch index maintenance must be exactly-once and equivalent to a
+  * one-shot encode of the same rows. */
+class AnnIndexSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def freshDir(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(tag).toFile
+    graft.Fs.deleteRecursively(d)
+    d.toString
+  }
+
+  private def queriesOf(emb: org.apache.spark.sql.DataFrame) =
+    emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+
+  test("serving plan is training-free and prunes inverted-list partitions dynamically") {
+    val dir = AnnIndex.trainedIndexDir(spark, Sf)
+    val emb = AnnIndex.embeddings(spark, Sf)
+    val served = AnnIndex.serve(spark, dir, queriesOf(emb), emb)
+    val optimized = served.queryExecution.optimizedPlan.toString
+    // the k-means update aggregate's decimal-exact signature: present in
+    // every training plan, must be ABSENT from the serving plan
+    assert(!optimized.toLowerCase.contains("decimal(38,18)"),
+      "serving plan must not contain k-means training aggregates")
+    // the inverted-list scan is pruned to the ROUTED cells at file level
+    // (dynamic partition pruning from the broadcast routing join) — the
+    // sublinear 100 TB serving read
+    val executed = served.queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruning"),
+      "codes scan must carry a dynamic partition-pruning filter on cell")
+  }
+
+  test("served results equal the inline-trained ann_ivf_pq") {
+    val inline = graft.queries.CurationQueries.queries("ann_ivf_pq")(spark, Sf)
+      .collect().toSeq
+    val dir = AnnIndex.trainedIndexDir(spark, Sf)
+    val emb = AnnIndex.embeddings(spark, Sf)
+    val served = AnnIndex.serve(spark, dir, queriesOf(emb), emb)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(served === inline)
+  }
+
+  test("incremental maintenance ≡ one-shot encode; replays are detected no-ops") {
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val rest = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .where(col("vec_id") % 10 >= 8)
+
+    // index A: base + the rest folded in three micro-batch appends
+    val dirA = freshDir("graft_ann_inc")
+    AnnIndex.train(base, dirA)
+    Seq(0, 1, 2).foreach { b =>
+      AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 3 === b), b.toLong)
+    }
+    // index B: base + the rest in ONE append (the batch-rebuilt twin
+    // under the same frozen codebooks)
+    val dirB = freshDir("graft_ann_oneshot")
+    AnnIndex.train(base, dirB)
+    AnnIndex.appendBatch(dirB)(rest, 0L)
+
+    val q = queriesOf(emb)
+    def result(dir: String) =
+      AnnIndex.serve(spark, dir, q, emb).orderBy("q_id", "rnk").collect().toSeq
+    assert(result(dirA) === result(dirB),
+      "incrementally-maintained index must serve identically to the one-shot encode")
+
+    // replay of a committed append: watermark-detected no-op, no version burn
+    val vA = SnapshotManifest.read(new java.io.File(dirA)).version
+    AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 3 === 2), 2L)
+    assert(SnapshotManifest.read(new java.io.File(dirA)).version === vA)
+    assert(result(dirA) === result(dirB))
+    emb.unpersist(blocking = false)
+    ()
+  }
+}
