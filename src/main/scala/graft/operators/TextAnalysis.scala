@@ -155,12 +155,18 @@ object TextAnalysis {
     * rule), and ranking uses the EXACT decimal sum — ties break on
     * doc_id identically in both engines. */
   def bm25Retrieve(docs: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = bm25Scored(docs, idCol, textCol, k1, b)
-    val hits = scored.join(broadcast(queries), "term")
+    val hits0 = scored.join(broadcast(queries), "term")
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
+    // self-exclusion is a HIT filter, never a corpus filter: df/avgdl
+    // stats must stay corpus-wide (used by the hybrid fusion, whose
+    // semantic tier also excludes the query's own row)
+    val hits =
+      if (excludeSelf) hits0.where(col("doc_id") =!= col("q_id")) else hits0
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sdec").desc, col("doc_id"))
     hits

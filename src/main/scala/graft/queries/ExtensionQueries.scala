@@ -93,6 +93,12 @@ object ExtensionQueries {
   def sqlDot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
+  /** lcm(61..70): a common multiple of every RRF denominator (K = 60,
+    * tier ranks ≤ 10), so each reciprocal L/(60+rank) is an EXACT
+    * BIGINT — reciprocal-rank fusion in integer arithmetic, immune to
+    * cross-engine float division differences by construction. */
+  private val RrfLcm = 142813628717760L
+
   def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
 
@@ -450,6 +456,45 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // Hybrid retrieval (round-7 item 4): reciprocal-rank fusion of the
+    // BM25 lexical tier and the exact-cosine semantic tier — the
+    // standard RAG serving query. Each tier produces its own top-10
+    // ranking on its existing plan (broadcast inverted-index probe;
+    // broadcast + partial-top-k heap scan), both self-excluded; fusion
+    // is a (q_id, doc_id) full-outer join and an INTEGER RRF score:
+    // sum of L/(60+rank) with L = lcm(61..70), so every reciprocal is
+    // an exact BIGINT and rank order is oracle-exact by construction —
+    // no floating-point 1/(k+r) to diverge between engines.
+    "text_retrieval_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      val lex = TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text",
+          k = 10, excludeSelf = true)
+        .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+      val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val sem = Similarity.bruteForceTopK(queries, emb, 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr(s"$RrfLcm div (60 + lex_rnk)"), lit(0L)) +
+            coalesce(expr(s"$RrfLcm div (60 + sem_rnk)"), lit(0L)))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // brute-force cosine top-5 for the query subset (vec_id % 100 == 0)
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -709,6 +754,65 @@ object ExtensionQueries {
          FROM hits)
        SELECT q_id, rnk, doc_id, ROUND(CAST(sdec AS DOUBLE), 6) AS score
        FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    // both tiers replicated (BM25 with self-exclusion; exact cosine),
+    // fused with integer reciprocals L//(60+rank), L = lcm(61..70)
+    "text_retrieval_hybrid" -> s"""
+       WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       qterms AS (
+         SELECT DISTINCT doc_id AS q_id,
+           unnest(string_split(text, ' ')[1:3]) AS term
+         FROM documents WHERE doc_id % 100 = 0),
+       lexhits AS (
+         SELECT q.q_id, s.doc_id,
+           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
+         FROM scored s JOIN qterms q USING (term)
+         WHERE s.doc_id <> q.q_id
+         GROUP BY 1, 2),
+       lexr AS (
+         SELECT q_id, doc_id, rnk AS lex_rnk FROM (
+           SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sdec DESC, doc_id) AS rnk
+           FROM lexhits) WHERE rnk <= 10),
+       emb AS (
+         SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       semscored AS (
+         SELECT q.q_id, e.vec_id AS doc_id,
+           ROUND(${sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e ON e.vec_id <> q.q_id),
+       semr AS (
+         SELECT q_id, doc_id, rnk AS sem_rnk FROM (
+           SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, doc_id) AS rnk
+           FROM semscored) WHERE rnk <= 10),
+       fused AS (
+         SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+                COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                COALESCE($RrfLcm // (60 + l.lex_rnk), 0) +
+                COALESCE($RrfLcm // (60 + s.sem_rnk), 0) AS rrf
+         FROM lexr l FULL OUTER JOIN semr s
+           ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+       SELECT q_id, rnk, doc_id, CAST(rrf AS BIGINT) AS rrf FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, doc_id) AS rnk
+         FROM fused) WHERE rnk <= 5
+       ORDER BY q_id, rnk""",
     "text_fingerprint" -> s"""
        SELECT doc_id, $SqlFingerprintExpr AS fingerprint
        FROM documents ORDER BY doc_id""",
