@@ -49,6 +49,26 @@ object IncrementalAgg {
         min(col("min_value")).as("min_value"),
         max(col("max_value")).as("max_value"))
 
+  /** Canonical partials column set — read-back must project exactly
+    * these (a hash-bucketed snapshot dir carries an extra `bucket`
+    * partition column the merge must not see). */
+  private val PartialCols = Seq("event_type", "n", "sum_users",
+    "sum_value", "min_value", "max_value")
+
+  private def readPartials(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(PartialCols.map(col): _*)
+
+  /** Group-count dispatch bound for the state write: at or below, one
+    * file (the state read stays O(1) tasks); above, the snapshot is
+    * written hash-BUCKETED on the group key so no single writer task
+    * ever materializes the whole table — the same measured-bound
+    * dispatch idiom as Graph.triangleCountAuto, deciding the physical
+    * shape from a cheap O(groups) count rather than hoping the
+    * few-groups contract holds forever. An MV keyed on a
+    * high-cardinality column crosses the bound and transparently gets
+    * the multi-file layout. */
+  val OneFileGroups = 1024L
+
   /** Fold one append batch into the stored aggregate table. Pass the
     * micro-batch's `batchId` when driving this from a stream
     * (foreachBatch): an update is a MERGE, not an overwrite, so a
@@ -57,7 +77,7 @@ object IncrementalAgg {
     * batch and the replay becomes a detected no-op, the same
     * exactly-once contract as [[ReplicaSink.upsertBatch]]. */
   def update(spark: SparkSession, stateDir: String, delta: DataFrame,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, oneFileGroups: Long = OneFileGroups): Unit = {
     val root = new java.io.File(stateDir)
     val m = SnapshotManifest.read(root)
     // <= not ==: a checkpoint reset against a kept state dir replays the
@@ -67,16 +87,32 @@ object IncrementalAgg {
         m.entries.get("lastBatch").exists(_.toLong >= batchId))
       return
     val p = partials(delta)
-    val merged = m.entries.get("cur") match {
+    val merged = (m.entries.get("cur") match {
       case Some(rel) =>
-        merge(spark.read.parquet(new java.io.File(root, rel).toString)
+        merge(readPartials(spark, new java.io.File(root, rel).toString)
           .unionByName(p))
       case None => merge(p)
-    }
+    }).persist()
     val next = s"v${m.version + 1}"
-    // groups are few: one file keeps the state read O(1) tasks
-    merged.coalesce(1).write.mode("overwrite")
-      .parquet(new java.io.File(root, next).toString)
+    val out = new java.io.File(root, next).toString
+    try {
+      val nGroups = merged.count() // O(groups): the dispatch measurement
+      if (nGroups <= oneFileGroups)
+        merged.coalesce(1).write.mode("overwrite").parquet(out)
+      else {
+        val buckets = math.min(64L,
+          (nGroups + oneFileGroups - 1) / oneFileGroups).toInt
+        // one writer task per bucket dir (the ReplicaSink idiom): file
+        // count stays O(buckets), and readers prune by bucket
+        merged
+          .withColumn("bucket", pmod(hash(col("event_type")), lit(buckets)))
+          .repartition(buckets, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket").parquet(out)
+      }
+    } finally {
+      merged.unpersist(blocking = false)
+      ()
+    }
     // a manual (batchId-less) update must CARRY the committed lastBatch
     // watermark forward — rebuilding entries from scratch would silently
     // erase replay protection on a stream-maintained state dir and let a
