@@ -364,6 +364,28 @@ object ExtensionQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Overlap matrix on the MINHASH-LSH tier (round-7 item 6): the same
+    // source-pair rollup as dedup_overlap_matrix, riding the LSH
+    // band-bucket candidate pipeline instead of shared-shingle pair
+    // generation — the variant that survives a corpus where the shingle
+    // vocabulary itself makes shingle-bucket pairing the bottleneck
+    // (banded signatures bound candidate fan-out by construction).
+    "dedup_overlap_matrix_lsh" -> ((s, dir) => {
+      val pairs = Dedup.minhashLsh(ExtCorpus.docCorpus(s, dir),
+        "doc_id", "text", 0.5)
+      val src = Tables.table(s, dir, "documents")
+        .select(col("doc_id").as("base"), col("source"))
+      val sa = src.select(col("base").as("base_a"), col("source").as("source_a"))
+      val sb = src.select(col("base").as("base_b"), col("source").as("source_b"))
+      pairs
+        .join(broadcast(sa), pairs("a_id") % 100000 === col("base_a"))
+        .join(broadcast(sb), pairs("b_id") % 100000 === col("base_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_a"),
+          greatest(col("source_a"), col("source_b")).as("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // MinHash + LSH banding + verification
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minhashLsh(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
@@ -894,6 +916,28 @@ object ExtensionQueries {
           JOIN sigs sb ON sb.doc_id = b_id
           WHERE jaccard >= 0.5 AND ($bandCond)
           ORDER BY a_id, b_id"""
+    },
+    // the LSH candidate set (jac ∧ band-match), rolled up by source pair
+    "dedup_overlap_matrix_lsh" -> {
+      val bandCond = (0 until Dedup.Bands).map { bi =>
+        val r = Dedup.MinhashParams.size / Dedup.Bands
+        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes, $sigsCte,
+          p AS (
+            SELECT a_id, b_id FROM jac
+            JOIN sigs sa ON sa.doc_id = a_id
+            JOIN sigs sb ON sb.doc_id = b_id
+            WHERE jaccard >= 0.5 AND ($bandCond)),
+          m AS (
+            SELECT least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b
+            FROM p
+            JOIN documents da ON da.doc_id = p.a_id % 100000
+            JOIN documents db ON db.doc_id = p.b_id % 100000)
+          SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+          FROM m GROUP BY 1, 2 ORDER BY 1, 2"""
     },
     // same candidate set as dedup_minhash_lsh, confirmed by DuckDB's
     // levenshtein (identical unit-cost DP definition)

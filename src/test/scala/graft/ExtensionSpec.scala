@@ -190,6 +190,18 @@ class ExtensionSpec extends AnyFunSuite {
     assert(recall > 0.8, s"near-dup recall $recall")
   }
 
+  test("overlap matrix: LSH tier ≡ Jaccard tier on the planted corpus") {
+    // both tiers verify candidates with the same exact-Jaccard >= 0.5
+    // gate, and on the planted corpus neither candidate generator
+    // (rare-shingle pairing / banded signatures) misses a true pair —
+    // so the source-pair matrices must agree exactly
+    val jacc = graft.queries.ExtensionQueries
+      .queries("dedup_overlap_matrix")(spark, Sf).collect().toSeq
+    val lsh = graft.queries.ExtensionQueries
+      .queries("dedup_overlap_matrix_lsh")(spark, Sf).collect().toSeq
+    assert(lsh === jacc)
+  }
+
   test("embedding near-dup blocking finds planted neighbors, no cross junk") {
     import spark.implicits._
     val pairs = Dedup.embeddingNearDups(ExtCorpus.embCorpus(spark, Sf), 0.9)
