@@ -84,7 +84,9 @@ object AnnIndex {
         .parquet(new java.io.File(root, "v1/codes").toString)
       val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "v1/codes") ++
         (0 until PqM).map(m => s"pq$m" -> s"v1/pq$m")
-      SnapshotManifest.commit(root, SnapshotManifest.State(1L, entries))
+      val m0 = SnapshotManifest.read(root)
+      SnapshotManifest.commit(root,
+        SnapshotManifest.State(m0.version + 1, entries, m0.retain))
     } finally {
       cached.unpersist(blocking = false)
       ()
@@ -110,7 +112,7 @@ object AnnIndex {
       // still advance the watermark: an empty committed batch must not
       // be re-merged on replay either
       SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-        m.entries + ("lastBatch" -> batchId.toString)))
+        m.entries + ("lastBatch" -> batchId.toString), m.retain))
       return
     }
     val encoded = encode(spark, root, m, emb)
@@ -120,7 +122,7 @@ object AnnIndex {
       .parquet(new java.io.File(root, seg).toString)
     val entries = m.entries ++
       Map(s"codes/$seg" -> seg, "lastBatch" -> batchId.toString)
-    val next = SnapshotManifest.State(m.version + 1, entries)
+    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_") // crashed-segment orphans
   }

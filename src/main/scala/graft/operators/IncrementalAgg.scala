@@ -120,7 +120,7 @@ object IncrementalAgg {
     val entries = m.entries.view.filterKeys(_ == "lastBatch").toMap ++
       Map("cur" -> next) ++
       (if (batchId >= 0L) Map("lastBatch" -> batchId.toString) else Map.empty)
-    val ns = SnapshotManifest.State(m.version + 1, entries)
+    val ns = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, ns) // the commit point
     SnapshotManifest.gc(root, ns, "v")
   }

@@ -130,7 +130,7 @@ object ReplicaSink {
         val entries = (m.entries -- affected.map(b => s"bucket=$b")) ++
           written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
           Map("lastBatch" -> batchId.toString)
-        val next = SnapshotManifest.State(m.version + 1, entries)
+        val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
         SnapshotManifest.commit(root, next) // the commit point
         SnapshotManifest.gc(root, next, "epoch_")
       }

@@ -25,8 +25,11 @@ import com.fasterxml.jackson.databind.ObjectMapper
 object SnapshotManifest {
 
   /** entries: logical name (e.g. "bucket=3", "cur") → root-relative
-    * data directory of the current snapshot. */
-  final case class State(version: Long, entries: Map[String, String])
+    * data directory of the current snapshot. `retain` is the table's
+    * retention setting (see [[DefaultRetain]]), carried in the manifest
+    * itself so every commit prunes by the table's own policy. */
+  final case class State(version: Long, entries: Map[String, String],
+      retain: Int = DefaultRetain)
 
   private val Name = "MANIFEST.json"
   private val HistoryDir = "_history"
@@ -34,9 +37,21 @@ object SnapshotManifest {
   /** Snapshot versions retained for time travel beyond the current one:
     * [[commit]] archives each manifest under `_history/` and [[gc]]
     * keeps every data dir any retained manifest references, so
-    * [[readAt]] can open the previous `Retain` versions — rollback and
-    * audit-read, the lakehouse retention contract in miniature. */
-  val Retain = 2
+    * [[readAt]] can open the previous `retain` versions — rollback and
+    * audit-read, the lakehouse retention contract in miniature. The
+    * default applies to tables that never configured their own; set a
+    * PER-TABLE policy with [[setRetention]] (a committed operation, so
+    * the change itself is versioned and crash-safe). */
+  val DefaultRetain = 2
+
+  /** Change a table's retention policy: commits the current entries
+    * unchanged with the new `retain` — version bump, archive, and prune
+    * under the NEW policy, exactly like any other commit. */
+  def setRetention(root: File, retain: Int): Unit = {
+    require(retain >= 0, s"retain must be >= 0, got $retain")
+    val m = read(root)
+    commit(root, State(m.version + 1, m.entries, retain))
+  }
 
   def read(root: File): State = {
     val f = new File(root, Name)
@@ -47,6 +62,7 @@ object SnapshotManifest {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", s.version)
+    node.put("retain", s.retain)
     val es = node.putObject("entries")
     s.entries.foreach { case (k, v) => es.put(k, v); () }
     node.toString.getBytes(UTF_8)
@@ -60,7 +76,9 @@ object SnapshotManifest {
       val e = it.next()
       es(e.getKey) = e.getValue.asText()
     }
-    State(node.get("version").asLong(), es.toMap)
+    val retain = // manifests written before the knob existed default
+      Option(node.get("retain")).map(_.asInt()).getOrElse(DefaultRetain)
+    State(node.get("version").asLong(), es.toMap, retain)
   }
 
   /** Publish a snapshot: serialize to a temp name, one atomic move onto
@@ -87,7 +105,7 @@ object SnapshotManifest {
     Option(hist.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("v\\d+\\.json") &&
         f.getName.stripPrefix("v").stripSuffix(".json").toLong
-          < s.version - Retain)
+          < s.version - s.retain)
       .foreach(_.delete())
     ()
   }
@@ -99,6 +117,55 @@ object SnapshotManifest {
     // an archive is written BEFORE its pointer swap; only trust archives
     // at or below the committed current version
     if (f.exists() && version <= read(root).version) Some(parse(f)) else None
+  }
+
+  /** One row of [[vacuumReport]]: a snapshot dir (or an unreferenced
+    * child of a partially referenced dir), its classification, and its
+    * modification age. */
+  final case class VacuumEntry(path: String, kind: String, ageMs: Long)
+
+  /** DRY-RUN vacuum: classify every snapshot dir under `root` as
+    * `current` (named by the committed manifest), `retained` (named
+    * only by a time-travel archive inside the retention window), or
+    * `deletable` (what [[gc]] WOULD remove — crash orphans and
+    * aged-out snapshots), with each path's modification age. Mirrors
+    * gc's reference walk exactly — including per-child classification
+    * of partially referenced dirs — and deletes nothing: the
+    * observability surface an operator consults before trusting
+    * collection, and the first thing a real lakehouse deployment asks
+    * its table format for. */
+  def vacuumReport(root: File, snapshotPrefix: String,
+      nowMs: Long = System.currentTimeMillis()): Seq[VacuumEntry] = {
+    val s = read(root)
+    val hist = new File(root, HistoryDir)
+    val retained = Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .flatMap(f => scala.util.Try(parse(f)).toOption)
+      .flatMap(_.entries.values).toSet
+    val current = s.entries.values.toSet
+    val referenced = current ++ retained
+    def kindOf(rel: String): String =
+      if (current.contains(rel)) "current"
+      else if (retained.contains(rel)) "retained"
+      else "deletable"
+    val out = Seq.newBuilder[VacuumEntry]
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith(snapshotPrefix))
+      .sortBy(_.getName)
+      .foreach { d =>
+        val name = d.getName
+        if (referenced.contains(name))
+          out += VacuumEntry(name, kindOf(name), nowMs - d.lastModified())
+        else if (referenced.exists(_.startsWith(name + "/")))
+          Option(d.listFiles()).getOrElse(Array.empty)
+            .filter(_.isDirectory).sortBy(_.getName)
+            .foreach { c =>
+              val rel = s"$name/${c.getName}"
+              out += VacuumEntry(rel, kindOf(rel), nowMs - c.lastModified())
+            }
+        else out += VacuumEntry(name, "deletable", nowMs - d.lastModified())
+      }
+    out.result()
   }
 
   /** Remove snapshot dirs (top-level children of `root` whose name

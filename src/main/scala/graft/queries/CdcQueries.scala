@@ -241,6 +241,38 @@ object CdcQueries {
       CdcGen.decodeTruncate(st).orderBy("tbl", "id")
     }),
 
+    // Vacuum DRY-RUN report over the manifest-committed replica
+    // (round-7 item 8): a deterministic little replica history — retain
+    // policy set to 1 (a committed, versioned operation), three upsert
+    // batches, one crashed orphan epoch — then the report classifies
+    // every snapshot dir as current / retained / deletable, exactly
+    // mirroring what gc WOULD collect, deleting nothing. The
+    // observability surface an operator consults before trusting
+    // collection.
+    "sink_vacuum_report" -> ((s, _) => {
+      import graft.operators.{ReplicaSink, SnapshotManifest}
+      import s.implicits._
+      val root = new java.io.File(s"/tmp/graft_vacuum/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      SnapshotManifest.setRetention(root, 1)
+      def batch(rows: (String, Seq[String], Boolean)*) = rows
+        .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+        .toDF("uri", "key", "image", "deleted")
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("a", Seq("a", "1"), false)), 0)
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("b", Seq("b", "1"), false)), 1)
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("a", Seq("a", "2"), false)), 2)
+      // a crashed epoch write: the dir exists, no manifest ever named it
+      new java.io.File(root, "epoch_9/bucket=0").mkdirs()
+      SnapshotManifest.vacuumReport(root, "epoch_")
+        .map(e => (e.path, e.kind))
+        .toDF("path", "kind")
+        .orderBy("path")
+    }),
+
     // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
     // follower moves the table's whole state to the new name — rows
     // inserted pre-rename are updated/deleted/widened post-rename under
@@ -421,6 +453,18 @@ object CdcQueries {
            ('crate', CAST(4 AS BIGINT), 'delta', CAST(7 AS BIGINT)))
          AS t(tbl, id, txt, qty)
          ORDER BY tbl, id""",
+    // epoch_0's bucket survives only through the retained v3 archive
+    // (retain=1 keeps exactly one version behind the committed v4);
+    // epoch_1/epoch_2 hold the current buckets; the orphan is what a
+    // gc pass would collect
+    "sink_vacuum_report" ->
+      """SELECT * FROM (VALUES
+           ('epoch_0/bucket=0', 'retained'),
+           ('epoch_1/bucket=8', 'current'),
+           ('epoch_2/bucket=0', 'current'),
+           ('epoch_9', 'deletable'))
+         AS t(path, kind)
+         ORDER BY path""",
     "cdc_apply_rename" ->
       """SELECT * FROM (VALUES
            ('inv', 'audit', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),

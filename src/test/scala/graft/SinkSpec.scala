@@ -192,6 +192,40 @@ class SinkSpec extends AnyFunSuite {
       .agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
   }
 
+  test("retention knob: retain=1 ages versions out; retain=3 keeps them; vacuum ages populated") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotManifest
+    def batch(rows: (String, Seq[String], Boolean)*) = rows
+      .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+      .toDF("uri", "key", "image", "deleted")
+    def drive(retain: Int): String = {
+      val dir = Files.createTempDirectory(s"graft_retain$retain").toString
+      SnapshotManifest.setRetention(new java.io.File(dir), retain) // -> v1
+      ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "1"), false)), 0) // v2
+      ReplicaSink.upsertBatch(dir)(batch(("b", Seq("b", "1"), false)), 1) // v3
+      ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "2"), false)), 2) // v4
+      dir
+    }
+    // the configured policy survives every commit
+    val d1 = drive(1)
+    assert(SnapshotManifest.read(new java.io.File(d1)).retain === 1)
+    // retain=1: only v3 stays readable behind the committed v4
+    assert(ReplicaSink.readReplicaImagesAt(spark, d1, 2L).isEmpty)
+    assert(ReplicaSink.readReplicaImagesAt(spark, d1, 3L).isDefined)
+    val d3 = drive(3)
+    // retain=3: v2 still readable with identical content
+    val v2 = ReplicaSink.readReplicaImagesAt(spark, d3, 2L)
+    assert(v2.isDefined)
+    assert(v2.get.as[Seq[String]].collect().toSet === Set(Seq("a", "1")))
+    // vacuum dry-run: ages populated, nothing deleted by the report
+    val rep = SnapshotManifest.vacuumReport(new java.io.File(d1), "epoch_")
+    assert(rep.nonEmpty && rep.forall(_.ageMs >= 0L))
+    val before = ReplicaSink.readReplicaImages(spark, d1)
+      .as[Seq[String]].collect().toSet
+    assert(before === Set(Seq("a", "2"), Seq("b", "1")))
+  }
+
   test("pure-delete batch: replay detected via lastBatch watermark, no version burned") {
     import spark.implicits._
     import java.nio.file.Files
