@@ -55,6 +55,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.FoldHash(exprs.head)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_bigram_buckets"),
+      new ExpressionInfo(classOf[graft.expressions.BigramBuckets].getCanonicalName,
+        "word_bigram_buckets"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            "word_bigram_buckets requires exactly 2 arguments " +
+              s"(text, buckets); got ${exprs.length}")
+        graft.expressions.BigramBuckets(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getCanonicalName,
         "nfc_normalize"),

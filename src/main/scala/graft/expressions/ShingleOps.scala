@@ -46,6 +46,10 @@ object ShingleOps {
       reg.createOrReplaceTempFunction(
         "sliding_windows",
         exprs => SlidingWindows(exprs(0), exprs(1), exprs(2)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("word_bigram_buckets")))
+      reg.createOrReplaceTempFunction(
+        "word_bigram_buckets",
+        exprs => BigramBuckets(exprs(0), exprs(1)), "built-in")
   }
 
   def wordShingles(text: UTF8String): ArrayData = {
@@ -66,6 +70,46 @@ object ShingleOps {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Hashed-bigram feature buckets of a text: for each adjacent token
+    * pair, the [[foldHash]] of "tokA tokB" taken mod `buckets` — WITHOUT
+    * materializing the concatenated bigram strings. Arithmetic is
+    * exactly foldHash over (chars of A, ' ', chars of B), so the result
+    * is bit-identical to `fold_hash(concat(a, ' ', b)) % buckets` (and
+    * to the DuckDB oracle that spells the same fold); the win is purely
+    * physical — no per-bigram string allocation, no per-element HOF
+    * lambda dispatch (measured 3.5 s → the array-scan floor on the DSIR
+    * feature pass at sf0.1). Multiplicity kept (NOT distinct): DSIR
+    * counts feature occurrences. */
+  def bigramBuckets(text: UTF8String, buckets: Long): ArrayData = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < 2 || buckets <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var i = 0
+    while (i + 1 < n) {
+      var acc = 0L
+      val a = toks(i)
+      val b = toks(i + 1)
+      var j = 0
+      while (j < a.length) {
+        val cp = a.codePointAt(j)
+        acc = (acc * 131 + cp) % P
+        j += Character.charCount(cp)
+      }
+      acc = (acc * 131 + 32) % P // the joining space
+      j = 0
+      while (j < b.length) {
+        val cp = b.codePointAt(j)
+        acc = (acc * 131 + cp) % P
+        j += Character.charCount(cp)
+      }
+      out(i) = acc % buckets
+      i += 1
+    }
     new GenericArrayData(out)
   }
 
@@ -105,6 +149,33 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
+}
+
+/** Hashed-bigram feature buckets — codegen'd twin of building adjacent-
+  * token bigram strings and bucketing their [[FoldHash]], with the
+  * intermediate strings never materialized
+  * (see [[ShingleOps.bigramBuckets]] for the pinned semantics). */
+case class BigramBuckets(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "word_bigram_buckets expects (string, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_bigram_buckets"
+
+  override def nullSafeEval(t: Any, b: Any): Any =
+    ShingleOps.bigramBuckets(t.asInstanceOf[UTF8String], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, b) => s"graft.expressions.ShingleOps.bigramBuckets($t, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BigramBuckets =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Arithmetic char fold (acc*131 + codepoint) mod P — the codegen'd twin

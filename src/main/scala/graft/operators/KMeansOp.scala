@@ -9,12 +9,12 @@ import org.apache.spark.sql.functions._
   * routing consumes (ann_ivf_topk uses label-derived centroids; a real
   * index trains them).
   *
-  * Spark-first shape, fully declarative — a fixed number of Lloyd
-  * iterations UNROLLED into one logical plan, no driver-side loop over
-  * data:
-  *  - assignment: corpus ⨯ broadcast(k centroids) → strict-left-fold
-  *    squared distance → per-vector argmin via a k-row window. The only
-  *    corpus-wide work per iteration; embeds in whole-stage codegen.
+  * Spark-first shape — the driver touches only k·d centroid SCALARS per
+  * iteration, never data:
+  *  - assignment: the k centroids are INLINED as literals, so
+  *    nearest-centroid is a map-only strict-left-fold distance + an
+  *    `array_min` argmin per row — no join, no aggregate, no exchange;
+  *    embeds in whole-stage codegen ([[assignLiteral]]).
   *  - update: posexplode to (cluster, dim) → per-dim mean. Sums run in
   *    DECIMAL(38,18): decimal addition is exact, hence order-independent
   *    — the mean is bit-identical no matter how partitions combine
@@ -24,10 +24,13 @@ import org.apache.spark.sql.functions._
   *    would use k-means‖ sampling — the plan shape downstream is
   *    identical).
   *
-  * At 100 TB: per iteration one scan + one (cluster, dim)-keyed
-  * aggregate of k·d cells — both partial-aggregated map-side; centroids
-  * (k·d doubles) stay broadcast-sized by definition. Distance math is
+  * At 100 TB: per iteration one map-only scan + one (cluster, dim)-keyed
+  * aggregate of k·d cells (partial-aggregated map-side) — the corpus is
+  * never shuffled; centroids (k·d doubles) ride the plan as literals,
+  * the same smallness bound as a broadcast. Distance math is
   * zip_with/aggregate folds (engine-portable IEEE, no BLAS dependency).
+  * [[assign]] keeps the broadcast-frame form for callers whose
+  * centroids live in a table (e.g. AnnIndex's frozen codebooks).
   */
 object KMeansOp {
 
@@ -85,16 +88,51 @@ object KMeansOp {
       .select(col("cluster_id"),
         transform(col("sorted"), p => p.getField("cx")).as("centroid"))
 
-  /** `iters` unrolled Lloyd iterations (assign → update → assign → …);
-    * returns the FINAL assignment (id, embedding, cluster_id) as one
-    * declarative plan. Callers derive sizes / final centroids from it. */
+  /** Map-only assignment against LITERAL centroids: the k centroid
+    * arrays are inlined into the expression, so nearest-centroid is a
+    * pure per-row map — NO crossJoin, NO aggregate, NO exchange. This
+    * is the 100 TB shape for the training loop's hot pass: the previous
+    * broadcast-join + argmin-aggregate form shuffled one partial row
+    * per vector per iteration; this shuffles nothing (the only
+    * remaining exchange in a Lloyd iteration is [[update]]'s k·d-cell
+    * aggregate, map-combined). Selection arithmetic is identical:
+    * `array_min` over struct(d, cluster_id) is the same lexicographic
+    * (d, cluster_id) argmin the aggregate form computed, on the same
+    * strict-fold distances. */
+  def assignLiteral(emb: DataFrame, idCol: String, embCol: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val structs = cents.map { case (cid, c) =>
+      struct(sqDist(col(embCol), typedLit(c)).as("d"),
+        lit(cid).as("cluster_id"))
+    }
+    emb.select(col(idCol), col(embCol),
+      array_min(array(structs: _*)).getField("cluster_id").as("cluster_id"))
+  }
+
+  /** Collect a (cluster_id, centroid) frame to the literal form —
+    * k·d scalars, the same smallness bound as the broadcast it
+    * replaces. Doubles round-trip the driver exactly, so literal-based
+    * assignment is bit-identical to joining the frame. */
+  private def collectCents(cents: DataFrame): Seq[(Int, Seq[Double])] =
+    cents.collect().toSeq.map { r =>
+      (r.getAs[Number]("cluster_id").intValue(),
+        r.getSeq[Double](r.fieldIndex("centroid")))
+    }.sortBy(_._1)
+
+  /** `iters` Lloyd iterations (assign → update → assign → …); returns
+    * the FINAL assignment (id, embedding, cluster_id). Each iteration's
+    * centroids are collected driver-side (k·d scalars — the same
+    * smallness argument as the D7 registry broadcast) and inlined, so
+    * every assignment pass is map-only over the corpus and the per-
+    * iteration exchange is just [[update]]'s k·d-cell aggregate. The
+    * corpus itself never moves. */
   def fit(emb: DataFrame, idCol: String, embCol: String, k: Int,
       iters: Int): DataFrame = {
-    var cent = initCentroids(emb, idCol, embCol, k)
-    var assigned = assign(emb, cent, idCol, embCol)
+    var cents = collectCents(initCentroids(emb, idCol, embCol, k))
+    var assigned = assignLiteral(emb, idCol, embCol, cents)
     for (_ <- 2 to iters) {
-      cent = update(assigned, embCol)
-      assigned = assign(emb, cent, idCol, embCol)
+      cents = collectCents(update(assigned, embCol))
+      assigned = assignLiteral(emb, idCol, embCol, cents)
     }
     assigned
   }

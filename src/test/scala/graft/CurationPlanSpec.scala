@@ -56,16 +56,21 @@ class CurationPlanSpec extends AnyFunSuite {
         s"against it defeats the design:\n$plan")
   }
 
-  test("kmeans assign: centroids broadcast; no shuffle of the corpus per iteration") {
+  test("kmeans assign: literal centroids, map-only — no join, no exchange of the corpus") {
     import org.apache.spark.sql.functions._
     val emb = spark.read.parquet(s"$Sf/embeddings.parquet")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
     val plan = finalPlan(KMeansOp.fit(emb, "vec_id", "embedding", 4, 2))
-    // k-row centroid side arrives via broadcast nested-loop (cross join
-    // against broadcast) — never a shuffled join of the corpus
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"centroids must broadcast into the assign pass:\n$plan")
+    // centroids are inlined literals: the final assignment pass is a pure
+    // per-row Project over the scan — the corpus is never joined,
+    // aggregated, or shuffled to pick nearest centroids (the earlier
+    // broadcast-join + argmin-aggregate form exchanged one partial row
+    // per vector per iteration)
+    assert(!plan.contains("Join"), s"assign must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assign must not shuffle:\n$plan")
+    assert(plan.contains("array_min"),
+      s"literal-centroid argmin missing from the assign plan:\n$plan")
   }
 
   test("trigramProbs: ONE corpus explode — the c2 marginal is a window sum") {

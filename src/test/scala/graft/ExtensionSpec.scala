@@ -52,6 +52,25 @@ class ExtensionSpec extends AnyFunSuite {
     cmp.collect().foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("BigramBuckets kernel ≡ the HOF concat/fold_hash formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.expressions.ShingleOps.ensureRegistered(spark)
+    val texts = Seq("a b c", "one", "", "x  y", "héllo wörld über",
+      "a b a b a", "tab\tword more").toDF("text")
+    val hof = texts.select(expr(
+      """transform(zip_with(
+           slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 1, 0)),
+           slice(split(text, ' '), 2, greatest(size(split(text, ' ')) - 1, 0)),
+           (a, b) -> concat(a, ' ', b)),
+         bg -> fold_hash(bg) % 1024L)""").as("bk"))
+      .as[Seq[Long]].collect().toSeq
+    val kernel = texts.select(
+        call_function("word_bigram_buckets", col("text"), lit(1024L)).as("bk"))
+      .as[Seq[Long]].collect().toSeq
+    assert(kernel === hof)
+  }
+
   test("HeaderDecoder parses canonical hand-written image headers") {
     import graft.operators.Multimodal.HeaderDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
