@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-at-a-time kernels for the dedup shingle pipeline, shared by the
@@ -154,24 +154,29 @@ case class WordShingles(child: Expression) extends UnaryExpression {
 /** Hashed-bigram feature buckets — codegen'd twin of building adjacent-
   * token bigram strings and bucketing their [[FoldHash]], with the
   * intermediate strings never materialized
-  * (see [[ShingleOps.bigramBuckets]] for the pinned semantics). */
+  * (see [[ShingleOps.bigramBuckets]] for the pinned semantics).
+  * Accepts an int or bigint bucket count, so the SQL form
+  * `word_bigram_buckets(text, 1024)` works on a plain integer literal
+  * like any builtin. */
 case class BigramBuckets(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == LongType)
+    if (left.dataType == StringType &&
+        (right.dataType == LongType || right.dataType == IntegerType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      "word_bigram_buckets expects (string, bigint), got " +
+      "word_bigram_buckets expects (string, int/bigint), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "word_bigram_buckets"
 
   override def nullSafeEval(t: Any, b: Any): Any =
-    ShingleOps.bigramBuckets(t.asInstanceOf[UTF8String], b.asInstanceOf[Long])
+    ShingleOps.bigramBuckets(t.asInstanceOf[UTF8String],
+      b.asInstanceOf[Number].longValue())
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, b) => s"graft.expressions.ShingleOps.bigramBuckets($t, $b)")
+      (t, b) => s"graft.expressions.ShingleOps.bigramBuckets($t, (long) $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BigramBuckets =

@@ -87,6 +87,8 @@ object AnnIndex {
       val m0 = SnapshotManifest.read(root)
       SnapshotManifest.commit(root,
         SnapshotManifest.State(m0.version + 1, entries, m0.retain))
+      coarseAssigned.unpersist(blocking = false)
+      ()
     } finally {
       cached.unpersist(blocking = false)
       ()

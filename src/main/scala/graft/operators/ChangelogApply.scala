@@ -189,7 +189,12 @@ object ChangelogApply {
           Seq(RoutedEv(inst, ids.finalNameOf(inst, op.table),
             e.copy(tbl = op.table)))
       }.distinctBy(r => (r.inst, r.ev.tbl))
-    } else if (ids.fallbackDead(e.db, e.tbl, e.sequence)) Nil
+    } else if (ids.fallbackDead(e.db, e.tbl, e.sequence) ||
+        // a row event on an explicitly UNBOUND name (renamed away /
+        // db-dropped, no re-create yet): the table does not exist, so
+        // the row is dropped — matching the keyed path, whose timeline
+        // kills the same event through its wiped final version
+        ids.unboundAt(e.db, e.tbl, e.sequence)) Nil
     else {
       val inst = ids.instanceAt(e.db, e.tbl, e.sequence)
       Seq(RoutedEv(inst, ids.finalNameOf(inst, e.tbl), e))

@@ -150,7 +150,8 @@ object ReplicaSink {
   }
 
   /** Time travel: the replica as of an earlier committed version, while
-    * it remains inside [[SnapshotManifest.Retain]] — the audit/rollback
+    * it remains inside the table's retention window (the manifest's
+    * per-table `retain`; [[SnapshotManifest.setRetention]]) — the audit/rollback
     * read every incremental replica eventually needs.
     *
     * The returned plan is LAZY over the retained epoch dirs: consume it

@@ -86,7 +86,7 @@ object SnapshotManifest {
     * written — this call is the commit point. An archive copy lands in
     * `_history/` first (before the pointer swap, so a crash in between
     * leaves the archive as a harmless orphan) and archives older than
-    * [[Retain]] versions are pruned. */
+    * the state's `retain` versions are pruned. */
   def commit(root: File, s: State): Unit = {
     root.mkdirs()
     val bytes = serialize(s)

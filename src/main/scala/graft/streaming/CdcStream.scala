@@ -438,13 +438,18 @@ object CdcStream {
         val tl = timelines.tableFor(db, tbl, seq)
         val outName =
           ids.finalNameOf(ids.instanceAt(db, tbl, seq), tbl)
-        def canon(cells: Seq[String]): Option[Seq[String]] = tl match {
-          case None =>
-            // no column history → fixed schema, identity — unless a
-            // DROP DATABASE kills this fallback table's rows
-            if (ids.fallbackDead(db, tbl, seq)) None else Option(cells)
-          case Some(t) => t.canonicalize(seq, cells, nullCell)
-        }
+        def canon(cells: Seq[String]): Option[Seq[String]] =
+          // a row event on an explicitly UNBOUND name (renamed away /
+          // db-dropped, no re-create yet) is dead in every path: the
+          // walk-back instance must not absorb it
+          if (ids.unboundAt(db, tbl, seq)) None
+          else tl match {
+            case None =>
+              // no column history → fixed schema, identity — unless a
+              // DROP DATABASE kills this fallback table's rows
+              if (ids.fallbackDead(db, tbl, seq)) None else Option(cells)
+            case Some(t) => t.canonicalize(seq, cells, nullCell)
+          }
         Option(rows).getOrElse(Nil).flatMap { r =>
           op match {
             case Cdc.OpAdd =>

@@ -73,6 +73,71 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(spark.table("pos_det").as[Seq[String]].collect().toSet === out)
   }
 
+  test("rename onto a defunct pre-log name: the dropped name's past never touches the moved state") {
+    import spark.implicits._
+    // seq3's DROP TABLE removes a PRE-LOG table `b` (making the rename
+    // legal); it must hit b's own (fallback) identity — anchoring the
+    // renamed-in instance over b's past would wipe a's rows
+    val events = Seq(
+      CdcEvent(1L, "flv://m/g", "f", 1L, Cdc.OpQuery,
+        "CREATE TABLE a (k INT, v INT)", null, null),
+      CdcEvent(2L, "flv://m/g/a", "f", 2L, Cdc.OpAdd, null, null,
+        Seq(CdcRowImages(null, Seq("1", "x")))),
+      CdcEvent(3L, "flv://m/g", "f", 3L, Cdc.OpQuery,
+        "DROP TABLE b", null, null),
+      CdcEvent(4L, "flv://m/g", "f", 4L, Cdc.OpQuery,
+        "RENAME TABLE a TO b", null, null)).toDS().toDF()
+    val batch = ChangelogApply.applyWithSchema(events, nullCell = null)
+      .select($"tbl", $"image").as[(String, Seq[String])].collect().toSet
+    assert(batch === Set(("b", Seq("1", "x"))))
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[CdcEvent]
+    val q = graft.streaming.CdcStream
+      .applySchemaStreamKeyed(input.toDF(), events, nullCell = null)
+      .writeStream.format("memory").queryName("rename_defunct")
+      .outputMode("append").start()
+    input.addData(events.as[CdcEvent].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("rename_defunct").select($"tbl", $"image")
+      .as[(String, Seq[String])].collect().toSet === batch)
+  }
+
+  test("row events after DROP DATABASE with no re-create are dead in every path") {
+    import spark.implicits._
+    val events = Seq(
+      CdcEvent(1L, "flv://m/g", "f", 1L, Cdc.OpQuery,
+        "CREATE TABLE t (k INT, v INT)", null, null),
+      CdcEvent(2L, "flv://m/g/t", "f", 2L, Cdc.OpAdd, null, null,
+        Seq(CdcRowImages(null, Seq("1", "x")))),
+      CdcEvent(3L, "flv://m/g", "f", 3L, Cdc.OpQuery,
+        "DROP DATABASE g", null, null),
+      // degenerate input — the table does not exist — but all three
+      // apply paths must agree it is dead, not emit it with null columns
+      CdcEvent(4L, "flv://m/g/t", "f", 4L, Cdc.OpAdd, null, null,
+        Seq(CdcRowImages(null, Seq("2", "y"))))).toDS().toDF()
+    assert(ChangelogApply.applyWithSchema(events, nullCell = null)
+      .count() === 0L)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[CdcEvent]
+    val q = graft.streaming.CdcStream
+      .applySchemaStreamKeyed(input.toDF(), events, nullCell = null)
+      .writeStream.format("memory").queryName("dropdb_dead")
+      .outputMode("append").start()
+    input.addData(events.as[CdcEvent].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dropdb_dead").count() === 0L)
+    val input2 = MemoryStream[CdcEvent]
+    val q2 = graft.streaming.CdcStream
+      .applySchemaStream(input2.toDF(), events, nullCell = null)
+      .writeStream.format("memory").queryName("dropdb_dead_serial")
+      .outputMode("append").start()
+    input2.addData(events.as[CdcEvent].collect().toSeq: _*)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("dropdb_dead_serial").count() === 0L)
+  }
+
   test("latest-image: planted hot key folds via partial aggregation, not a one-task sort") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
