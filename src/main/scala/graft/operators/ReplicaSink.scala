@@ -140,6 +140,64 @@ object ReplicaSink {
     }
   }
 
+  /** One row of [[compact]]'s report: a bucket, the data dir its
+    * manifest entry named before, and the dir it names after. */
+  final case class CompactEntry(bucket: Int, before: String, after: String)
+
+  /** Compact the bucketed replica. Incremental upserts leave the current
+    * snapshot's buckets scattered across the epoch dirs that last merged
+    * them — every one of those epochs stays pinned (un-gc-able) while
+    * any current bucket lives inside it, and a full-replica read lists
+    * O(epochs) dirs. Compaction rewrites every current bucket into ONE
+    * fresh immutable `epoch_compact<version>` dir (one file per bucket —
+    * at 100 TB, one TASK per bucket writing its merged file, a single
+    * shuffle-free-per-bucket job) and publishes it with the same
+    * [[SnapshotManifest]] pointer swap as any upsert: rows are byte-for-
+    * byte the snapshot's rows, so the commit changes LAYOUT, never
+    * content. Non-bucket entries — the `lastBatch` replay watermark —
+    * carry through unchanged, so a stream resuming after a compaction
+    * still detects replays. Old epochs age out of the retention window
+    * like any superseded snapshot: time travel to pre-compaction
+    * versions keeps working until retention prunes them, and a crash
+    * mid-rewrite leaves an orphan `epoch_compact*` dir the next
+    * commit's gc collects (the `epoch_` name prefix keeps one reference
+    * walk covering both upsert and compaction output). Single-writer
+    * like the upsert path: run it from the maintenance cadence of the
+    * stream that owns the table, not concurrently with it. */
+  def compact(spark: SparkSession, dir: String): Seq[CompactEntry] = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val buckets = m.entries.collect {
+      case (k, rel) if k.startsWith("bucket=") =>
+        (k.stripPrefix("bucket=").toInt, rel)
+    }.toSeq.sortBy(_._1)
+    if (buckets.isEmpty) return Seq.empty
+    val version = m.version + 1
+    val outName = s"epoch_compact$version"
+    val outDir = new java.io.File(root, outName)
+    spark.read
+      .schema("uri STRING, key STRING, image ARRAY<STRING>")
+      .parquet(buckets.map { case (_, rel) =>
+        new java.io.File(root, rel).toString }: _*)
+      .withColumn("bucket",
+        pmod(hash(col("uri"), col("key")), lit(ReplicaBuckets)))
+      .repartition(buckets.length, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    // every named bucket holds rows (upserts drop emptied buckets from
+    // the entries), so each re-materializes; the existence filter is the
+    // same belt-and-braces as the upsert path
+    val entries = m.entries.map {
+      case (k, rel) if k.startsWith("bucket=") &&
+          new java.io.File(outDir, k).exists() => k -> s"$outName/$k"
+      case other => other
+    }
+    val next = SnapshotManifest.State(version, entries, m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "epoch_")
+    buckets.map { case (b, rel) =>
+      CompactEntry(b, rel, s"$outName/bucket=$b") }
+  }
+
   /** Read the streaming replica back as memory-sink-shaped images —
     * strictly through the manifest: only data dirs the current snapshot
     * names are ever listed, so a crash between an epoch write and its

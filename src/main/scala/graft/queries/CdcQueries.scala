@@ -273,6 +273,44 @@ object CdcQueries {
         .orderBy("path")
     }),
 
+    // Compaction over the manifest-committed replica: three upsert
+    // batches leave the current snapshot's two buckets pinned in two
+    // different epoch dirs; compact() rewrites both into one immutable
+    // epoch_compact dir and commits the layout change via the same
+    // pointer swap. The report pins WHERE each bucket moved from/to and
+    // WHAT it holds after the move — layout changed, content didn't.
+    "sink_compact_report" -> ((s, _) => {
+      import graft.operators.{ReplicaSink, SnapshotManifest}
+      import s.implicits._
+      val root = new java.io.File(s"/tmp/graft_compact/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      def batch(rows: (String, Seq[String], Boolean)*) = rows
+        .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+        .toDF("uri", "key", "image", "deleted")
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("a", Seq("a", "1"), false)), 0)
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("b", Seq("b", "1"), false)), 1)
+      ReplicaSink.upsertBatch(root.toString)(
+        batch(("a", Seq("a", "2"), false)), 2)
+      val report = ReplicaSink.compact(s, root.toString)
+        .map(e => (e.bucket, e.before, e.after))
+        .toDF("bucket", "before", "after")
+      val m = SnapshotManifest.read(root)
+      val content = m.entries.toSeq.sortBy(_._1).collect {
+        case (k, rel) if k.startsWith("bucket=") =>
+          s.read.schema("uri STRING, key STRING, image ARRAY<STRING>")
+            .parquet(new java.io.File(root, rel).toString)
+            .withColumn("bucket", lit(k.stripPrefix("bucket=").toInt))
+      }.reduce(_ unionByName _)
+        .groupBy("bucket")
+        .agg(array_join(sort_array(collect_list(
+          concat_ws("|", col("key"), array_join(col("image"), ",")))), ";")
+          .as("rows"))
+      report.join(content, Seq("bucket")).orderBy("bucket")
+    }),
+
     // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
     // follower moves the table's whole state to the new name — rows
     // inserted pre-rename are updated/deleted/widened post-rename under
@@ -465,6 +503,15 @@ object CdcQueries {
            ('epoch_9', 'deletable'))
          AS t(path, kind)
          ORDER BY path""",
+    // key "a" hashes to bucket 0, "b" to bucket 8 (same keys as the
+    // vacuum fixture); commits v1..v3 put them in epoch_2 / epoch_1,
+    // compaction commits v4 and gathers both into epoch_compact4
+    "sink_compact_report" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS INTEGER), 'epoch_2/bucket=0', 'epoch_compact4/bucket=0', 'a|a,2'),
+           (CAST(8 AS INTEGER), 'epoch_1/bucket=8', 'epoch_compact4/bucket=8', 'b|b,1'))
+         AS t(bucket, before, after, rows)
+         ORDER BY bucket""",
     "cdc_apply_rename" ->
       """SELECT * FROM (VALUES
            ('inv', 'audit', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),

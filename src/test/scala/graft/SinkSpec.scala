@@ -171,6 +171,56 @@ class SinkSpec extends AnyFunSuite {
     assert(v3.get.as[Seq[String]].collect().toSet === Set(Seq("a", "2")))
   }
 
+  test("compaction: layout consolidates, content/watermark/time-travel survive, upserts continue") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotManifest
+    val dir = Files.createTempDirectory("graft_compact").toString
+    def batch(rows: (String, Seq[String], Boolean)*) = rows
+      .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "1"), false)), 0) // v1
+    ReplicaSink.upsertBatch(dir)(batch(("b", Seq("b", "1"), false)), 1) // v2
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "2"), false),
+      ("c", Seq("c", "1"), false), ("b", Seq("b", "1"), true)), 2)      // v3
+    val before = ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet
+    val report = ReplicaSink.compact(spark, dir)                        // v4
+    // every current bucket now lives inside the single compaction dir
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    val bucketEntries = m.entries.filter(_._1.startsWith("bucket="))
+    assert(bucketEntries.nonEmpty &&
+      bucketEntries.values.forall(_.startsWith("epoch_compact4/")))
+    assert(report.map(_.after).toSet === bucketEntries.map {
+      case (k, rel) => rel }.toSet)
+    // content is byte-for-byte the pre-compaction snapshot
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === before)
+    // the replay watermark carried through: replaying batch 2 after the
+    // compaction must still be a detected no-op (no version burned)
+    ReplicaSink.upsertBatch(dir)(batch(("a", Seq("a", "9"), false)), 2)
+    assert(SnapshotManifest.read(new java.io.File(dir)).version === 4L)
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === before)
+    // time travel to the pre-compaction version still reads (retain=2)
+    val v3 = ReplicaSink.readReplicaImagesAt(spark, dir, 3L)
+    assert(v3.isDefined, "pre-compaction version must stay readable")
+    assert(v3.get.as[Seq[String]].collect().toSet === before)
+    // the stream keeps upserting on top of the compacted layout
+    ReplicaSink.upsertBatch(dir)(batch(("d", Seq("d", "1"), false),
+      ("a", Seq("a", "3"), false)), 3)                                  // v5
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet ===
+      Set(Seq("a", "3"), Seq("c", "1"), Seq("d", "1")))
+    // once the pre-compaction versions age out of retention, gc reclaims
+    // the scattered epochs the compaction superseded
+    ReplicaSink.upsertBatch(dir)(batch(("d", Seq("d", "2"), false)), 4) // v6
+    assert(ReplicaSink.readReplicaImagesAt(spark, dir, 3L).isEmpty)
+    assert(!new java.io.File(s"$dir/epoch_1").exists() &&
+      !new java.io.File(s"$dir/epoch_2").exists(),
+      "aged-out pre-compaction epochs must be collected")
+  }
+
   test("incremental aggregate update with a batchId is idempotent under replay") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
