@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained BM25 inverted index — the lexical twin of
+  * [[AnnIndex]]'s incremental IVFADC maintenance, completing the pair:
+  * both retrieval tiers (semantic and lexical) serve from manifest-
+  * committed, stream-maintained index artifacts instead of re-deriving
+  * the corpus per query.
+  *
+  * Each micro-batch of documents becomes one immutable `epoch_<batchId>`
+  * SEGMENT — the classic search-engine segment model (new docs land in
+  * fresh segments; existing segments are never rewritten) expressed on
+  * the [[SnapshotManifest]] protocol:
+  *
+  *   - `postings/` — (doc_id, term, tf, dl), hash-partitioned into
+  *     [[Buckets]] term buckets. tf and dl are DOC-LOCAL, so a segment
+  *     computes them from its own batch alone; dl rides denormalized on
+  *     every posting row (one long) so scoring never joins a doc-length
+  *     side table.
+  *   - `df/` — per-segment (term, df) partials, same term buckets.
+  *   - `stats/` — one row: (n_docs, sum_dl).
+  *
+  * Corpus-GLOBAL stats (df, n_docs, avgdl) are additive across segments
+  * because every doc lives in exactly one segment: retrieval folds the
+  * per-segment partials instead of re-scanning the corpus. The fold it
+  * reads is bounded by the probe: df partials only for the query's
+  * terms' buckets, stats one row per segment.
+  *
+  * At 100 TB: appending a batch costs one tokenize+tf aggregation over
+  * THAT BATCH (map-side combined, partitioned write — never touches
+  * earlier segments); a query with T terms reads only the ≤ T term
+  * buckets of each segment's postings (listing-level pruning — the
+  * inverted-index probe), and scoring arithmetic is identical to the
+  * batch [[TextAnalysis.bm25Retrieve]], so the incrementally-maintained
+  * index answers bit-for-bit what a full corpus rebuild would.
+  * Commit/replay contract is the shared one: immutable segment dirs,
+  * atomic pointer swap, `lastBatch` watermark no-ops foreachBatch
+  * replays, crash orphans collected by the next commit's gc.
+  */
+object TextIndex {
+
+  /** Term-hash buckets per segment — thousands at 100 TB; enough here
+    * to pin listing-level pruning in tests. */
+  val Buckets = 8
+
+  private def bucketOf(term: org.apache.spark.sql.Column) =
+    pmod(hash(term), lit(Buckets))
+
+  /** One batch's postings: (doc_id, term, tf, dl, bucket). tf/dl are
+    * doc-local, so this derives from the batch alone. */
+  private def postingsOf(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val terms = batch.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id").withColumn("bucket", bucketOf(col("term")))
+  }
+
+  /** foreachBatch body: index one micro-batch of (doc_id, text) docs as
+    * a fresh immutable segment and publish it with the pointer swap.
+    * Replay of an already-committed batchId is a detected no-op. */
+  def appendBatch(dir: String, idCol: String = "doc_id",
+      textCol: String = "text")(batch: DataFrame, batchId: Long): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val seg = s"epoch_$batchId"
+    val segDir = new java.io.File(root, seg)
+    val p = postingsOf(batch, idCol, textCol).persist()
+    try {
+      // one task per bucket: file count stays O(buckets), not O(tasks)
+      p.repartition(Buckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(segDir, "postings").toString)
+      p.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
+        .repartition(Buckets, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(segDir, "df").toString)
+      p.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(segDir, "stats").toString)
+      val next = SnapshotManifest.State(m.version + 1,
+        m.entries + (s"seg/$batchId" -> seg) +
+          ("lastBatch" -> batchId.toString), m.retain)
+      SnapshotManifest.commit(root, next) // the commit point
+      SnapshotManifest.gc(root, next, "epoch_")
+    } finally {
+      p.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  private def segments(m: SnapshotManifest.State): Seq[String] =
+    m.entries.collect { case (k, rel) if k.startsWith("seg/") => rel }
+      .toSeq.sorted
+
+  /** Top-k documents per query over the maintained index — identical
+    * output to [[TextAnalysis.bm25Retrieve]] over the union of every
+    * appended batch. `queries` is (q_id, term), already tokenized and
+    * distinct. Only the query terms' buckets are listed/read. */
+  def retrieve(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    require(segs.nonEmpty, s"empty text index at $dir")
+    val qdf = queries.persist()
+    // bounded driver-side collect: at most [[Buckets]] ids — the probe's
+    // listing prune, same contract as ReplicaSink's touched-bucket list
+    val probed = qdf.select(bucketOf(col("term")).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    def leafPaths(sub: String): Seq[String] = for {
+      seg <- segs
+      bk <- probed
+      d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
+    } yield d.toString
+    def readLeaves(sub: String, schema: String): DataFrame = {
+      val paths = leafPaths(sub)
+      if (paths.isEmpty) // no probed bucket materialized in any segment
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(schema))
+      else spark.read.schema(schema).parquet(paths: _*)
+    }
+    try {
+      val statsRow = segs
+        .map(seg => spark.read.schema("n_docs LONG, sum_dl LONG")
+          .parquet(new java.io.File(root, s"$seg/stats").toString))
+        .reduce(_ unionByName _)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+        // long-exact fold, then ONE division — bit-identical to the
+        // batch path's avg(dl) (a double sum of longs < 2^53 is exact)
+        .select(col("n_docs"),
+          (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+            .as("avgdl"))
+      val dfreq = readLeaves("df", "term STRING, df LONG")
+        .join(broadcast(qdf.select(col("term")).distinct()), "term")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      val postings =
+        readLeaves("postings", "doc_id LONG, term STRING, tf LONG, dl LONG")
+      val hits = postings
+        .join(broadcast(qdf), "term")
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(statsRow))
+        .withColumn("idf",
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+        .withColumn("score",
+          col("idf") * (col("tf") * lit(k1 + 1)) /
+            (col("tf") + lit(k1) *
+              (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("sdec").desc, col("doc_id"))
+      hits
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= k)
+        .select(col("q_id"), col("rnk"), col("doc_id"),
+          round(col("sdec").cast("double"), 6).as("score"))
+    } finally {
+      qdf.unpersist(blocking = false)
+      ()
+    }
+  }
+}

@@ -320,6 +320,17 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Incremental BM25 index maintenance driven by a REAL stream — the
+    // lexical twin of stream_ann_index: micro-batches of documents each
+    // become an immutable manifest-committed postings segment (term-hash
+    // buckets, per-segment df/stats partials, lastBatch watermark), then
+    // the standard retrieval serves from the maintained index, probing
+    // only the query terms' buckets. Oracle: the batch retrieval SQL
+    // verbatim — incremental ≡ one-shot rebuild, bit-for-bit.
+    "stream_text_index" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamTextIndex(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // positional rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"), "text")
@@ -567,6 +578,40 @@ object ExtensionQueries {
 
   private val StopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
+  /** Shared by `text_retrieval_bm25` and `stream_text_index`: the
+    * incrementally-maintained index must answer bit-for-bit what the
+    * one-shot corpus build answers, so both keys pin the SAME batch
+    * retrieval SQL. */
+  private lazy val bm25RetrievalOracle: String = s"""
+       WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       qterms AS (
+         SELECT DISTINCT doc_id AS q_id,
+           unnest(string_split(text, ' ')[1:3]) AS term
+         FROM documents WHERE doc_id % 100 = 0),
+       hits AS (
+         SELECT q.q_id, s.doc_id,
+           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
+         FROM scored s JOIN qterms q USING (term)
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT q_id, doc_id, sdec,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY sdec DESC, doc_id) AS rnk
+         FROM hits)
+       SELECT q_id, rnk, doc_id, ROUND(CAST(sdec AS DOUBLE), 6) AS score
+       FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
       """SELECT doc_id,
@@ -747,35 +792,10 @@ object ExtensionQueries {
        ORDER BY doc_id, rnk""",
     // retrieval: UNROUNDED per-term scores summed through DECIMAL (term
     // addition order cannot move the output), ranked on the exact sum
-    "text_retrieval_bm25" -> s"""
-       WITH terms AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
-       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
-       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
-       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
-       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-       scored AS (
-         SELECT tf.doc_id, tf.term,
-           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
-             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
-         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
-         CROSS JOIN stats),
-       qterms AS (
-         SELECT DISTINCT doc_id AS q_id,
-           unnest(string_split(text, ' ')[1:3]) AS term
-         FROM documents WHERE doc_id % 100 = 0),
-       hits AS (
-         SELECT q.q_id, s.doc_id,
-           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
-         FROM scored s JOIN qterms q USING (term)
-         GROUP BY 1, 2),
-       ranked AS (
-         SELECT q_id, doc_id, sdec,
-           ROW_NUMBER() OVER (PARTITION BY q_id
-             ORDER BY sdec DESC, doc_id) AS rnk
-         FROM hits)
-       SELECT q_id, rnk, doc_id, ROUND(CAST(sdec AS DOUBLE), 6) AS score
-       FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "text_retrieval_bm25" -> bm25RetrievalOracle,
+    // the incrementally-maintained index answers bit-for-bit what the
+    // one-shot corpus build answers — the oracle IS the batch SQL
+    "stream_text_index" -> bm25RetrievalOracle,
     // both tiers replicated (BM25 with self-exclusion; exact cosine),
     // fused with integer reciprocals L//(60+rank), L = lcm(61..70)
     "text_retrieval_hybrid" -> s"""

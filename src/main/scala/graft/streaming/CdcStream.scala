@@ -965,6 +965,30 @@ object CdcStream {
     AnnIndex.serve(ss, stateDir, queries, emb)
   }
 
+  /** Incremental BM25 index maintenance driven by a REAL stream — the
+    * lexical twin of [[streamAnnIndex]]: the documents table arrives in
+    * micro-batches, each indexed as an immutable manifest-committed
+    * segment ([[graft.operators.TextIndex.appendBatch]], frozen
+    * tokenizer, lastBatch watermark), then the standard retrieval query
+    * serves from the maintained index. The incremental index answers
+    * bit-for-bit what the one-shot corpus build answers, so the oracle
+    * is the batch BM25 retrieval SQL verbatim. */
+  def streamTextIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val ss = streamSession(spark, flush = false)
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stream = streamOf(docs, "text_docs", sfDir, maxFilesPerTrigger = Some(3))
+    val idxDir = drainToStateDir(stream, "graft_text_index", sfDir,
+      dir => (batch, id) => TextIndex.appendBatch(dir)(batch, id))
+    val qs = Tables.table(ss, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    TextIndex.retrieve(ss, idxDir, qs, k = 5)
+  }
+
   // ---------- operational introspection: the State Data Source ----------
 
   /** Read a streaming checkpoint's STATE back as a batch DataFrame via

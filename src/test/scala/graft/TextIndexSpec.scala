@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SnapshotManifest, TextAnalysis, TextIndex}
+
+/** Incrementally-maintained BM25 index: incremental ≡ one-shot rebuild,
+  * replay idempotence, and listing-level bucket pruning on the probe. */
+class TextIndexSpec extends AnyFunSuite {
+  import SparkTest._
+
+  private def corpus(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val batch1 = Seq(
+    (0L, "red fox jumps over the lazy dog"),
+    (1L, "red red wine stains the rug"),
+    (2L, "quick brown fox and the quick hare"))
+  private val batch2 = Seq(
+    (3L, "the dog chased the red fox"),
+    (4L, "wine and cheese pair with bread"),
+    (5L, "lazy afternoons and quick naps"))
+
+  private def queries = {
+    import spark.implicits._
+    Seq((0L, "red"), (0L, "fox"), (4L, "wine"), (4L, "quick"))
+      .toDF("q_id", "term").distinct()
+  }
+
+  private def buildIndex(): String = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_textidx").toString
+    TextIndex.appendBatch(dir)(corpus(batch1: _*), 0)
+    TextIndex.appendBatch(dir)(corpus(batch2: _*), 1)
+    dir
+  }
+
+  test("incrementally-built index ≡ one-shot batch BM25 retrieval") {
+    val dir = buildIndex()
+    val incremental = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val oneShot = TextAnalysis.bm25Retrieve(
+        corpus(batch1 ++ batch2: _*), queries, "doc_id", "text", k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(incremental.nonEmpty && incremental === oneShot)
+  }
+
+  test("replay of a committed batch is a no-op: no version burned, results unchanged") {
+    val dir = buildIndex()
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val v = SnapshotManifest.read(new java.io.File(dir)).version
+    TextIndex.appendBatch(dir)(corpus(batch2: _*), 1) // foreachBatch replay
+    assert(SnapshotManifest.read(new java.io.File(dir)).version === v)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+  }
+
+  test("probe reads ONLY the query terms' buckets (listing-level pruning)") {
+    val dir = buildIndex()
+    val expected = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // the buckets the probe may touch, by the index's own hash
+    val matched = queries
+      .select(pmod(hash(col("term")), lit(TextIndex.Buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    assert(matched.size < TextIndex.Buckets,
+      "fixture must leave at least one unmatched bucket")
+    // poison every UNMATCHED bucket dir: any scan that lists one dies
+    for {
+      seg <- Seq("epoch_0", "epoch_1"); sub <- Seq("postings", "df")
+      b <- 0 until TextIndex.Buckets if !matched.contains(b)
+      d = new java.io.File(dir, s"$seg/$sub/bucket=$b") if d.exists()
+    } {
+      d.listFiles().foreach(_.delete())
+      java.nio.file.Files.write(new java.io.File(d, "part-poison.parquet").toPath,
+        "not a parquet file".getBytes)
+    }
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === expected)
+  }
+}
