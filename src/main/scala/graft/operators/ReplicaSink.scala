@@ -194,8 +194,10 @@ object ReplicaSink {
     val next = SnapshotManifest.State(version, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_")
+    // report what was COMMITTED: a bucket the existence filter kept at
+    // its old path must not be claimed as moved
     buckets.map { case (b, rel) =>
-      CompactEntry(b, rel, s"$outName/bucket=$b") }
+      CompactEntry(b, rel, next.entries(s"bucket=$b")) }
   }
 
   /** Read the streaming replica back as memory-sink-shaped images —

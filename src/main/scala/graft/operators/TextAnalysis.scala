@@ -109,6 +109,18 @@ object TextAnalysis {
     * out: tokenize+tf is cheap per row and the fan-out shuffle cost it
     * back (measured 1.48 -> 0.93 s at sf0.1); a cluster-scale scan
     * already has >= cores splits. */
+  /** The BM25 per-(doc, term) score expression over tf/dl/df/n_docs/
+    * avgdl columns — ONE definition shared by the batch build and
+    * [[TextIndex]]'s incremental probe, so "incremental ≡ one-shot
+    * rebuild bit-for-bit" is enforced by construction, not by tests
+    * chasing two copies of the formula. */
+  private[operators] def bm25Score(tf: Column, dl: Column, df: Column,
+      nDocs: Column, avgdl: Column, k1: Double, b: Double): Column = {
+    val idf = (nDocs - df + 0.5) / (df + 0.5)
+    idf * (tf * lit(k1 + 1)) /
+      (tf + lit(k1) * (lit(1) - lit(b) + lit(b) * dl / avgdl))
+  }
+
   private def bm25Scored(docs: DataFrame, idCol: String, textCol: String,
       k1: Double, b: Double): DataFrame = {
     val terms = docs
@@ -122,11 +134,8 @@ object TextAnalysis {
       .join(dl, "doc_id")
       .join(dfreq, "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      .withColumn("score",
-        col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("score", bm25Score(col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("avgdl"), k1, b))
   }
 
   def bm25Keywords(docs: DataFrame, idCol: String, textCol: String, k: Int,

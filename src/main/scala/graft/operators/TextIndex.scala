@@ -111,9 +111,18 @@ object TextIndex {
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
     require(segs.nonEmpty, s"empty text index at $dir")
-    val qdf = queries.persist()
-    // bounded driver-side collect: at most [[Buckets]] ids — the probe's
-    // listing prune, same contract as ReplicaSink's touched-bucket list
+    // snapshot the query set driver-side ONCE (bounded: it is the probe
+    // set, broadcast-sized by contract). The bucket list below and the
+    // joins in the returned lazy plan must see the SAME rows — computing
+    // them from a re-evaluated source could list buckets that disagree
+    // with the terms joined at action time and silently drop hits.
+    val qrows = queries.select(col("q_id"), col("term")).distinct().collect()
+    val qdf = spark.createDataFrame(
+      spark.sparkContext.parallelize(qrows.toSeq, 1), queries.select(
+        col("q_id"), col("term")).schema)
+    // bounded driver-side collect: at most [[Buckets]] ids, computed by
+    // the ENGINE's own hash over the snapshot — the same expression the
+    // segment writer bucketed by
     val probed = qdf.select(bucketOf(col("term")).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     def leafPaths(sub: String): Seq[String] = for {
@@ -128,44 +137,37 @@ object TextIndex {
           org.apache.spark.sql.types.StructType.fromDDL(schema))
       else spark.read.schema(schema).parquet(paths: _*)
     }
-    try {
-      val statsRow = segs
-        .map(seg => spark.read.schema("n_docs LONG, sum_dl LONG")
-          .parquet(new java.io.File(root, s"$seg/stats").toString))
-        .reduce(_ unionByName _)
-        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
-        // long-exact fold, then ONE division — bit-identical to the
-        // batch path's avg(dl) (a double sum of longs < 2^53 is exact)
-        .select(col("n_docs"),
-          (col("sum_dl").cast("double") / col("n_docs").cast("double"))
-            .as("avgdl"))
-      val dfreq = readLeaves("df", "term STRING, df LONG")
-        .join(broadcast(qdf.select(col("term")).distinct()), "term")
-        .groupBy(col("term")).agg(sum(col("df")).as("df"))
-      val postings =
-        readLeaves("postings", "doc_id LONG, term STRING, tf LONG, dl LONG")
-      val hits = postings
-        .join(broadcast(qdf), "term")
-        .join(broadcast(dfreq), "term")
-        .crossJoin(broadcast(statsRow))
-        .withColumn("idf",
-          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-        .withColumn("score",
-          col("idf") * (col("tf") * lit(k1 + 1)) /
-            (col("tf") + lit(k1) *
-              (lit(1) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("sdec").desc, col("doc_id"))
-      hits
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= k)
-        .select(col("q_id"), col("rnk"), col("doc_id"),
-          round(col("sdec").cast("double"), 6).as("score"))
-    } finally {
-      qdf.unpersist(blocking = false)
-      ()
-    }
+    // ONE multi-path read of the per-segment stats rows — a per-dir
+    // read + union chain grows O(segments) relations and plan depth as
+    // the stream ages (the same trap ReplicaSink's bucket read hit)
+    val statsRow = spark.read.schema("n_docs LONG, sum_dl LONG")
+      .parquet(segs.map(seg =>
+        new java.io.File(root, s"$seg/stats").toString): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      // long-exact fold, then ONE division — bit-identical to the
+      // batch path's avg(dl) (a double sum of longs < 2^53 is exact)
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val dfreq = readLeaves("df", "term STRING, df LONG")
+      .join(broadcast(qdf.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val postings =
+      readLeaves("postings", "doc_id LONG, term STRING, tf LONG, dl LONG")
+    val hits = postings
+      .join(broadcast(qdf), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(statsRow))
+      .withColumn("score", TextAnalysis.bm25Score(col("tf"), col("dl"),
+        col("df"), col("n_docs"), col("avgdl"), k1, b))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sdec").desc, col("doc_id"))
+    hits
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("doc_id"),
+        round(col("sdec").cast("double"), 6).as("score"))
   }
 }
