@@ -100,6 +100,64 @@ object TextIndex {
     m.entries.collect { case (k, rel) if k.startsWith("seg/") => rel }
       .toSeq.sorted
 
+  private def leaves(root: java.io.File, segs: Seq[String],
+      sub: String): Seq[String] = for {
+    seg <- segs
+    bk <- 0 until Buckets
+    d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
+  } yield d.toString
+
+  /** Segment merge — the index's compaction step (every search engine's
+    * merge policy, on the manifest protocol): fold ALL current segments
+    * into one fresh immutable `epoch_compact<version>` segment and
+    * publish it with the pointer swap. Postings rows are doc-local facts
+    * and move verbatim; the per-segment df and stats PARTIALS re-
+    * aggregate (they are additive, so a sum of sums is the same fold
+    * retrieval would have done at probe time). Retrieval output is
+    * unchanged by construction — what moves is cost: probe listing drops
+    * from O(segments × T buckets) back to O(T buckets), and the df fold
+    * touches one partial per term instead of one per (segment, term).
+    * The `lastBatch` watermark carries through, so a resuming stream
+    * still detects replays and new batches keep appending fresh
+    * segments on top of the merged one. Crash mid-rewrite leaves an
+    * orphan dir for the next commit's gc; old segments age out of the
+    * time-travel retention window like any superseded snapshot.
+    * Single-writer, like every sink maintenance op here. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    if (segs.size <= 1) return
+    val version = m.version + 1
+    val outName = s"epoch_compact$version"
+    val outDir = new java.io.File(root, outName)
+    spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG")
+      .parquet(leaves(root, segs, "postings"): _*)
+      .withColumn("bucket", bucketOf(col("term")))
+      .repartition(Buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(outDir, "postings").toString)
+    spark.read.schema("term STRING, df LONG")
+      .parquet(leaves(root, segs, "df"): _*)
+      .withColumn("bucket", bucketOf(col("term")))
+      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
+      .repartition(Buckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(outDir, "df").toString)
+    spark.read.schema("n_docs LONG, sum_dl LONG")
+      .parquet(segs.map(seg =>
+        new java.io.File(root, s"$seg/stats").toString): _*)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(outDir, "stats").toString)
+    val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
+      (s"seg/c$version" -> outName)
+    val next = SnapshotManifest.State(version, entries, m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "epoch_")
+  }
+
   /** Top-k documents per query over the maintained index — identical
     * output to [[TextAnalysis.bm25Retrieve]] over the union of every
     * appended batch. `queries` is (q_id, term), already tokenized and

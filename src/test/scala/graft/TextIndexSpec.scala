@@ -59,6 +59,39 @@ class TextIndexSpec extends AnyFunSuite {
       .orderBy("q_id", "rnk").collect().toSeq === before)
   }
 
+  test("segment merge: one segment after, identical answers, watermark and appends survive") {
+    val dir = buildIndex()
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    TextIndex.compact(spark, dir) // v3
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    val segEntries = m.entries.filter(_._1.startsWith("seg/"))
+    assert(segEntries.size === 1 &&
+      segEntries.values.head.startsWith("epoch_compact"))
+    // additive partials re-aggregated: answers are unchanged
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+    // watermark carried: replaying batch 1 is still a detected no-op
+    TextIndex.appendBatch(dir)(corpus(batch2: _*), 1)
+    assert(SnapshotManifest.read(new java.io.File(dir)).version === m.version)
+    // a NEW batch appends a fresh segment on top of the merged one —
+    // and the merged index plus the new segment answers like a one-shot
+    // build over all three batches
+    val batch3 = Seq((6L, "bread and wine for the quick fox"))
+    TextIndex.appendBatch(dir)(corpus(batch3: _*), 2) // v4
+    val all = corpus(batch1 ++ batch2 ++ batch3: _*)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq ===
+      TextAnalysis.bm25Retrieve(all, queries, "doc_id", "text", k = 3)
+        .orderBy("q_id", "rnk").collect().toSeq)
+    // once pre-merge versions age out of retention, gc reclaims the
+    // merged-away per-batch segments
+    TextIndex.appendBatch(dir)(corpus((7L, "naps on the rug")), 3) // v5
+    assert(!new java.io.File(dir, "epoch_0").exists() &&
+      !new java.io.File(dir, "epoch_1").exists(),
+      "aged-out pre-merge segments must be collected")
+  }
+
   test("probe reads ONLY the query terms' buckets (listing-level pruning)") {
     val dir = buildIndex()
     val expected = TextIndex.retrieve(spark, dir, queries, k = 3)
