@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   *     computes them from its own batch alone; dl rides denormalized on
   *     every posting row (one long) so scoring never joins a doc-length
   *     side table.
-  *   - `df/` — per-segment (term, df) partials, same term buckets.
   *   - `stats/` — one row: (n_docs, sum_dl).
   *
-  * Corpus-GLOBAL stats (df, n_docs, avgdl) are additive across segments
-  * because every doc lives in exactly one segment: retrieval folds the
-  * per-segment partials instead of re-scanning the corpus. The fold it
-  * reads is bounded by the probe: df partials only for the query's
-  * terms' buckets, stats one row per segment.
+  * Corpus-GLOBAL stats are additive across segments because every doc
+  * lives in exactly one segment: n_docs/avgdl fold from the one-row
+  * stats files, and df needs NO stored partial at all — a term's
+  * postings live entirely inside its hash bucket, so the probed bucket
+  * reads already hold every row that counts toward the term's df; one
+  * count over data already in hand replaces a per-segment df table
+  * (and the shuffle+write that maintained it on every batch).
   *
   * At 100 TB: appending a batch costs one tokenize+tf aggregation over
   * THAT BATCH (map-side combined, partitioned write — never touches
@@ -76,10 +77,6 @@ object TextIndex {
       p.repartition(Buckets, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(new java.io.File(segDir, "postings").toString)
-      p.groupBy(col("bucket"), col("term")).agg(count(lit(1)).as("df"))
-        .repartition(Buckets, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(new java.io.File(segDir, "df").toString)
       p.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         .coalesce(1)
@@ -111,12 +108,11 @@ object TextIndex {
     * merge policy, on the manifest protocol): fold ALL current segments
     * into one fresh immutable `epoch_compact<version>` segment and
     * publish it with the pointer swap. Postings rows are doc-local facts
-    * and move verbatim; the per-segment df and stats PARTIALS re-
-    * aggregate (they are additive, so a sum of sums is the same fold
-    * retrieval would have done at probe time). Retrieval output is
-    * unchanged by construction — what moves is cost: probe listing drops
-    * from O(segments × T buckets) back to O(T buckets), and the df fold
-    * touches one partial per term instead of one per (segment, term).
+    * and move verbatim; the per-segment stats PARTIALS re-aggregate
+    * (additive, so a sum of sums is the same fold retrieval would have
+    * done at probe time). Retrieval output is unchanged by
+    * construction — what moves is cost: probe listing drops from
+    * O(segments × T buckets) back to O(T buckets) between merges.
     * The `lastBatch` watermark carries through, so a resuming stream
     * still detects replays and new batches keep appending fresh
     * segments on top of the merged one. Crash mid-rewrite leaves an
@@ -137,13 +133,6 @@ object TextIndex {
       .repartition(Buckets, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new java.io.File(outDir, "postings").toString)
-    spark.read.schema("term STRING, df LONG")
-      .parquet(leaves(root, segs, "df"): _*)
-      .withColumn("bucket", bucketOf(col("term")))
-      .groupBy(col("bucket"), col("term")).agg(sum(col("df")).as("df"))
-      .repartition(Buckets, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(outDir, "df").toString)
     spark.read.schema("n_docs LONG, sum_dl LONG")
       .parquet(segs.map(seg =>
         new java.io.File(root, s"$seg/stats").toString): _*)
@@ -207,11 +196,14 @@ object TextIndex {
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val dfreq = readLeaves("df", "term STRING, df LONG")
-      .join(broadcast(qdf.select(col("term")).distinct()), "term")
-      .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val postings =
       readLeaves("postings", "doc_id LONG, term STRING, tf LONG, dl LONG")
+    // df from the SAME bucket reads the scoring join needs anyway: a
+    // term's postings live entirely inside its hash bucket, so this
+    // count sees every row of each query term — no stored partial
+    val dfreq = postings
+      .join(broadcast(qdf.select(col("term")).distinct()), "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val hits = postings
       .join(broadcast(qdf), "term")
       .join(broadcast(dfreq), "term")

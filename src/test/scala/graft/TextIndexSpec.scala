@@ -104,9 +104,9 @@ class TextIndexSpec extends AnyFunSuite {
       "fixture must leave at least one unmatched bucket")
     // poison every UNMATCHED bucket dir: any scan that lists one dies
     for {
-      seg <- Seq("epoch_0", "epoch_1"); sub <- Seq("postings", "df")
+      seg <- Seq("epoch_0", "epoch_1")
       b <- 0 until TextIndex.Buckets if !matched.contains(b)
-      d = new java.io.File(dir, s"$seg/$sub/bucket=$b") if d.exists()
+      d = new java.io.File(dir, s"$seg/postings/bucket=$b") if d.exists()
     } {
       d.listFiles().foreach(_.delete())
       java.nio.file.Files.write(new java.io.File(d, "part-poison.parquet").toPath,
