@@ -92,6 +92,44 @@ class TextIndexSpec extends AnyFunSuite {
       "aged-out pre-merge segments must be collected")
   }
 
+  test("property: random corpus, random batch split, random merge point ≡ one-shot build") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
+      "bread", "cheese", "rug", "naps", "hare", "the", "and", "over")
+    for (round <- 0 until 3) {
+      val docs = (0L until (8 + rnd.nextInt(12)).toLong).map { id =>
+        (id, Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // partition the corpus into 1..4 contiguous batches
+      val cuts = (Seq(0, docs.size) ++
+        Seq.fill(rnd.nextInt(3))(rnd.nextInt(docs.size + 1))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => docs.slice(a, b) }
+        .filter(_.nonEmpty)
+      val mergeAfter = rnd.nextInt(batches.size + 1) // 0 = never
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_textidx_prop$round").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        TextIndex.appendBatch(dir)(corpus(b: _*), i.toLong)
+        if (mergeAfter == i + 1) TextIndex.compact(spark, dir)
+      }
+      val qs = {
+        import spark.implicits._
+        docs.indices.filter(_ % 3 == 0)
+          .flatMap(i => docs(i)._2.split(" ").take(2)
+            .map(t => (docs(i)._1, t))).distinct
+          .toDF("q_id", "term")
+      }
+      val got = TextIndex.retrieve(spark, dir, qs, k = 4)
+        .orderBy("q_id", "rnk").collect().toSeq
+      val want = TextAnalysis.bm25Retrieve(corpus(docs: _*), qs,
+          "doc_id", "text", k = 4)
+        .orderBy("q_id", "rnk").collect().toSeq
+      assert(got === want,
+        s"round $round: batches=${batches.map(_.size)} merge@$mergeAfter")
+    }
+  }
+
   test("probe reads ONLY the query terms' buckets (listing-level pruning)") {
     val dir = buildIndex()
     val expected = TextIndex.retrieve(spark, dir, queries, k = 3)
