@@ -185,9 +185,19 @@ object ChangelogApply {
               RoutedEv(inst, ids.finalNameOf(inst, name), e.copy(tbl = name))
           }
         case op =>
-          val inst = ids.instanceAt(e.db, op.table, e.sequence)
-          Seq(RoutedEv(inst, ids.finalNameOf(inst, op.table),
-            e.copy(tbl = op.table)))
+          // a per-table statement on an explicitly UNBOUND name (renamed
+          // away / db-dropped, no re-create yet) targets a table that
+          // does not exist — MySQL would reject it, so it routes nowhere.
+          // Walking back to the last bound instance would let a TRUNCATE
+          // on the OLD name wipe the moved instance's state under its
+          // new name. (A re-CREATE binds at its own sequence, so CREATE
+          // never sees the name as unbound.)
+          if (ids.unboundAt(e.db, op.table, e.sequence)) Nil
+          else {
+            val inst = ids.instanceAt(e.db, op.table, e.sequence)
+            Seq(RoutedEv(inst, ids.finalNameOf(inst, op.table),
+              e.copy(tbl = op.table)))
+          }
       }.distinctBy(r => (r.inst, r.ev.tbl))
     } else if (ids.fallbackDead(e.db, e.tbl, e.sequence) ||
         // a row event on an explicitly UNBOUND name (renamed away /

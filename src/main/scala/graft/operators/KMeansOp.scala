@@ -112,12 +112,17 @@ object KMeansOp {
   /** Collect a (cluster_id, centroid) frame to the literal form —
     * k·d scalars, the same smallness bound as the broadcast it
     * replaces. Doubles round-trip the driver exactly, so literal-based
-    * assignment is bit-identical to joining the frame. */
+    * assignment is bit-identical to joining the frame. The centroid
+    * column is cast to array<double> first: the broadcast-join form
+    * this replaced coerced array<float> input implicitly, and getSeq
+    * would otherwise ClassCastException at encoding time. */
   private def collectCents(cents: DataFrame): Seq[(Int, Seq[Double])] =
-    cents.collect().toSeq.map { r =>
-      (r.getAs[Number]("cluster_id").intValue(),
-        r.getSeq[Double](r.fieldIndex("centroid")))
-    }.sortBy(_._1)
+    cents.select(col("cluster_id"),
+        col("centroid").cast("array<double>").as("centroid"))
+      .collect().toSeq.map { r =>
+        (r.getAs[Number]("cluster_id").intValue(),
+          r.getSeq[Double](r.fieldIndex("centroid")))
+      }.sortBy(_._1)
 
   /** `iters` Lloyd iterations (assign → update → assign → …); returns
     * the FINAL assignment (id, embedding, cluster_id). Each iteration's

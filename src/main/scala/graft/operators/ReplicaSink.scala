@@ -96,8 +96,13 @@ object ReplicaSink {
         // among the entries — a committed batch whose touched buckets
         // all ended empty (pure-delete batch) leaves no epoch entry, and
         // its replay would otherwise burn a manifest version and shift
-        // the time-travel retention window on a logical no-op.
-        if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+        // the time-travel retention window on a logical no-op. The
+        // epoch-path check stays as a FALLBACK: a state dir committed
+        // before the watermark existed has no lastBatch entry, and a
+        // replay of its last batch must still not re-run the merge
+        // (it would overwrite epoch_<id> while reading from inside it).
+        if (m.entries.get("lastBatch").exists(_.toLong >= batchId) ||
+            m.entries.values.exists(_.startsWith(s"epoch_$batchId/"))) return
         lastUpsertBatches += 1
         val existingPaths = affected.toSeq
           .flatMap(b => m.entries.get(s"bucket=$b"))

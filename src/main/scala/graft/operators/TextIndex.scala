@@ -46,6 +46,12 @@ object TextIndex {
     * to pin listing-level pruning in tests. */
   val Buckets = 8
 
+  /** Enforced bound on the driver-side query-probe collect in
+    * [[retrieve]] — the [[ChangelogApply.MaxDdlEvents]] pattern: the
+    * probe set is broadcast-sized by contract, and a contract is only a
+    * bound if exceeding it fails loudly instead of OOMing the driver. */
+  val MaxQueryTerms = 100000
+
   private def bucketOf(term: org.apache.spark.sql.Column) =
     pmod(hash(term), lit(Buckets))
 
@@ -159,11 +165,19 @@ object TextIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty text index at $dir")
     // snapshot the query set driver-side ONCE (bounded: it is the probe
-    // set, broadcast-sized by contract). The bucket list below and the
-    // joins in the returned lazy plan must see the SAME rows — computing
-    // them from a re-evaluated source could list buckets that disagree
-    // with the terms joined at action time and silently drop hits.
-    val qrows = queries.select(col("q_id"), col("term")).distinct().collect()
+    // set, broadcast-sized by contract — ENFORCED at [[MaxQueryTerms]],
+    // failing loudly instead of OOMing on malformed input). The bucket
+    // list below and the joins in the returned lazy plan must see the
+    // SAME rows — computing them from a re-evaluated source could list
+    // buckets that disagree with the terms joined at action time and
+    // silently drop hits.
+    val qrows = queries.select(col("q_id"), col("term")).distinct()
+      .take(MaxQueryTerms + 1)
+    if (qrows.length > MaxQueryTerms)
+      throw new IllegalStateException(
+        s"query probe set exceeds $MaxQueryTerms (q_id, term) rows — " +
+          "refusing the driver-side snapshot (probe sets are broadcast-" +
+          "sized by contract; batch the queries instead)")
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(qrows.toSeq, 1), queries.select(
         col("q_id"), col("term")).schema)

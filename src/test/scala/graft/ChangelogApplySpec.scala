@@ -103,6 +103,46 @@ class ChangelogApplySpec extends AnyFunSuite {
       .as[(String, Seq[String])].collect().toSet === batch)
   }
 
+  test("TRUNCATE on a renamed-away name never wipes the moved instance") {
+    import spark.implicits._
+    // seq4 TRUNCATEs the OLD name after the rename — degenerate input
+    // (MySQL would reject it: `a` no longer exists). It must route
+    // NOWHERE: walking back to the last bound instance would wipe the
+    // moved table's state under its new name.
+    val events = Seq(
+      CdcEvent(1L, "flv://m/g", "f", 1L, Cdc.OpQuery,
+        "CREATE TABLE a (k INT, v INT)", null, null),
+      CdcEvent(2L, "flv://m/g/a", "f", 2L, Cdc.OpAdd, null, null,
+        Seq(CdcRowImages(null, Seq("1", "x")))),
+      CdcEvent(3L, "flv://m/g", "f", 3L, Cdc.OpQuery,
+        "RENAME TABLE a TO b", null, null),
+      CdcEvent(4L, "flv://m/g", "f", 4L, Cdc.OpQuery,
+        "TRUNCATE TABLE a", null, null)).toDS().toDF()
+    val batch = ChangelogApply.applyWithSchema(events, nullCell = null)
+      .select($"tbl", $"image").as[(String, Seq[String])].collect().toSet
+    assert(batch === Set(("b", Seq("1", "x"))))
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[CdcEvent]
+    val q = graft.streaming.CdcStream
+      .applySchemaStreamKeyed(input.toDF(), events, nullCell = null)
+      .writeStream.format("memory").queryName("truncate_unbound")
+      .outputMode("append").start()
+    input.addData(events.as[CdcEvent].collect().toSeq: _*)
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("truncate_unbound").select($"tbl", $"image")
+      .as[(String, Seq[String])].collect().toSet === batch)
+    val input2 = MemoryStream[CdcEvent]
+    val q2 = graft.streaming.CdcStream
+      .applySchemaStream(input2.toDF(), events, nullCell = null)
+      .writeStream.format("memory").queryName("truncate_unbound_serial")
+      .outputMode("append").start()
+    input2.addData(events.as[CdcEvent].collect().toSeq: _*)
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table("truncate_unbound_serial").select($"tbl", $"image")
+      .as[(String, Seq[String])].collect().toSet === batch)
+  }
+
   test("row events after DROP DATABASE with no re-create are dead in every path") {
     import spark.implicits._
     val events = Seq(
