@@ -78,11 +78,17 @@ object AnnIndex {
       subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(root, s"v1/pq$m").toString))
       // one writer task per cell: file count stays O(cells), not
-      // O(tasks × cells) — the 100 TB layout (same idiom as ReplicaSink)
+      // O(tasks × cells) — the 100 TB layout (same idiom as ReplicaSink).
+      // Segments live as seg=<name> partitions of ONE two-level Hive
+      // layout (codes/seg=…/cell=…): every segment dir then shares the
+      // same partition structure under the same base, which is what
+      // lets [[readCodes]] read any committed subset as ONE multi-path
+      // scan with `cell` surviving as a partition column (mixed layouts
+      // break partition discovery into per-segment union chains).
       codes.repartition(CoarseK, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(root, "v1/codes").toString)
-      val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "v1/codes") ++
+        .parquet(new java.io.File(root, "codes/seg=base").toString)
+      val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "codes/seg=base") ++
         (0 until PqM).map(m => s"pq$m" -> s"v1/pq$m")
       val m0 = SnapshotManifest.read(root)
       SnapshotManifest.commit(root,
@@ -121,12 +127,12 @@ object AnnIndex {
     val seg = s"epoch_$batchId"
     encoded.repartition(CoarseK, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(new java.io.File(root, seg).toString)
+      .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
     val entries = m.entries ++
-      Map(s"codes/$seg" -> seg, "lastBatch" -> batchId.toString)
+      Map(s"codes/$seg" -> s"codes/seg=$seg", "lastBatch" -> batchId.toString)
     val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "epoch_") // crashed-segment orphans
+    SnapshotManifest.gc(root, next, "codes") // crashed-segment orphans
   }
 
   private def readCents(spark: SparkSession, root: java.io.File,
@@ -150,16 +156,60 @@ object AnnIndex {
       (0 until PqM).map(i => col(s"code$i")): _*)
   }
 
-  /** All committed inverted-list segments, unioned. */
-  private def readCodes(spark: SparkSession, root: java.io.File,
-      m: SnapshotManifest.State): DataFrame =
+  private def codeDirs(m: SnapshotManifest.State): Seq[String] =
     m.entries.collect { case (k, rel) if k.startsWith("codes/") => rel }
       .toSeq.sorted
-      .map(rel => spark.read
-        .parquet(new java.io.File(root, rel).toString)
-        .select(col("vec_id") +: col("cell") +:
-          (0 until PqM).map(i => col(s"code$i")): _*))
-      .reduce(_ unionByName _)
+
+  /** All committed inverted-list segments as ONE multi-path parquet
+    * read over the two-level seg=/cell= layout. Passing only the
+    * MANIFEST-NAMED seg dirs (not the codes root) keeps snapshot
+    * isolation — a crashed append's orphan segment is invisible even
+    * before gc collects it — while the shared `basePath` keeps `cell`
+    * a partition column, so the serving join's dynamic partition
+    * pruning still skips unrouted cells at file level. A per-segment
+    * read folded with `unionByName` would grow O(segments) relations
+    * and plan-analysis cost as a long-running stream accumulates
+    * segments — the trap [[TextIndex.retrieve]]'s stats read documents
+    * and avoids. */
+  private def readCodes(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State): DataFrame =
+    spark.read
+      .schema("vec_id LONG, " +
+        (0 until PqM).map(i => s"code$i INT").mkString(", ") +
+        ", cell INT, seg STRING")
+      .option("basePath", new java.io.File(root, "codes").toString)
+      .parquet(codeDirs(m).map(rel =>
+        new java.io.File(root, rel).toString): _*)
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqM).map(i => col(s"code$i")): _*)
+
+  /** Segment merge — [[TextIndex.compact]]'s twin for the inverted
+    * lists: fold ALL committed code segments into one fresh immutable
+    * `epoch_compact<version>` segment (codes are per-vector facts and
+    * move verbatim — no re-encoding, the codebooks are untouched) and
+    * publish it with the pointer swap. Serving output is unchanged by
+    * construction; what moves is cost — the codes scan's listing drops
+    * from O(segments × cells) back to O(cells) between merges. The
+    * `lastBatch` watermark carries through, so a resuming stream still
+    * detects replays and appends fresh segments on top of the merged
+    * one. Crash mid-rewrite leaves an orphan dir for the next commit's
+    * gc; single-writer, like every sink maintenance op here. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (codeDirs(m).size <= 1) return
+    val version = m.version + 1
+    val outName = s"codes/seg=compact$version"
+    readCodes(spark, root, m)
+      .repartition(CoarseK, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(new java.io.File(root, outName).toString)
+    val entries = m.entries.filterNot(_._1.startsWith("codes/")) +
+      (s"codes/c$version" -> outName)
+    val next = SnapshotManifest.State(version, entries, m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "codes")
+  }
 
   /** Query-time plan from the committed index: route → ADC scan of the
     * routed cells' lists → exact rerank. `queries` is (q_id, qe); `emb`

@@ -79,6 +79,31 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 3 === 2), 2L)
     assert(SnapshotManifest.read(new java.io.File(dirA)).version === vA)
     assert(result(dirA) === result(dirB))
+
+    // the serving plan's relation count is CONSTANT in segment count:
+    // the codes view is ONE multi-path scan, not a per-segment union
+    // chain — plan-analysis cost must not grow as the stream ages
+    def relations(dir: String): Int = {
+      val plan = AnnIndex.serve(spark, dir, q, emb)
+        .queryExecution.optimizedPlan.toString
+      plan.linesIterator.count(_.contains("Relation"))
+    }
+    assert(relations(dirA) === relations(dirB),
+      "4-segment index must plan the same relation count as 2-segment")
+
+    // compact: all code segments fold into one; serving output unchanged
+    val before = result(dirA)
+    AnnIndex.compact(spark, dirA)
+    val mC = SnapshotManifest.read(new java.io.File(dirA))
+    assert(mC.entries.keys.count(_.startsWith("codes/")) === 1,
+      "compact must collapse the code segments to one")
+    assert(mC.entries.get("lastBatch").map(_.toLong) === Some(2L),
+      "compact must carry the replay watermark through")
+    assert(result(dirA) === before,
+      "compaction must not change serving output")
+    // appends keep working on top of the merged segment
+    AnnIndex.appendBatch(dirA)(rest.limit(0), 3L)
+    assert(result(dirA) === before)
     emb.unpersist(blocking = false)
     ()
   }
