@@ -45,28 +45,51 @@ object AnnIndex {
   val Shortlist = 50
   val TopK = 5
 
+  /** Index geometry — a CREATION-TIME property of the artifact
+    * ([[train]] records it in the manifest under `conf/…`), read back
+    * by every appender, compaction, and serving plan: thousands of
+    * cells and 32+ subspaces at 100 TB are a retrain away, not a
+    * recompile, and no caller can encode or route with a geometry
+    * that disagrees with the committed codebooks. AnnIndexSpec runs
+    * the maintenance-equivalence property over a non-default geometry
+    * to keep the scaling knob executed, not asserted. */
+  final case class Conf(coarseK: Int = CoarseK, pqM: Int = PqM,
+      pqK: Int = PqK, subDim: Int = SubDim)
+
+  private def confOf(m: SnapshotManifest.State): Conf = Conf(
+    m.entries.get("conf/coarseK").map(_.toInt).getOrElse(CoarseK),
+    m.entries.get("conf/pqM").map(_.toInt).getOrElse(PqM),
+    m.entries.get("conf/pqK").map(_.toInt).getOrElse(PqK),
+    m.entries.get("conf/subDim").map(_.toInt).getOrElse(SubDim))
+
+  private def confEntries(c: Conf): Map[String, String] = Map(
+    "conf/coarseK" -> c.coarseK.toString, "conf/pqM" -> c.pqM.toString,
+    "conf/pqK" -> c.pqK.toString, "conf/subDim" -> c.subDim.toString)
+
   /** Embeddings in double space: (vec_id, e). */
   def embeddings(spark: SparkSession, sfDir: String): DataFrame =
     graft.sources.Tables.table(spark, sfDir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
-  private def sub(embCol: org.apache.spark.sql.Column, m: Int) =
-    slice(embCol, m * SubDim + 1, SubDim)
+  private def sub(embCol: org.apache.spark.sql.Column, m: Int,
+      subDim: Int = SubDim) =
+    slice(embCol, m * subDim + 1, subDim)
 
   /** Train coarse + PQ models over `emb` and commit the index snapshot
     * at `dir` (version 1: codebooks + the base inverted lists). */
-  def train(emb: DataFrame, dir: String): Unit = {
+  def train(emb: DataFrame, dir: String, conf: Conf = Conf()): Unit = {
     val root = new java.io.File(dir)
     root.mkdirs()
     val cached = emb.cache()
     try {
       val coarseAssigned =
-        KMeansOp.fit(cached, "vec_id", "e", CoarseK, Iters).cache()
+        KMeansOp.fit(cached, "vec_id", "e", conf.coarseK, Iters).cache()
       val coarseCents = KMeansOp.update(coarseAssigned, "e")
-      val subs = (0 until PqM).map { m =>
-        val s = cached.select(col("vec_id"), sub(col("e"), m).as("se"))
-        val assigned = KMeansOp.fit(s, "vec_id", "se", PqK, Iters)
+      val subs = (0 until conf.pqM).map { m =>
+        val s = cached.select(col("vec_id"),
+          sub(col("e"), m, conf.subDim).as("se"))
+        val assigned = KMeansOp.fit(s, "vec_id", "se", conf.pqK, Iters)
         (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")),
           KMeansOp.update(assigned, "se"))
       }
@@ -85,11 +108,11 @@ object AnnIndex {
       // lets [[readCodes]] read any committed subset as ONE multi-path
       // scan with `cell` surviving as a partition column (mixed layouts
       // break partition discovery into per-segment union chains).
-      codes.repartition(CoarseK, col("cell"))
+      codes.repartition(conf.coarseK, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(new java.io.File(root, "codes/seg=base").toString)
       val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "codes/seg=base") ++
-        (0 until PqM).map(m => s"pq$m" -> s"v1/pq$m")
+        (0 until conf.pqM).map(m => s"pq$m" -> s"v1/pq$m") ++ confEntries(conf)
       val m0 = SnapshotManifest.read(root)
       SnapshotManifest.commit(root,
         SnapshotManifest.State(m0.version + 1, entries, m0.retain))
@@ -125,7 +148,7 @@ object AnnIndex {
     }
     val encoded = encode(spark, root, m, emb)
     val seg = s"epoch_$batchId"
-    encoded.repartition(CoarseK, col("cell"))
+    encoded.repartition(confOf(m).coarseK, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
     val entries = m.entries ++
@@ -143,17 +166,18 @@ object AnnIndex {
     * (vec_id, cell, code0..codeM). */
   private def encode(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, emb: DataFrame): DataFrame = {
+    val c = confOf(m)
     val coarse = KMeansOp.assign(emb, readCents(spark, root, m, "coarse"),
         "vec_id", "e")
       .select(col("vec_id"), col("e"), col("cluster_id").as("cell"))
-    (0 until PqM).foldLeft(coarse) { case (acc, i) =>
-      val s = acc.select(col("vec_id"), sub(col("e"), i).as("se"))
+    (0 until c.pqM).foldLeft(coarse) { case (acc, i) =>
+      val s = acc.select(col("vec_id"), sub(col("e"), i, c.subDim).as("se"))
       val assigned = KMeansOp.assign(s, readCents(spark, root, m, s"pq$i"),
         "vec_id", "se")
       acc.join(assigned.select(col("vec_id"),
         col("cluster_id").as(s"code$i")), "vec_id")
     }.select(col("vec_id") +: col("cell") +:
-      (0 until PqM).map(i => col(s"code$i")): _*)
+      (0 until c.pqM).map(i => col(s"code$i")): _*)
   }
 
   private def codeDirs(m: SnapshotManifest.State): Seq[String] =
@@ -172,16 +196,18 @@ object AnnIndex {
     * segments — the trap [[TextIndex.retrieve]]'s stats read documents
     * and avoids. */
   private def readCodes(spark: SparkSession, root: java.io.File,
-      m: SnapshotManifest.State): DataFrame =
+      m: SnapshotManifest.State): DataFrame = {
+    val pqM = confOf(m).pqM
     spark.read
       .schema("vec_id LONG, " +
-        (0 until PqM).map(i => s"code$i INT").mkString(", ") +
+        (0 until pqM).map(i => s"code$i INT").mkString(", ") +
         ", cell INT, seg STRING")
       .option("basePath", new java.io.File(root, "codes").toString)
       .parquet(codeDirs(m).map(rel =>
         new java.io.File(root, rel).toString): _*)
       .select(col("vec_id") +: col("cell") +:
-        (0 until PqM).map(i => col(s"code$i")): _*)
+        (0 until pqM).map(i => col(s"code$i")): _*)
+  }
 
   /** Segment merge — [[TextIndex.compact]]'s twin for the inverted
     * lists: fold ALL committed code segments into one fresh immutable
@@ -201,7 +227,7 @@ object AnnIndex {
     val version = m.version + 1
     val outName = s"codes/seg=compact$version"
     readCodes(spark, root, m)
-      .repartition(CoarseK, col("cell"))
+      .repartition(confOf(m).coarseK, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(new java.io.File(root, outName).toString)
     val entries = m.entries.filterNot(_._1.startsWith("codes/")) +
@@ -218,6 +244,7 @@ object AnnIndex {
       emb: DataFrame): DataFrame = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
+    val c = confOf(m)
     val coarseCents = readCents(spark, root, m, "coarse")
     val codes = readCodes(spark, root, m)
     // nprobe routing against the loaded coarse centroids
@@ -229,17 +256,18 @@ object AnnIndex {
       .where(col("crn") <= NProbe)
       .select(col("q_id"), col("cell"))
     // per-query ADC lookup tables (M×k rows each — broadcast)
-    val dts = (0 until PqM).map { i =>
+    val dts = (0 until c.pqM).map { i =>
       queries.crossJoin(broadcast(readCents(spark, root, m, s"pq$i")))
         .select(col("q_id"), col("cluster_id").as(s"code$i"),
-          KMeansOp.sqDist(sub(col("qe"), i), col("centroid")).as(s"d$i"))
+          KMeansOp.sqDist(sub(col("qe"), i, c.subDim), col("centroid"))
+            .as(s"d$i"))
     }
     val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
     val adcTop = dts.zipWithIndex.foldLeft(codes.join(broadcast(routed), "cell")) {
         case (acc, (dt, i)) => acc.join(broadcast(dt), Seq("q_id", s"code$i"))
       }
       .where(col("vec_id") =!= col("q_id"))
-      .withColumn("adist", (0 until PqM).map(i => col(s"d$i")).reduce(_ + _))
+      .withColumn("adist", (0 until c.pqM).map(i => col(s"d$i")).reduce(_ + _))
       .withColumn("arn", row_number().over(wa))
       .where(col("arn") <= Shortlist)
       .select(col("q_id"), col("vec_id"))

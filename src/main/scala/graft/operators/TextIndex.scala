@@ -42,9 +42,19 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Term-hash buckets per segment — thousands at 100 TB; enough here
-    * to pin listing-level pruning in tests. */
+  /** Default term-hash buckets per segment — thousands at 100 TB;
+    * enough here to pin listing-level pruning in tests. The count is a
+    * CREATION-TIME property of the index, recorded in the manifest
+    * (`conf/buckets`) by the first commit: appenders, compaction, and
+    * probes all read it back from the artifact itself, so an index
+    * built at any scale stays self-describing — no caller can probe
+    * with a bucket function that disagrees with the one the segments
+    * were written under. TextIndexSpec runs the equivalence property
+    * over a non-default count to keep the knob executed, not asserted. */
   val Buckets = 8
+
+  private def bucketsOf(m: SnapshotManifest.State): Int =
+    m.entries.get("conf/buckets").map(_.toInt).getOrElse(Buckets)
 
   /** Enforced bound on the driver-side query-probe collect in
     * [[retrieve]] — the [[ChangelogApply.MaxDdlEvents]] pattern: the
@@ -52,35 +62,40 @@ object TextIndex {
     * bound if exceeding it fails loudly instead of OOMing the driver. */
   val MaxQueryTerms = 100000
 
-  private def bucketOf(term: org.apache.spark.sql.Column) =
-    pmod(hash(term), lit(Buckets))
+  private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(hash(term), lit(buckets))
 
   /** One batch's postings: (doc_id, term, tf, dl, bucket). tf/dl are
     * doc-local, so this derives from the batch alone. */
   private def postingsOf(batch: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String, buckets: Int): DataFrame = {
     val terms = batch.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id").withColumn("bucket", bucketOf(col("term")))
+    tf.join(dl, "doc_id")
+      .withColumn("bucket", bucketOf(col("term"), buckets))
   }
 
   /** foreachBatch body: index one micro-batch of (doc_id, text) docs as
     * a fresh immutable segment and publish it with the pointer swap.
-    * Replay of an already-committed batchId is a detected no-op. */
+    * Replay of an already-committed batchId is a detected no-op.
+    * `buckets` applies only when this append CREATES the index; an
+    * existing index's manifest-recorded count always wins. */
   def appendBatch(dir: String, idCol: String = "doc_id",
-      textCol: String = "text")(batch: DataFrame, batchId: Long): Unit = {
+      textCol: String = "text", buckets: Int = Buckets)(
+      batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val seg = s"epoch_$batchId"
     val segDir = new java.io.File(root, seg)
-    val p = postingsOf(batch, idCol, textCol).persist()
+    val p = postingsOf(batch, idCol, textCol, nb).persist()
     try {
       // one task per bucket: file count stays O(buckets), not O(tasks)
-      p.repartition(Buckets, col("bucket"))
+      p.repartition(nb, col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(new java.io.File(segDir, "postings").toString)
       p.select(col("doc_id"), col("dl")).distinct()
@@ -90,7 +105,8 @@ object TextIndex {
         .parquet(new java.io.File(segDir, "stats").toString)
       val next = SnapshotManifest.State(m.version + 1,
         m.entries + (s"seg/$batchId" -> seg) +
-          ("lastBatch" -> batchId.toString), m.retain)
+          ("lastBatch" -> batchId.toString) +
+          ("conf/buckets" -> nb.toString), m.retain)
       SnapshotManifest.commit(root, next) // the commit point
       SnapshotManifest.gc(root, next, "epoch_")
     } finally {
@@ -104,9 +120,9 @@ object TextIndex {
       .toSeq.sorted
 
   private def leaves(root: java.io.File, segs: Seq[String],
-      sub: String): Seq[String] = for {
+      sub: String, buckets: Int): Seq[String] = for {
     seg <- segs
-    bk <- 0 until Buckets
+    bk <- 0 until buckets
     d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
   } yield d.toString
 
@@ -130,13 +146,14 @@ object TextIndex {
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
     if (segs.size <= 1) return
+    val nb = bucketsOf(m)
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val outDir = new java.io.File(root, outName)
     spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG")
-      .parquet(leaves(root, segs, "postings"): _*)
-      .withColumn("bucket", bucketOf(col("term")))
-      .repartition(Buckets, col("bucket"))
+      .parquet(leaves(root, segs, "postings", nb): _*)
+      .withColumn("bucket", bucketOf(col("term"), nb))
+      .repartition(nb, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new java.io.File(outDir, "postings").toString)
     spark.read.schema("n_docs LONG, sum_dl LONG")
@@ -164,6 +181,7 @@ object TextIndex {
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
     require(segs.nonEmpty, s"empty text index at $dir")
+    val nb = bucketsOf(m)
     // snapshot the query set driver-side ONCE (bounded: it is the probe
     // set, broadcast-sized by contract — ENFORCED at [[MaxQueryTerms]],
     // failing loudly instead of OOMing on malformed input). The bucket
@@ -181,10 +199,11 @@ object TextIndex {
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(qrows.toSeq, 1), queries.select(
         col("q_id"), col("term")).schema)
-    // bounded driver-side collect: at most [[Buckets]] ids, computed by
-    // the ENGINE's own hash over the snapshot — the same expression the
-    // segment writer bucketed by
-    val probed = qdf.select(bucketOf(col("term")).as("b"))
+    // bounded driver-side collect: at most `nb` ids, computed by the
+    // ENGINE's own hash over the snapshot — the same expression the
+    // segment writer bucketed by (the count comes from the manifest,
+    // so probe and writer can never disagree)
+    val probed = qdf.select(bucketOf(col("term"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     def leafPaths(sub: String): Seq[String] = for {
       seg <- segs

@@ -107,4 +107,36 @@ class AnnIndexSpec extends AnyFunSuite {
     emb.unpersist(blocking = false)
     ()
   }
+
+  test("non-default geometry: manifest-recorded conf drives encode, serve, and compact") {
+    // 3 cells × 4 subspaces of 8 dims × 3 codes — every knob off its
+    // default, exercised through the same maintenance-equivalence
+    // property: the artifact is self-describing, so appendBatch/serve
+    // never see the compile-time defaults
+    val conf = AnnIndex.Conf(coarseK = 3, pqM = 4, pqK = 3, subDim = 8)
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val rest = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .where(col("vec_id") % 10 >= 8)
+    val dirA = freshDir("graft_ann_conf_inc")
+    AnnIndex.train(base, dirA, conf)
+    Seq(0, 1).foreach { b =>
+      AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 2 === b), b.toLong)
+    }
+    AnnIndex.compact(spark, dirA)
+    val dirB = freshDir("graft_ann_conf_oneshot")
+    AnnIndex.train(base, dirB, conf)
+    AnnIndex.appendBatch(dirB)(rest, 0L)
+    val q = queriesOf(emb)
+    def result(dir: String) =
+      AnnIndex.serve(spark, dir, q, emb).orderBy("q_id", "rnk").collect().toSeq
+    assert(result(dirA).nonEmpty && result(dirA) === result(dirB),
+      "non-default geometry must satisfy the same maintenance equivalence")
+    // the codebook count actually followed the conf
+    val m = graft.operators.SnapshotManifest.read(new java.io.File(dirA))
+    assert(m.entries.contains("pq3") && !m.entries.contains("pq4"))
+    assert(m.entries.get("conf/coarseK") === Some("3"))
+    emb.unpersist(blocking = false)
+    ()
+  }
 }

@@ -130,6 +130,34 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("non-default bucket count: manifest-recorded, equivalence and compaction hold") {
+    import java.nio.file.Files
+    // the bucket count is a creation-time knob recorded in the manifest;
+    // run the full append → compact → append equivalence under a
+    // NON-default count so the scaling knob is executed, not asserted
+    val dir = Files.createTempDirectory("graft_textidx_b3").toString
+    TextIndex.appendBatch(dir, buckets = 3)(corpus(batch1: _*), 0)
+    TextIndex.compact(spark, dir) // single segment: no-op
+    TextIndex.appendBatch(dir, buckets = 99 /* ignored: manifest wins */)(
+      corpus(batch2: _*), 1)
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries.get("conf/buckets") === Some("3"))
+    val oneShot = TextAnalysis.bm25Retrieve(
+        corpus(batch1 ++ batch2: _*), queries, "doc_id", "text", k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === oneShot)
+    TextIndex.compact(spark, dir)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === oneShot)
+    // the merged segment was bucketed by the index's own count
+    val mC = SnapshotManifest.read(new java.io.File(dir))
+    val seg = mC.entries.collect { case (k, v) if k.startsWith("seg/") => v }.head
+    val bucketDirs = new java.io.File(dir, s"$seg/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
+    assert(bucketDirs.forall(_.stripPrefix("bucket=").toInt < 3))
+  }
+
   test("probe reads ONLY the query terms' buckets (listing-level pruning)") {
     val dir = buildIndex()
     val expected = TextIndex.retrieve(spark, dir, queries, k = 3)
