@@ -93,9 +93,12 @@ object AnnIndex {
         (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")),
           KMeansOp.update(assigned, "se"))
       }
+      // sseq = -1: the base build predates every CDC batch stamp (>= 0),
+      // so any batch-0 tombstone already outranks the base version
       val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
         .join(coarseAssigned.select(col("vec_id"), col("cluster_id").as("cell")),
           "vec_id")
+        .withColumn("sseq", lit(-1L))
       coarseCents.coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(root, "v1/coarse").toString)
       subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
@@ -146,7 +149,7 @@ object AnnIndex {
         m.entries + ("lastBatch" -> batchId.toString), m.retain))
       return
     }
-    val encoded = encode(spark, root, m, emb)
+    val encoded = encode(spark, root, m, emb).withColumn("sseq", lit(batchId))
     val seg = s"epoch_$batchId"
     encoded.repartition(confOf(m).coarseK, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
@@ -156,6 +159,83 @@ object AnnIndex {
     val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "codes") // crashed-segment orphans
+  }
+
+  /** foreachBatch body for the CDC-MAINTAINED index — the vector twin of
+    * [[TextIndex.applyBatch]], composing the changelog-apply semantic
+    * (full-image update/delete, mysql_manager.rs:232-292) with the
+    * segment model: one micro-batch of per-vector POST-BATCH states
+    * (vec_id, embedding, deleted) folds in as an immutable code segment
+    * plus a TOMBSTONE segment. Every touched vector gets a tombstone
+    * stamped with this batch; live states are re-encoded against the
+    * frozen codebooks at the same stamp — liveness (`sseq >= max
+    * tombstone sseq`) then keeps exactly the latest state: an update's
+    * re-add outranks its own tombstone, a delete leaves only the
+    * tombstone. Callers feed it a keyed stream fold's output (the
+    * ReplicaSink contract), so per-vector state is monotone across
+    * batches. NO prior-state lookup is needed (the ANN index keeps no
+    * corpus-global stats), so a batch costs exactly one frozen-codebook
+    * encode + two segment writes — O(batch), never O(corpus). */
+  def applyCdcBatch(dir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val b = batch.select(col("vec_id"),
+      col("embedding"), col("deleted").cast("boolean").as("deleted")).persist()
+    try {
+      if (b.isEmpty) {
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
+      val seg = s"epoch_$batchId"
+      b.select(col("vec_id")).withColumn("sseq", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new java.io.File(root, s"tombs_$seg").toString)
+      val live = b.where(!col("deleted")).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val entries = m.entries ++
+        Map(s"tombs/$seg" -> s"tombs_$seg", "lastBatch" -> batchId.toString) ++
+        (if (live.isEmpty) Map.empty[String, String] else {
+          encode(spark, root, m, live).withColumn("sseq", lit(batchId))
+            .repartition(confOf(m).coarseK, col("cell"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
+          Map(s"codes/$seg" -> s"codes/seg=$seg")
+        })
+      val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
+      SnapshotManifest.commit(root, next) // the commit point
+      SnapshotManifest.gc(root, next, "codes")
+      SnapshotManifest.gc(root, next, "tombs_")
+    } finally {
+      b.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  private def tombDirs(m: SnapshotManifest.State): Seq[String] =
+    m.entries.collect { case (k, rel) if k.startsWith("tombs/") => rel }
+      .toSeq.sorted
+
+  /** Live-version filter over the code segments: a code row survives
+    * iff its stamp is at or above every tombstone stamp for its vector.
+    * With no tombstones (the pure-append path) the join vanishes from
+    * the plan. Tombstone volume is O(changed vectors). */
+  private def liveCodes(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State): DataFrame = {
+    val codes = readCodes(spark, root, m)
+    val tombs = tombDirs(m)
+    if (tombs.isEmpty) codes
+    else {
+      val tmax = spark.read.schema("vec_id LONG, sseq LONG")
+        .parquet(tombs.map(rel => new java.io.File(root, rel).toString): _*)
+        .groupBy(col("vec_id")).agg(max(col("sseq")).as("tmax"))
+      codes.join(tmax, Seq("vec_id"), "left")
+        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+        .drop("tmax")
+    }
   }
 
   private def readCents(spark: SparkSession, root: java.io.File,
@@ -201,11 +281,11 @@ object AnnIndex {
     spark.read
       .schema("vec_id LONG, " +
         (0 until pqM).map(i => s"code$i INT").mkString(", ") +
-        ", cell INT, seg STRING")
+        ", sseq LONG, cell INT, seg STRING")
       .option("basePath", new java.io.File(root, "codes").toString)
       .parquet(codeDirs(m).map(rel =>
         new java.io.File(root, rel).toString): _*)
-      .select(col("vec_id") +: col("cell") +:
+      .select(col("vec_id") +: col("cell") +: col("sseq") +:
         (0 until pqM).map(i => col(s"code$i")): _*)
   }
 
@@ -223,18 +303,46 @@ object AnnIndex {
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (codeDirs(m).size <= 1) return
+    if (codeDirs(m).size + tombDirs(m).size <= 1) return
     val version = m.version + 1
     val outName = s"codes/seg=compact$version"
-    readCodes(spark, root, m)
-      .repartition(confOf(m).coarseK, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(new java.io.File(root, outName).toString)
-    val entries = m.entries.filterNot(_._1.startsWith("codes/")) +
-      (s"codes/c$version" -> outName)
-    val next = SnapshotManifest.State(version, entries, m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "codes")
+    val live = liveCodes(spark, root, m).persist()
+    try {
+      live.repartition(confOf(m).coarseK, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(root, outName).toString)
+      // tombstones RESOLVE here: only those of fully-deleted vectors
+      // survive the merge (folded to their max stamp) — a re-add must
+      // still outrank them after the killed versions are gone
+      val tombs = tombDirs(m)
+      val tombEntries: Map[String, String] =
+        if (tombs.isEmpty) Map.empty
+        else {
+          val kept = spark.read.schema("vec_id LONG, sseq LONG")
+            .parquet(tombs.map(rel => new java.io.File(root, rel).toString): _*)
+            .groupBy(col("vec_id")).agg(max(col("sseq")).as("sseq"))
+            .join(live.select(col("vec_id")), Seq("vec_id"), "left_anti")
+            .persist()
+          try {
+            if (kept.isEmpty) Map.empty
+            else {
+              kept.coalesce(1).write.mode("overwrite")
+                .parquet(new java.io.File(root, s"tombs_compact$version").toString)
+              Map(s"tombs/c$version" -> s"tombs_compact$version")
+            }
+          } finally { kept.unpersist(blocking = false); () }
+        }
+      val entries = m.entries
+        .filterNot(e => e._1.startsWith("codes/") || e._1.startsWith("tombs/")) +
+        (s"codes/c$version" -> outName) ++ tombEntries
+      val next = SnapshotManifest.State(version, entries, m.retain)
+      SnapshotManifest.commit(root, next) // the commit point
+      SnapshotManifest.gc(root, next, "codes")
+      SnapshotManifest.gc(root, next, "tombs_")
+    } finally {
+      live.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Query-time plan from the committed index: route → ADC scan of the
@@ -246,7 +354,7 @@ object AnnIndex {
     val m = SnapshotManifest.read(root)
     val c = confOf(m)
     val coarseCents = readCents(spark, root, m, "coarse")
-    val codes = readCodes(spark, root, m)
+    val codes = liveCodes(spark, root, m)
     // nprobe routing against the loaded coarse centroids
     val wr = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cell"))
     val routed = queries.crossJoin(broadcast(

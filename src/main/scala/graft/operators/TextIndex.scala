@@ -65,6 +65,11 @@ object TextIndex {
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(hash(term), lit(buckets))
 
+  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
   /** One batch's postings: (doc_id, term, tf, dl, bucket). tf/dl are
     * doc-local, so this derives from the batch alone. */
   private def postingsOf(batch: DataFrame, idCol: String,
@@ -78,39 +83,140 @@ object TextIndex {
       .withColumn("bucket", bucketOf(col("term"), buckets))
   }
 
+  /** Write one immutable segment — postings + per-doc rows of the
+    * batch's live states, tombstones for the prior versions this batch
+    * supersedes, and the segment's ADDITIVE stats partials (docs added
+    * AND versions killed, so corpus-global n_docs/avgdl stay a one-row-
+    * per-segment fold even under deletes) — then swap the manifest.
+    * `p` is the batch's postings (doc_id, term, tf, dl, bucket, sseq);
+    * `killedVers` the prior live versions it supersedes (doc_id, dl). */
+  private def commitSegment(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, nb: Int, batchId: Long,
+      p: DataFrame, killedVers: DataFrame): Unit = {
+    val seg = s"epoch_$batchId"
+    val segDir = new java.io.File(root, seg)
+    val dBucket = bucketOf(col("doc_id"), nb)
+    // one task per bucket: file count stays O(buckets), not O(tasks)
+    p.repartition(nb, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(segDir, "postings").toString)
+    // per-doc rows (doc_id, dl, sseq), doc-hash-bucketed: what a later
+    // CDC batch probes to find the prior live version it supersedes
+    p.select(col("doc_id"), col("dl"), col("sseq")).distinct()
+      .withColumn("bucket", dBucket)
+      .repartition(nb, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(segDir, "docs").toString)
+    // tombstones: one row per superseded doc, stamped with THIS batch —
+    // a version is live iff its sseq >= every tombstone's for the doc,
+    // so the batch's own re-add (same sseq) survives its own tombstone
+    killedVers.select(col("doc_id")).distinct()
+      .withColumn("sseq", lit(batchId))
+      .withColumn("bucket", dBucket)
+      .repartition(1, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(segDir, "tombs").toString)
+    val addStats = p.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    val killStats = killedVers
+      .agg(count(lit(1)).as("n_killed"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_killed"))
+    addStats.crossJoin(killStats).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(new java.io.File(segDir, "stats").toString)
+    val next = SnapshotManifest.State(m.version + 1,
+      m.entries + (s"seg/$batchId" -> seg) +
+        ("lastBatch" -> batchId.toString) +
+        ("conf/buckets" -> nb.toString), m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "epoch_")
+  }
+
   /** foreachBatch body: index one micro-batch of (doc_id, text) docs as
     * a fresh immutable segment and publish it with the pointer swap.
     * Replay of an already-committed batchId is a detected no-op.
-    * `buckets` applies only when this append CREATES the index; an
-    * existing index's manifest-recorded count always wins. */
+    * Docs are assumed NEW (the append-only ingest path — no prior-
+    * version lookup, no tombstones); a CDC stream of updates/deletes
+    * drives [[applyBatch]] instead. `buckets` applies only when this
+    * append CREATES the index; the manifest-recorded count wins after. */
   def appendBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = Buckets)(
       batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val seg = s"epoch_$batchId"
-    val segDir = new java.io.File(root, seg)
-    val p = postingsOf(batch, idCol, textCol, nb).persist()
+    val p = postingsOf(batch, idCol, textCol, nb)
+      .withColumn("sseq", lit(batchId)).persist()
     try {
-      // one task per bucket: file count stays O(buckets), not O(tasks)
-      p.repartition(nb, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(new java.io.File(segDir, "postings").toString)
-      p.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(new java.io.File(segDir, "stats").toString)
-      val next = SnapshotManifest.State(m.version + 1,
-        m.entries + (s"seg/$batchId" -> seg) +
-          ("lastBatch" -> batchId.toString) +
-          ("conf/buckets" -> nb.toString), m.retain)
-      SnapshotManifest.commit(root, next) // the commit point
-      SnapshotManifest.gc(root, next, "epoch_")
+      commitSegment(spark, root, m, nb, batchId, p,
+        emptyDf(spark, "doc_id LONG, dl LONG"))
     } finally {
       p.unpersist(blocking = false)
+      ()
+    }
+  }
+
+  /** foreachBatch body for the CDC-MAINTAINED index — the composition
+    * of the changelog-apply semantic (full-image update/delete,
+    * mysql_manager.rs:232-292) with the segment model: one micro-batch
+    * of per-doc POST-BATCH states (doc_id, text, deleted) folds into
+    * the index as an immutable segment where an update = tombstone +
+    * re-add and a delete = tombstone. Callers feed it the output of a
+    * keyed stream fold (the ReplicaSink contract), so per-doc state is
+    * monotone across batches and the batchId is the version stamp.
+    *
+    * Cost shape at 100 TB: the only reads of EXISTING state are the
+    * touched doc-hash buckets of the docs/tombs tables (listing-level
+    * pruning — O(batch), never O(corpus), the ReplicaSink merge shape),
+    * needed to stamp the superseded versions' (count, dl) into the
+    * segment's additive stats partials; postings of earlier segments
+    * are never touched. */
+  def applyBatch(dir: String, idCol: String = "doc_id",
+      textCol: String = "text", delCol: String = "deleted",
+      buckets: Int = Buckets)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    val segs = segments(m)
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(delCol).cast("boolean").as("deleted")).persist()
+    try {
+      val p = postingsOf(b.where(!col("deleted"))
+            .select(col("doc_id"), col("text")), "doc_id", "text", nb)
+        .withColumn("sseq", lit(batchId)).persist()
+      try {
+        // prior live versions of the touched docs: probe only the
+        // batch's doc-hash buckets across committed segments
+        val touched = b.select(bucketOf(col("doc_id"), nb).as("k"))
+          .distinct().collect().map(_.getInt(0)).sorted // bounded: ≤ nb
+        def readSubset(sub: String, schema: String): DataFrame = {
+          val paths = for {
+            sg <- segs; k <- touched
+            d = new java.io.File(root, s"$sg/$sub/bucket=$k") if d.exists()
+          } yield d.toString
+          if (paths.isEmpty) emptyDf(spark, schema)
+          else spark.read.schema(schema).parquet(paths.toSeq: _*)
+        }
+        val tmax = readSubset("tombs", "doc_id LONG, sseq LONG")
+          .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax"))
+        val killed = readSubset("docs", "doc_id LONG, dl LONG, sseq LONG")
+          .join(tmax, Seq("doc_id"), "left")
+          .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+          .join(b.select(col("doc_id")).distinct(), "doc_id")
+          .select(col("doc_id"), col("dl")).persist()
+        try commitSegment(spark, root, m, nb, batchId, p, killed)
+        finally { killed.unpersist(blocking = false); () }
+      } finally {
+        p.unpersist(blocking = false)
+        ()
+      }
+    } finally {
+      b.unpersist(blocking = false)
       ()
     }
   }
@@ -126,17 +232,37 @@ object TextIndex {
     d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
   } yield d.toString
 
+  /** Read a per-bucket table across segments, with the live-version
+    * filter applied when any tombstones exist: a row (stamped `sseq`)
+    * survives iff no LATER tombstone covers its doc — `sseq >= max
+    * tombstone sseq`, so a batch's own re-add outlives its own
+    * tombstone. When the index holds no tombstones (the pure-append
+    * ingest path) the liveness join vanishes from the plan entirely. */
+  private def liveRows(spark: SparkSession, root: java.io.File,
+      rows: DataFrame, tombPaths: Seq[String]): DataFrame =
+    if (tombPaths.isEmpty) rows
+    else {
+      val tmax = spark.read.schema("doc_id LONG, sseq LONG")
+        .parquet(tombPaths: _*)
+        .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax"))
+      rows.join(tmax, Seq("doc_id"), "left")
+        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+        .drop("tmax")
+    }
+
   /** Segment merge — the index's compaction step (every search engine's
     * merge policy, on the manifest protocol): fold ALL current segments
     * into one fresh immutable `epoch_compact<version>` segment and
-    * publish it with the pointer swap. Postings rows are doc-local facts
-    * and move verbatim; the per-segment stats PARTIALS re-aggregate
-    * (additive, so a sum of sums is the same fold retrieval would have
-    * done at probe time). Retrieval output is unchanged by
-    * construction — what moves is cost: probe listing drops from
-    * O(segments × T buckets) back to O(T buckets) between merges.
-    * The `lastBatch` watermark carries through, so a resuming stream
-    * still detects replays and new batches keep appending fresh
+    * publish it with the pointer swap. Tombstones RESOLVE here: only
+    * live postings/doc rows move, the stats partials fold to their net
+    * form (added − killed, killed reset to zero), and the only
+    * tombstones that survive are those of fully-deleted docs — a
+    * re-add must still outrank them, and a later CDC batch must still
+    * see that the doc's past versions are dead. Retrieval output is
+    * unchanged by construction — what moves is cost: probe listing
+    * drops from O(segments × T buckets) back to O(T buckets) between
+    * merges. The `lastBatch` watermark carries through, so a resuming
+    * stream still detects replays and new batches keep appending fresh
     * segments on top of the merged one. Crash mid-rewrite leaves an
     * orphan dir for the next commit's gc; old segments age out of the
     * time-travel retention window like any superseded snapshot.
@@ -150,16 +276,45 @@ object TextIndex {
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val outDir = new java.io.File(root, outName)
-    spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG")
-      .parquet(leaves(root, segs, "postings", nb): _*)
+    val tombPaths = leaves(root, segs, "tombs", nb)
+    val livePost = liveRows(spark, root,
+      spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG")
+        .parquet(leaves(root, segs, "postings", nb): _*), tombPaths)
+    livePost
       .withColumn("bucket", bucketOf(col("term"), nb))
       .repartition(nb, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new java.io.File(outDir, "postings").toString)
-    spark.read.schema("n_docs LONG, sum_dl LONG")
+    val liveDocs = liveRows(spark, root,
+      spark.read.schema("doc_id LONG, dl LONG, sseq LONG")
+        .parquet(leaves(root, segs, "docs", nb): _*), tombPaths)
+    liveDocs
+      .withColumn("bucket", bucketOf(col("doc_id"), nb))
+      .repartition(nb, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(outDir, "docs").toString)
+    // tombstones of fully-deleted docs survive the merge (folded to
+    // their max stamp); resolved ones — superseded by a live re-add —
+    // are dropped with the versions they killed
+    if (tombPaths.nonEmpty)
+      spark.read.schema("doc_id LONG, sseq LONG").parquet(tombPaths: _*)
+        .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
+        .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("bucket", bucketOf(col("doc_id"), nb))
+        .repartition(1, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(outDir, "tombs").toString)
+    // net stats: additive fold of the partials, kill counters reset —
+    // equal by invariant to a recount over the merged live docs
+    spark.read
+      .schema("n_docs LONG, sum_dl LONG, n_killed LONG, dl_killed LONG")
       .parquet(segs.map(seg =>
         new java.io.File(root, s"$seg/stats").toString): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .agg((sum(col("n_docs")) - sum(coalesce(col("n_killed"), lit(0L))))
+          .as("n_docs"),
+        (sum(col("sum_dl")) - sum(coalesce(col("dl_killed"), lit(0L))))
+          .as("sum_dl"),
+        lit(0L).as("n_killed"), lit(0L).as("dl_killed"))
       .coalesce(1)
       .write.mode("overwrite")
       .parquet(new java.io.File(outDir, "stats").toString)
@@ -219,18 +374,28 @@ object TextIndex {
     }
     // ONE multi-path read of the per-segment stats rows — a per-dir
     // read + union chain grows O(segments) relations and plan depth as
-    // the stream ages (the same trap ReplicaSink's bucket read hit)
-    val statsRow = spark.read.schema("n_docs LONG, sum_dl LONG")
+    // the stream ages (the same trap ReplicaSink's bucket read hit).
+    // The fold nets out the killed partials, so n_docs/avgdl describe
+    // the LIVE corpus exactly even under CDC deletes/updates.
+    val statsRow = spark.read
+      .schema("n_docs LONG, sum_dl LONG, n_killed LONG, dl_killed LONG")
       .parquet(segs.map(seg =>
         new java.io.File(root, s"$seg/stats").toString): _*)
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .agg((sum(col("n_docs")) - sum(coalesce(col("n_killed"), lit(0L))))
+          .as("n_docs"),
+        (sum(col("sum_dl")) - sum(coalesce(col("dl_killed"), lit(0L))))
+          .as("sum_dl"))
       // long-exact fold, then ONE division — bit-identical to the
       // batch path's avg(dl) (a double sum of longs < 2^53 is exact)
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
-    val postings =
-      readLeaves("postings", "doc_id LONG, term STRING, tf LONG, dl LONG")
+    // postings of the probed buckets, dead versions dropped (tombstone
+    // rows are O(changed docs) — when none exist the filter vanishes)
+    val postings = liveRows(spark, root,
+      readLeaves("postings",
+        "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG"),
+      leaves(root, segs, "tombs", nb))
     // df from the SAME bucket reads the scoring join needs anyway: a
     // term's postings live entirely inside its hash bucket, so this
     // count sees every row of each query term — no stored partial

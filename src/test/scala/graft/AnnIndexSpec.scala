@@ -108,6 +108,58 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("CDC maintenance: update = tombstone + re-encode, delete = tombstone; compaction resolves") {
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val raw = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val adds = raw.where(col("vec_id") % 10 >= 8)
+    val upd = raw.where(col("vec_id") % 9 === 0 && col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    val del = raw.where(col("vec_id") % 13 === 0)
+    def tagged(df: org.apache.spark.sql.DataFrame, d: Boolean) =
+      df.withColumn("deleted", lit(d))
+
+    // A: incremental — two add batches, an update batch, a delete batch,
+    // compactions interleaved (tombstones must survive the first merge
+    // untouched and resolve in the second)
+    val dirA = freshDir("graft_ann_cdc_inc")
+    AnnIndex.train(base, dirA)
+    AnnIndex.applyCdcBatch(dirA)(tagged(adds.where(col("vec_id") % 2 === 0), d = false), 0L)
+    AnnIndex.applyCdcBatch(dirA)(tagged(adds.where(col("vec_id") % 2 === 1), d = false), 1L)
+    AnnIndex.compact(spark, dirA)
+    AnnIndex.applyCdcBatch(dirA)(tagged(upd, d = false), 2L)
+    AnnIndex.applyCdcBatch(dirA)(tagged(del, d = true), 3L)
+    AnnIndex.compact(spark, dirA)
+
+    // B: one-shot apply of every touched vector's FINAL state
+    val dirB = freshDir("graft_ann_cdc_oneshot")
+    AnnIndex.train(base, dirB)
+    val finals = tagged(adds
+        .where(col("vec_id") % 9 =!= 0 && col("vec_id") % 13 =!= 0), d = false)
+      .unionByName(tagged(upd, d = false))
+      .unionByName(tagged(del, d = true))
+    AnnIndex.applyCdcBatch(dirB)(finals, 0L)
+
+    // serve both over the POST-APPLY corpus
+    val postEmb = emb.where(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 9 === 0, transform(col("e"), x => -x))
+          .otherwise(col("e")).as("e"))
+    val q = queriesOf(emb)
+    def result(dir: String) =
+      AnnIndex.serve(spark, dir, q, postEmb).orderBy("q_id", "rnk").collect().toSeq
+    val a = result(dirA)
+    assert(a.nonEmpty && a === result(dirB),
+      "interleaved CDC batches must serve identically to a one-shot apply of final states")
+    // deleted vectors never surface
+    assert(!a.exists(r => r.getLong(2) % 13 == 0),
+      "a tombstoned vector must never appear in results")
+    emb.unpersist(blocking = false)
+    ()
+  }
+
   test("non-default geometry: manifest-recorded conf drives encode, serve, and compact") {
     // 3 cells × 4 subspaces of 8 dims × 3 codes — every knob off its
     // default, exercised through the same maintenance-equivalence

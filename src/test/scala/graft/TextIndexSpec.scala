@@ -130,6 +130,99 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC apply: update = tombstone + re-add, delete = tombstone; ≡ rebuild of post-apply corpus") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_textidx_cdc").toString
+    // batch 0: adds; batch 1: update doc 1, delete doc 2, add doc 3
+    TextIndex.applyBatch(dir)(
+      Seq((0L, "red fox jumps over the lazy dog", false),
+          (1L, "red red wine stains the rug", false),
+          (2L, "quick brown fox and the quick hare", false))
+        .toDF("doc_id", "text", "deleted"), 0)
+    TextIndex.applyBatch(dir)(
+      Seq((1L, "white wine pairs with quick cheese", false),
+          (2L, null.asInstanceOf[String], true),
+          (3L, "the dog chased the red fox", false))
+        .toDF("doc_id", "text", "deleted"), 1)
+    val postApply = corpus(
+      (0L, "red fox jumps over the lazy dog"),
+      (1L, "white wine pairs with quick cheese"),
+      (3L, "the dog chased the red fox"))
+    val want = TextAnalysis.bm25Retrieve(postApply, queries, "doc_id", "text",
+        k = 3).orderBy("q_id", "rnk").collect().toSeq
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === want)
+    // compaction resolves the tombstones; answers unchanged; a fresh
+    // CDC batch on the compacted index still sees doc 2 as dead
+    TextIndex.compact(spark, dir)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === want)
+    // re-add of the deleted doc after compaction: must come back live
+    TextIndex.applyBatch(dir)(
+      Seq((2L, "quick naps on the lazy rug", false))
+        .toDF("doc_id", "text", "deleted"), 2)
+    val postApply2 = corpus(
+      (0L, "red fox jumps over the lazy dog"),
+      (1L, "white wine pairs with quick cheese"),
+      (2L, "quick naps on the lazy rug"),
+      (3L, "the dog chased the red fox"))
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq ===
+      TextAnalysis.bm25Retrieve(postApply2, queries, "doc_id", "text", k = 3)
+        .orderBy("q_id", "rnk").collect().toSeq)
+  }
+
+  test("property: random add/update/delete batches with random merge points ≡ post-apply rebuild") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
+      "bread", "cheese", "rug", "naps", "hare", "the", "and", "over")
+    def text(): String =
+      Seq.fill(3 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 0 until 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_textidx_cdcprop$round").toString
+      val state = scala.collection.mutable.LinkedHashMap.empty[Long, String]
+      val nBatches = 2 + rnd.nextInt(3)
+      val mergeAfter = rnd.nextInt(nBatches + 1) // 0 = never
+      for (b <- 0 until nBatches) {
+        val ops = scala.collection.mutable.LinkedHashMap.empty[Long, (String, Boolean)]
+        for (_ <- 0 until (1 + rnd.nextInt(6))) {
+          val known = state.keys.toVector
+          val op = rnd.nextInt(3)
+          if (op == 0 || known.isEmpty) { // add
+            val id = (round * 1000 + b * 100 + ops.size).toLong
+            ops(id) = (text(), false)
+          } else if (op == 1) { // update a live doc
+            val id = known(rnd.nextInt(known.size))
+            ops(id) = (text(), false)
+          } else { // delete a live doc
+            val id = known(rnd.nextInt(known.size))
+            ops(id) = (null, true)
+          }
+        }
+        TextIndex.applyBatch(dir)(
+          ops.toSeq.map { case (id, (t, d)) => (id, t, d) }
+            .toDF("doc_id", "text", "deleted"), b.toLong)
+        ops.foreach { case (id, (t, d)) =>
+          if (d) state.remove(id) else state(id) = t
+        }
+        if (mergeAfter == b + 1) TextIndex.compact(spark, dir)
+      }
+      val docs = state.toSeq.sortBy(_._1)
+      val qs = docs.indices.filter(_ % 2 == 0)
+        .flatMap(i => docs(i)._2.split(" ").take(2).map(t => (docs(i)._1, t)))
+        .distinct.toDF("q_id", "term")
+      val got = TextIndex.retrieve(spark, dir, qs, k = 4)
+        .orderBy("q_id", "rnk").collect().toSeq
+      val want = TextAnalysis.bm25Retrieve(corpus(docs: _*), qs,
+          "doc_id", "text", k = 4)
+        .orderBy("q_id", "rnk").collect().toSeq
+      assert(got === want, s"round $round: merge@$mergeAfter")
+    }
+  }
+
   test("non-default bucket count: manifest-recorded, equivalence and compaction hold") {
     import java.nio.file.Files
     // the bucket count is a creation-time knob recorded in the manifest;
