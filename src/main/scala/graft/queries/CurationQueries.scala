@@ -593,6 +593,17 @@ object CurationQueries {
       graft.streaming.CdcStream.streamAnnIndex(s, dir)
         .orderBy("q_id", "rnk")),
 
+    // CDC-maintained ANN index (round-8 item 1): a real changelog of
+    // adds (%10>=8), full-image re-embeds (%9, negated) and deletes
+    // (%13) folds per micro-batch into tombstone + re-encode segments
+    // against the frozen base codebooks (compaction mid-drain), then
+    // serving runs over the post-apply corpus. Oracle: base training +
+    // frozen-codebook encoding of the POST-APPLY state — maintained ≡
+    // rebuilt.
+    "stream_ann_index_cdc" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamAnnIndexCdc(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
     // run would feed to data_sample_stratified / data_mix_weighted.
@@ -1234,6 +1245,86 @@ object CurationQueries {
                ORDER BY cos DESC, vec_id) AS rnk FROM rr)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
+
+    // the CDC twin: base training + frozen-codebook encoding of the
+    // POST-APPLY corpus (adds not superseded, %9 re-embeds negated, %13
+    // deleted) + the shared route/ADC/rerank tail over the post-apply
+    // exact vectors — the maintained index must answer what a full
+    // rebuild of the applied state answers
+    "stream_ann_index_cdc" -> s"""
+       WITH emball AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       ${kmeansChain(
+        "emb AS (SELECT vec_id, e FROM emball WHERE vec_id % 10 < 8)")},
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       enc AS (
+         SELECT vec_id, list_transform(e, x -> -x) AS e FROM emball
+         WHERE vec_id % 9 = 0 AND vec_id % 13 <> 0
+         UNION ALL
+         SELECT vec_id, e FROM emball
+         WHERE vec_id % 10 >= 8 AND vec_id % 9 <> 0 AND vec_id % 13 <> 0),
+       enca AS (${sqlAssignOn("enc", "c2")}),
+       encs0 AS (SELECT vec_id, e[1:16] AS e FROM enc),
+       encs0a AS (${sqlAssignOn("encs0", "s0c2")}),
+       encs1 AS (SELECT vec_id, e[17:32] AS e FROM enc),
+       encs1a AS (${sqlAssignOn("encs1", "s1c2")}),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id) JOIN a2 m USING (vec_id)
+         WHERE a.vec_id % 9 <> 0 AND a.vec_id % 13 <> 0
+         UNION ALL
+         SELECT a.vec_id, a.cluster_id, b.cluster_id, m.cluster_id
+         FROM encs0a a JOIN encs1a b USING (vec_id) JOIN enca m USING (vec_id)),
+       embfinal AS (
+         SELECT vec_id,
+           CASE WHEN vec_id % 9 = 0 THEN list_transform(e, x -> -x)
+                ELSE e END AS e
+         FROM emball WHERE vec_id % 13 <> 0),
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emball WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN embfinal m ON m.vec_id = s.vec_id)
+       SELECT q_id, rnk, vec_id, cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM rr)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
     // bigrams via 1-based list slices (range(1, len) = 1..len-1), the
     // char fold is the fold_hash mirror (sids CTE in ExtensionQueries),

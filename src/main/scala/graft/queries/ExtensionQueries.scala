@@ -331,6 +331,16 @@ object ExtensionQueries {
       graft.streaming.CdcStream.streamTextIndex(s, dir)
         .orderBy("q_id", "rnk")),
 
+    // CDC-maintained BM25 index (round-8 item 1): the changelog-apply
+    // semantic composed with the segment model — a real stream of adds,
+    // full-image updates (%7) and deletes (%11) folds per micro-batch
+    // into tombstone + re-add segments (compaction mid-drain), then
+    // retrieval serves from the maintained index. Oracle: the batch
+    // BM25 SQL over the POST-APPLY corpus — maintained ≡ rebuilt.
+    "stream_text_index_cdc" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamTextIndexCdc(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // positional rolling-hash fingerprint
     "text_fingerprint" -> ((s, dir) => {
       TextAnalysis.fingerprint(Tables.table(s, dir, "documents"), "text")
@@ -581,10 +591,13 @@ object ExtensionQueries {
   /** Shared by `text_retrieval_bm25` and `stream_text_index`: the
     * incrementally-maintained index must answer bit-for-bit what the
     * one-shot corpus build answers, so both keys pin the SAME batch
-    * retrieval SQL. */
-  private lazy val bm25RetrievalOracle: String = s"""
-       WITH terms AS (
-         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    * retrieval SQL — and `stream_text_index_cdc` pins it over the
+    * POST-APPLY corpus (`corpusSql`), proving the tombstone fold
+    * equals a full rebuild of the applied state. */
+  private def bm25RetrievalOracleOver(corpusSql: String): String = s"""
+       WITH corpus AS ($corpusSql),
+       terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
        dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
        stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
@@ -611,6 +624,18 @@ object ExtensionQueries {
          FROM hits)
        SELECT q_id, rnk, doc_id, ROUND(CAST(sdec AS DOUBLE), 6) AS score
        FROM ranked WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private lazy val bm25RetrievalOracle: String =
+    bm25RetrievalOracleOver("SELECT doc_id, text FROM documents")
+
+  /** The [[graft.streaming.CdcStream.streamTextIndexCdc]] changelog's
+    * net effect: docs % 11 deleted, docs % 7 re-written with the update
+    * marker (delete wins on the overlap). */
+  private lazy val bm25CdcOracle: String = bm25RetrievalOracleOver(
+    """SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 11 <> 0""")
 
   val oracles: Map[String, String] = Map(
     "text_tokens" ->
@@ -796,6 +821,7 @@ object ExtensionQueries {
     // the incrementally-maintained index answers bit-for-bit what the
     // one-shot corpus build answers — the oracle IS the batch SQL
     "stream_text_index" -> bm25RetrievalOracle,
+    "stream_text_index_cdc" -> bm25CdcOracle,
     // both tiers replicated (BM25 with self-exclusion; exact cosine),
     // fused with integer reciprocals L//(60+rank), L = lcm(61..70)
     "text_retrieval_hybrid" -> s"""

@@ -989,6 +989,124 @@ object CdcStream {
     TextIndex.retrieve(ss, idxDir, qs, k = 5)
   }
 
+  /** One document operation of the index-maintenance CDC stream, and the
+    * per-doc fold state: newest op wins (full-image semantics — the
+    * document-store projection of [[applyDeltaEvents]]). */
+  final case class DocOp(doc_id: Long, text: String, deleted: Boolean, seq: Long)
+  final case class DocOpState(seq: Long, text: String, deleted: Boolean)
+
+  private def foldDocOps(key: Long, it: Iterator[DocOp],
+      state: GroupState[DocOpState]): Iterator[(Long, String, Boolean)] = {
+    var cur = state.getOption.getOrElse(DocOpState(Long.MinValue, null, deleted = true))
+    it.foreach { o => if (o.seq > cur.seq) cur = DocOpState(o.seq, o.text, o.deleted) }
+    state.update(cur)
+    Iterator.single((key, cur.text, cur.deleted))
+  }
+
+  /** Vector twin of [[DocOp]] for the ANN index CDC stream. */
+  final case class VecOp(vec_id: Long, embedding: Seq[Double], deleted: Boolean,
+      seq: Long)
+  final case class VecOpState(seq: Long, e: Seq[Double], deleted: Boolean)
+
+  private def foldVecOps(key: Long, it: Iterator[VecOp],
+      state: GroupState[VecOpState]): Iterator[(Long, Seq[Double], Boolean)] = {
+    var cur = state.getOption.getOrElse(VecOpState(Long.MinValue, null, deleted = true))
+    it.foreach { o => if (o.seq > cur.seq) cur = VecOpState(o.seq, o.embedding, o.deleted) }
+    state.update(cur)
+    Iterator.single((key, cur.e, cur.deleted))
+  }
+
+  /** CDC-maintained BM25 index (round-8 item 1): the documents table's
+    * changelog — adds for every doc, full-image UPDATES (doc_id % 7),
+    * DELETES (doc_id % 11, delete wins on overlap) — streams through a
+    * keyed FMGWS fold (per-doc post-batch state, monotone across
+    * batches: the ReplicaSink contract) into
+    * [[graft.operators.TextIndex.applyBatch]], with a compaction run
+    * mid-drain so tombstones both survive and resolve a merge inside
+    * the measured query. Retrieval then serves from the maintained
+    * index; the oracle is the batch BM25 SQL over the POST-APPLY
+    * corpus — the index must answer bit-for-bit what a full rebuild
+    * of the applied state answers. */
+  def streamTextIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ops = docs
+      .select(col("doc_id"), col("text"), lit(false).as("deleted"),
+        (col("doc_id") * 3).as("seq"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graft cdc update")).as("text"),
+          lit(false).as("deleted"), (col("doc_id") * 3 + 1).as("seq")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(true).as("deleted"), (col("doc_id") * 3 + 2).as("seq")))
+    val stream = streamOf(ops, "text_cdc_ops", sfDir, maxFilesPerTrigger = Some(3))
+    val deltas = stream.as[DocOp].groupByKey(_.doc_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldDocOps)
+      .toDF("doc_id", "text", "deleted")
+    val idxDir = drainToStateDir(deltas, "graft_text_index_cdc", sfDir,
+      dir => (batch, id) => {
+        TextIndex.applyBatch(dir)(batch, id)
+        if (id == 1L) TextIndex.compact(batch.sparkSession, dir)
+      })
+    val qs = Tables.table(ss, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    TextIndex.retrieve(ss, idxDir, qs, k = 5)
+  }
+
+  /** CDC-maintained ANN index — the vector twin of
+    * [[streamTextIndexCdc]]: base-slice training, then a changelog of
+    * adds (vec_id % 10 >= 8), full-image re-embeds (vec_id % 9,
+    * negated embedding), and deletes (vec_id % 13, delete wins) folds
+    * per batch into the frozen-codebook index through
+    * [[graft.operators.AnnIndex.applyCdcBatch]], compaction mid-drain.
+    * Serving runs over the post-apply corpus; the oracle reproduces
+    * base training + frozen-codebook encoding of the post-apply state
+    * end-to-end. */
+  def streamAnnIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val emb = AnnIndex.embeddings(ss, sfDir)
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val dbl = emb.select(col("vec_id"), col("e").as("embedding"))
+    val ops = dbl.where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"), lit(false).as("deleted"),
+        (col("vec_id") * 3 + 1).as("seq"))
+      .unionByName(dbl.where(col("vec_id") % 9 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit(false).as("deleted"), (col("vec_id") * 3 + 2).as("seq")))
+      .unionByName(dbl.where(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"), lit(true).as("deleted"),
+          (col("vec_id") * 3 + 3).as("seq")))
+    val stream = streamOf(ops, "ann_cdc_ops", sfDir, maxFilesPerTrigger = Some(3))
+    val deltas = stream.as[VecOp].groupByKey(_.vec_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldVecOps)
+      .toDF("vec_id", "embedding", "deleted")
+    val idxDir = drainToStateDir(deltas, "graft_ann_index_cdc", sfDir,
+      dir => (batch, id) => {
+        AnnIndex.applyCdcBatch(dir)(batch.toDF(), id)
+        if (id == 1L) AnnIndex.compact(batch.sparkSession, dir)
+      },
+      dir => AnnIndex.cloneTrained(base, sfDir, "b8", dir))
+    val postEmb = emb.where(col("vec_id") % 13 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 9 === 0, transform(col("e"), x => -x))
+          .otherwise(col("e")).as("e"))
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    AnnIndex.serve(ss, idxDir, queries, postEmb)
+  }
+
   // ---------- operational introspection: the State Data Source ----------
 
   /** Read a streaming checkpoint's STATE back as a batch DataFrame via
