@@ -349,7 +349,8 @@ object AnnIndex {
     * routed cells' lists → exact rerank. `queries` is (q_id, qe); `emb`
     * supplies exact vectors for the rerank only. */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
-      emb: DataFrame): DataFrame = {
+      emb: DataFrame, nprobe: Int = NProbe, shortlist: Int = Shortlist,
+      topK: Int = TopK): DataFrame = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     val c = confOf(m)
@@ -361,7 +362,7 @@ object AnnIndex {
         coarseCents.select(col("cluster_id").as("cell"), col("centroid"))))
       .withColumn("cdist", KMeansOp.sqDist(col("qe"), col("centroid")))
       .withColumn("crn", row_number().over(wr))
-      .where(col("crn") <= NProbe)
+      .where(col("crn") <= nprobe)
       .select(col("q_id"), col("cell"))
     // per-query ADC lookup tables (M×k rows each — broadcast)
     val dts = (0 until c.pqM).map { i =>
@@ -377,7 +378,7 @@ object AnnIndex {
       .where(col("vec_id") =!= col("q_id"))
       .withColumn("adist", (0 until c.pqM).map(i => col(s"d$i")).reduce(_ + _))
       .withColumn("arn", row_number().over(wa))
-      .where(col("arn") <= Shortlist)
+      .where(col("arn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
     // exact rerank of the shortlist
     val cos = graft.expressions.CosineSimilarity.cosineSim(spark) _
@@ -387,7 +388,7 @@ object AnnIndex {
       .join(emb, "vec_id")
       .withColumn("cos", round(cos(col("qe"), col("e")), 6))
       .withColumn("rnk", row_number().over(wf))
-      .where(col("rnk") <= TopK)
+      .where(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 

@@ -330,7 +330,8 @@ object TextIndex {
     * appended batch. `queries` is (q_id, term), already tokenized and
     * distinct. Only the query terms' buckets are listed/read. */
   def retrieve(spark: SparkSession, dir: String, queries: DataFrame,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -402,8 +403,10 @@ object TextIndex {
     val dfreq = postings
       .join(broadcast(qdf.select(col("term")).distinct()), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val hits = postings
+    val joined = postings
       .join(broadcast(qdf), "term")
+    val hits = (if (excludeSelf) joined.where(col("doc_id") =!= col("q_id"))
+                else joined)
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(statsRow))
       .withColumn("score", TextAnalysis.bm25Score(col("tf"), col("dl"),
@@ -417,5 +420,19 @@ object TextIndex {
       .where(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("doc_id"),
         round(col("sdec").cast("double"), 6).as("score"))
+  }
+
+  /** Build-once-per-(process, sfDir) memoized index over the documents
+    * table — [[AnnIndex.trainedIndexDir]]'s lexical twin, the serving
+    * contract: a hybrid-retrieval query pays bucket probes, never an
+    * index build. */
+  def builtIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/tmp/graft_text_index_built/p${graft.Fs.pid}_$key")
+    if (SnapshotManifest.read(dir).version == 0L)
+      appendBatch(dir.toString)(
+        graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text")), 0L)
+    dir.toString
   }
 }

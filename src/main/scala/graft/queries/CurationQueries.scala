@@ -604,6 +604,48 @@ object CurationQueries {
       graft.streaming.CdcStream.streamAnnIndexCdc(s, dir)
         .orderBy("q_id", "rnk")),
 
+    // Hybrid retrieval SERVED from the two maintained index artifacts
+    // (round-8 item 2) — the production RAG query: the lexical tier
+    // probes the manifest-committed inverted index (query-term buckets
+    // only), the semantic tier routes the trained IVFADC index (no
+    // k-means in the plan, codes scan pruned to routed cells), and the
+    // two top-10 rankings fuse under the integer-exact RRF score. The
+    // oracle reproduces both tiers end-to-end, so served results are
+    // pinned exactly — including where the ANN tier's approximation
+    // diverges from the brute-force tier of text_retrieval_hybrid.
+    "text_retrieval_hybrid_served" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val textIdx = graft.operators.TextIndex.builtIndexDir(s, dir)
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      val lex = graft.operators.TextIndex
+        .retrieve(s, textIdx, qs, k = 10, excludeSelf = true)
+        .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+      val annIdx = graft.operators.AnnIndex.trainedIndexDir(s, dir)
+      val emb = graft.operators.AnnIndex.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val sem = graft.operators.AnnIndex
+        .serve(s, annIdx, queries, emb, topK = 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(expr(s"${ExtensionQueries.RrfLcm} div (60 + lex_rnk)"),
+            lit(0L)) +
+          coalesce(expr(s"${ExtensionQueries.RrfLcm} div (60 + sem_rnk)"),
+            lit(0L)))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
     // run would feed to data_sample_stratified / data_mix_weighted.
@@ -667,7 +709,106 @@ object CurationQueries {
                ORDER BY cos DESC, vec_id) AS rnk FROM rr)
        WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** Both serving tiers reproduced end-to-end: the batch BM25 ranking
+    * (the maintained text index answers it bit-for-bit) and the
+    * IVFADC route/ADC/rerank tail at top-10, fused in exact integer
+    * RRF — pinning the SERVED hybrid exactly, approximation included. */
+  private lazy val hybridServedOracle: String = s"""
+       WITH terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       qterms AS (
+         SELECT DISTINCT doc_id AS q_id,
+           unnest(string_split(text, ' ')[1:3]) AS term
+         FROM documents WHERE doc_id % 100 = 0),
+       lexhits AS (
+         SELECT q.q_id, s.doc_id,
+           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
+         FROM scored s JOIN qterms q USING (term)
+         WHERE s.doc_id <> q.q_id
+         GROUP BY 1, 2),
+       lexr AS (
+         SELECT q_id, doc_id, rnk AS lex_rnk FROM (
+           SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sdec DESC, doc_id) AS rnk
+           FROM lexhits) WHERE rnk <= 10),
+       $kmeansCtes,
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id)
+         JOIN a2 m USING (vec_id)),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN emb m ON m.vec_id = s.vec_id),
+       semr AS (
+         SELECT q_id, doc_id, rnk AS sem_rnk FROM (
+           SELECT q_id, vec_id AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk
+           FROM rr) WHERE rnk <= 10),
+       fused AS (
+         SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+                COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                COALESCE(${ExtensionQueries.RrfLcm} // (60 + l.lex_rnk), 0) +
+                COALESCE(${ExtensionQueries.RrfLcm} // (60 + s.sem_rnk), 0) AS rrf
+         FROM lexr l FULL OUTER JOIN semr s
+           ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+       SELECT q_id, rnk, doc_id, CAST(rrf AS BIGINT) AS rrf FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, doc_id) AS rnk
+         FROM fused) WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
+
   val oracles: Map[String, String] = Map(
+    "text_retrieval_hybrid_served" -> hybridServedOracle,
     "text_chunk" -> """
        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),

@@ -97,7 +97,7 @@ object ExtensionQueries {
     * tier ranks ≤ 10), so each reciprocal L/(60+rank) is an EXACT
     * BIGINT — reciprocal-rank fusion in integer arithmetic, immune to
     * cross-engine float division differences by construction. */
-  private val RrfLcm = 142813628717760L
+  private[queries] val RrfLcm = 142813628717760L
 
   def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"

@@ -21,6 +21,21 @@ class PqPlanSpec extends AnyFunSuite {
     }).toString()
   }
 
+  test("text_retrieval_hybrid_served: both tiers serve from artifacts — no training in the plan") {
+    val df = graft.SparkEntry.queries("text_retrieval_hybrid_served")(spark, Sf)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // the k-means update aggregate's structural signature (posexplode →
+    // per-dim mean → collect_list reassembly): present in every
+    // training plan, must be ABSENT from the serving composition
+    assert(!optimized.contains("posexplode") && !optimized.contains("collect_list"),
+      "serving plan must not contain k-means training stages")
+    // the ANN tier's codes scan stays partition-pruned to routed cells
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("dynamicpruning"),
+      "served hybrid must keep the cell-level dynamic partition pruning")
+    spark.catalog.clearCache()
+  }
+
   test("ann_pq_adc: distance tables broadcast; candidate stage is code-space") {
     val df = graft.SparkEntry.queries("ann_pq_adc")(spark, Sf)
     val plan = finalPlan(df)
