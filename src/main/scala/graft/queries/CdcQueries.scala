@@ -230,6 +230,59 @@ object CdcQueries {
       CdcGen.decodePet(st.where(col("tbl") === "pet")).orderBy("name")
     }),
 
+    // Malformed-event guards (mysql_manager.rs:302-335): the typed pet
+    // changelog plus PLANTED corrupt events — a column list naming a
+    // column the as-of registry does not know (100), a row with more
+    // values than its own column list (101), a registry-resolved row
+    // (null column list — legal in this engine) with more values than
+    // the as-of width (102), a row event on a db-only URI (103), and a
+    // row on a table a DROP TABLE just removed (105; the DROP itself at
+    // 104 is clean DDL and passes) — classified in one map-side pass;
+    // 106 hits a table with NO in-log DDL and must PASS (the fallback
+    // contract: ungoverned tables are not guarded). Output: the
+    // quarantine side-output.
+    "cdc_guard_invalid" -> ((s, _) => {
+      import graft.model.{CdcEvent, CdcRowImages}
+      import graft.model.Value._
+      import s.implicits._
+      val host = "flv://mysql-leader"
+      val petCols6 = Seq("name", "owner", "species", "sex", "birth",
+        "last_vaccine")
+      val bogusCols = Seq("name", "bogus", "species", "sex", "birth",
+        "last_vaccine")
+      def cells(vs: graft.model.Value*): Seq[String] = vs.map(_.toJson)
+      val planted = Seq(
+        CdcEvent(100, s"$host/flvDb/pet", "binlog.000001", 100, Cdc.OpAdd,
+          null, bogusCols, Seq(CdcRowImages(null,
+            cells(VString("Bogus"), VString("Eve"), VString("cat"),
+              VString("f"), VDate(2001, 1, 1), VNull)))),
+        CdcEvent(101, s"$host/flvDb/pet", "binlog.000001", 101, Cdc.OpAdd,
+          null, petCols6, Seq(CdcRowImages(null,
+            cells(VString("Extra"), VString("Eve"), VString("cat"),
+              VString("f"), VDate(2001, 1, 1), VNull, VString("overflow"))))),
+        CdcEvent(102, s"$host/flvDb/pet", "binlog.000001", 102, Cdc.OpAdd,
+          null, null, Seq(CdcRowImages(null,
+            cells(VString("Wide"), VString("Eve"), VString("cat"),
+              VString("f"), VDate(2001, 1, 1), VNull, VString("overflow"))))),
+        CdcEvent(103, s"$host/flvDb", "binlog.000001", 103, Cdc.OpAdd,
+          null, petCols6, Seq(CdcRowImages(null,
+            cells(VString("NoTbl"), VString("Eve"), VString("cat"),
+              VString("f"), VDate(2001, 1, 1), VNull)))),
+        CdcEvent(104, s"$host/flvDb", "binlog.000001", 104, Cdc.OpQuery,
+          "DROP TABLE pet", null, null),
+        CdcEvent(105, s"$host/flvDb/pet", "binlog.000001", 105, Cdc.OpAdd,
+          null, petCols6, Seq(CdcRowImages(null,
+            cells(VString("Ghost"), VString("Eve"), VString("cat"),
+              VString("f"), VDate(2001, 1, 1), VNull)))),
+        CdcEvent(106, s"$host/flvDb/stray", "binlog.000001", 106, Cdc.OpAdd,
+          null, Seq("k", "v"), Seq(CdcRowImages(null,
+            cells(VString("ok"), VString("ungoverned"))))))
+      val events = CdcGen.typedEvents(s)
+        .unionByName(planted.toDS().toDF())
+      val (_, quarantine) = graft.operators.CdcGuards.partition(events)
+      quarantine.orderBy("sequence")
+    }),
+
     // Verbatim-Query replay (mysql_manager.rs:77-95): a mid-stream
     // TRUNCATE — a statement the registry parser ignores but the follower
     // executes — must wipe the table's rows while its columns stay in
@@ -479,6 +532,15 @@ object CdcQueries {
              CASE WHEN n % 3 = 2 THEN 'c3' END,
              CASE WHEN off >= 3 AND n % 2 = 0 THEN 'extra_col' END) AS asof_cols
          FROM r ORDER BY sequence""",
+    "cdc_guard_invalid" ->
+      """SELECT * FROM (VALUES
+           (CAST(100 AS BIGINT), 'Add', 'unknown_column'),
+           (CAST(101 AS BIGINT), 'Add', 'arity_mismatch'),
+           (CAST(102 AS BIGINT), 'Add', 'width_mismatch'),
+           (CAST(103 AS BIGINT), 'Add', 'missing_table'),
+           (CAST(105 AS BIGINT), 'Add', 'unknown_table'))
+         AS t(sequence, op, reason)
+         ORDER BY sequence""",
     "cdc_e2e_pet" ->
       """SELECT * FROM (VALUES
            ('Jack', 'Peter', 'dog', 'm', DATE '1989-08-31', CAST(NULL AS DATE)),

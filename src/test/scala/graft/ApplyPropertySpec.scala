@@ -143,6 +143,15 @@ class ApplyPropertySpec extends AnyFunSuite {
       val (wantCols, want) = schemaFold(evs.toSeq)
       assert(got === want, s"seed $seed")
       if (want.nonEmpty) assert(gotCols.get === wantCols, s"seed $seed cols")
+      // malformed-event guards on a CLEAN stream: nothing quarantined
+      // (registry-resolved widths always match here) and the guarded
+      // apply is byte-identical to the unguarded one
+      val (passed, quar) = graft.operators.CdcGuards.partition(prefixed)
+      assert(quar.isEmpty, s"seed $seed: clean stream must not quarantine")
+      val gotGuarded = ChangelogApply.applyWithSchema(passed, nullCell = null)
+        .select($"image").as[Seq[String]].collect().toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      assert(gotGuarded === want, s"seed $seed guarded")
     }
   }
 
