@@ -402,6 +402,26 @@ object AnnIndex {
     dir.toString
   }
 
+  /** Memoized POST-APPEND maintained index: base-slice training plus
+    * the remaining corpus folded in as two append segments — the state
+    * a long-running ingest stream reaches (stream ≡ batch appends,
+    * pinned by AnnIndexSpec), kept for recall audits of the maintained
+    * path as segments accumulate under frozen codebooks. */
+  def appendedIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
+    val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val dir = new java.io.File(s"/tmp/graft_ann_appended/p${graft.Fs.pid}_$key")
+    if (SnapshotManifest.read(dir).version == 0L) {
+      val emb = embeddings(spark, sfDir)
+      cloneTrained(emb.where(col("vec_id") % 10 < 8), sfDir, "b8", dir.toString)
+      val rest = graft.sources.Tables.table(spark, sfDir, "embeddings")
+        .where(col("vec_id") % 10 >= 8)
+        .select(col("vec_id"), col("embedding"))
+      appendBatch(dir.toString)(rest.where(col("vec_id") % 2 === 0), 0L)
+      appendBatch(dir.toString)(rest.where(col("vec_id") % 2 === 1), 1L)
+    }
+    dir.toString
+  }
+
   /** Memoized BASE-slice training for the incremental-maintenance
     * stream: training is a property of the immutable base corpus, so it
     * runs once per (process, sfDir, tag) and each stream invocation

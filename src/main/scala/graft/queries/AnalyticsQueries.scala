@@ -84,6 +84,40 @@ object AnalyticsQueries {
         .orderBy("q_id")
     }),
 
+    // Recall audit of the MAINTAINED-index serving paths (round-8
+    // item 6): recall@5 vs exact brute force for (a) the served IVFADC
+    // artifact and (b) a post-append maintained state — two appended
+    // segments encoded under FROZEN base codebooks, the state a
+    // long-running ingest stream reaches (stream ≡ batch appends,
+    // AnnIndexSpec) — so codebook-drift recall stays measured, not
+    // assumed, as segments accumulate. Oracle: each tier's existing
+    // oracle SQL composed as subqueries + the same recall arithmetic.
+    "ann_recall_eval_served" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      val brute = ExtensionQueries.queries("ann_cosine_topk")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val served = CurationQueries.queries("ann_ivf_pq_served")(s, dir)
+        .select(col("q_id"), col("vec_id"))
+      val emb = AnnIndex.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val appended = AnnIndex
+        .serve(s, AnnIndex.appendedIndexDir(s, dir), queries, emb)
+        .select(col("q_id"), col("vec_id"))
+      val tiers = served.withColumn("tier", lit("served"))
+        .unionByName(appended.withColumn("tier", lit("appended")))
+      val hits = brute.join(tiers, Seq("q_id", "vec_id"))
+        .groupBy("tier", "q_id").agg(count(lit(1)).as("hits"))
+      val tierNames = { import s.implicits._; Seq("served", "appended").toDF("tier") }
+      brute.select("q_id").distinct()
+        .crossJoin(tierNames)
+        .join(hits, Seq("tier", "q_id"), "left")
+        .select(col("tier"), col("q_id"),
+          coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("tier", "q_id")
+    }),
+
     // mergeable HLL sketches: per-(type, day) sketches built map-side,
     // merged across days with hll_union_agg — the re-aggregatable
     // distinct-count cube pattern (store one sketch per cell, answer any
@@ -345,10 +379,36 @@ object AnalyticsQueries {
     SELECT i, j, gram FROM gram
     ORDER BY abs(gram) DESC, i, j LIMIT 20"""
 
+  /** Each tier's own oracle SQL composed as a subquery (the maintained
+    * paths' oracles already reproduce base training + frozen-codebook
+    * encoding end-to-end), then the shared recall@5 arithmetic. */
+  private lazy val recallServedOracle: String = s"""
+    WITH brute AS (
+      SELECT q_id, vec_id FROM (${ExtensionQueries.oracles("ann_cosine_topk")})),
+    served AS (
+      SELECT q_id, vec_id FROM (${CurationQueries.oracles("ann_ivf_pq_served")})),
+    appended AS (
+      SELECT q_id, vec_id FROM (${CurationQueries.oracles("stream_ann_index")})),
+    tiers AS (
+      SELECT 'served' AS tier, q_id, vec_id FROM served
+      UNION ALL SELECT 'appended', q_id, vec_id FROM appended),
+    hits AS (
+      SELECT t.tier, b.q_id, COUNT(*) AS hits
+      FROM brute b JOIN tiers t ON t.q_id = b.q_id AND t.vec_id = b.vec_id
+      GROUP BY 1, 2),
+    grid AS (
+      SELECT tier, q_id FROM (SELECT DISTINCT q_id FROM brute)
+      CROSS JOIN (SELECT unnest(['served', 'appended']) AS tier))
+    SELECT g.tier, g.q_id, COALESCE(h.hits, 0) AS hits,
+           COALESCE(h.hits, 0) / 5.0 AS recall
+    FROM grid g LEFT JOIN hits h ON h.tier = g.tier AND h.q_id = g.q_id
+    ORDER BY 1, 2"""
+
   val oracles: Map[String, String] = Map(
     "ts_gapfill" -> gapfillOracle,
     "graph_triangles" -> trianglesOracle,
     "ann_recall_eval" -> recallOracle,
+    "ann_recall_eval_served" -> recallServedOracle,
     "q_funnel" -> """
       WITH s1 AS (
         SELECT user_id, MIN(ts) AS t1 FROM events
