@@ -76,11 +76,15 @@ object AnnIndex {
       subDim: Int = SubDim) =
     slice(embCol, m * subDim + 1, subDim)
 
-  /** Train coarse + PQ models over `emb` and commit the index snapshot
-    * at `dir` (version 1: codebooks + the base inverted lists). */
-  def train(emb: DataFrame, dir: String, conf: Conf = Conf()): Unit = {
-    val root = new java.io.File(dir)
-    root.mkdirs()
+  /** Write one full trained GENERATION of the index under `v$gen/…`
+    * (codebooks) and `codes/seg=base$gen` (base inverted lists), and
+    * return the manifest entries naming it. No commit happens here —
+    * the caller ([[train]] for generation 1, [[rebuild]] for
+    * rotations) publishes the entries with its own pointer swap, so a
+    * crash mid-write leaves only orphan dirs and the previously
+    * committed generation stays fully readable. */
+  private def trainInto(emb: DataFrame, root: java.io.File, conf: Conf,
+      gen: Long): Map[String, String] = {
     val cached = emb.cache()
     try {
       val coarseAssigned =
@@ -100,9 +104,9 @@ object AnnIndex {
           "vec_id")
         .withColumn("sseq", lit(-1L))
       coarseCents.coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(root, "v1/coarse").toString)
+        .parquet(new java.io.File(root, s"v$gen/coarse").toString)
       subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(root, s"v1/pq$m").toString))
+        .parquet(new java.io.File(root, s"v$gen/pq$m").toString))
       // one writer task per cell: file count stays O(cells), not
       // O(tasks × cells) — the 100 TB layout (same idiom as ReplicaSink).
       // Segments live as seg=<name> partitions of ONE two-level Hive
@@ -113,18 +117,53 @@ object AnnIndex {
       // break partition discovery into per-segment union chains).
       codes.repartition(conf.coarseK, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(root, "codes/seg=base").toString)
-      val entries = Map("coarse" -> "v1/coarse", "codes/base" -> "codes/seg=base") ++
-        (0 until conf.pqM).map(m => s"pq$m" -> s"v1/pq$m") ++ confEntries(conf)
-      val m0 = SnapshotManifest.read(root)
-      SnapshotManifest.commit(root,
-        SnapshotManifest.State(m0.version + 1, entries, m0.retain))
+        .parquet(new java.io.File(root, s"codes/seg=base$gen").toString)
       coarseAssigned.unpersist(blocking = false)
-      ()
+      Map("coarse" -> s"v$gen/coarse",
+        s"codes/base" -> s"codes/seg=base$gen") ++
+        (0 until conf.pqM).map(m => s"pq$m" -> s"v$gen/pq$m") ++
+        confEntries(conf)
     } finally {
       cached.unpersist(blocking = false)
       ()
     }
+  }
+
+  /** Train coarse + PQ models over `emb` and commit the index snapshot
+    * at `dir` (version 1: codebooks + the base inverted lists). */
+  def train(emb: DataFrame, dir: String, conf: Conf = Conf()): Unit = {
+    val root = new java.io.File(dir)
+    root.mkdirs()
+    val entries = trainInto(emb, root, conf, 1L)
+    val m0 = SnapshotManifest.read(root)
+    SnapshotManifest.commit(root,
+      SnapshotManifest.State(m0.version + 1, entries, m0.retain))
+  }
+
+  /** Index REBUILD rotation — the codebook-drift answer the frozen-
+    * codebook append contract defers to: retrain every model on the
+    * full CURRENT corpus and publish the new generation under the same
+    * manifest pointer swap. The new base inverted lists encode the
+    * whole corpus, so all prior code/tombstone segments are superseded
+    * and drop out of the committed entries (gc reclaims them once they
+    * age past retention); the `lastBatch` watermark carries through,
+    * so a maintenance stream keeps appending — now against the fresh
+    * codebooks. Readers hold either the old snapshot or the new one,
+    * never a mix; [[serveAt]] keeps the prior generation queryable
+    * within the retention window; a crash mid-rebuild leaves only
+    * orphan `v<gen>` dirs and the old index intact. */
+  def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
+      conf: Conf = Conf()): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    require(m.version > 0L, s"no committed index to rebuild at $dir")
+    val entries = trainInto(corpus, root, conf, m.version + 1) ++
+      m.entries.filter(_._1 == "lastBatch")
+    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    SnapshotManifest.gc(root, next, "codes")
+    SnapshotManifest.gc(root, next, "tombs_")
+    SnapshotManifest.gc(root, next, "v")
   }
 
   /** Fold one micro-batch of NEW embeddings into the inverted lists:
@@ -350,9 +389,25 @@ object AnnIndex {
     * supplies exact vectors for the rerank only. */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
       emb: DataFrame, nprobe: Int = NProbe, shortlist: Int = Shortlist,
-      topK: Int = TopK): DataFrame = {
+      topK: Int = TopK): DataFrame =
+    serveState(spark, new java.io.File(dir),
+      SnapshotManifest.read(new java.io.File(dir)), queries, emb,
+      nprobe, shortlist, topK)
+
+  /** Time-travel serving: the query plan against the RETAINED snapshot
+    * at `version` — what keeps the previous index generation queryable
+    * through a [[rebuild]] rotation (audit reads, rollback validation).
+    * None once the version has aged past the retention window. */
+  def serveAt(spark: SparkSession, dir: String, version: Long,
+      queries: DataFrame, emb: DataFrame): Option[DataFrame] = {
     val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
+    SnapshotManifest.readAt(root, version)
+      .map(m => serveState(spark, root, m, queries, emb, NProbe, Shortlist, TopK))
+  }
+
+  private def serveState(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, queries: DataFrame, emb: DataFrame,
+      nprobe: Int, shortlist: Int, topK: Int): DataFrame = {
     val c = confOf(m)
     val coarseCents = readCents(spark, root, m, "coarse")
     val codes = liveCodes(spark, root, m)

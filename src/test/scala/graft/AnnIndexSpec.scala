@@ -160,6 +160,42 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("rebuild rotation: pointer swap, old generation queryable, crash leaves old intact") {
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val dir = freshDir("graft_ann_rebuild")
+    AnnIndex.train(emb, dir)
+    val q = queriesOf(emb)
+    def serveNow() =
+      AnnIndex.serve(spark, dir, q, emb).orderBy("q_id", "rnk").collect().toSeq
+    val before = serveNow()
+    val v1 = SnapshotManifest.read(new java.io.File(dir)).version
+
+    // crash mid-rebuild: a new generation's dirs exist but the pointer
+    // never swapped — the committed index must be untouched
+    new java.io.File(dir, "v99").mkdirs()
+    new java.io.File(dir, "codes/seg=base99").mkdirs()
+    assert(serveNow() === before, "orphan generation dirs must be invisible")
+
+    // the rotation: retrain on the SAME corpus (deterministic training
+    // → identical artifacts) under a new generation + pointer swap
+    AnnIndex.rebuild(spark, dir, emb)
+    val m2 = SnapshotManifest.read(new java.io.File(dir))
+    assert(m2.version === v1 + 1)
+    assert(m2.entries("coarse").startsWith(s"v${v1 + 1}/"),
+      "rebuild must publish a fresh generation")
+    assert(serveNow() === before,
+      "rebuild on unchanged data must serve identically")
+    // the crash orphans were collected by the rebuild's gc
+    assert(!new java.io.File(dir, "v99").exists() &&
+      !new java.io.File(dir, "codes/seg=base99").exists())
+    // the prior generation stays queryable within the retention window
+    val old = AnnIndex.serveAt(spark, dir, v1, q, emb)
+    assert(old.isDefined &&
+      old.get.orderBy("q_id", "rnk").collect().toSeq === before)
+    emb.unpersist(blocking = false)
+    ()
+  }
+
   test("non-default geometry: manifest-recorded conf drives encode, serve, and compact") {
     // 3 cells × 4 subspaces of 8 dims × 3 codes — every knob off its
     // default, exercised through the same maintenance-equivalence
