@@ -167,8 +167,30 @@ object TextAnalysis {
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bm25Scored(docs, idCol, textCol, k1, b)
-    val hits0 = scored.join(broadcast(queries), "term")
+    // The probe filter comes FIRST: tf semi-joins the broadcast query
+    // terms before anything else touches it, so df (computable from the
+    // matched rows alone — a term's tf rows are all present) becomes a
+    // broadcast of |query terms| rows and the per-doc dl join's left
+    // side shrinks from every (doc, term) row to the matched ones.
+    // Corpus-wide work is exactly what it must be: the one tf
+    // aggregation and the per-doc dl/stats fold. (bm25Scored keeps the
+    // full build for keyword extraction, which needs every pair.)
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val matched = tf.join(broadcast(queries.select(col("term")).distinct()),
+      "term")
+    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val hits0 = matched
+      .join(broadcast(queries), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score", bm25Score(col("tf"), col("dl"), col("df"),
+        col("n_docs"), col("avgdl"), k1, b))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
     // self-exclusion is a HIT filter, never a corpus filter: df/avgdl
