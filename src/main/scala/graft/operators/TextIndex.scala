@@ -70,29 +70,37 @@ object TextIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
-  /** One batch's postings: (doc_id, term, tf, dl, bucket). tf/dl are
-    * doc-local, so this derives from the batch alone. */
+  /** One batch's postings AND per-doc table, computed together so the
+    * dl aggregation is shared: postings (doc_id, term, tf, dl, bucket,
+    * sseq) and docs (doc_id, dl, sseq). tf/dl are doc-local, so both
+    * derive from the batch alone. Callers persist `docs` (one small
+    * row per doc): the postings join, the docs write, and the stats
+    * aggregate all reuse it instead of re-deriving per-doc rows with a
+    * distinct over the postings. */
   private def postingsOf(batch: DataFrame, idCol: String,
-      textCol: String, buckets: Int): DataFrame = {
+      textCol: String, buckets: Int, sseq: Long): (DataFrame, DataFrame) = {
     val terms = batch.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id")
+    val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .withColumn("sseq", lit(sseq))
+    val p = tf.join(docs.select(col("doc_id"), col("dl")), "doc_id")
       .withColumn("bucket", bucketOf(col("term"), buckets))
+      .withColumn("sseq", lit(sseq))
+    (p, docs)
   }
 
   /** Write one immutable segment — postings + per-doc rows of the
     * batch's live states, tombstones for the prior versions this batch
-    * supersedes, and the segment's ADDITIVE stats partials (docs added
-    * AND versions killed, so corpus-global n_docs/avgdl stay a one-row-
-    * per-segment fold even under deletes) — then swap the manifest.
-    * `p` is the batch's postings (doc_id, term, tf, dl, bucket, sseq);
-    * `killedVers` the prior live versions it supersedes (doc_id, dl). */
+    * supersedes (None on the append-only path: no tombs dir, zero kill
+    * partials, no extra jobs), and the segment's ADDITIVE stats
+    * partials (docs added AND versions killed, so corpus-global
+    * n_docs/avgdl stay a one-row-per-segment fold even under deletes)
+    * — then swap the manifest. */
   private def commitSegment(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, nb: Int, batchId: Long,
-      p: DataFrame, killedVers: DataFrame): Unit = {
+      p: DataFrame, docs: DataFrame, killedVers: Option[DataFrame]): Unit = {
     val seg = s"epoch_$batchId"
     val segDir = new java.io.File(root, seg)
     val dBucket = bucketOf(col("doc_id"), nb)
@@ -102,27 +110,32 @@ object TextIndex {
       .parquet(new java.io.File(segDir, "postings").toString)
     // per-doc rows (doc_id, dl, sseq), doc-hash-bucketed: what a later
     // CDC batch probes to find the prior live version it supersedes
-    p.select(col("doc_id"), col("dl"), col("sseq")).distinct()
-      .withColumn("bucket", dBucket)
+    docs.withColumn("bucket", dBucket)
       .repartition(nb, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(new java.io.File(segDir, "docs").toString)
-    // tombstones: one row per superseded doc, stamped with THIS batch —
-    // a version is live iff its sseq >= every tombstone's for the doc,
-    // so the batch's own re-add (same sseq) survives its own tombstone
-    killedVers.select(col("doc_id")).distinct()
+    // tombstones: one row per superseded doc VERSION, stamped with THIS
+    // batch — a version is live iff its sseq >= every tombstone's for
+    // the doc, so the batch's own re-add (same sseq) survives its own
+    // tombstone. At most one live prior version exists per doc (each
+    // apply kills the last), so no dedup pass is needed.
+    killedVers.foreach(_.select(col("doc_id"))
       .withColumn("sseq", lit(batchId))
       .withColumn("bucket", dBucket)
       .repartition(1, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(segDir, "tombs").toString)
-    val addStats = p.select(col("doc_id"), col("dl")).distinct()
+      .parquet(new java.io.File(segDir, "tombs").toString))
+    val addStats = docs
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-    val killStats = killedVers
-      .agg(count(lit(1)).as("n_killed"),
-        coalesce(sum(col("dl")), lit(0L)).as("dl_killed"))
-    addStats.crossJoin(killStats).coalesce(1)
+    val stats = killedVers match {
+      case None => addStats
+        .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
+      case Some(kv) => addStats.crossJoin(kv
+        .agg(count(lit(1)).as("n_killed"),
+          coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
+    }
+    stats.coalesce(1)
       .write.mode("overwrite")
       .parquet(new java.io.File(segDir, "stats").toString)
     val next = SnapshotManifest.State(m.version + 1,
@@ -148,13 +161,12 @@ object TextIndex {
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val p = postingsOf(batch, idCol, textCol, nb)
-      .withColumn("sseq", lit(batchId)).persist()
+    val (p, docs) = postingsOf(batch, idCol, textCol, nb, batchId)
+    val docsC = docs.persist()
     try {
-      commitSegment(spark, root, m, nb, batchId, p,
-        emptyDf(spark, "doc_id LONG, dl LONG"))
+      commitSegment(spark, root, m, nb, batchId, p, docsC, None)
     } finally {
-      p.unpersist(blocking = false)
+      docsC.unpersist(blocking = false)
       ()
     }
   }
@@ -186,9 +198,9 @@ object TextIndex {
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(delCol).cast("boolean").as("deleted")).persist()
     try {
-      val p = postingsOf(b.where(!col("deleted"))
-            .select(col("doc_id"), col("text")), "doc_id", "text", nb)
-        .withColumn("sseq", lit(batchId)).persist()
+      val (p, docs) = postingsOf(b.where(!col("deleted"))
+        .select(col("doc_id"), col("text")), "doc_id", "text", nb, batchId)
+      val docsC = docs.persist()
       try {
         // prior live versions of the touched docs: probe only the
         // batch's doc-hash buckets across committed segments
@@ -209,10 +221,10 @@ object TextIndex {
           .where(col("tmax").isNull || col("sseq") >= col("tmax"))
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
-        try commitSegment(spark, root, m, nb, batchId, p, killed)
+        try commitSegment(spark, root, m, nb, batchId, p, docsC, Some(killed))
         finally { killed.unpersist(blocking = false); () }
       } finally {
-        p.unpersist(blocking = false)
+        docsC.unpersist(blocking = false)
         ()
       }
     } finally {
