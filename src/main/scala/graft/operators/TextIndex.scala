@@ -12,32 +12,43 @@ import org.apache.spark.sql.functions._
   * Each micro-batch of documents becomes one immutable `epoch_<batchId>`
   * SEGMENT — the classic search-engine segment model (new docs land in
   * fresh segments; existing segments are never rewritten) expressed on
-  * the [[SnapshotManifest]] protocol:
+  * the [[SnapshotManifest]] protocol. A segment is ONE two-level
+  * partitioned dataset, written by ONE job (a foreachBatch sink's cost
+  * per micro-batch is dominated by job count at the small end and by
+  * the single pass over the batch at the large end — both favor one
+  * write):
   *
-  *   - `postings/` — (doc_id, term, tf, dl), hash-partitioned into
-  *     [[Buckets]] term buckets. tf and dl are DOC-LOCAL, so a segment
-  *     computes them from its own batch alone; dl rides denormalized on
-  *     every posting row (one long) so scoring never joins a doc-length
-  *     side table.
-  *   - `stats/` — one row: (n_docs, sum_dl).
+  *   - `data/kind=post/bucket=<termHash>` — (doc_id, term, tf, dl,
+  *     sseq), hash-partitioned into term buckets. tf and dl are
+  *     DOC-LOCAL, so a segment computes them from its own batch alone;
+  *     dl rides denormalized on every posting row (one long) so scoring
+  *     never joins a doc-length side table.
+  *   - `data/kind=doc/bucket=<docHash>` — one (doc_id, dl, sseq) row
+  *     per doc: what a later CDC batch probes to find the prior live
+  *     version it supersedes.
+  *   - `data/kind=tomb/bucket=<docHash>` — (doc_id, sseq) tombstones
+  *     for the versions this batch supersedes (absent on the
+  *     append-only path).
   *
   * Corpus-GLOBAL stats are additive across segments because every doc
-  * lives in exactly one segment: n_docs/avgdl fold from the one-row
-  * stats files, and df needs NO stored partial at all — a term's
-  * postings live entirely inside its hash bucket, so the probed bucket
-  * reads already hold every row that counts toward the term's df; one
-  * count over data already in hand replaces a per-segment df table
-  * (and the shuffle+write that maintained it on every batch).
+  * lives in exactly one segment — and a segment's partial is FOUR LONGS
+  * (docs/dl added, versions/dl killed), so the partials ride the
+  * MANIFEST itself (`stats/<seg>` entries — the lakehouse idiom of
+  * stats in the table log): probing folds them driver-side from the
+  * already-read manifest, zero scan jobs. df needs NO stored partial
+  * at all — a term's postings live entirely inside its hash bucket, so
+  * the probed bucket reads already hold every row that counts toward
+  * the term's df.
   *
   * At 100 TB: appending a batch costs one tokenize+tf aggregation over
-  * THAT BATCH (map-side combined, partitioned write — never touches
-  * earlier segments); a query with T terms reads only the ≤ T term
-  * buckets of each segment's postings (listing-level pruning — the
-  * inverted-index probe), and scoring arithmetic is identical to the
-  * batch [[TextAnalysis.bm25Retrieve]], so the incrementally-maintained
-  * index answers bit-for-bit what a full corpus rebuild would.
-  * Commit/replay contract is the shared one: immutable segment dirs,
-  * atomic pointer swap, `lastBatch` watermark no-ops foreachBatch
+  * THAT BATCH (map-side combined, one partitioned write — never touches
+  * earlier segments' postings); a query with T terms reads only the
+  * ≤ T term buckets of each segment's postings (listing-level pruning —
+  * the inverted-index probe), and scoring arithmetic is identical to
+  * the batch [[TextAnalysis.bm25Retrieve]], so the incrementally-
+  * maintained index answers bit-for-bit what a full corpus rebuild
+  * would. Commit/replay contract is the shared one: immutable segment
+  * dirs, atomic pointer swap, `lastBatch` watermark no-ops foreachBatch
   * replays, crash orphans collected by the next commit's gc.
   */
 object TextIndex {
@@ -62,6 +73,11 @@ object TextIndex {
     * bound if exceeding it fails loudly instead of OOMing the driver. */
   val MaxQueryTerms = 100000
 
+  /** `kind=` partition values of the unified segment dataset. */
+  private val PostKind = "post"
+  private val DocKind = "doc"
+  private val TombKind = "tomb"
+
   private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
     pmod(hash(term), lit(buckets))
 
@@ -70,76 +86,90 @@ object TextIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
-  /** One batch's postings AND per-doc table, computed together so the
-    * dl aggregation is shared: postings (doc_id, term, tf, dl, bucket,
-    * sseq) and docs (doc_id, dl, sseq). tf/dl are doc-local, so both
-    * derive from the batch alone. Callers persist `docs` (one small
-    * row per doc): the postings join, the docs write, and the stats
-    * aggregate all reuse it instead of re-deriving per-doc rows with a
-    * distinct over the postings. */
-  private def postingsOf(batch: DataFrame, idCol: String,
-      textCol: String, buckets: Int, sseq: Long): (DataFrame, DataFrame) = {
-    val terms = batch.select(col(idCol).as("doc_id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+  /** One batch's TERM FREQUENCIES: (doc_id, term, tf). Everything a
+    * segment stores derives from this one aggregation (postings join
+    * the per-doc dl back on; per-doc rows are its doc-level fold), so
+    * callers persist it — tokenization then runs ONCE per batch even
+    * though two branches of the single segment write consume it. */
+  private def tfOf(batch: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    batch.select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      .withColumn("sseq", lit(sseq))
-    val p = tf.join(docs.select(col("doc_id"), col("dl")), "doc_id")
-      .withColumn("bucket", bucketOf(col("term"), buckets))
-      .withColumn("sseq", lit(sseq))
-    (p, docs)
-  }
 
-  /** Write one immutable segment — postings + per-doc rows of the
-    * batch's live states, tombstones for the prior versions this batch
-    * supersedes (None on the append-only path: no tombs dir, zero kill
-    * partials, no extra jobs), and the segment's ADDITIVE stats
-    * partials (docs added AND versions killed, so corpus-global
-    * n_docs/avgdl stay a one-row-per-segment fold even under deletes)
-    * — then swap the manifest. */
-  private def commitSegment(spark: SparkSession, root: java.io.File,
+  /** Four-long additive stats partial of one segment, rendered for its
+    * manifest entry. */
+  private def statsEntry(nDocs: Long, sumDl: Long, nKilled: Long,
+      dlKilled: Long): String = s"$nDocs,$sumDl,$nKilled,$dlKilled"
+
+  /** Driver-side fold of the manifest's per-segment stats partials:
+    * (live n_docs, live sum_dl) — the killed counters net out, so the
+    * pair describes the LIVE corpus exactly even under CDC
+    * deletes/updates. Long-exact; the single double division happens at
+    * the use site, bit-identical to the batch path's avg(dl). */
+  private def statsOf(m: SnapshotManifest.State): (Long, Long) =
+    m.entries.collect { case (k, v) if k.startsWith("stats/") => v }
+      .map(_.split(",").map(_.toLong))
+      .foldLeft((0L, 0L)) { case ((n, s), a) =>
+        (n + a(0) - a(2), s + a(1) - a(3)) }
+
+  /** Write one immutable segment as ONE partitioned write job —
+    * postings, per-doc rows, and tombstones are `kind=` partitions of a
+    * single dataset, so a batch commit costs one pass over the batch
+    * (plus the one-row stats aggregate) instead of a job per table —
+    * then record the segment's additive stats partial in the manifest
+    * and swap the pointer. `tf` and `killed` must be persisted by the
+    * caller: both feed two consumers (the write's branches and the
+    * stats aggregate). */
+  private def commitSegment(root: java.io.File,
       m: SnapshotManifest.State, nb: Int, batchId: Long,
-      p: DataFrame, docs: DataFrame, killedVers: Option[DataFrame]): Unit = {
+      tf: DataFrame, killed: Option[DataFrame]): Unit = {
     val seg = s"epoch_$batchId"
-    val segDir = new java.io.File(root, seg)
-    val dBucket = bucketOf(col("doc_id"), nb)
-    // one task per bucket: file count stays O(buckets), not O(tasks)
-    p.repartition(nb, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(segDir, "postings").toString)
-    // per-doc rows (doc_id, dl, sseq), doc-hash-bucketed: what a later
-    // CDC batch probes to find the prior live version it supersedes
-    docs.withColumn("bucket", dBucket)
-      .repartition(nb, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(segDir, "docs").toString)
+    val dataDir = new java.io.File(root, s"$seg/data")
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val posts = tf.join(docs, "doc_id")
+      .select(lit(PostKind).as("kind"), bucketOf(col("term"), nb).as("bucket"),
+        col("doc_id"), col("term"), col("tf"), col("dl"),
+        lit(batchId).as("sseq"))
+    val docRows = docs
+      .select(lit(DocKind).as("kind"), bucketOf(col("doc_id"), nb).as("bucket"),
+        col("doc_id"), nullS.as("term"), nullL.as("tf"), col("dl"),
+        lit(batchId).as("sseq"))
     // tombstones: one row per superseded doc VERSION, stamped with THIS
     // batch — a version is live iff its sseq >= every tombstone's for
     // the doc, so the batch's own re-add (same sseq) survives its own
     // tombstone. At most one live prior version exists per doc (each
     // apply kills the last), so no dedup pass is needed.
-    killedVers.foreach(_.select(col("doc_id"))
-      .withColumn("sseq", lit(batchId))
-      .withColumn("bucket", dBucket)
-      .repartition(1, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(segDir, "tombs").toString))
-    val addStats = docs
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-    val stats = killedVers match {
+    val tombRows = killed.toSeq.map(_.select(lit(TombKind).as("kind"),
+      bucketOf(col("doc_id"), nb).as("bucket"), col("doc_id"),
+      nullS.as("term"), nullL.as("tf"), nullL.as("dl"),
+      lit(batchId).as("sseq")))
+    // one task per (kind, bucket): file count stays O(buckets), not
+    // O(tasks x buckets)
+    (posts +: docRows +: tombRows).reduce(_ unionByName _)
+      .repartition(3 * nb, col("kind"), col("bucket"))
+      .write.mode("overwrite").partitionBy("kind", "bucket")
+      .parquet(dataDir.toString)
+    // the segment's ADDITIVE stats partial (docs added AND versions
+    // killed, so corpus-global n_docs/avgdl stay a manifest fold even
+    // under deletes): a one-row aggregate over the cached frames
+    val addStats = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+    val st = killed match {
       case None => addStats
         .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
       case Some(kv) => addStats.crossJoin(kv
         .agg(count(lit(1)).as("n_killed"),
           coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
     }
-    stats.coalesce(1)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(segDir, "stats").toString)
+    val r = st.head()
     val next = SnapshotManifest.State(m.version + 1,
       m.entries + (s"seg/$batchId" -> seg) +
+        (s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))) +
         ("lastBatch" -> batchId.toString) +
         ("conf/buckets" -> nb.toString), m.retain)
     SnapshotManifest.commit(root, next) // the commit point
@@ -156,19 +186,13 @@ object TextIndex {
   def appendBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = Buckets)(
       batch: DataFrame, batchId: Long): Unit = {
-    val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val (p, docs) = postingsOf(batch, idCol, textCol, nb, batchId)
-    val docsC = docs.persist()
-    try {
-      commitSegment(spark, root, m, nb, batchId, p, docsC, None)
-    } finally {
-      docsC.unpersist(blocking = false)
-      ()
-    }
+    val tf = tfOf(batch, idCol, textCol).persist()
+    try commitSegment(root, m, nb, batchId, tf, None)
+    finally { tf.unpersist(blocking = false); () }
   }
 
   /** foreachBatch body for the CDC-MAINTAINED index — the composition
@@ -181,11 +205,11 @@ object TextIndex {
     * monotone across batches and the batchId is the version stamp.
     *
     * Cost shape at 100 TB: the only reads of EXISTING state are the
-    * touched doc-hash buckets of the docs/tombs tables (listing-level
-    * pruning — O(batch), never O(corpus), the ReplicaSink merge shape),
-    * needed to stamp the superseded versions' (count, dl) into the
-    * segment's additive stats partials; postings of earlier segments
-    * are never touched. */
+    * touched doc-hash buckets of the kind=doc/kind=tomb partitions
+    * (listing-level pruning — O(batch), never O(corpus), the
+    * ReplicaSink merge shape), needed to stamp the superseded versions'
+    * (count, dl) into the segment's additive stats partial; postings of
+    * earlier segments are never touched. */
   def applyBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", delCol: String = "deleted",
       buckets: Int = Buckets)(batch: DataFrame, batchId: Long): Unit = {
@@ -198,33 +222,33 @@ object TextIndex {
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(delCol).cast("boolean").as("deleted")).persist()
     try {
-      val (p, docs) = postingsOf(b.where(!col("deleted"))
-        .select(col("doc_id"), col("text")), "doc_id", "text", nb, batchId)
-      val docsC = docs.persist()
+      val tf = tfOf(b.where(!col("deleted"))
+        .select(col("doc_id"), col("text")), "doc_id", "text").persist()
       try {
         // prior live versions of the touched docs: probe only the
         // batch's doc-hash buckets across committed segments
         val touched = b.select(bucketOf(col("doc_id"), nb).as("k"))
-          .distinct().collect().map(_.getInt(0)).sorted // bounded: ≤ nb
-        def readSubset(sub: String, schema: String): DataFrame = {
+          .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
+        def readSubset(kind: String, schema: String): DataFrame = {
           val paths = for {
             sg <- segs; k <- touched
-            d = new java.io.File(root, s"$sg/$sub/bucket=$k") if d.exists()
+            d = new java.io.File(root, s"$sg/data/kind=$kind/bucket=$k")
+            if d.exists()
           } yield d.toString
           if (paths.isEmpty) emptyDf(spark, schema)
           else spark.read.schema(schema).parquet(paths.toSeq: _*)
         }
-        val tmax = readSubset("tombs", "doc_id LONG, sseq LONG")
+        val tmax = readSubset(TombKind, "doc_id LONG, sseq LONG")
           .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax"))
-        val killed = readSubset("docs", "doc_id LONG, dl LONG, sseq LONG")
+        val killed = readSubset(DocKind, "doc_id LONG, dl LONG, sseq LONG")
           .join(tmax, Seq("doc_id"), "left")
           .where(col("tmax").isNull || col("sseq") >= col("tmax"))
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
-        try commitSegment(spark, root, m, nb, batchId, p, docsC, Some(killed))
+        try commitSegment(root, m, nb, batchId, tf, Some(killed))
         finally { killed.unpersist(blocking = false); () }
       } finally {
-        docsC.unpersist(blocking = false)
+        tf.unpersist(blocking = false)
         ()
       }
     } finally {
@@ -238,10 +262,11 @@ object TextIndex {
       .toSeq.sorted
 
   private def leaves(root: java.io.File, segs: Seq[String],
-      sub: String, buckets: Int): Seq[String] = for {
+      kind: String, buckets: Int): Seq[String] = for {
     seg <- segs
     bk <- 0 until buckets
-    d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
+    d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
+    if d.exists()
   } yield d.toString
 
   /** Read a per-bucket table across segments, with the live-version
@@ -264,21 +289,22 @@ object TextIndex {
 
   /** Segment merge — the index's compaction step (every search engine's
     * merge policy, on the manifest protocol): fold ALL current segments
-    * into one fresh immutable `epoch_compact<version>` segment and
-    * publish it with the pointer swap. Tombstones RESOLVE here: only
-    * live postings/doc rows move, the stats partials fold to their net
-    * form (added − killed, killed reset to zero), and the only
-    * tombstones that survive are those of fully-deleted docs — a
-    * re-add must still outrank them, and a later CDC batch must still
-    * see that the doc's past versions are dead. Retrieval output is
-    * unchanged by construction — what moves is cost: probe listing
-    * drops from O(segments × T buckets) back to O(T buckets) between
-    * merges. The `lastBatch` watermark carries through, so a resuming
-    * stream still detects replays and new batches keep appending fresh
-    * segments on top of the merged one. Crash mid-rewrite leaves an
-    * orphan dir for the next commit's gc; old segments age out of the
-    * time-travel retention window like any superseded snapshot.
-    * Single-writer, like every sink maintenance op here. */
+    * into one fresh immutable `epoch_compact<version>` segment — again
+    * ONE partitioned write — and publish it with the pointer swap.
+    * Tombstones RESOLVE here: only live postings/doc rows move, the
+    * manifest stats partials fold to their net form (added − killed,
+    * killed reset to zero), and the only tombstones that survive are
+    * those of fully-deleted docs — a re-add must still outrank them,
+    * and a later CDC batch must still see that the doc's past versions
+    * are dead. Retrieval output is unchanged by construction — what
+    * moves is cost: probe listing drops from O(segments × T buckets)
+    * back to O(T buckets) between merges. The `lastBatch` watermark
+    * carries through, so a resuming stream still detects replays and
+    * new batches keep appending fresh segments on top of the merged
+    * one. Crash mid-rewrite leaves an orphan dir for the next commit's
+    * gc; old segments age out of the time-travel retention window like
+    * any superseded snapshot. Single-writer, like every sink
+    * maintenance op here. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -287,51 +313,51 @@ object TextIndex {
     val nb = bucketsOf(m)
     val version = m.version + 1
     val outName = s"epoch_compact$version"
-    val outDir = new java.io.File(root, outName)
-    val tombPaths = leaves(root, segs, "tombs", nb)
+    val nullS = lit(null).cast("string")
+    val nullL = lit(null).cast("long")
+    val tombPaths = leaves(root, segs, TombKind, nb)
     val livePost = liveRows(spark, root,
       spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG")
-        .parquet(leaves(root, segs, "postings", nb): _*), tombPaths)
-    livePost
-      .withColumn("bucket", bucketOf(col("term"), nb))
-      .repartition(nb, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(outDir, "postings").toString)
+        .parquet(leaves(root, segs, PostKind, nb): _*), tombPaths)
+      .select(lit(PostKind).as("kind"), bucketOf(col("term"), nb).as("bucket"),
+        col("doc_id"), col("term"), col("tf"), col("dl"), col("sseq"))
     val liveDocs = liveRows(spark, root,
       spark.read.schema("doc_id LONG, dl LONG, sseq LONG")
-        .parquet(leaves(root, segs, "docs", nb): _*), tombPaths)
-    liveDocs
-      .withColumn("bucket", bucketOf(col("doc_id"), nb))
-      .repartition(nb, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket")
-      .parquet(new java.io.File(outDir, "docs").toString)
-    // tombstones of fully-deleted docs survive the merge (folded to
-    // their max stamp); resolved ones — superseded by a live re-add —
-    // are dropped with the versions they killed
-    if (tombPaths.nonEmpty)
-      spark.read.schema("doc_id LONG, sseq LONG").parquet(tombPaths: _*)
-        .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
-        .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .withColumn("bucket", bucketOf(col("doc_id"), nb))
-        .repartition(1, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(new java.io.File(outDir, "tombs").toString)
-    // net stats: additive fold of the partials, kill counters reset —
-    // equal by invariant to a recount over the merged live docs
-    spark.read
-      .schema("n_docs LONG, sum_dl LONG, n_killed LONG, dl_killed LONG")
-      .parquet(segs.map(seg =>
-        new java.io.File(root, s"$seg/stats").toString): _*)
-      .agg((sum(col("n_docs")) - sum(coalesce(col("n_killed"), lit(0L))))
-          .as("n_docs"),
-        (sum(col("sum_dl")) - sum(coalesce(col("dl_killed"), lit(0L))))
-          .as("sum_dl"),
-        lit(0L).as("n_killed"), lit(0L).as("dl_killed"))
-      .coalesce(1)
-      .write.mode("overwrite")
-      .parquet(new java.io.File(outDir, "stats").toString)
-    val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
-      (s"seg/c$version" -> outName)
+        .parquet(leaves(root, segs, DocKind, nb): _*), tombPaths)
+      .persist() // two consumers inside the one write: doc rows + anti-join
+    try {
+      val docRows = liveDocs
+        .select(lit(DocKind).as("kind"), bucketOf(col("doc_id"), nb).as("bucket"),
+          col("doc_id"), nullS.as("term"), nullL.as("tf"), col("dl"),
+          col("sseq"))
+      // tombstones of fully-deleted docs survive the merge (folded to
+      // their max stamp); resolved ones — superseded by a live re-add —
+      // are dropped with the versions they killed
+      val tombRows =
+        if (tombPaths.isEmpty) Nil
+        else Seq(spark.read.schema("doc_id LONG, sseq LONG")
+          .parquet(tombPaths: _*)
+          .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
+          .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(lit(TombKind).as("kind"),
+            bucketOf(col("doc_id"), nb).as("bucket"), col("doc_id"),
+            nullS.as("term"), nullL.as("tf"), nullL.as("dl"), col("sseq")))
+      (livePost +: docRows +: tombRows).reduce(_ unionByName _)
+        .repartition(3 * nb, col("kind"), col("bucket"))
+        .write.mode("overwrite").partitionBy("kind", "bucket")
+        .parquet(new java.io.File(root, s"$outName/data").toString)
+    } finally {
+      liveDocs.unpersist(blocking = false)
+      ()
+    }
+    // net stats: driver-side fold of the manifest partials, kill
+    // counters reset — equal by invariant to a recount over the merged
+    // live docs; no scan job
+    val (nDocs, sumDl) = statsOf(m)
+    val entries = m.entries.filterNot(e =>
+      e._1.startsWith("seg/") || e._1.startsWith("stats/")) +
+      (s"seg/c$version" -> outName) +
+      (s"stats/$outName" -> statsEntry(nDocs, sumDl, 0L, 0L))
     val next = SnapshotManifest.State(version, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_")
@@ -373,42 +399,31 @@ object TextIndex {
     // so probe and writer can never disagree)
     val probed = qdf.select(bucketOf(col("term"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    def leafPaths(sub: String): Seq[String] = for {
-      seg <- segs
-      bk <- probed
-      d = new java.io.File(root, s"$seg/$sub/bucket=$bk") if d.exists()
-    } yield d.toString
-    def readLeaves(sub: String, schema: String): DataFrame = {
-      val paths = leafPaths(sub)
+    def readLeaves(kind: String, schema: String): DataFrame = {
+      val paths = for {
+        seg <- segs
+        bk <- probed
+        d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
+        if d.exists()
+      } yield d.toString
       if (paths.isEmpty) // no probed bucket materialized in any segment
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(schema))
+        emptyDf(spark, schema)
       else spark.read.schema(schema).parquet(paths: _*)
     }
-    // ONE multi-path read of the per-segment stats rows — a per-dir
-    // read + union chain grows O(segments) relations and plan depth as
-    // the stream ages (the same trap ReplicaSink's bucket read hit).
-    // The fold nets out the killed partials, so n_docs/avgdl describe
-    // the LIVE corpus exactly even under CDC deletes/updates.
-    val statsRow = spark.read
-      .schema("n_docs LONG, sum_dl LONG, n_killed LONG, dl_killed LONG")
-      .parquet(segs.map(seg =>
-        new java.io.File(root, s"$seg/stats").toString): _*)
-      .agg((sum(col("n_docs")) - sum(coalesce(col("n_killed"), lit(0L))))
-          .as("n_docs"),
-        (sum(col("sum_dl")) - sum(coalesce(col("dl_killed"), lit(0L))))
-          .as("sum_dl"))
-      // long-exact fold, then ONE division — bit-identical to the
-      // batch path's avg(dl) (a double sum of longs < 2^53 is exact)
-      .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .as("avgdl"))
+    // corpus-global stats: a driver-side fold of the manifest's
+    // per-segment partials (already in hand — zero scan jobs). The
+    // fold nets out the killed partials, so n_docs/avgdl describe the
+    // LIVE corpus exactly even under CDC deletes/updates. Long-exact
+    // fold, then ONE division — bit-identical to the batch path's
+    // avg(dl) (a double sum of longs < 2^53 is exact).
+    val (nDocs, sumDl) = statsOf(m)
+    val avgdl = sumDl.toDouble / nDocs.toDouble
     // postings of the probed buckets, dead versions dropped (tombstone
     // rows are O(changed docs) — when none exist the filter vanishes)
     val postings = liveRows(spark, root,
-      readLeaves("postings",
+      readLeaves(PostKind,
         "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG"),
-      leaves(root, segs, "tombs", nb))
+      leaves(root, segs, TombKind, nb))
     // df from the SAME bucket reads the scoring join needs anyway: a
     // term's postings live entirely inside its hash bucket, so this
     // count sees every row of each query term — no stored partial
@@ -420,9 +435,8 @@ object TextIndex {
     val hits = (if (excludeSelf) joined.where(col("doc_id") =!= col("q_id"))
                 else joined)
       .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(statsRow))
       .withColumn("score", TextAnalysis.bm25Score(col("tf"), col("dl"),
-        col("df"), col("n_docs"), col("avgdl"), k1, b))
+        col("df"), lit(nDocs), lit(avgdl), k1, b))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("score").cast("decimal(38,18)")).as("sdec"))
     val w = Window.partitionBy(col("q_id"))

@@ -30,11 +30,12 @@ object Probe {
       // per-query lifecycle — otherwise reps 2+ of cache-using queries
       // measure the warm path the bench never takes
       spark.catalog.clearCache()
+      graft.streaming.CdcStream.lastRunProgress = Nil
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+      graft.streaming.CdcStream.lastRunProgress.foreach(p => println(s"[progress-$i] $p"))
     }
-    graft.streaming.CdcStream.lastRunProgress.foreach(p => println(s"[progress] $p"))
     spark.stop()
   }
 }

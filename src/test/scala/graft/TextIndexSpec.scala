@@ -246,7 +246,7 @@ class TextIndexSpec extends AnyFunSuite {
     // the merged segment was bucketed by the index's own count
     val mC = SnapshotManifest.read(new java.io.File(dir))
     val seg = mC.entries.collect { case (k, v) if k.startsWith("seg/") => v }.head
-    val bucketDirs = new java.io.File(dir, s"$seg/postings").listFiles()
+    val bucketDirs = new java.io.File(dir, s"$seg/data/kind=post").listFiles()
       .filter(_.getName.startsWith("bucket=")).map(_.getName).toSet
     assert(bucketDirs.forall(_.stripPrefix("bucket=").toInt < 3))
   }
@@ -265,7 +265,7 @@ class TextIndexSpec extends AnyFunSuite {
     for {
       seg <- Seq("epoch_0", "epoch_1")
       b <- 0 until TextIndex.Buckets if !matched.contains(b)
-      d = new java.io.File(dir, s"$seg/postings/bucket=$b") if d.exists()
+      d = new java.io.File(dir, s"$seg/data/kind=post/bucket=$b") if d.exists()
     } {
       d.listFiles().foreach(_.delete())
       java.nio.file.Files.write(new java.io.File(d, "part-poison.parquet").toPath,
