@@ -223,7 +223,11 @@ object AnnIndex {
     val b = batch.select(col("vec_id"),
       col("embedding"), col("deleted").cast("boolean").as("deleted")).persist()
     try {
-      if (b.isEmpty) {
+      // one cached count pass decides both emptiness branches (the two
+      // isEmpty probes this replaces each cost a job per micro-batch)
+      val cnt = b.agg(count(lit(1)).as("n"),
+        count(when(!col("deleted"), lit(1))).as("nLive")).head()
+      if (cnt.getLong(0) == 0L) {
         SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
           m.entries + ("lastBatch" -> batchId.toString), m.retain))
         return
@@ -237,7 +241,7 @@ object AnnIndex {
         transform(col("embedding"), x => x.cast("double")).as("e"))
       val entries = m.entries ++
         Map(s"tombs/$seg" -> s"tombs_$seg", "lastBatch" -> batchId.toString) ++
-        (if (live.isEmpty) Map.empty[String, String] else {
+        (if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
           encode(spark, root, m, live).withColumn("sseq", lit(batchId))
             .repartition(confOf(m).coarseK, col("cell"))
             .write.mode("overwrite").partitionBy("cell")
@@ -282,21 +286,26 @@ object AnnIndex {
     spark.read.parquet(new java.io.File(root, m.entries(key)).toString)
 
   /** Encode embeddings against the index's frozen codebooks:
-    * (vec_id, cell, code0..codeM). */
+    * (vec_id, cell, code0..codeM) — ONE map-only projection. The
+    * codebooks are k·d scalars (the broadcast-smallness bound), so the
+    * coarse cell and every subspace's PQ code inline as literal-centroid
+    * argmins ([[KMeansOp.codeLiteral]]): no assignment join per model,
+    * no exchange anywhere — a maintenance batch's encode+write is a
+    * single narrow pass over the batch, which is the 100 TB ingest
+    * shape. Selection arithmetic is identical to the join form
+    * (lexicographic (d, code) argmin on the same strict-fold
+    * distances), so encodings are bit-identical. */
   private def encode(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, emb: DataFrame): DataFrame = {
     val c = confOf(m)
-    val coarse = KMeansOp.assign(emb, readCents(spark, root, m, "coarse"),
-        "vec_id", "e")
-      .select(col("vec_id"), col("e"), col("cluster_id").as("cell"))
-    (0 until c.pqM).foldLeft(coarse) { case (acc, i) =>
-      val s = acc.select(col("vec_id"), sub(col("e"), i, c.subDim).as("se"))
-      val assigned = KMeansOp.assign(s, readCents(spark, root, m, s"pq$i"),
-        "vec_id", "se")
-      acc.join(assigned.select(col("vec_id"),
-        col("cluster_id").as(s"code$i")), "vec_id")
-    }.select(col("vec_id") +: col("cell") +:
-      (0 until c.pqM).map(i => col(s"code$i")): _*)
+    val coarse = KMeansOp.collectCents(readCents(spark, root, m, "coarse"))
+    val pq = (0 until c.pqM).map(i =>
+      KMeansOp.collectCents(readCents(spark, root, m, s"pq$i")))
+    emb.select(col("vec_id") +:
+      KMeansOp.codeLiteral(col("e"), coarse).as("cell") +:
+      (0 until c.pqM).map(i =>
+        KMeansOp.codeLiteral(sub(col("e"), i, c.subDim), pq(i))
+          .as(s"code$i")): _*)
   }
 
   private def codeDirs(m: SnapshotManifest.State): Seq[String] =

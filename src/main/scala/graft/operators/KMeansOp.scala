@@ -100,14 +100,20 @@ object KMeansOp {
     * (d, cluster_id) argmin the aggregate form computed, on the same
     * strict-fold distances. */
   def assignLiteral(emb: DataFrame, idCol: String, embCol: String,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    val structs = cents.map { case (cid, c) =>
-      struct(sqDist(col(embCol), typedLit(c)).as("d"),
-        lit(cid).as("cluster_id"))
-    }
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
     emb.select(col(idCol), col(embCol),
-      array_min(array(structs: _*)).getField("cluster_id").as("cluster_id"))
-  }
+      codeLiteral(col(embCol), cents).as("cluster_id"))
+
+  /** The literal-centroid nearest-code COLUMN — [[assignLiteral]]'s
+    * selection expression alone, for callers that compute SEVERAL codes
+    * per row (a coarse cell plus per-subspace PQ codes) in one map-only
+    * projection instead of one assignment join per model. */
+  def codeLiteral(embCol: Column,
+      cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
+      struct(sqDist(embCol, typedLit(c)).as("d"),
+        lit(cid).as("cluster_id"))
+    }: _*)).getField("cluster_id")
 
   /** Collect a (cluster_id, centroid) frame to the literal form —
     * k·d scalars, the same smallness bound as the broadcast it
@@ -116,7 +122,7 @@ object KMeansOp {
     * column is cast to array<double> first: the broadcast-join form
     * this replaced coerced array<float> input implicitly, and getSeq
     * would otherwise ClassCastException at encoding time. */
-  private def collectCents(cents: DataFrame): Seq[(Int, Seq[Double])] =
+  private[operators] def collectCents(cents: DataFrame): Seq[(Int, Seq[Double])] =
     cents.select(col("cluster_id"),
         col("centroid").cast("array<double>").as("centroid"))
       .collect().toSeq.map { r =>
