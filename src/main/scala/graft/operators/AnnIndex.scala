@@ -62,6 +62,22 @@ object AnnIndex {
     m.entries.get("conf/pqK").map(_.toInt).getOrElse(PqK),
     m.entries.get("conf/subDim").map(_.toInt).getOrElse(SubDim))
 
+  /** Filterable ATTRIBUTE columns carried ON the inverted lists — the
+    * vector-database "filtered search" design: a metadata predicate
+    * (tenant, language, label …) evaluates INSIDE the routed cells'
+    * codes scan as an ordinary parquet data-column filter (pushed to
+    * the file scan), so a filtered query pays the same sublinear
+    * route+scan as an unfiltered one instead of post-filtering a
+    * top-k that may then come up short. Recorded at train time as
+    * `name TYPE` DDL fragments (`conf/attrs`), read back by every
+    * appender and serving plan like the rest of the geometry. */
+  private def attrsOf(m: SnapshotManifest.State): Seq[(String, String)] =
+    m.entries.get("conf/attrs").filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map { s =>
+        val parts = s.trim.split(" ", 2)
+        (parts(0), parts(1))
+      })
+
   private def confEntries(c: Conf): Map[String, String] = Map(
     "conf/coarseK" -> c.coarseK.toString, "conf/pqM" -> c.pqM.toString,
     "conf/pqK" -> c.pqK.toString, "conf/subDim" -> c.subDim.toString)
@@ -84,7 +100,7 @@ object AnnIndex {
     * crash mid-write leaves only orphan dirs and the previously
     * committed generation stays fully readable. */
   private def trainInto(emb: DataFrame, root: java.io.File, conf: Conf,
-      gen: Long): Map[String, String] = {
+      gen: Long, attrs: Seq[String] = Nil): Map[String, String] = {
     val cached = emb.cache()
     try {
       val coarseAssigned =
@@ -99,10 +115,16 @@ object AnnIndex {
       }
       // sseq = -1: the base build predates every CDC batch stamp (>= 0),
       // so any batch-0 tombstone already outranks the base version
-      val codes = subs.map(_._1).reduce(_.join(_, "vec_id"))
+      val codes0 = subs.map(_._1).reduce(_.join(_, "vec_id"))
         .join(coarseAssigned.select(col("vec_id"), col("cluster_id").as("cell")),
           "vec_id")
         .withColumn("sseq", lit(-1L))
+      // attribute columns ride the code rows (vec_id-keyed facts)
+      val codes = if (attrs.isEmpty) codes0
+        else codes0.join(
+          cached.select(col("vec_id") +: attrs.map(col): _*), "vec_id")
+      val attrDdl = attrs
+        .map(n => s"$n ${emb.schema(n).dataType.sql}").mkString(",")
       coarseCents.coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(root, s"v$gen/coarse").toString)
       subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
@@ -122,7 +144,9 @@ object AnnIndex {
       Map("coarse" -> s"v$gen/coarse",
         s"codes/base" -> s"codes/seg=base$gen") ++
         (0 until conf.pqM).map(m => s"pq$m" -> s"v$gen/pq$m") ++
-        confEntries(conf)
+        confEntries(conf) ++
+        (if (attrs.isEmpty) Map.empty[String, String]
+         else Map("conf/attrs" -> attrDdl))
     } finally {
       cached.unpersist(blocking = false)
       ()
@@ -130,11 +154,15 @@ object AnnIndex {
   }
 
   /** Train coarse + PQ models over `emb` and commit the index snapshot
-    * at `dir` (version 1: codebooks + the base inverted lists). */
-  def train(emb: DataFrame, dir: String, conf: Conf = Conf()): Unit = {
+    * at `dir` (version 1: codebooks + the base inverted lists).
+    * `attrs` names extra columns of `emb` to carry on the code rows as
+    * filterable attributes (see [[attrsOf]]); maintenance batches of an
+    * attr-carrying index must supply the same columns. */
+  def train(emb: DataFrame, dir: String, conf: Conf = Conf(),
+      attrs: Seq[String] = Nil): Unit = {
     val root = new java.io.File(dir)
     root.mkdirs()
-    val entries = trainInto(emb, root, conf, 1L)
+    val entries = trainInto(emb, root, conf, 1L, attrs)
     val m0 = SnapshotManifest.read(root)
     SnapshotManifest.commit(root,
       SnapshotManifest.State(m0.version + 1, entries, m0.retain))
@@ -157,7 +185,8 @@ object AnnIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     require(m.version > 0L, s"no committed index to rebuild at $dir")
-    val entries = trainInto(corpus, root, conf, m.version + 1) ++
+    val entries =
+      trainInto(corpus, root, conf, m.version + 1, attrsOf(m).map(_._1)) ++
       m.entries.filter(_._1 == "lastBatch")
     val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
@@ -179,8 +208,9 @@ object AnnIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
-    val emb = batch.select(col("vec_id"),
-      transform(col("embedding"), x => x.cast("double")).as("e"))
+    val emb = batch.select(col("vec_id") +:
+      transform(col("embedding"), x => x.cast("double")).as("e") +:
+      attrsOf(m).map { case (n, _) => col(n) }: _*)
     if (batch.isEmpty) {
       // still advance the watermark: an empty committed batch must not
       // be re-merged on replay either
@@ -220,8 +250,9 @@ object AnnIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
-    val b = batch.select(col("vec_id"),
-      col("embedding"), col("deleted").cast("boolean").as("deleted")).persist()
+    val b = batch.select(col("vec_id") +: col("embedding") +:
+      col("deleted").cast("boolean").as("deleted") +:
+      attrsOf(m).map { case (n, _) => col(n) }: _*).persist()
     try {
       // one cached count pass decides both emptiness branches (the two
       // isEmpty probes this replaces each cost a job per micro-batch)
@@ -237,8 +268,9 @@ object AnnIndex {
         .coalesce(1)
         .write.mode("overwrite")
         .parquet(new java.io.File(root, s"tombs_$seg").toString)
-      val live = b.where(!col("deleted")).select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("e"))
+      val live = b.where(!col("deleted")).select(col("vec_id") +:
+        transform(col("embedding"), x => x.cast("double")).as("e") +:
+        attrsOf(m).map { case (n, _) => col(n) }: _*)
       val entries = m.entries ++
         Map(s"tombs/$seg" -> s"tombs_$seg", "lastBatch" -> batchId.toString) ++
         (if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
@@ -303,9 +335,10 @@ object AnnIndex {
       KMeansOp.collectCents(readCents(spark, root, m, s"pq$i")))
     emb.select(col("vec_id") +:
       KMeansOp.codeLiteral(col("e"), coarse).as("cell") +:
-      (0 until c.pqM).map(i =>
+      ((0 until c.pqM).map(i =>
         KMeansOp.codeLiteral(sub(col("e"), i, c.subDim), pq(i))
-          .as(s"code$i")): _*)
+          .as(s"code$i")) ++
+        attrsOf(m).map { case (n, _) => col(n) }): _*)
   }
 
   private def codeDirs(m: SnapshotManifest.State): Seq[String] =
@@ -326,15 +359,18 @@ object AnnIndex {
   private def readCodes(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State): DataFrame = {
     val pqM = confOf(m).pqM
+    val attrs = attrsOf(m)
     spark.read
       .schema("vec_id LONG, " +
         (0 until pqM).map(i => s"code$i INT").mkString(", ") +
+        attrs.map { case (n, t) => s", $n $t" }.mkString +
         ", sseq LONG, cell INT, seg STRING")
       .option("basePath", new java.io.File(root, "codes").toString)
       .parquet(codeDirs(m).map(rel =>
         new java.io.File(root, rel).toString): _*)
       .select(col("vec_id") +: col("cell") +: col("sseq") +:
-        (0 until pqM).map(i => col(s"code$i")): _*)
+        ((0 until pqM).map(i => col(s"code$i")) ++
+          attrs.map { case (n, _) => col(n) }): _*)
   }
 
   /** Segment merge — [[TextIndex.compact]]'s twin for the inverted
@@ -395,13 +431,22 @@ object AnnIndex {
 
   /** Query-time plan from the committed index: route → ADC scan of the
     * routed cells' lists → exact rerank. `queries` is (q_id, qe); `emb`
-    * supplies exact vectors for the rerank only. */
+    * supplies exact vectors for the rerank only. `filter` is an
+    * optional predicate over the index's attribute columns
+    * ([[attrsOf]]) applied INSIDE the routed cells' codes scan — the
+    * filtered-search path: candidates that fail it never enter the ADC
+    * shortlist, so the query still returns a full top-k of ALLOWED
+    * vectors (post-filtering a top-k cannot). Plain comparisons push
+    * all the way into the parquet reader (PushedFilters row-group
+    * pruning); computed predicates evaluate in the scan stage before
+    * any join. */
   def serve(spark: SparkSession, dir: String, queries: DataFrame,
       emb: DataFrame, nprobe: Int = NProbe, shortlist: Int = Shortlist,
-      topK: Int = TopK): DataFrame =
+      topK: Int = TopK,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     serveState(spark, new java.io.File(dir),
       SnapshotManifest.read(new java.io.File(dir)), queries, emb,
-      nprobe, shortlist, topK)
+      nprobe, shortlist, topK, filter)
 
   /** Time-travel serving: the query plan against the RETAINED snapshot
     * at `version` — what keeps the previous index generation queryable
@@ -416,10 +461,11 @@ object AnnIndex {
 
   private def serveState(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, queries: DataFrame, emb: DataFrame,
-      nprobe: Int, shortlist: Int, topK: Int): DataFrame = {
+      nprobe: Int, shortlist: Int, topK: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val c = confOf(m)
     val coarseCents = readCents(spark, root, m, "coarse")
-    val codes = liveCodes(spark, root, m)
+    val codes = filter.foldLeft(liveCodes(spark, root, m))(_ where _)
     // nprobe routing against the loaded coarse centroids
     val wr = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cell"))
     val routed = queries.crossJoin(broadcast(
@@ -457,12 +503,19 @@ object AnnIndex {
   }
 
   /** Train-once-per-(process, sfDir) memoized index dir — the serving
-    * contract: queries pay routing + scan, never training. */
+    * contract: queries pay routing + scan, never training. The corpus
+    * `label` rides the code rows as a filterable attribute, so the one
+    * artifact serves both unfiltered queries (the column prunes away)
+    * and attribute-filtered ones ([[serve]]'s `filter`). */
   def trainedIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(s"/tmp/graft_ann_index/p${graft.Fs.pid}_$key")
     if (SnapshotManifest.read(dir).version == 0L)
-      train(embeddings(spark, sfDir), dir.toString)
+      train(graft.sources.Tables.table(spark, sfDir, "embeddings")
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"),
+            col("label")),
+        dir.toString, attrs = Seq("label"))
     dir.toString
   }
 

@@ -582,6 +582,44 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Attribute-FILTERED vector search, exact tier: top-k cosine among
+    // only the candidates passing a metadata predicate (label % 3 = 0)
+    // — the predicate prunes the candidate side at the parquet scan
+    // (pushed filter), then the same broadcast + partial-top-k-heaps
+    // plan as ann_cosine_topk runs over the allowed subset. The exact
+    // baseline the served tier's approximation is judged against.
+    "ann_filtered_topk" -> ((s, dir) => {
+      val src = Tables.table(s, dir, "embeddings")
+      val emb = src.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val allowed = src.where(col("label") % 3 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      graft.operators.Similarity.bruteForceTopK(queries, allowed, 5)
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Attribute-filtered search, SERVED tier — the vector-database
+    // "filtered search" shape: the trained index carries `label` on its
+    // code rows as a filterable attribute, and the predicate evaluates
+    // INSIDE the routed cells' codes scan — disallowed vectors never
+    // enter the ADC shortlist, so the query returns a full top-k of
+    // allowed vectors at the same sublinear route+scan cost
+    // (post-filtering an unfiltered top-k returns too few). Oracle:
+    // the IVFADC pipeline with the filter applied at the same point —
+    // approximation pinned exactly.
+    "ann_filtered_served" -> ((s, dir) => {
+      val idx = graft.operators.AnnIndex.trainedIndexDir(s, dir)
+      val emb = graft.operators.AnnIndex.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      graft.operators.AnnIndex.serve(s, idx, queries, emb,
+          filter = Some(col("label") % 3 === 0))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Incremental ANN index maintenance driven by a REAL stream: base
     // slice trains the index, the remaining embeddings arrive in
     // micro-batches and are folded into the cell-partitioned inverted
@@ -657,7 +695,11 @@ object CurationQueries {
     })
   )
 
-  private lazy val ivfPqOracle: String = s"""
+  /** The IVFADC serving oracle, parameterized by an optional predicate
+    * on the codes CTE — the attribute-filter evaluation point: the
+    * Spark plan filters the codes scan BEFORE the ADC shortlist
+    * ranking, so the oracle must too. */
+  private def ivfPqOracleWith(codesWhere: String): String = s"""
        WITH $kmeansCtes,
        c2 AS (${sqlUpdate("a2")}),
        ${pqChain("s0", 1, 16)},
@@ -676,7 +718,8 @@ object CurationQueries {
          SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
                 m.cluster_id AS cell
          FROM s0a2 a JOIN s1a2 b USING (vec_id)
-         JOIN a2 m USING (vec_id)),
+         JOIN a2 m USING (vec_id)
+         JOIN embeddings lb ON lb.vec_id = a.vec_id $codesWhere),
        dt0 AS (
          SELECT q.q_id, c.cluster_id AS code0,
            list_reduce(list_transform(range(1, 17),
@@ -708,6 +751,31 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM rr)
        WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  private lazy val ivfPqOracle: String = ivfPqOracleWith("")
+
+  private lazy val filteredServedOracle: String =
+    ivfPqOracleWith("WHERE lb.label % 3 = 0")
+
+  private lazy val filteredBruteOracle: String = s"""
+       WITH emb AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.q_id, e.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e ON e.vec_id <> q.q_id
+         WHERE e.label % 3 = 0),
+       ranked AS (
+         SELECT q_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cos DESC, vec_id) AS rnk
+         FROM scored)
+       SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
 
   /** Both serving tiers reproduced end-to-end: the batch BM25 ranking
     * (the maintained text index answers it bit-for-bit) and the
@@ -1318,6 +1386,8 @@ object CurationQueries {
     // identical training math, identical results: the served variant's
     // oracle IS the inline variant's
     "ann_ivf_pq_served" -> ivfPqOracle,
+    "ann_filtered_topk" -> filteredBruteOracle,
+    "ann_filtered_served" -> filteredServedOracle,
 
     // base-slice training + frozen-codebook encoding of the appended
     // slice, then the shared route/ADC/rerank tail — the DuckDB twin of

@@ -36,6 +36,14 @@ object Probe {
       println(f"[probe] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
       graft.streaming.CdcStream.lastRunProgress.foreach(p => println(s"[progress-$i] $p"))
     }
+    if (sys.env.contains("SPARK_GRAFT_FINAL_PLAN")) {
+      // AQE finalizes reuse decisions at runtime: the pre-execution
+      // explain shows duplicated exchange subtrees even when execution
+      // reuses them, so dump the EXECUTED plan after one action
+      val df = fn(spark, sfDir)
+      df.count()
+      println("[final-plan]\n" + df.queryExecution.executedPlan.toString)
+    }
     spark.stop()
   }
 }

@@ -196,6 +196,48 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("attribute-filtered serving: full top-k of allowed vectors, attrs flow through maintenance") {
+    val raw = graft.sources.Tables.table(spark, Sf, "embeddings")
+    val base = raw.where(col("vec_id") % 10 < 8)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"),
+        col("label"))
+    val dir = freshDir("graft_ann_attr")
+    AnnIndex.train(base, dir, attrs = Seq("label"))
+    // maintenance batches carry the attribute: one append, one CDC batch
+    val rest = raw.where(col("vec_id") % 10 >= 8)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    AnnIndex.appendBatch(dir)(rest.where(col("vec_id") % 2 === 0), 0L)
+    AnnIndex.applyCdcBatch(dir)(rest.where(col("vec_id") % 2 === 1)
+      .withColumn("deleted", lit(false)), 1L)
+    AnnIndex.compact(spark, dir)
+    val emb = AnnIndex.embeddings(spark, Sf)
+    val q = queriesOf(emb)
+    // exhaustive parameters collapse the approximation: route to ALL
+    // cells, shortlist the whole corpus — the filtered serve must then
+    // equal the EXACT brute-force top-k over the allowed subset, which
+    // pins both the filter's evaluation point (pre-shortlist) and that
+    // a full k of allowed vectors comes back
+    val served = AnnIndex.serve(spark, dir, q, emb,
+        nprobe = AnnIndex.CoarseK, shortlist = 1000000, topK = 5,
+        filter = Some(col("label") % 3 === 0))
+      .orderBy("q_id", "rnk").collect().toSeq
+    val allowed = raw.where(col("label") % 3 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val brute = graft.operators.Similarity.bruteForceTopK(
+        q.select(col("q_id"), col("qe").as("q_emb")), allowed, 5)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(served.nonEmpty && served === brute,
+      "exhaustive filtered serve must equal exact filtered brute force")
+    // a plain comparison predicate reaches the parquet reader itself
+    val plan = AnnIndex.serve(spark, dir, q, emb,
+        filter = Some(col("label") <= 4))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LessThanOrEqual(label,4)"),
+      "comparison attr predicates must appear in the codes scan's PushedFilters")
+  }
+
   test("non-default geometry: manifest-recorded conf drives encode, serve, and compact") {
     // 3 cells × 4 subspaces of 8 dims × 3 codes — every knob off its
     // default, exercised through the same maintenance-equivalence
