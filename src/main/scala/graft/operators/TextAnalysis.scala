@@ -165,7 +165,8 @@ object TextAnalysis {
     * doc_id identically in both engines. */
   def bm25Retrieve(docs: DataFrame, queries: DataFrame, idCol: String,
       textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The probe filter comes FIRST: tf semi-joins the broadcast query
     // terms before anything else touches it, so df (computable from the
@@ -184,7 +185,17 @@ object TextAnalysis {
     val matched = tf.join(broadcast(queries.select(col("term")).distinct()),
       "term")
     val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val hits0 = matched
+    // metadata-filtered retrieval: `allowed` restricts CANDIDATES only —
+    // df/avgdl stay corpus-wide (the filter narrows who may be returned,
+    // not what the corpus statistics describe). The semi-join keys on
+    // matched rows (bounded by the probe's postings), the same cost
+    // class as the dl join below.
+    val cand = allowed match {
+      case None => matched
+      case Some(a) => matched.join(
+        a.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")
+    }
+    val hits0 = cand
       .join(broadcast(queries), "term")
       .join(broadcast(dfreq), "term")
       .join(dl, "doc_id")

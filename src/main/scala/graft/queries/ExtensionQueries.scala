@@ -320,6 +320,23 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Metadata-filtered BM25 — the lexical twin of ann_filtered_served:
+    // only documents passing a metadata predicate (lang = 'en') may be
+    // returned, while df/avgdl stay corpus-wide (the filter narrows the
+    // candidates, not the statistics). The allowed set semi-joins the
+    // probe-matched postings, so the filter costs one join over rows
+    // already bounded by the query probe.
+    "text_retrieval_filtered" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5,
+          allowed = Some(docs.where(col("lang") === "en")))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Incremental BM25 index maintenance driven by a REAL stream — the
     // lexical twin of stream_ann_index: micro-batches of documents each
     // become an immutable manifest-committed postings segment (term-hash
@@ -594,7 +611,8 @@ object ExtensionQueries {
     * retrieval SQL — and `stream_text_index_cdc` pins it over the
     * POST-APPLY corpus (`corpusSql`), proving the tombstone fold
     * equals a full rebuild of the applied state. */
-  private def bm25RetrievalOracleOver(corpusSql: String): String = s"""
+  private def bm25RetrievalOracleOver(corpusSql: String,
+      hitsJoin: String = ""): String = s"""
        WITH corpus AS ($corpusSql),
        terms AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
@@ -615,7 +633,7 @@ object ExtensionQueries {
        hits AS (
          SELECT q.q_id, s.doc_id,
            SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
-         FROM scored s JOIN qterms q USING (term)
+         FROM scored s JOIN qterms q USING (term) $hitsJoin
          GROUP BY 1, 2),
        ranked AS (
          SELECT q_id, doc_id, sdec,
@@ -818,6 +836,10 @@ object ExtensionQueries {
     // retrieval: UNROUNDED per-term scores summed through DECIMAL (term
     // addition order cannot move the output), ranked on the exact sum
     "text_retrieval_bm25" -> bm25RetrievalOracle,
+    // candidates restricted by metadata, statistics corpus-wide
+    "text_retrieval_filtered" -> bm25RetrievalOracleOver(
+      "SELECT doc_id, text FROM documents",
+      "JOIN documents dm ON dm.doc_id = s.doc_id AND dm.lang = 'en'"),
     // the incrementally-maintained index answers bit-for-bit what the
     // one-shot corpus build answers — the oracle IS the batch SQL
     "stream_text_index" -> bm25RetrievalOracle,
