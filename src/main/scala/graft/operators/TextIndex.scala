@@ -67,6 +67,20 @@ object TextIndex {
   private def bucketsOf(m: SnapshotManifest.State): Int =
     m.entries.get("conf/buckets").map(_.toInt).getOrElse(Buckets)
 
+  /** Filterable ATTRIBUTE columns denormalized onto the POSTING rows —
+    * [[AnnIndex]]'s filtered-search design on the lexical tier: a
+    * metadata predicate (lang, source …) evaluates inside the probed
+    * buckets' postings scan, like `dl` rides the postings so scoring
+    * never joins a side table. Recorded at index creation as
+    * `name TYPE` DDL fragments (`conf/attrs`); per-doc and tombstone
+    * rows carry nulls in these columns. */
+  private def attrsOf(m: SnapshotManifest.State): Seq[(String, String)] =
+    m.entries.get("conf/attrs").filter(_.nonEmpty).toSeq
+      .flatMap(_.split(",").toSeq.map { s =>
+        val parts = s.trim.split(" ", 2)
+        (parts(0), parts(1))
+      })
+
   /** Enforced bound on the driver-side query-probe collect in
     * [[retrieve]] — the [[ChangelogApply.MaxDdlEvents]] pattern: the
     * probe set is broadcast-sized by contract, and a contract is only a
@@ -86,16 +100,20 @@ object TextIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
-  /** One batch's TERM FREQUENCIES: (doc_id, term, tf). Everything a
-    * segment stores derives from this one aggregation (postings join
-    * the per-doc dl back on; per-doc rows are its doc-level fold), so
-    * callers persist it — tokenization then runs ONCE per batch even
-    * though two branches of the single segment write consume it. */
-  private def tfOf(batch: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    batch.select(col(idCol).as("doc_id"),
-        explode(TextAnalysis.tokens(col(textCol))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
+  /** One batch's TERM FREQUENCIES: (doc_id, term, tf [, attrs…]).
+    * Everything a segment stores derives from this one aggregation
+    * (postings join the per-doc dl back on; per-doc rows are its
+    * doc-level fold), so callers persist it — tokenization then runs
+    * ONCE per batch even though two branches of the single segment
+    * write consume it. Attribute columns are per-doc facts, so they
+    * ride as extra grouping keys (functionally dependent on doc_id —
+    * no extra groups, no join). */
+  private def tfOf(batch: DataFrame, idCol: String, textCol: String,
+      attrs: Seq[String]): DataFrame =
+    batch.select(col(idCol).as("doc_id") +:
+        explode(TextAnalysis.tokens(col(textCol))).as("term") +:
+        attrs.map(col): _*)
+      .groupBy(col("doc_id") +: col("term") +: attrs.map(col): _*)
       .agg(count(lit(1)).as("tf"))
 
   /** Four-long additive stats partial of one segment, rendered for its
@@ -124,29 +142,36 @@ object TextIndex {
     * stats aggregate). */
   private def commitSegment(root: java.io.File,
       m: SnapshotManifest.State, nb: Int, batchId: Long,
-      tf: DataFrame, killed: Option[DataFrame]): Unit = {
+      tf: DataFrame, attrs: Seq[String],
+      killed: Option[DataFrame]): Unit = {
     val seg = s"epoch_$batchId"
     val dataDir = new java.io.File(root, s"$seg/data")
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
+    // attribute columns ride the POSTING rows (per-doc facts, like dl);
+    // doc/tomb rows carry typed nulls
+    val nullAttrs = attrs.map(n =>
+      lit(null).cast(tf.schema(n).dataType).as(n))
     val docs = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val posts = tf.join(docs, "doc_id")
-      .select(lit(PostKind).as("kind"), bucketOf(col("term"), nb).as("bucket"),
-        col("doc_id"), col("term"), col("tf"), col("dl"),
-        lit(batchId).as("sseq"))
+      .select(lit(PostKind).as("kind") +:
+        bucketOf(col("term"), nb).as("bucket") +:
+        col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        lit(batchId).as("sseq") +: attrs.map(col): _*)
     val docRows = docs
-      .select(lit(DocKind).as("kind"), bucketOf(col("doc_id"), nb).as("bucket"),
-        col("doc_id"), nullS.as("term"), nullL.as("tf"), col("dl"),
-        lit(batchId).as("sseq"))
+      .select(lit(DocKind).as("kind") +:
+        bucketOf(col("doc_id"), nb).as("bucket") +:
+        col("doc_id") +: nullS.as("term") +: nullL.as("tf") +: col("dl") +:
+        lit(batchId).as("sseq") +: nullAttrs: _*)
     // tombstones: one row per superseded doc VERSION, stamped with THIS
     // batch — a version is live iff its sseq >= every tombstone's for
     // the doc, so the batch's own re-add (same sseq) survives its own
     // tombstone. At most one live prior version exists per doc (each
     // apply kills the last), so no dedup pass is needed.
-    val tombRows = killed.toSeq.map(_.select(lit(TombKind).as("kind"),
-      bucketOf(col("doc_id"), nb).as("bucket"), col("doc_id"),
-      nullS.as("term"), nullL.as("tf"), nullL.as("dl"),
-      lit(batchId).as("sseq")))
+    val tombRows = killed.toSeq.map(_.select(lit(TombKind).as("kind") +:
+      bucketOf(col("doc_id"), nb).as("bucket") +: col("doc_id") +:
+      nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
+      lit(batchId).as("sseq") +: nullAttrs: _*))
     // one task per (kind, bucket): file count stays O(buckets), not
     // O(tasks x buckets)
     (posts +: docRows +: tombRows).reduce(_ unionByName _)
@@ -166,12 +191,16 @@ object TextIndex {
           coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
     }
     val r = st.head()
+    val attrDdl = attrs
+      .map(n => s"$n ${tf.schema(n).dataType.sql}").mkString(",")
     val next = SnapshotManifest.State(m.version + 1,
       m.entries + (s"seg/$batchId" -> seg) +
         (s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3))) +
         ("lastBatch" -> batchId.toString) +
-        ("conf/buckets" -> nb.toString), m.retain)
+        ("conf/buckets" -> nb.toString) ++
+        (if (attrs.isEmpty) Map.empty[String, String]
+         else Map("conf/attrs" -> attrDdl)), m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_")
   }
@@ -184,14 +213,16 @@ object TextIndex {
     * drives [[applyBatch]] instead. `buckets` applies only when this
     * append CREATES the index; the manifest-recorded count wins after. */
   def appendBatch(dir: String, idCol: String = "doc_id",
-      textCol: String = "text", buckets: Int = Buckets)(
+      textCol: String = "text", buckets: Int = Buckets,
+      attrs: Seq[String] = Nil)(
       batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val tf = tfOf(batch, idCol, textCol).persist()
-    try commitSegment(root, m, nb, batchId, tf, None)
+    val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
+    val tf = tfOf(batch, idCol, textCol, as).persist()
+    try commitSegment(root, m, nb, batchId, tf, as, None)
     finally { tf.unpersist(blocking = false); () }
   }
 
@@ -212,18 +243,20 @@ object TextIndex {
     * earlier segments are never touched. */
   def applyBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", delCol: String = "deleted",
-      buckets: Int = Buckets)(batch: DataFrame, batchId: Long): Unit = {
+      buckets: Int = Buckets, attrs: Seq[String] = Nil)(
+      batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
     val segs = segments(m)
-    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("text"),
-      col(delCol).cast("boolean").as("deleted")).persist()
+    val b = batch.select(col(idCol).as("doc_id") +:
+      col(textCol).as("text") +:
+      col(delCol).cast("boolean").as("deleted") +: as.map(col): _*).persist()
     try {
-      val tf = tfOf(b.where(!col("deleted"))
-        .select(col("doc_id"), col("text")), "doc_id", "text").persist()
+      val tf = tfOf(b.where(!col("deleted")), "doc_id", "text", as).persist()
       try {
         // prior live versions of the touched docs: probe only the
         // batch's doc-hash buckets across committed segments
@@ -245,7 +278,7 @@ object TextIndex {
           .where(col("tmax").isNull || col("sseq") >= col("tmax"))
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
-        try commitSegment(root, m, nb, batchId, tf, Some(killed))
+        try commitSegment(root, m, nb, batchId, tf, as, Some(killed))
         finally { killed.unpersist(blocking = false); () }
       } finally {
         tf.unpersist(blocking = false)
@@ -311,25 +344,31 @@ object TextIndex {
     val segs = segments(m)
     if (segs.size <= 1) return
     val nb = bucketsOf(m)
+    val attrs = attrsOf(m)
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
+    val nullAttrs = attrs.map { case (n, t) => lit(null).cast(t).as(n) }
     val tombPaths = leaves(root, segs, TombKind, nb)
     val livePost = liveRows(spark, root,
-      spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG")
+      spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
+          attrs.map { case (n, t) => s", $n $t" }.mkString)
         .parquet(leaves(root, segs, PostKind, nb): _*), tombPaths)
-      .select(lit(PostKind).as("kind"), bucketOf(col("term"), nb).as("bucket"),
-        col("doc_id"), col("term"), col("tf"), col("dl"), col("sseq"))
+      .select(lit(PostKind).as("kind") +:
+        bucketOf(col("term"), nb).as("bucket") +:
+        col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
+        col("sseq") +: attrs.map { case (n, _) => col(n) }: _*)
     val liveDocs = liveRows(spark, root,
       spark.read.schema("doc_id LONG, dl LONG, sseq LONG")
         .parquet(leaves(root, segs, DocKind, nb): _*), tombPaths)
       .persist() // two consumers inside the one write: doc rows + anti-join
     try {
       val docRows = liveDocs
-        .select(lit(DocKind).as("kind"), bucketOf(col("doc_id"), nb).as("bucket"),
-          col("doc_id"), nullS.as("term"), nullL.as("tf"), col("dl"),
-          col("sseq"))
+        .select(lit(DocKind).as("kind") +:
+          bucketOf(col("doc_id"), nb).as("bucket") +:
+          col("doc_id") +: nullS.as("term") +: nullL.as("tf") +: col("dl") +:
+          col("sseq") +: nullAttrs: _*)
       // tombstones of fully-deleted docs survive the merge (folded to
       // their max stamp); resolved ones — superseded by a live re-add —
       // are dropped with the versions they killed
@@ -339,9 +378,10 @@ object TextIndex {
           .parquet(tombPaths: _*)
           .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
           .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .select(lit(TombKind).as("kind"),
-            bucketOf(col("doc_id"), nb).as("bucket"), col("doc_id"),
-            nullS.as("term"), nullL.as("tf"), nullL.as("dl"), col("sseq")))
+          .select(lit(TombKind).as("kind") +:
+            bucketOf(col("doc_id"), nb).as("bucket") +: col("doc_id") +:
+            nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
+            col("sseq") +: nullAttrs: _*))
       (livePost +: docRows +: tombRows).reduce(_ unionByName _)
         .repartition(3 * nb, col("kind"), col("bucket"))
         .write.mode("overwrite").partitionBy("kind", "bucket")
@@ -369,7 +409,8 @@ object TextIndex {
     * distinct. Only the query terms' buckets are listed/read. */
   def retrieve(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
-      excludeSelf: Boolean = false): DataFrame = {
+      excludeSelf: Boolean = false,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -422,15 +463,19 @@ object TextIndex {
     // rows are O(changed docs) — when none exist the filter vanishes)
     val postings = liveRows(spark, root,
       readLeaves(PostKind,
-        "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG"),
+        "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
+          attrsOf(m).map { case (n, t) => s", $n $t" }.mkString),
       leaves(root, segs, TombKind, nb))
     // df from the SAME bucket reads the scoring join needs anyway: a
     // term's postings live entirely inside its hash bucket, so this
-    // count sees every row of each query term — no stored partial
+    // count sees every row of each query term — no stored partial.
+    // df is computed over the UNfiltered postings: an attribute filter
+    // restricts candidates, never the corpus statistics (the batch
+    // tier's bm25Retrieve(allowed=…) contract).
     val dfreq = postings
       .join(broadcast(qdf.select(col("term")).distinct()), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val joined = postings
+    val joined = filter.foldLeft(postings)(_ where _)
       .join(broadcast(qdf), "term")
     val hits = (if (excludeSelf) joined.where(col("doc_id") =!= col("q_id"))
                 else joined)
@@ -456,9 +501,12 @@ object TextIndex {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(s"/tmp/graft_text_index_built/p${graft.Fs.pid}_$key")
     if (SnapshotManifest.read(dir).version == 0L)
-      appendBatch(dir.toString)(
+      // lang rides the postings as a filterable attribute: the one
+      // artifact serves unfiltered queries (the column prunes away)
+      // and metadata-filtered ones ([[retrieve]]'s `filter`)
+      appendBatch(dir.toString, attrs = Seq("lang"))(
         graft.sources.Tables.table(spark, sfDir, "documents")
-          .select(col("doc_id"), col("text")), 0L)
+          .select(col("doc_id"), col("text"), col("lang")), 0L)
     dir.toString
   }
 }

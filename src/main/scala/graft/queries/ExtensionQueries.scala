@@ -337,6 +337,26 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // The same metadata-filtered retrieval SERVED from the maintained
+    // inverted index: `lang` rides the posting rows as an attribute
+    // (recorded in the manifest like the bucket count), so the
+    // predicate evaluates inside the probed buckets' postings scan —
+    // no corpus access, no metadata join. df/avgdl stay corpus-wide
+    // (from the unfiltered probe reads + manifest stats), so the
+    // served ranking is bit-identical to the batch tier and shares
+    // its oracle.
+    "text_retrieval_filtered_served" -> ((s, dir) => {
+      val idx = graft.operators.TextIndex.builtIndexDir(s, dir)
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      graft.operators.TextIndex.retrieve(s, idx, qs, k = 5,
+          filter = Some(col("lang") === "en"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // Incremental BM25 index maintenance driven by a REAL stream — the
     // lexical twin of stream_ann_index: micro-batches of documents each
     // become an immutable manifest-committed postings segment (term-hash
@@ -836,8 +856,12 @@ object ExtensionQueries {
     // retrieval: UNROUNDED per-term scores summed through DECIMAL (term
     // addition order cannot move the output), ranked on the exact sum
     "text_retrieval_bm25" -> bm25RetrievalOracle,
-    // candidates restricted by metadata, statistics corpus-wide
+    // candidates restricted by metadata, statistics corpus-wide; the
+    // maintained index answers the same question bit-for-bit
     "text_retrieval_filtered" -> bm25RetrievalOracleOver(
+      "SELECT doc_id, text FROM documents",
+      "JOIN documents dm ON dm.doc_id = s.doc_id AND dm.lang = 'en'"),
+    "text_retrieval_filtered_served" -> bm25RetrievalOracleOver(
       "SELECT doc_id, text FROM documents",
       "JOIN documents dm ON dm.doc_id = s.doc_id AND dm.lang = 'en'"),
     // the incrementally-maintained index answers bit-for-bit what the

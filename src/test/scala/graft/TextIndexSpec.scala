@@ -223,6 +223,39 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("attribute-filtered retrieval: attrs flow through CDC maintenance and compaction") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_textidx_attr").toString
+    // lang rides the postings; an update may CHANGE a doc's attribute
+    TextIndex.applyBatch(dir, attrs = Seq("lang"))(
+      Seq((0L, "red fox jumps over the lazy dog", false, "en"),
+          (1L, "red red wine stains the rug", false, "fr"),
+          (2L, "quick brown fox and the quick hare", false, "en"))
+        .toDF("doc_id", "text", "deleted", "lang"), 0)
+    TextIndex.applyBatch(dir)(
+      Seq((1L, "white wine pairs with quick cheese", false, "en"),
+          (2L, null.asInstanceOf[String], true, null.asInstanceOf[String]),
+          (3L, "the dog chased the red fox", false, "fr"))
+        .toDF("doc_id", "text", "deleted", "lang"), 1)
+    val postApply = corpus(
+      (0L, "red fox jumps over the lazy dog"),
+      (1L, "white wine pairs with quick cheese"),
+      (3L, "the dog chased the red fox"))
+    val allowed = Seq(0L, 1L).toDF("doc_id") // lang = en, post-apply
+    val want = TextAnalysis.bm25Retrieve(postApply, queries, "doc_id",
+        "text", k = 3, allowed = Some(allowed))
+      .orderBy("q_id", "rnk").collect().toSeq
+    def got() = TextIndex.retrieve(spark, dir, queries, k = 3,
+        filter = Some(col("lang") === "en"))
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(got() === want,
+      "filtered index retrieval must equal the batch tier over the " +
+        "post-apply corpus with the same allowed set")
+    TextIndex.compact(spark, dir)
+    assert(got() === want, "compaction must preserve attribute columns")
+  }
+
   test("non-default bucket count: manifest-recorded, equivalence and compaction hold") {
     import java.nio.file.Files
     // the bucket count is a creation-time knob recorded in the manifest;
