@@ -493,6 +493,32 @@ object TextIndex {
         round(col("sdec").cast("double"), 6).as("score"))
   }
 
+  /** Index observability: per-attribute-value composition of the LIVE
+    * corpus, computed from the index artifact alone (all postings
+    * buckets, tombstones folded) — the operational "what is in this
+    * index" audit: distinct docs, posting rows, and token mass per
+    * attribute value. Deliberately a full-listing offline scan
+    * (profiles audit the whole artifact; queries probe buckets). */
+  def profile(spark: SparkSession, dir: String, attr: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    require(segs.nonEmpty, s"empty text index at $dir")
+    val nb = bucketsOf(m)
+    val t = attrsOf(m).collectFirst { case (n, ty) if n == attr => ty }
+      .getOrElse(throw new IllegalArgumentException(
+        s"index at $dir has no attribute '$attr'"))
+    val postings = liveRows(spark, root,
+      spark.read
+        .schema(s"doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG, $attr $t")
+        .parquet(leaves(root, segs, PostKind, nb): _*),
+      leaves(root, segs, TombKind, nb))
+    postings.groupBy(col(attr))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_postings"),
+        sum(col("tf")).as("n_tokens"))
+  }
+
   /** Build-once-per-(process, sfDir) memoized index over the documents
     * table — [[AnnIndex.trainedIndexDir]]'s lexical twin, the serving
     * contract: a hybrid-retrieval query pays bucket probes, never an

@@ -357,6 +357,16 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Index observability: the live corpus's per-language composition
+    // (docs, posting rows, token mass) answered from the index
+    // ARTIFACT alone — the operational audit a deployment runs before
+    // trusting an index, and the correctness pin that the maintained
+    // postings carry exactly the corpus's term statistics.
+    "text_index_profile" -> ((s, dir) => {
+      val idx = graft.operators.TextIndex.builtIndexDir(s, dir)
+      graft.operators.TextIndex.profile(s, idx, "lang").orderBy("lang")
+    }),
+
     // Incremental BM25 index maintenance driven by a REAL stream — the
     // lexical twin of stream_ann_index: micro-batches of documents each
     // become an immutable manifest-committed postings segment (term-hash
@@ -864,6 +874,17 @@ object ExtensionQueries {
     "text_retrieval_filtered_served" -> bm25RetrievalOracleOver(
       "SELECT doc_id, text FROM documents",
       "JOIN documents dm ON dm.doc_id = s.doc_id AND dm.lang = 'en'"),
+    // the index's postings must carry exactly the corpus's term stats
+    "text_index_profile" -> """
+       WITH terms AS (
+         SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+         FROM documents),
+       tf AS (SELECT doc_id, lang, term, COUNT(*) AS tf
+              FROM terms GROUP BY 1, 2, 3)
+       SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+         COUNT(*) AS n_postings,
+         CAST(SUM(tf) AS BIGINT) AS n_tokens
+       FROM tf GROUP BY lang ORDER BY lang""",
     // the incrementally-maintained index answers bit-for-bit what the
     // one-shot corpus build answers — the oracle IS the batch SQL
     "stream_text_index" -> bm25RetrievalOracle,
