@@ -410,12 +410,32 @@ object TextIndex {
   def retrieve(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, k1: Double = 1.2, b: Double = 0.75,
       excludeSelf: Boolean = false,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    retrieveState(spark, new java.io.File(dir),
+      SnapshotManifest.read(new java.io.File(dir)),
+      queries, k, k1, b, excludeSelf, filter)
+
+  /** Time-travel retrieval — [[AnnIndex.serveAt]]'s lexical twin: the
+    * probe plan against the RETAINED snapshot at `version`, which keeps
+    * every pre-compaction / pre-delete state queryable within the
+    * retention window (audit reads, before/after diffing of a CDC
+    * apply). None once the version has aged out. */
+  def retrieveAt(spark: SparkSession, dir: String, version: Long,
+      queries: DataFrame, k: Int): Option[DataFrame] = {
     val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
+    SnapshotManifest.readAt(root, version)
+      .map(m => retrieveState(spark, root, m, queries, k, 1.2, 0.75,
+        excludeSelf = false, filter = None))
+  }
+
+  private def retrieveState(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, queries: DataFrame,
+      k: Int, k1: Double, b: Double,
+      excludeSelf: Boolean,
+      filter: Option[org.apache.spark.sql.Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val segs = segments(m)
-    require(segs.nonEmpty, s"empty text index at $dir")
+    require(segs.nonEmpty, s"empty text index at $root")
     val nb = bucketsOf(m)
     // snapshot the query set driver-side ONCE (bounded: it is the probe
     // set, broadcast-sized by contract — ENFORCED at [[MaxQueryTerms]],

@@ -223,6 +223,37 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("time-travel retrieval: pre-delete snapshot queryable, compaction invisible, aged-out None") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_textidx_tt").toString
+    TextIndex.applyBatch(dir)(
+      Seq((0L, "red fox jumps over the lazy dog", false),
+          (1L, "red red wine stains the rug", false))
+        .toDF("doc_id", "text", "deleted"), 0)
+    val v1 = SnapshotManifest.read(new java.io.File(dir)).version
+    TextIndex.applyBatch(dir)(
+      Seq((1L, null.asInstanceOf[String], true))
+        .toDF("doc_id", "text", "deleted"), 1)
+    val cur = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // the pre-delete snapshot still answers with doc 1 present
+    val old = TextIndex.retrieveAt(spark, dir, v1, queries, k = 3)
+    assert(old.isDefined)
+    val oldRows = old.get.orderBy("q_id", "rnk").collect().toSeq
+    assert(oldRows.exists(_.getLong(2) == 1L) && !cur.exists(_.getLong(2) == 1L),
+      "pre-delete version must still rank the deleted doc; current must not")
+    // compaction changes layout, not any answer — current or retained
+    val v2 = SnapshotManifest.read(new java.io.File(dir)).version
+    TextIndex.compact(spark, dir)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === cur)
+    assert(TextIndex.retrieveAt(spark, dir, v2, queries, k = 3)
+      .get.orderBy("q_id", "rnk").collect().toSeq === cur)
+    // beyond the retention window: None, not a broken read
+    assert(TextIndex.retrieveAt(spark, dir, v1 - 1, queries, k = 3).isEmpty)
+  }
+
   test("attribute-filtered retrieval: attrs flow through CDC maintenance and compaction") {
     import java.nio.file.Files
     import spark.implicits._
