@@ -196,6 +196,45 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("maintenance continues across a rebuild: appends land on the fresh codebooks") {
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val raw = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val rest = raw.where(col("vec_id") % 10 >= 8)
+
+    // A: train on base, append half the rest, REBUILD on the corpus so
+    // far, then the ingest stream keeps appending — now encoded against
+    // the rebuilt codebooks (watermark carried through the rotation)
+    val dirA = freshDir("graft_ann_rebuild_cont")
+    AnnIndex.train(base, dirA)
+    AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 2 === 0), 0L)
+    val corpusSoFar = emb.where(col("vec_id") % 10 < 8 ||
+      (col("vec_id") % 10 >= 8 && col("vec_id") % 2 === 0))
+    AnnIndex.rebuild(spark, dirA, corpusSoFar)
+    AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 2 === 1), 1L)
+    // replay of the pre-rebuild batch: still a watermark-detected no-op
+    val vA = SnapshotManifest.read(new java.io.File(dirA)).version
+    AnnIndex.appendBatch(dirA)(rest.where(col("vec_id") % 2 === 0), 0L)
+    assert(SnapshotManifest.read(new java.io.File(dirA)).version === vA,
+      "a pre-rebuild batchId must stay replay-protected after the rotation")
+
+    // B: the batch-built twin — train on the same rebuild corpus, then
+    // one append of the remaining rows against those codebooks
+    val dirB = freshDir("graft_ann_rebuild_cont_b")
+    AnnIndex.train(corpusSoFar, dirB)
+    AnnIndex.appendBatch(dirB)(rest.where(col("vec_id") % 2 === 1), 0L)
+
+    val q = queriesOf(emb)
+    def result(dir: String) =
+      AnnIndex.serve(spark, dir, q, emb).orderBy("q_id", "rnk").collect().toSeq
+    assert(result(dirA).nonEmpty && result(dirA) === result(dirB),
+      "post-rebuild appends must encode against the rebuilt codebooks, " +
+        "identically to a fresh train+append of the same state")
+    emb.unpersist(blocking = false)
+    ()
+  }
+
   test("attribute-filtered serving: full top-k of allowed vectors, attrs flow through maintenance") {
     val raw = graft.sources.Tables.table(spark, Sf, "embeddings")
     val base = raw.where(col("vec_id") % 10 < 8)
