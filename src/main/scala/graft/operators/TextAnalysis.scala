@@ -178,8 +178,13 @@ object TextAnalysis {
     // full build for keyword extraction, which needs every pair.)
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
+    // every downstream branch (dl, stats, df, hits) re-derives tf; the
+    // plan otherwise re-tokenizes the corpus once per branch (4 full
+    // scans). Persisting the one corpus-wide aggregate is the
+    // materialize-the-shared-scan decision a warehouse makes for a
+    // multi-consumer CTE; the bench/verify harness unpersists per query.
     val tf = terms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).persist()
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val matched = tf.join(broadcast(queries.select(col("term")).distinct()),
