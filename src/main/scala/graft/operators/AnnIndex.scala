@@ -68,15 +68,12 @@ object AnnIndex {
     * codes scan as an ordinary parquet data-column filter (pushed to
     * the file scan), so a filtered query pays the same sublinear
     * route+scan as an unfiltered one instead of post-filtering a
-    * top-k that may then come up short. Recorded at train time as
-    * `name TYPE` DDL fragments (`conf/attrs`), read back by every
-    * appender and serving plan like the rest of the geometry. */
+    * top-k that may then come up short. Recorded at train time under
+    * the shared `conf/attrs` convention
+    * ([[SnapshotManifest.parseAttrDdl]] — comma-in-type safe), read
+    * back by every appender and serving plan like the geometry. */
   private def attrsOf(m: SnapshotManifest.State): Seq[(String, String)] =
-    m.entries.get("conf/attrs").filter(_.nonEmpty).toSeq
-      .flatMap(_.split(",").toSeq.map { s =>
-        val parts = s.trim.split(" ", 2)
-        (parts(0), parts(1))
-      })
+    SnapshotManifest.parseAttrDdl(m.entries.get("conf/attrs"))
 
   private def confEntries(c: Conf): Map[String, String] = Map(
     "conf/coarseK" -> c.coarseK.toString, "conf/pqM" -> c.pqM.toString,
@@ -123,8 +120,7 @@ object AnnIndex {
       val codes = if (attrs.isEmpty) codes0
         else codes0.join(
           cached.select(col("vec_id") +: attrs.map(col): _*), "vec_id")
-      val attrDdl = attrs
-        .map(n => s"$n ${emb.schema(n).dataType.sql}").mkString(",")
+      val attrDdl = SnapshotManifest.renderAttrDdl(emb.schema, attrs)
       coarseCents.coalesce(1).write.mode("overwrite")
         .parquet(new java.io.File(root, s"v$gen/coarse").toString)
       subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
@@ -181,12 +177,15 @@ object AnnIndex {
     * within the retention window; a crash mid-rebuild leaves only
     * orphan `v<gen>` dirs and the old index intact. */
   def rebuild(spark: SparkSession, dir: String, corpus: DataFrame,
-      conf: Conf = Conf()): Unit = {
+      conf: Option[Conf] = None): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     require(m.version > 0L, s"no committed index to rebuild at $dir")
-    val entries =
-      trainInto(corpus, root, conf, m.version + 1, attrsOf(m).map(_._1)) ++
+    // a rotation keeps the artifact's RECORDED geometry unless the
+    // caller explicitly re-shapes it — defaulting to the compile-time
+    // constants would silently reset a non-default index
+    val entries = trainInto(corpus, root, conf.getOrElse(confOf(m)),
+        m.version + 1, attrsOf(m).map(_._1)) ++
       m.entries.filter(_._1 == "lastBatch")
     val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point

@@ -58,6 +58,35 @@ object SnapshotManifest {
     if (!f.exists()) State(0L, Map.empty) else parse(f)
   }
 
+  /** The `conf/attrs` convention shared by the attribute-carrying index
+    * artifacts ([[TextIndex]], [[AnnIndex]]): filterable attribute
+    * columns recorded as comma-joined `name TYPE` DDL fragments. Types
+    * may themselves contain commas (DECIMAL(10,2), STRUCT<…>, MAP<…>),
+    * so the split tracks paren/angle depth; renderer and parser live
+    * together so the two indexes cannot drift. */
+  def renderAttrDdl(schema: org.apache.spark.sql.types.StructType,
+      attrs: Seq[String]): String =
+    attrs.map(n => s"$n ${schema(n).dataType.sql}").mkString(",")
+
+  def parseAttrDdl(entry: Option[String]): Seq[(String, String)] =
+    entry.filter(_.nonEmpty).toSeq.flatMap { s =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cur = new StringBuilder
+      var depth = 0
+      s.foreach {
+        case c @ ('(' | '<') => depth += 1; cur += c; ()
+        case c @ (')' | '>') => depth -= 1; cur += c; ()
+        case ',' if depth == 0 => out += cur.result(); cur.clear()
+        case c => cur += c; ()
+      }
+      if (cur.nonEmpty) out += cur.result()
+      out.toSeq.map(_.trim).filter(_.nonEmpty).map { f =>
+        val parts = f.split(" ", 2)
+        require(parts.length == 2, s"malformed conf/attrs fragment '$f'")
+        (parts(0), parts(1))
+      }
+    }
+
   private def serialize(s: State): Array[Byte] = {
     val mapper = new ObjectMapper()
     val node = mapper.createObjectNode()

@@ -71,15 +71,12 @@ object TextIndex {
     * [[AnnIndex]]'s filtered-search design on the lexical tier: a
     * metadata predicate (lang, source …) evaluates inside the probed
     * buckets' postings scan, like `dl` rides the postings so scoring
-    * never joins a side table. Recorded at index creation as
-    * `name TYPE` DDL fragments (`conf/attrs`); per-doc and tombstone
-    * rows carry nulls in these columns. */
+    * never joins a side table. Recorded at index creation under the
+    * shared `conf/attrs` convention ([[SnapshotManifest.parseAttrDdl]]
+    * — comma-in-type safe); per-doc and tombstone rows carry nulls in
+    * these columns. */
   private def attrsOf(m: SnapshotManifest.State): Seq[(String, String)] =
-    m.entries.get("conf/attrs").filter(_.nonEmpty).toSeq
-      .flatMap(_.split(",").toSeq.map { s =>
-        val parts = s.trim.split(" ", 2)
-        (parts(0), parts(1))
-      })
+    SnapshotManifest.parseAttrDdl(m.entries.get("conf/attrs"))
 
   /** Enforced bound on the driver-side query-probe collect in
     * [[retrieve]] — the [[ChangelogApply.MaxDdlEvents]] pattern: the
@@ -191,8 +188,7 @@ object TextIndex {
           coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
     }
     val r = st.head()
-    val attrDdl = attrs
-      .map(n => s"$n ${tf.schema(n).dataType.sql}").mkString(",")
+    val attrDdl = SnapshotManifest.renderAttrDdl(tf.schema, attrs)
     val next = SnapshotManifest.State(m.version + 1,
       m.entries + (s"seg/$batchId" -> seg) +
         (s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
@@ -219,6 +215,14 @@ object TextIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (batch.isEmpty) {
+      // advance only the watermark: committing an empty segment per
+      // idle micro-batch would grow segments(m) — and with it every
+      // probe's listing — without bound (AnnIndex/ReplicaSink contract)
+      SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+        m.entries + ("lastBatch" -> batchId.toString), m.retain))
+      return
+    }
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
     val tf = tfOf(batch, idCol, textCol, as).persist()
@@ -256,6 +260,12 @@ object TextIndex {
       col(textCol).as("text") +:
       col(delCol).cast("boolean").as("deleted") +: as.map(col): _*).persist()
     try {
+      if (b.isEmpty) {
+        // watermark-only commit, like the append path: no empty segment
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
       val tf = tfOf(b.where(!col("deleted")), "doc_id", "text", as).persist()
       try {
         // prior live versions of the touched docs: probe only the

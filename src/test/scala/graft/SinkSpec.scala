@@ -377,4 +377,22 @@ class SinkSpec extends AnyFunSuite {
         col("min_value"), col("max_value"))
     assert(after.except(oneShot).isEmpty && oneShot.except(after).isEmpty)
   }
+
+  test("conf/attrs DDL round-trips types whose SQL contains commas") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("label", IntegerType),
+      StructField("price", DecimalType(10, 2)),
+      StructField("meta", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType))))))
+    val ddl = graft.operators.SnapshotManifest.renderAttrDdl(
+      schema, Seq("label", "price", "meta"))
+    val parsed = graft.operators.SnapshotManifest.parseAttrDdl(Some(ddl))
+    assert(parsed === Seq(
+      ("label", "INT"), ("price", "DECIMAL(10,2)"),
+      ("meta", "STRUCT<a: BIGINT, b: STRING>")))
+    assert(graft.operators.SnapshotManifest.parseAttrDdl(None) === Nil)
+    assertThrows[IllegalArgumentException](
+      graft.operators.SnapshotManifest.parseAttrDdl(Some("nameonly")))
+  }
 }
