@@ -501,6 +501,20 @@ object AnnIndex {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** Index observability — [[TextIndex.profile]]'s vector twin: live
+    * cell occupancy of the inverted lists, from the artifact alone.
+    * The routing quality audit: a skewed histogram means hot cells
+    * (probe cost concentrates) and starved ones (recall suffers) — the
+    * signal that schedules a [[rebuild]]. Full codes listing by
+    * design; queries prune to routed cells, audits scan. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    require(m.version > 0L, s"no committed index at $dir")
+    liveCodes(spark, root, m)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vectors"))
+  }
+
   /** Train-once-per-(process, sfDir) memoized index dir — the serving
     * contract: queries pay routing + scan, never training. The corpus
     * `label` rides the code rows as a filterable attribute, so the one

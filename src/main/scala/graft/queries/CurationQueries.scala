@@ -620,6 +620,16 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Index observability, vector twin of text_index_profile: live
+    // cell occupancy of the trained artifact's inverted lists — the
+    // routing-quality audit (skew = hot probes + starved recall, the
+    // signal that schedules a rebuild). Oracle: the k-means pipeline's
+    // own final assignment, counted per cell.
+    "ann_index_profile" -> ((s, dir) => {
+      val idx = graft.operators.AnnIndex.trainedIndexDir(s, dir)
+      graft.operators.AnnIndex.profile(s, idx).orderBy("cell")
+    }),
+
     // Incremental ANN index maintenance driven by a REAL stream: base
     // slice trains the index, the remaining embeddings arrive in
     // micro-batches and are folded into the cell-partitioned inverted
@@ -1388,6 +1398,10 @@ object CurationQueries {
     "ann_ivf_pq_served" -> ivfPqOracle,
     "ann_filtered_topk" -> filteredBruteOracle,
     "ann_filtered_served" -> filteredServedOracle,
+    "ann_index_profile" -> s"""
+       WITH $kmeansCtes
+       SELECT cluster_id AS cell, COUNT(*) AS n_vectors
+       FROM a2 GROUP BY 1 ORDER BY cell""",
 
     // base-slice training + frozen-codebook encoding of the appended
     // slice, then the shared route/ADC/rerank tail — the DuckDB twin of

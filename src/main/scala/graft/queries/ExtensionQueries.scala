@@ -357,6 +357,15 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // The online serving loop: a STREAM of retrieval queries drained
+    // per micro-batch against the committed index artifact — each
+    // batch probes only its own queries' term buckets and publishes
+    // under an idempotent epoch dir. Retrieval is stateless per query,
+    // so stream ≡ batch and the oracle is the batch retrieval SQL.
+    "stream_text_serve" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamServeText(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // Index observability: the live corpus's per-language composition
     // (docs, posting rows, token mass) answered from the index
     // ARTIFACT alone — the operational audit a deployment runs before
@@ -888,6 +897,9 @@ object ExtensionQueries {
     // the incrementally-maintained index answers bit-for-bit what the
     // one-shot corpus build answers — the oracle IS the batch SQL
     "stream_text_index" -> bm25RetrievalOracle,
+    // serving is stateless per query: the streamed drain answers the
+    // batch SQL verbatim
+    "stream_text_serve" -> bm25RetrievalOracle,
     "stream_text_index_cdc" -> bm25CdcOracle,
     // both tiers replicated (BM25 with self-exclusion; exact cosine),
     // fused with integer reciprocals L//(60+rank), L = lcm(61..70)

@@ -56,13 +56,19 @@ object CdcStream {
     * (AvailableNow drains them all) — the multi-batch drive of the
     * incremental sinks. */
   private[graft] def streamOf(df: DataFrame, tag: String, sfDir: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      partitionKey: Option[String] = None): DataFrame = {
     val key = s"${tag}_${sfDir.replaceAll("[^A-Za-z0-9]", "_")}"
     // v2: multi-file layout — never reuse a round-3 single-file staging
     val dir = new java.io.File(s"/tmp/graft_stage/v2/$key")
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
-      df.repartition(StageFiles).write.mode("overwrite").parquet(dir.toString)
+      // partitionKey keeps all of a key's rows in ONE staged file, for
+      // inputs whose unit of work spans rows (a retrieval query's terms)
+      // and must not straddle a micro-batch boundary
+      partitionKey.map(k => df.repartition(StageFiles, col(k)))
+        .getOrElse(df.repartition(StageFiles))
+        .write.mode("overwrite").parquet(dir.toString)
     }
     val reader = df.sparkSession.readStream.schema(df.schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
@@ -987,6 +993,38 @@ object CdcStream {
         explode(slice(split(col("text"), " "), 1, 3)).as("term"))
       .distinct()
     TextIndex.retrieve(ss, idxDir, qs, k = 5)
+  }
+
+  /** The ONLINE SERVING loop — the other half of the maintained-index
+    * story: a STREAM of retrieval queries drains per micro-batch
+    * against the committed text-index artifact. Each batch probes only
+    * its own queries' term buckets (the index is never rebuilt or
+    * rescanned per batch) and publishes its top-k under an idempotent
+    * `epoch_<batchId>` dir, so a foreachBatch replay overwrites its
+    * own output instead of duplicating results. Queries are staged
+    * with all of a q_id's terms in one file ([[streamOf]]'s
+    * partitionKey), so no query straddles a batch boundary. Retrieval
+    * is stateless per query ⇒ stream ≡ batch: the oracle is the batch
+    * BM25 retrieval SQL verbatim. */
+  def streamServeText(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.TextIndex
+    val ss = streamSession(spark, flush = false)
+    val idx = TextIndex.builtIndexDir(ss, sfDir)
+    val qs = Tables.table(ss, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    val stream = streamOf(qs, "text_serve_queries", sfDir,
+      maxFilesPerTrigger = Some(3), partitionKey = Some("q_id"))
+    val outDir = drainToStateDir(stream, "graft_text_serve", sfDir,
+      dir => (batch, id) =>
+        TextIndex.retrieve(batch.sparkSession, idx, batch, k = 5)
+          .write.mode("overwrite").parquet(s"$dir/epoch_$id"))
+    val epochs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("epoch_")).map(_.toString).sorted
+    ss.read.parquet(epochs.toSeq: _*)
   }
 
   /** One document operation of the index-maintenance CDC stream, and the
