@@ -168,30 +168,33 @@ object TextAnalysis {
       excludeSelf: Boolean = false,
       allowed: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The probe filter comes FIRST: tf semi-joins the broadcast query
-    // terms before anything else touches it, so df (computable from the
-    // matched rows alone — a term's tf rows are all present) becomes a
-    // broadcast of |query terms| rows and the per-doc dl join's left
-    // side shrinks from every (doc, term) row to the matched ones.
-    // Corpus-wide work is exactly what it must be: the one tf
-    // aggregation and the per-doc dl/stats fold. (bm25Scored keeps the
-    // full build for keyword extraction, which needs every pair.)
+    // The probe filter comes FIRST — below even the tf aggregation: the
+    // exploded (doc, term) rows hash-probe the broadcast query terms
+    // BEFORE any shuffle, so the only tf aggregation in the plan is over
+    // matched postings (a term's occurrences are all kept by the filter,
+    // so tf/df computed from the matched rows are exact). dl needs no tf
+    // at all: a doc's token count is size(tokens) — a map-side
+    // projection — so the corpus-wide work is two scans with NO
+    // corpus-wide exchange anywhere: map+tiny-agg for dl/stats, and
+    // explode+broadcast-filter+matched-agg for the postings.
+    // (bm25Scored keeps the full (doc, term) build for keyword
+    // extraction, which needs every pair.)
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(col(textCol))).as("term"))
-    // every downstream branch (dl, stats, df, hits) re-derives tf; the
-    // static plan shows one tokenize subtree per branch, but the tf
-    // exchange is canonically identical across them, so AQE's runtime
-    // stage reuse computes it once (measured: persisting tf here wins
-    // under 10% — and a persist inside a lazily-returned plan has no
-    // sound release point, leaking a cached corpus aggregate per call
-    // for any caller without the bench harness's per-query cleanup).
-    val tf = terms.groupBy(col("doc_id"), col("term"))
+    val matchedTerms = terms.join(
+      broadcast(queries.select(col("term")).distinct()), "term")
+    val tf = matchedTerms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl = exploded-row count per doc ≡ size(tokens): split() yields
+    // [""] for an empty string (1 row either way) and null for null
+    // text (explode drops the doc; the filter drops it here) — the two
+    // derivations agree row-for-row by construction.
+    val dl = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val matched = tf.join(broadcast(queries.select(col("term")).distinct()),
-      "term")
-    val dfreq = matched.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val matched = tf
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // metadata-filtered retrieval: `allowed` restricts CANDIDATES only —
     // df/avgdl stay corpus-wide (the filter narrows who may be returned,
     // not what the corpus statistics describe). The semi-join keys on
