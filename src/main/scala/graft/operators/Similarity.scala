@@ -55,12 +55,18 @@ object Similarity {
       queries: DataFrame, // (q_id, q_emb)
       candidates: DataFrame, // (vec_id, embedding)
       k: Int,
-      cosFn: (Column, Column) => Column = cosineExact): DataFrame = {
+      cosFn: (Column, Column) => Column = cosineExact,
+      pairFilter: Column = lit(true)): DataFrame = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    // pairFilter may reference columns of BOTH sides (e.g. the
+    // hard-negative mining predicate label =!= q_label) — it evaluates
+    // in the scan stage right after the broadcast probe, before any
+    // heap sees the pair, so a filtered search still returns a full
+    // top-k of allowed candidates at the same single-scan cost.
     val scored = candidates
       .crossJoin(broadcast(queries))
-      .where(col("q_id") =!= col("vec_id"))
+      .where(col("q_id") =!= col("vec_id") && pairFilter)
       .select(col("q_id").cast("long"), col("vec_id").cast("long"),
         round(cosFn(col("q_emb"), col("embedding")), 6).as("cos"))
       .as[(Long, Long, Double)]

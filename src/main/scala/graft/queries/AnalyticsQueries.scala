@@ -409,6 +409,11 @@ object AnalyticsQueries {
     "graph_triangles" -> trianglesOracle,
     "ann_recall_eval" -> recallOracle,
     "ann_recall_eval_served" -> recallServedOracle,
+    // the ANN serving loop is stateless per query ⇒ stream ≡ batch:
+    // the oracle is the served tier's batch SQL verbatim (registered
+    // here, not in ExtensionQueries, so the oracle maps keep their
+    // acyclic init order: Analytics → Curation → Extension)
+    "stream_ann_serve" -> CurationQueries.oracles("ann_ivf_pq_served"),
     "q_funnel" -> """
       WITH s1 AS (
         SELECT user_id, MIN(ts) AS t1 FROM events

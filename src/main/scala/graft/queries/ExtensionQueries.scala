@@ -99,6 +99,12 @@ object ExtensionQueries {
     * cross-engine float division differences by construction. */
   private[queries] val RrfLcm = 142813628717760L
 
+  /** rag_context_pack's context-window budget in tokens: small enough
+    * that the greedy cut lands mid-document at the test SFs (the
+    * interesting case), sized in a real deployment to the generator's
+    * context length minus the prompt. */
+  private val RagTokenBudget = 96
+
   def sqlCos(a: String, b: String): String =
     s"(${sqlDot(a, b)} / sqrt(${sqlDot(a, a)} * ${sqlDot(b, b)}))"
 
@@ -357,6 +363,35 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // RAG context assembly — the step after retrieval: the top-5 docs
+    // per query are chunked into overlapping token windows and packed
+    // greedily in (rank, chunk) order under a token BUDGET; the output
+    // is the literal context window a generator would receive. Only
+    // retrieved docs are chunked (a semi-join on the bounded hit set —
+    // never the corpus), and the budget fold is an integer running sum
+    // per query, so the cut is engine-exact.
+    "rag_context_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      val hits = TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5)
+        .select(col("q_id"), col("rnk"), col("doc_id"))
+      val hitDocs = docs.join(
+        hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      val chunks = Curation.chunk(hitDocs, "doc_id", "text")
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("rnk"), col("chunk_idx"))
+      hits.join(chunks, "doc_id")
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(wp))
+        .where(col("cum_tokens") <= RagTokenBudget)
+        .select(col("q_id"), col("rnk"), col("doc_id"), col("chunk_idx"),
+          col("n_tokens"), col("cum_tokens"), col("chunk_text"))
+        .orderBy("q_id", "rnk", "chunk_idx")
+    }),
+
     // The online serving loop: a STREAM of retrieval queries drained
     // per micro-batch against the committed index artifact — each
     // batch probes only its own queries' term buckets and publishes
@@ -364,6 +399,14 @@ object ExtensionQueries {
     // so stream ≡ batch and the oracle is the batch retrieval SQL.
     "stream_text_serve" -> ((s, dir) =>
       graft.streaming.CdcStream.streamServeText(s, dir)
+        .orderBy("q_id", "rnk")),
+
+    // The ANN serving loop — a stream of query VECTORS against the
+    // committed IVFADC artifact, per-batch routing + ADC scan + rerank,
+    // epoch-idempotent output. Stateless per query ⇒ stream ≡ batch;
+    // shares ann_ivf_pq_served's oracle verbatim.
+    "stream_ann_serve" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamServeAnn(s, dir)
         .orderBy("q_id", "rnk")),
 
     // Index observability: the live corpus's per-language composition
@@ -614,6 +657,55 @@ object ExtensionQueries {
       Similarity.bruteForceTopK(queries, emb, 5,
           graft.expressions.CosineSimilarity.cosineSim(s))
         .orderBy("q_id", "rnk")
+    }),
+
+    // Contrastive HARD-NEGATIVE mining: for each query, the top-5 most
+    // similar vectors of a DIFFERENT label — near in embedding space,
+    // wrong class: exactly the negatives contrastive/triplet training
+    // wants. Same broadcast + partial-top-k-heap scan as
+    // ann_cosine_topk; the label predicate evaluates in the scan stage
+    // (bruteForceTopK's pairFilter), so no post-filtered short top-k.
+    "ann_hard_negatives" -> ((s, dir) => {
+      val src = Tables.table(s, dir, "embeddings")
+      val emb = src.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"),
+        col("label"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label").as("q_label"))
+      Similarity.bruteForceTopK(queries, emb, 5,
+          pairFilter = col("label") =!= col("q_label"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // Result DIVERSIFICATION: top-5 per query with at most 2 results
+    // per label, chosen from the exact top-20 shortlist — the cheap
+    // deterministic stand-in for MMR that search/RAG serving layers
+    // run to stop one cluster from monopolizing the context window.
+    // Both cap and final rank order on the shortlist's INTEGER rank
+    // (engine-stable by construction); the label join touches only
+    // shortlist rows (broadcast), never the corpus.
+    "ann_diverse_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = Tables.table(s, dir, "embeddings")
+      val emb = src.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val short = Similarity.bruteForceTopK(queries, emb, 20)
+      val labeled = src.select(col("vec_id"), col("label"))
+        .join(broadcast(short), "vec_id")
+      val wl = Window.partitionBy(col("q_id"), col("label"))
+        .orderBy(col("rnk"))
+      val wq = Window.partitionBy(col("q_id")).orderBy(col("rnk"))
+      labeled
+        .withColumn("label_rnk", row_number().over(wl))
+        .where(col("label_rnk") <= 2)
+        .withColumn("div_rnk", row_number().over(wq))
+        .where(col("div_rnk") <= 5)
+        .select(col("q_id"), col("div_rnk"), col("vec_id"),
+          col("label").cast("long").as("label"), col("cos"))
+        .orderBy("q_id", "div_rnk")
     }),
 
     // IVF-style ANN: per-label centroids (exact decimal means), route each
@@ -1209,6 +1301,76 @@ object ExtensionQueries {
          FROM scored)
        SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
        ORDER BY q_id, rnk""",
+    "ann_hard_negatives" -> s"""
+       WITH emb AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, label AS q_label,
+               embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.q_id, e.vec_id,
+           ROUND(${sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e
+           ON e.vec_id <> q.q_id AND e.label <> q.q_label),
+       ranked AS (
+         SELECT q_id, vec_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         FROM scored)
+       SELECT q_id, rnk, vec_id, cos FROM ranked WHERE rnk <= 5
+       ORDER BY q_id, rnk""",
+    "ann_diverse_topk" -> s"""
+       WITH emb AS (
+         SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         FROM embeddings),
+       q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM emb
+             WHERE vec_id % 100 = 0),
+       scored AS (
+         SELECT q.q_id, e.vec_id, e.label,
+           ROUND(${sqlCos("q.q_emb", "e.embedding")}, 6) AS cos
+         FROM q JOIN emb e ON e.vec_id <> q.q_id),
+       shortlist AS (
+         SELECT q_id, vec_id, label, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rnk
+         FROM scored QUALIFY rnk <= 20),
+       capped AS (
+         SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY q_id, label ORDER BY rnk)
+             AS label_rnk
+         FROM shortlist QUALIFY label_rnk <= 2),
+       diversified AS (
+         SELECT q_id, vec_id, label, cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rnk) AS div_rnk
+         FROM capped)
+       SELECT q_id, div_rnk, vec_id, CAST(label AS BIGINT) AS label, cos
+       FROM diversified WHERE div_rnk <= 5
+       ORDER BY q_id, div_rnk""",
+    "rag_context_pack" -> s"""
+       WITH hits AS (
+         SELECT q_id, rnk, doc_id FROM ($bm25RetrievalOracle)),
+       hitdocs AS (
+         SELECT d.doc_id, string_split(d.text, ' ') AS toks
+         FROM documents d
+         WHERE d.doc_id IN (SELECT DISTINCT doc_id FROM hits)),
+       c AS (SELECT doc_id, toks,
+               unnest(range(0, greatest(len(toks) - 1, 0) + 1, 24)) AS start
+             FROM hitdocs),
+       ch AS (SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+                CAST(least(32, len(toks) - start) AS BIGINT) AS n_tokens,
+                array_to_string(toks[start + 1 : start + 32], ' ')
+                  AS chunk_text
+              FROM c),
+       packed AS (
+         SELECT h.q_id, h.rnk, h.doc_id, ch.chunk_idx, ch.n_tokens,
+           ch.chunk_text,
+           CAST(SUM(ch.n_tokens) OVER (PARTITION BY h.q_id
+             ORDER BY h.rnk, ch.chunk_idx) AS BIGINT) AS cum_tokens
+         FROM hits h JOIN ch USING (doc_id))
+       SELECT q_id, rnk, doc_id, chunk_idx, n_tokens, cum_tokens, chunk_text
+       FROM packed WHERE cum_tokens <= $RagTokenBudget
+       ORDER BY q_id, rnk, chunk_idx""",
     "ann_ivf_topk" -> s"""
        WITH emb AS (
          SELECT vec_id, label,

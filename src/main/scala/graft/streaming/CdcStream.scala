@@ -1027,6 +1027,36 @@ object CdcStream {
     ss.read.parquet(epochs.toSeq: _*)
   }
 
+  /** The ANN twin of [[streamServeText]]: a STREAM of query VECTORS
+    * drained per micro-batch against the committed trained index
+    * artifact ([[graft.operators.AnnIndex.trainedIndexDir]]). Each
+    * batch routes only its own queries (nprobe cells each), ADC-scans
+    * the routed cells' inverted lists, exact-reranks, and publishes
+    * its top-k under an idempotent `epoch_<batchId>` dir. A query
+    * vector is one self-contained row, so no unit of work can
+    * straddle a micro-batch boundary, and serving is stateless per
+    * query ⇒ stream ≡ batch: the oracle is `ann_ivf_pq_served`'s
+    * batch SQL verbatim. */
+  def streamServeAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val ss = streamSession(spark, flush = false)
+    val idx = AnnIndex.trainedIndexDir(ss, sfDir)
+    val qs = AnnIndex.embeddings(ss, sfDir)
+      .where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val stream = streamOf(qs, "ann_serve_queries", sfDir,
+      maxFilesPerTrigger = Some(3))
+    val outDir = drainToStateDir(stream, "graft_ann_serve", sfDir,
+      dir => (batch, id) =>
+        AnnIndex.serve(batch.sparkSession, idx, batch.toDF(),
+            AnnIndex.embeddings(batch.sparkSession, sfDir))
+          .write.mode("overwrite").parquet(s"$dir/epoch_$id"))
+    val epochs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("epoch_")).map(_.toString).sorted
+    ss.read.parquet(epochs.toSeq: _*)
+  }
+
   /** One document operation of the index-maintenance CDC stream, and the
     * per-doc fold state: newest op wins (full-image semantics — the
     * document-store projection of [[applyDeltaEvents]]). */

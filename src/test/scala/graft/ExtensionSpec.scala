@@ -321,6 +321,64 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out(4).getLong(1) === 2L && out(4).getString(3) === "z")
   }
 
+  test("hard negatives: every returned pair crosses labels, ranks dense from 1") {
+    val dir = "/root/testdata/sf0.01"
+    val spark0 = spark
+    val out = graft.queries.ExtensionQueries
+      .queries("ann_hard_negatives")(spark0, dir)
+    val labels = graft.sources.Tables.table(spark0, dir, "embeddings")
+      .select(col("vec_id"), col("label"))
+    val crossed = out
+      .join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "q_label"), "q_id")
+      .join(labels, "vec_id")
+    assert(crossed.where(col("label") === col("q_label")).count() === 0L,
+      "a hard negative shared its query's label")
+    // dense ranks 1..5 per query (the scan-stage filter must not
+    // shorten the top-k the way post-filtering would)
+    val badRanks = out.groupBy("q_id")
+      .agg(count(lit(1)).as("n"), max(col("rnk")).as("mx"))
+      .where(col("n") =!= 5 || col("mx") =!= 5)
+    assert(badRanks.count() === 0L)
+  }
+
+  test("diversified top-k: never >2 per label, order is shortlist order") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.ExtensionQueries
+      .queries("ann_diverse_topk")(spark, dir).collect()
+    val perLabel = out.groupBy(r => (r.getLong(0), r.getLong(3)))
+    assert(perLabel.values.forall(_.length <= 2), "label cap violated")
+    // within a query, cos is non-increasing in div_rnk (shortlist order)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRnk = rows.sortBy(_.getInt(1))
+      assert(byRnk.map(_.getDouble(4)).sliding(2)
+        .forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+  }
+
+  test("rag packing: prefix-closed per query, cut is tight against the budget") {
+    val dir = "/root/testdata/sf0.01"
+    val out = graft.queries.ExtensionQueries
+      .queries("rag_context_pack")(spark, dir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).values.foreach { rows =>
+      val ordered = rows.sortBy(r => (r.getInt(1), r.getLong(3)))
+      // running sum matches cum_tokens and never exceeds the budget;
+      // chunks are a PREFIX of the (rnk, chunk_idx) order — no holes
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) === cum, "cum_tokens is not the running sum")
+      }
+      assert(cum <= 96L)
+      // n_tokens of each packed chunk is the chunk's real token count
+      ordered.foreach { r =>
+        val n = r.getString(6).split(" ", -1).length
+        assert(r.getLong(4) === n.toLong)
+      }
+    }
+  }
+
   test("IVF nprobe knob: recall@5 vs brute force never drops when nprobe grows") {
     import org.apache.spark.sql.DataFrame
     val dir = "/root/testdata/sf0.01"
