@@ -366,7 +366,10 @@ object ExtensionQueries {
     // RAG context assembly — the step after retrieval: the top-5 docs
     // per query are chunked into overlapping token windows and packed
     // greedily in (rank, chunk) order under a token BUDGET; the output
-    // is the literal context window a generator would receive. Only
+    // is the literal context window a generator would receive. The
+    // hits come from the MAINTAINED index artifact (the plan a serving
+    // deployment actually composes — probed buckets only, no corpus
+    // build; served ≡ batch, so the oracle is the batch SQL), only
     // retrieved docs are chunked (a semi-join on the bounded hit set —
     // never the corpus), and the budget fold is an integer running sum
     // per query, so the cut is engine-exact.
@@ -377,7 +380,8 @@ object ExtensionQueries {
         .select(col("doc_id").as("q_id"),
           explode(slice(split(col("text"), " "), 1, 3)).as("term"))
         .distinct()
-      val hits = TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5)
+      val idx = graft.operators.TextIndex.builtIndexDir(s, dir)
+      val hits = graft.operators.TextIndex.retrieve(s, idx, qs, k = 5)
         .select(col("q_id"), col("rnk"), col("doc_id"))
       val hitDocs = docs.join(
         hits.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
