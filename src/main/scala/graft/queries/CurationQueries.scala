@@ -680,19 +680,17 @@ object CurationQueries {
         .serve(s, annIdx, queries, emb, topK = 10)
         .select(col("q_id"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
-      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(expr(s"${ExtensionQueries.RrfLcm} div (60 + lex_rnk)"),
-            lit(0L)) +
-          coalesce(expr(s"${ExtensionQueries.RrfLcm} div (60 + sem_rnk)"),
-            lit(0L)))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      fused.withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
-        .orderBy("q_id", "rnk")
+      graft.operators.Fusion.rrfFuse(lex, sem, k = 5).orderBy("q_id", "rnk")
     }),
+
+    // The ONLINE hybrid serving loop: the same two maintained artifacts
+    // behind a streaming trigger — per-batch bucket probes + routed
+    // cells + integer RRF, epoch-idempotent output. Stateless per
+    // query ⇒ stream ≡ batch: shares text_retrieval_hybrid_served's
+    // oracle verbatim.
+    "stream_hybrid_serve" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamServeHybrid(s, dir)
+        .orderBy("q_id", "rnk")),
 
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
@@ -887,6 +885,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "text_retrieval_hybrid_served" -> hybridServedOracle,
+    "stream_hybrid_serve" -> hybridServedOracle,
     "text_chunk" -> """
        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),

@@ -97,7 +97,7 @@ object ExtensionQueries {
     * tier ranks ≤ 10), so each reciprocal L/(60+rank) is an EXACT
     * BIGINT — reciprocal-rank fusion in integer arithmetic, immune to
     * cross-engine float division differences by construction. */
-  private[queries] val RrfLcm = 142813628717760L
+  private[queries] val RrfLcm = Fusion.RrfLcm
 
   /** rag_context_pack's context-window budget in tokens: small enough
     * that the greedy cut lands mid-document at the test SFs (the
@@ -628,17 +628,7 @@ object ExtensionQueries {
       val sem = Similarity.bruteForceTopK(queries, emb, 10)
         .select(col("q_id"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
-      val fused = lex.join(sem, Seq("q_id", "doc_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(expr(s"$RrfLcm div (60 + lex_rnk)"), lit(0L)) +
-            coalesce(expr(s"$RrfLcm div (60 + sem_rnk)"), lit(0L)))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("rrf").desc, col("doc_id"))
-      fused
-        .withColumn("rnk", row_number().over(w))
-        .where(col("rnk") <= 5)
-        .select(col("q_id"), col("rnk"), col("doc_id"), col("rrf"))
-        .orderBy("q_id", "rnk")
+      Fusion.rrfFuse(lex, sem, k = 5).orderBy("q_id", "rnk")
     }),
 
     // brute-force cosine top-5 for the query subset (vec_id % 100 == 0)

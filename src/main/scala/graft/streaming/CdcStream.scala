@@ -1027,6 +1027,56 @@ object CdcStream {
     ss.read.parquet(epochs.toSeq: _*)
   }
 
+  /** The ONLINE HYBRID serving loop — the full production RAG query
+    * behind a trigger: each micro-batch of retrieval queries probes the
+    * maintained TEXT index (its own queries' term buckets only), routes
+    * the same query ids' VECTORS through the committed IVFADC artifact
+    * (the vector lookup is an id semi-join against the embeddings
+    * store — a point lookup, not a scan-side build), and fuses the two
+    * tiers with the shared integer-RRF ([[graft.operators.Fusion]]),
+    * publishing top-k under an idempotent epoch dir. Queries are staged
+    * whole ([[streamOf]] partitionKey), both tiers and the fuse are
+    * stateless per query ⇒ stream ≡ batch: the oracle is
+    * `text_retrieval_hybrid_served`'s SQL verbatim. */
+  def streamServeHybrid(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.{AnnIndex, Fusion, TextIndex}
+    val ss = streamSession(spark, flush = false)
+    val textIdx = TextIndex.builtIndexDir(ss, sfDir)
+    val annIdx = AnnIndex.trainedIndexDir(ss, sfDir)
+    val qs = Tables.table(ss, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    // 2 micro-batches (vs the ingest drains' 3): a SERVING batch's
+    // floor cost is two full per-tier plans + the fuse, so batch count
+    // is the lever — still ≥2 so the multi-batch property (epochs
+    // union ≡ batch answer) stays exercised.
+    val stream = streamOf(qs, "hybrid_serve_queries", sfDir,
+      maxFilesPerTrigger = Some(4), partitionKey = Some("q_id"))
+    val outDir = drainToStateDir(stream, "graft_hybrid_serve", sfDir,
+      dir => (batch, id) => {
+        val s2 = batch.sparkSession
+        val lex = TextIndex
+          .retrieve(s2, textIdx, batch.toDF(), k = 10, excludeSelf = true)
+          .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+        val emb = AnnIndex.embeddings(s2, sfDir)
+        val queries = emb.join(
+            batch.toDF().select(col("q_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        val sem = AnnIndex.serve(s2, annIdx, queries, emb, topK = 10)
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            col("rnk").as("sem_rnk"))
+        Fusion.rrfFuse(lex, sem, k = 5)
+          .write.mode("overwrite").parquet(s"$dir/epoch_$id")
+      })
+    val epochs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("epoch_")).map(_.toString).sorted
+    ss.read.parquet(epochs.toSeq: _*)
+  }
+
   /** The ANN twin of [[streamServeText]]: a STREAM of query VECTORS
     * drained per micro-batch against the committed trained index
     * artifact ([[graft.operators.AnnIndex.trainedIndexDir]]). Each
