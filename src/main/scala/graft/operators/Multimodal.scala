@@ -394,6 +394,38 @@ object Multimodal {
       }
   }
 
+  /** One image's ViT-style patch grid: ceil-division patch counts per
+    * axis, the zero-padding the resizeless path would add, and the
+    * resulting transformer sequence length (n_patches + 1 CLS token) —
+    * the number every vision-training batcher needs per image BEFORE
+    * any pixel is decoded. */
+  case class PatchPlan(doc_id: Long, width: Int, height: Int,
+      n_px: Int, n_py: Int, n_patches: Int, pad_w: Int, pad_h: Int,
+      seq_len: Int)
+
+  /** Patch-grid planning over decoded image headers — the geometry half
+    * of ViT tokenization (patch embedding itself is the codec seam):
+    * pure integer ceil arithmetic from the real header parse, one
+    * map-side pass, no shuffle. Feeds sequence packing / batch shaping
+    * the same way token counting feeds text packing. */
+  def patchPlan(media: DataFrame, decoder: MediaDecoder,
+      patch: Int): Dataset[PatchPlan] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decoder.decode(id, bytes)
+          val npx = (m.width + patch - 1) / patch
+          val npy = (m.height + patch - 1) / patch
+          PatchPlan(id, m.width, m.height, npx, npy, npx * npy,
+            npx * patch - m.width, npy * patch - m.height,
+            npx * npy + 1)
+        }
+      }
+  }
+
   /** Attach a binary payload column + metadata struct to documents —
     * the ingestion shape for media tables: (id, media BINARY,
     * media_meta STRUCT<mime, n_bytes>). */

@@ -214,6 +214,18 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // ViT patch-grid planning over the decoded image headers — the
+    // geometry half of vision tokenization: per-image patch counts,
+    // padding, and transformer sequence length (the number batch
+    // shaping needs before any pixel decodes), through the same
+    // batched decode seam. Integer ceil math, map-side, no shuffle.
+    "mm_patch_plan" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.table(s, dir, "documents"))
+      Multimodal.patchPlan(media, Multimodal.HeaderDecoder, 16)
+        .toDF().orderBy("doc_id")
+    }),
+
     // REAL WAV/RIFF audio-header parsing — the audio modality beside
     // mm_parse_headers' images: expression-level fmt-chunk fields plus
     // the decoder's genuine chunk scan (every 4th payload interposes a
@@ -856,6 +868,23 @@ object ExtensionQueries {
            // greatest(100 + doc_id % 577, 64 + doc_id % 331)) AS INTEGER)
            AS thumb_h
        FROM documents ORDER BY doc_id""",
+    // same planted dims as mm_thumbnail; DuckDB // is floor division,
+    // so ceil(a/p) is spelled (a + p - 1) // p exactly like the Scala
+    "mm_patch_plan" -> """
+       WITH d AS (SELECT doc_id,
+                    CAST(100 + doc_id % 577 AS INTEGER) AS width,
+                    CAST(64 + doc_id % 331 AS INTEGER) AS height
+                  FROM documents),
+       g AS (SELECT doc_id, width, height,
+               CAST((width + 15) // 16 AS INTEGER) AS n_px,
+               CAST((height + 15) // 16 AS INTEGER) AS n_py
+             FROM d)
+       SELECT doc_id, width, height, n_px, n_py,
+         CAST(n_px * n_py AS INTEGER) AS n_patches,
+         CAST(n_px * 16 - width AS INTEGER) AS pad_w,
+         CAST(n_py * 16 - height AS INTEGER) AS pad_h,
+         CAST(n_px * n_py + 1 AS INTEGER) AS seq_len
+       FROM g ORDER BY doc_id""",
     // planted arithmetic truth for the WAV containers (ASCII corpus so
     // length(text) = PCM byte count; LIST chunk on every 4th doc)
     "mm_parse_wav" -> """
