@@ -226,6 +226,20 @@ object ExtensionQueries {
         .toDF().orderBy("doc_id")
     }),
 
+    // Vision-batch sequence packing — patchPlan's seq_len fed through
+    // the SAME two-phase-prefix-sum packer as the text corpus
+    // (Curation.packBins): images concatenate in id order into
+    // transformer batches cut every 4096 patch tokens. The multimodal
+    // twin of doc_pack — one packing rule for both modalities.
+    "mm_pack_vision" -> ((s, dir) => {
+      val media = Multimodal.syntheticMediaTable(
+        Tables.table(s, dir, "documents"))
+      val plans = Multimodal.patchPlan(media, Multimodal.HeaderDecoder, 16)
+        .toDF()
+      Curation.packBins(plans, "doc_id", col("seq_len"), 4096L)
+        .orderBy("bin")
+    }),
+
     // REAL WAV/RIFF audio-header parsing — the audio modality beside
     // mm_parse_headers' images: expression-level fmt-chunk fields plus
     // the decoder's genuine chunk scan (every 4th payload interposes a
@@ -885,6 +899,22 @@ object ExtensionQueries {
          CAST(n_py * 16 - height AS INTEGER) AS pad_h,
          CAST(n_px * n_py + 1 AS INTEGER) AS seq_len
        FROM g ORDER BY doc_id""",
+    // the doc_pack prefix-sum rule over the patch-plan sequence lengths
+    "mm_pack_vision" -> """
+       WITH d AS (SELECT doc_id,
+                    ((100 + doc_id % 577 + 15) // 16)
+                      * ((64 + doc_id % 331 + 15) // 16) + 1 AS n_tokens
+                  FROM documents),
+       p AS (SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prefix
+             FROM d)
+       SELECT CAST(prefix // 4096 AS BIGINT) AS bin,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
     // planted arithmetic truth for the WAV containers (ASCII corpus so
     // length(text) = PCM byte count; LIST chunk on every 4th doc)
     "mm_parse_wav" -> """
