@@ -50,6 +50,32 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served === inline)
   }
 
+  test("property: serving is stateless per query — random query splits union to the one-shot answer") {
+    // the invariant streamServeAnn/streamServeHybrid's epoch union rests
+    // on: route + ADC + rerank read only the committed artifact and the
+    // query's own row, so ANY partition of the query set answers
+    // identically (a query vector is one self-contained row)
+    val rnd = new scala.util.Random(13)
+    val dir = AnnIndex.trainedIndexDir(spark, Sf)
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val qs = queriesOf(emb)
+    val oneShot = AnnIndex.serve(spark, dir, qs, emb)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val qids = qs.select("q_id").collect().map(_.getLong(0)).toSeq
+    for (round <- 0 until 2) {
+      val groups = qids.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(3)))
+        .values.toSeq.filter(_.nonEmpty)
+      val unioned = groups.flatMap { g =>
+        AnnIndex.serve(spark, dir,
+            qs.where(col("q_id").isin(g: _*)), emb)
+          .collect()
+      }.sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(unioned === oneShot.sortBy(r => (r.getLong(0), r.getInt(1))),
+        s"round $round: splits=${groups.map(_.size)}")
+    }
+    emb.unpersist()
+  }
+
   test("incremental maintenance ≡ one-shot encode; replays are detected no-ops") {
     val emb = AnnIndex.embeddings(spark, Sf).cache()
     val base = emb.where(col("vec_id") % 10 < 8)

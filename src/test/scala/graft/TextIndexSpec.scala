@@ -130,6 +130,31 @@ class TextIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("property: serving is stateless per query — random query splits union to the one-shot answer") {
+    // the invariant every streamServe* loop's epoch union rests on:
+    // retrieval depends only on the (immutable) index and the query's
+    // own rows, so ANY partition of the query set answers identically
+    val rnd = new scala.util.Random(11)
+    val dir = buildIndex()
+    val all = queries.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val oneShot = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    for (round <- 0 until 3) {
+      // split by q_id (a query's terms must travel together — the
+      // partitionKey contract of the staged stream)
+      val qids = all.map(_._1).distinct
+      val groups = qids.groupBy(_ => rnd.nextInt(1 + rnd.nextInt(3)))
+        .values.toSeq.filter(_.nonEmpty)
+      val unioned = groups.flatMap { g =>
+        import spark.implicits._
+        val qs = all.filter(p => g.contains(p._1)).toDF("q_id", "term")
+        TextIndex.retrieve(spark, dir, qs, k = 3).collect()
+      }.sortBy(r => (r.getLong(0), r.getInt(1)))
+      assert(unioned === oneShot.sortBy(r => (r.getLong(0), r.getInt(1))),
+        s"round $round: splits=${groups.map(_.size)}")
+    }
+  }
+
   test("CDC apply: update = tombstone + re-add, delete = tombstone; ≡ rebuild of post-apply corpus") {
     import java.nio.file.Files
     import spark.implicits._
