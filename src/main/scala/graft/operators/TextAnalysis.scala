@@ -88,9 +88,7 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(pat), lit(0))).cast("long")
     }.reduce(_ + _)
 
-  /** BM25 keyword extraction: score every (doc, term), keep the top-k
-    * terms per doc — the standard "what is this document about" primitive
-    * for corpus curation.
+  /** BM25 scoring, keyword extraction, and retrieval.
     *
     * The idf uses the RATIO form (N - df + 0.5) / (df + 0.5) instead of
     * its log: log is monotone, so per-doc term rankings are identical to
@@ -98,17 +96,12 @@ object TextAnalysis {
     * engines, so the DuckDB oracle reproduces it digit-for-digit (the
     * same reason the cosine fold avoids engine builtins).
     *
-    * Plan shape: ONE explode → tf hash aggregation; dl and df both
-    * derive from the tf table (dl = Σtf per doc), so the corpus explode
-    * appears exactly once in the physical plan instead of twice. At
-    * 100 TB the tf agg partial-combines map-side; df is |vocab|-sized. */
-  /** Every (doc, term) BM25-scored — the shared build behind keyword
-    * extraction and retrieval. UNROUNDED `score`; callers round at their
-    * output. One explode → tf hash aggregation; dl and df derive from
-    * the tf table so the corpus is scanned once. Deliberately NOT fanned
-    * out: tokenize+tf is cheap per row and the fan-out shuffle cost it
-    * back (measured 1.48 -> 0.93 s at sf0.1); a cluster-scale scan
-    * already has >= cores splits. */
+    * Plan shape: ONE explode → tf hash aggregation (map-side partial
+    * combine); dl is size(tokens) — a map-side projection, never an
+    * aggregation of tf — and df is |vocab|-sized from tf. Deliberately
+    * NOT fanned out: tokenize+tf is cheap per row and the fan-out
+    * shuffle cost it back (measured 1.48 -> 0.93 s at sf0.1); a
+    * cluster-scale scan already has >= cores splits. */
   /** The BM25 per-(doc, term) score expression over tf/dl/df/n_docs/
     * avgdl columns — ONE definition shared by the batch build and
     * [[TextIndex]]'s incremental probe, so "incremental ≡ one-shot
@@ -127,7 +120,12 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // dl = size(tokens), a map-side projection — same integers as the
+    // former sum(tf) per doc (see bm25Retrieve's derivation note), so
+    // the per-doc length never pays a corpus-wide aggregation
+    val dl = docs.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf
