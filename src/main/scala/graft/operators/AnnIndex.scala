@@ -532,6 +532,35 @@ object AnnIndex {
     dir.toString
   }
 
+  /** Memoized CDC-APPLIED maintained index — the vector twin of
+    * [[TextIndex.cdcAppliedIndexDir]]: base-slice training (shared with
+    * the streamed CDC drain via the "b8" clone tag), then ONE folded
+    * changelog batch through [[applyCdcBatch]] — adds for vec_id
+    * % 10 >= 8, re-embeds (negated) for % 9, deletes for % 13, newest
+    * op winning per key exactly as the streamed sequence order
+    * resolves. Live tombstone + re-add segments stay in the artifact;
+    * serving must fold them. */
+  def cdcAppliedIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(s"/tmp/graft_ann_cdc_applied/p${graft.Fs.pid}_$key")
+      if (SnapshotManifest.read(dir).version == 0L) {
+        val emb = embeddings(spark, sfDir)
+        cloneTrained(emb.where(col("vec_id") % 10 < 8), sfDir, "b8", dir.toString)
+        val touched = emb.where(col("vec_id") % 10 >= 8 ||
+            col("vec_id") % 9 === 0 || col("vec_id") % 13 === 0)
+          .select(col("vec_id"),
+            when(col("vec_id") % 13 === 0,
+              lit(null).cast("array<double>"))
+              .otherwise(when(col("vec_id") % 9 === 0,
+                transform(col("e"), x => -x)).otherwise(col("e")))
+              .as("embedding"),
+            (col("vec_id") % 13 === 0).as("deleted"))
+        applyCdcBatch(dir.toString)(touched, 0L)
+      }
+      dir.toString
+    }
+
   /** Memoized POST-APPEND maintained index: base-slice training plus
     * the remaining corpus folded in as two append segments — the state
     * a long-running ingest stream reaches (stream ≡ batch appends,

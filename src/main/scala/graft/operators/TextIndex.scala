@@ -553,6 +553,37 @@ object TextIndex {
     * table — [[AnnIndex.trainedIndexDir]]'s lexical twin, the serving
     * contract: a hybrid-retrieval query pays bucket probes, never an
     * index build. */
+  /** Memoized CDC-APPLIED index: the full corpus added, then one folded
+    * changelog batch (doc_id % 7 rewritten with the update marker,
+    * % 11 deleted — delete wins on the overlap, matching the streamed
+    * changelog's sequence order) applied through [[applyBatch]]. The
+    * artifact KEEPS live tombstone segments — probes must fold them —
+    * which is exactly the state a long-running CDC consumer serves
+    * from between compactions. Per-key post-batch states are computed
+    * batch-side (the FMGWS contract); `stream_text_index_cdc` pins the
+    * multi-batch streamed path, this artifact pins serving ON TOP of
+    * the applied state (hybrid_cdc composition). */
+  def cdcAppliedIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(s"/tmp/graft_text_index_cdc_applied/p${graft.Fs.pid}_$key")
+      if (SnapshotManifest.read(dir).version == 0L) {
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        applyBatch(dir.toString)(
+          docs.withColumn("deleted", lit(false)), 0L)
+        val changed = docs
+          .where(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+              .otherwise(concat(col("text"), lit(" graft cdc update")))
+              .as("text"),
+            (col("doc_id") % 11 === 0).as("deleted"))
+        applyBatch(dir.toString)(changed, 1L)
+      }
+      dir.toString
+    }
+
   def builtIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
     val dir = new java.io.File(s"/tmp/graft_text_index_built/p${graft.Fs.pid}_$key")

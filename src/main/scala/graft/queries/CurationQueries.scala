@@ -692,6 +692,40 @@ object CurationQueries {
       graft.streaming.CdcStream.streamServeHybrid(s, dir)
         .orderBy("q_id", "rnk")),
 
+    // The full composition triangle: CDC → maintained indexes → hybrid
+    // serving. Both artifacts carry an APPLIED changelog (text: % 7
+    // updates / % 11 deletes; vectors: % 10 ≥ 8 adds, % 9 re-embeds,
+    // % 13 deletes) with LIVE tombstone segments — the serving plan
+    // must fold them at probe time, exactly the state a long-running
+    // CDC consumer serves from between compactions. Oracle: both
+    // post-apply tiers reproduced end-to-end (BM25 over the applied
+    // corpus; base-trained frozen-codebook IVFADC over the applied
+    // vectors) at top-10 + the shared integer RRF.
+    "text_retrieval_hybrid_cdc" -> ((s, dir) => {
+      val textIdx = graft.operators.TextIndex.cdcAppliedIndexDir(s, dir)
+      val annIdx = graft.operators.AnnIndex.cdcAppliedIndexDir(s, dir)
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      val lex = graft.operators.TextIndex
+        .retrieve(s, textIdx, qs, k = 10, excludeSelf = true)
+        .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+      val emb = graft.operators.AnnIndex.embeddings(s, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val postEmb = emb.where(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 9 === 0, transform(col("e"), x => -x))
+            .otherwise(col("e")).as("e"))
+      val sem = graft.operators.AnnIndex
+        .serve(s, annIdx, queries, postEmb, topK = 10)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      graft.operators.Fusion.rrfFuse(lex, sem, k = 5).orderBy("q_id", "rnk")
+    }),
+
     // DSIR importance weighting: hashed-bigram distribution match against
     // the src0 "target domain" — the resampling weight a 100 TB curation
     // run would feed to data_sample_stratified / data_mix_weighted.
@@ -883,9 +917,139 @@ object CurationQueries {
          FROM fused) WHERE rnk <= 5
        ORDER BY q_id, rnk"""
 
+  /** The hybrid_cdc oracle: lex tier = batch BM25 over the POST-APPLY
+    * text corpus (queries still drawn from the original documents —
+    * they arrive from outside the store); sem tier = the
+    * stream_ann_index_cdc reproduction (base-slice training,
+    * frozen-codebook encode of the applied vectors, route/ADC/rerank
+    * over post-apply exact vectors); both at top-10, fused in the
+    * shared integer RRF. */
+  private lazy val hybridCdcOracle: String = s"""
+       WITH corpus AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0),
+       terms AS (
+         SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
+       tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+       dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY 1),
+       stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+       dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       scored AS (
+         SELECT tf.doc_id, tf.term,
+           ((n_docs - df + 0.5) / (df + 0.5)) * (tf * ${1.2 + 1}) /
+             (tf + ${1.2} * (1 - ${0.75} + ${0.75} * dl / avgdl)) AS score
+         FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         CROSS JOIN stats),
+       qterms AS (
+         SELECT DISTINCT doc_id AS q_id,
+           unnest(string_split(text, ' ')[1:3]) AS term
+         FROM documents WHERE doc_id % 100 = 0),
+       lexhits AS (
+         SELECT q.q_id, s.doc_id,
+           SUM(CAST(s.score AS DECIMAL(38,18))) AS sdec
+         FROM scored s JOIN qterms q USING (term)
+         WHERE s.doc_id <> q.q_id
+         GROUP BY 1, 2),
+       lexr AS (
+         SELECT q_id, doc_id, rnk AS lex_rnk FROM (
+           SELECT q_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY sdec DESC, doc_id) AS rnk
+           FROM lexhits) WHERE rnk <= 10),
+       emball AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       ${kmeansChain(
+        "emb AS (SELECT vec_id, e FROM emball WHERE vec_id % 10 < 8)")},
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       enc AS (
+         SELECT vec_id, list_transform(e, x -> -x) AS e FROM emball
+         WHERE vec_id % 9 = 0 AND vec_id % 13 <> 0
+         UNION ALL
+         SELECT vec_id, e FROM emball
+         WHERE vec_id % 10 >= 8 AND vec_id % 9 <> 0 AND vec_id % 13 <> 0),
+       enca AS (${sqlAssignOn("enc", "c2")}),
+       encs0 AS (SELECT vec_id, e[1:16] AS e FROM enc),
+       encs0a AS (${sqlAssignOn("encs0", "s0c2")}),
+       encs1 AS (SELECT vec_id, e[17:32] AS e FROM enc),
+       encs1a AS (${sqlAssignOn("encs1", "s1c2")}),
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id) JOIN a2 m USING (vec_id)
+         WHERE a.vec_id % 9 <> 0 AND a.vec_id % 13 <> 0
+         UNION ALL
+         SELECT a.vec_id, a.cluster_id, b.cluster_id, m.cluster_id
+         FROM encs0a a JOIN encs1a b USING (vec_id) JOIN enca m USING (vec_id)),
+       embfinal AS (
+         SELECT vec_id,
+           CASE WHEN vec_id % 9 = 0 THEN list_transform(e, x -> -x)
+                ELSE e END AS e
+         FROM emball WHERE vec_id % 13 <> 0),
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emball WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN embfinal m ON m.vec_id = s.vec_id),
+       semr AS (
+         SELECT q_id, doc_id, rnk AS sem_rnk FROM (
+           SELECT q_id, vec_id AS doc_id,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk
+           FROM rr) WHERE rnk <= 10),
+       fused AS (
+         SELECT COALESCE(l.q_id, s.q_id) AS q_id,
+                COALESCE(l.doc_id, s.doc_id) AS doc_id,
+                COALESCE(${ExtensionQueries.RrfLcm} // (60 + l.lex_rnk), 0) +
+                COALESCE(${ExtensionQueries.RrfLcm} // (60 + s.sem_rnk), 0) AS rrf
+         FROM lexr l FULL OUTER JOIN semr s
+           ON l.q_id = s.q_id AND l.doc_id = s.doc_id)
+       SELECT q_id, rnk, doc_id, CAST(rrf AS BIGINT) AS rrf FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           ORDER BY rrf DESC, doc_id) AS rnk
+         FROM fused) WHERE rnk <= 5
+       ORDER BY q_id, rnk"""
+
   val oracles: Map[String, String] = Map(
     "text_retrieval_hybrid_served" -> hybridServedOracle,
     "stream_hybrid_serve" -> hybridServedOracle,
+    "text_retrieval_hybrid_cdc" -> hybridCdcOracle,
     "text_chunk" -> """
        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),
