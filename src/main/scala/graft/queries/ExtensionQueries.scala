@@ -611,6 +611,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // the same ingest decision SERVED from the maintained signature
+    // artifact: the corpus's shingles/signatures/band rows persist
+    // bucketed in a manifest-committed index (built once, here in two
+    // segments), and the probe reads ONLY the batch's own band-key /
+    // text-hash buckets plus the candidates' doc buckets — O(batch)
+    // artifact reads, no corpus-side recompute. Served ≡ inline by
+    // construction, so the oracle is dedup_incremental's verbatim.
+    "dedup_incremental_served" -> ((s, dir) => {
+      val idx = DedupIndex.builtIndexDir(s, dir)
+      DedupIndex.probe(s, idx, ExtCorpus.incrementalBatch(s, dir), 0.5)
+        .orderBy("doc_id")
+    }),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -806,7 +819,7 @@ object ExtensionQueries {
               ELSE text END AS text
        FROM documents WHERE doc_id % 11 <> 0""")
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "text_tokens" ->
       """SELECT doc_id,
          len(string_split(text, ' ')) AS n_tokens,
@@ -1239,7 +1252,9 @@ object ExtensionQueries {
     // incremental over base ∪ batch: the id ranges mark the sides, so
     // near pairs are jac ∧ band-match restricted to base→batch; best
     // match by (jaccard DESC, base id) on the ROUNDED jaccard — the
-    // same ordering key the Spark window uses
+    // same ordering key the Spark window uses. The SERVED twin probes
+    // the maintained signature artifact but answers identically, so it
+    // shares this SQL verbatim (registered right below).
     "dedup_incremental" -> {
       val bandCond = (0 until Dedup.Bands).map { bi =>
         val r = Dedup.MinhashParams.size / Dedup.Bands
@@ -1499,4 +1514,10 @@ object ExtensionQueries {
          1 + octet_length(encode(text)) // 256 AS n_frames
          FROM documents ORDER BY doc_id"""
   )
+
+  /** The served dedup probe answers bit-for-bit what the inline
+    * classifier answers (DedupIndexSpec pins it), so it shares the
+    * `dedup_incremental` SQL verbatim. */
+  val oracles: Map[String, String] = oraclesBase +
+    ("dedup_incremental_served" -> oraclesBase("dedup_incremental"))
 }
