@@ -624,6 +624,14 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // the signature index maintained from a REAL stream: micro-batches
+    // of documents fold into immutable segments (compaction mid-drain),
+    // then the probe classifies the planted batch against the
+    // maintained corpus. Maintained ≡ inline, oracle verbatim.
+    "stream_dedup_index" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamDedupIndex(s, dir)
+        .orderBy("doc_id")),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -1519,5 +1527,6 @@ object ExtensionQueries {
     * classifier answers (DedupIndexSpec pins it), so it shares the
     * `dedup_incremental` SQL verbatim. */
   val oracles: Map[String, String] = oraclesBase +
-    ("dedup_incremental_served" -> oraclesBase("dedup_incremental"))
+    ("dedup_incremental_served" -> oraclesBase("dedup_incremental")) +
+    ("stream_dedup_index" -> oraclesBase("dedup_incremental"))
 }

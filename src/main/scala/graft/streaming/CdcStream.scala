@@ -1027,6 +1027,31 @@ object CdcStream {
     ss.read.parquet(epochs.toSeq: _*)
   }
 
+  /** Incremental signature-index maintenance driven by a REAL stream —
+    * the dedup artifact's ingest loop beside [[streamTextIndex]] /
+    * [[streamAnnIndex]]: the documents table arrives in micro-batches,
+    * each folded into [[graft.operators.DedupIndex]] as an immutable
+    * manifest-committed segment (with a compaction mid-drain), then the
+    * standard incremental-dedup probe classifies the planted batch
+    * against the maintained corpus. The index answers bit-for-bit what
+    * the inline classifier answers over the full corpus, so the oracle
+    * is `dedup_incremental`'s SQL verbatim. */
+  def streamDedupIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val ss = streamSession(spark, flush = false)
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stream = streamOf(docs, "dedup_index_docs", sfDir,
+      maxFilesPerTrigger = Some(3))
+    val idxDir = drainToStateDir(stream, "graft_dedup_index_stream", sfDir,
+      dir => (batch, id) => {
+        DedupIndex.appendBatch(dir)(batch.toDF(), id)
+        if (id == 1L) DedupIndex.compact(batch.sparkSession, dir)
+      })
+    DedupIndex.probe(ss, idxDir,
+      graft.sources.ExtCorpus.incrementalBatch(ss, sfDir), 0.5)
+  }
+
   /** The ONLINE HYBRID serving loop — the full production RAG query
     * behind a trigger: each micro-batch of retrieval queries probes the
     * maintained TEXT index (its own queries' term buckets only), routes
