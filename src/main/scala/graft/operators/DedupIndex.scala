@@ -14,10 +14,11 @@ import org.apache.spark.sql.functions._
   * probe-side pruning, on the same manifest-committed segment model as
   * the other two artifacts:
   *
-  *   data/kind=band    / bucket=hash(band_key) % B   (doc_id, band_idx, band_key)
-  *   data/kind=shingle / bucket=hash(doc_id)   % B   (doc_id, shingle)
-  *   data/kind=size    / bucket=hash(doc_id)   % B   (doc_id, n)
-  *   data/kind=doc     / bucket=hash(text)     % B   (doc_id, text)
+  *   data/kind=band    / bucket=hash(band_key) % B   (doc_id, band_idx, band_key, sseq)
+  *   data/kind=shingle / bucket=hash(doc_id)   % B   (doc_id, shingle, sseq)
+  *   data/kind=size    / bucket=hash(doc_id)   % B   (doc_id, n, sseq)
+  *   data/kind=doc     / bucket=hash(text)     % B   (doc_id, text, sseq)
+  *   data/kind=tomb    / bucket=hash(doc_id)   % B   (doc_id, sseq)
   *
   * A probe batch computes ITS OWN shingles/signatures/bands (O(batch)),
   * then reads only: the band buckets its own band keys hash to (LSH
@@ -26,14 +27,25 @@ import org.apache.spark.sql.functions._
   * (verification) — every artifact read is listing-level pruned to a
   * bucket set bounded by the batch, never the corpus. Accepted batches
   * fold in via [[appendBatch]] (immutable segments, lastBatch
-  * watermark); [[compact]] merges segments. The corpus of an ingest
-  * deduper only ever grows, so the artifact is append-only by SEMANTICS
-  * (a CDC-driven removal would ride the same tombstone pattern as
-  * [[TextIndex.applyBatch]]).
+  * watermark); [[compact]] merges segments.
+  *
+  * The corpus of a pure-ingest deduper only grows, but the engine's CDC
+  * story (changelog apply, D10) produces full-image updates and deletes
+  * of documents too — [[applyCdcBatch]] folds those with the same
+  * tombstone pattern as [[TextIndex.applyBatch]] / AnnIndex: every doc
+  * version carries its writing batch's stamp (`sseq`), a touched doc
+  * gets a tombstone row stamped with the batch, and a version is live
+  * iff its stamp is at or above every tombstone stamp for its doc — so
+  * an update's re-add (same stamp) outlives its own tombstone while a
+  * delete leaves only the tombstone. Liveness folds at probe time
+  * (tombstones are O(deletes), read once per probe; with none the join
+  * vanishes from the plan) and RESOLVES at [[compact]], which rewrites
+  * only live rows and drops every tombstone.
   *
   * [[probe]] answers bit-for-bit what [[Dedup.incremental]] answers
-  * over the union of every appended batch (DedupIndexSpec pins it under
-  * random corpora and split points).
+  * over the live state of every appended/applied batch (DedupIndexSpec
+  * pins it under random corpora, split points, and add/update/delete
+  * interleavings).
   */
 object DedupIndex {
 
@@ -43,6 +55,7 @@ object DedupIndex {
   val Buckets = 8
 
   private val Kinds = Seq("band", "shingle", "size", "doc")
+  private val TombKind = "tomb"
 
   private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
     pmod(hash(c), lit(nb))
@@ -58,36 +71,41 @@ object DedupIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
-  /** The superset row layout all four kinds share in one partitioned
-    * segment write (the [[TextIndex]] one-job-per-batch idiom). */
-  private def segmentRows(docs: DataFrame, nb: Int): DataFrame = {
-    val spark = docs.sparkSession
+  /** The superset row layout all kinds share in one partitioned
+    * segment write (the [[TextIndex]] one-job-per-batch idiom). Every
+    * row is stamped with the writing batch (`sseq`) — the version
+    * stamp the CDC tombstone fold compares against. */
+  private def segmentRows(docs: DataFrame, nb: Int, sseq: Long): DataFrame = {
     val sh = Dedup.shingles(docs, "doc_id", "text")
-    val sigs = Dedup.minhashSignatures(sh)
+    // signatures and shingle counts in ONE doc-keyed aggregation: the
+    // band and size branches then share a single exchange (plan-level
+    // reuse) instead of shuffling the shingle set twice per batch
+    val sigs = Dedup.minhashSignaturesWithSize(sh)
     val nullS = lit(null).cast("string")
     val nullI = lit(null).cast("int")
     val nullL = lit(null).cast("long")
+    val stamp = lit(sseq).as("sseq")
     val bandRows = Dedup.bandRowsOf(sigs)
       .select(lit("band").as("kind"),
         bucketOf(col("band_key"), nb).as("bucket"),
         col("doc_id"), col("band_idx").cast("int").as("band_idx"),
         col("band_key"), nullS.as("shingle"), nullL.as("n"),
-        nullS.as("text"))
+        nullS.as("text"), stamp)
     val shRows = sh
       .select(lit("shingle").as("kind"),
         bucketOf(col("doc_id"), nb).as("bucket"),
         col("doc_id"), nullI.as("band_idx"), nullS.as("band_key"),
-        col("shingle"), nullL.as("n"), nullS.as("text"))
-    val sizeRows = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        col("shingle"), nullL.as("n"), nullS.as("text"), stamp)
+    val sizeRows = sigs
       .select(lit("size").as("kind"),
         bucketOf(col("doc_id"), nb).as("bucket"),
         col("doc_id"), nullI.as("band_idx"), nullS.as("band_key"),
-        nullS.as("shingle"), col("n"), nullS.as("text"))
+        nullS.as("shingle"), col("n"), nullS.as("text"), stamp)
     val docRows = docs
       .select(lit("doc").as("kind"),
         bucketOf(col("text"), nb).as("bucket"),
         col("doc_id"), nullI.as("band_idx"), nullS.as("band_key"),
-        nullS.as("shingle"), nullL.as("n"), col("text"))
+        nullS.as("shingle"), nullL.as("n"), col("text"), stamp)
     Seq(bandRows, shRows, sizeRows, docRows).reduce(_ unionByName _)
   }
 
@@ -100,33 +118,89 @@ object DedupIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
-    if (batch.isEmpty) {
-      SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-        m.entries + ("lastBatch" -> batchId.toString), m.retain))
-      return
-    }
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    // persist BEFORE the emptiness probe: isEmpty is an action, and on
+    // a foreachBatch frame it would otherwise compute the keyed fold's
+    // output once for the check and again for the write
     val docs = batch.select(col("doc_id"), col("text")).persist()
     try {
-      val segName = s"epoch_$batchId"
-      segmentRows(docs, nb)
-        .repartition(2 * nb, col("kind"), col("bucket"))
-        .write.mode("overwrite").partitionBy("kind", "bucket")
-        .parquet(new java.io.File(root, s"$segName/data").toString)
-      val entries = m.entries +
-        ("conf/buckets" -> nb.toString) +
-        (s"seg/e$batchId" -> segName) +
-        ("lastBatch" -> batchId.toString)
-      val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-      SnapshotManifest.commit(root, next)
-      SnapshotManifest.gc(root, next, "epoch_")
+      if (docs.isEmpty) {
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
+      commitSegment(root, m, nb, batchId, segmentRows(docs, nb, batchId))
     } finally { docs.unpersist(blocking = false); () }
+  }
+
+  /** foreachBatch body for the CDC-MAINTAINED index — the changelog-
+    * apply semantic (full-image update/delete) composed with the
+    * segment model: a micro-batch of per-doc POST-BATCH states
+    * (doc_id, text, deleted) folds in as one immutable segment where
+    * every touched doc gets a tombstone row stamped with this batch
+    * and every non-deleted doc re-adds its signature rows under the
+    * same stamp (so the re-add outlives its own tombstone; a delete
+    * leaves only the tombstone). Callers feed it a keyed stream fold's
+    * output (the ReplicaSink contract), so per-doc state is monotone
+    * across batches and the batchId is the version stamp. Tombstoning
+    * is unconditional on touch — a tombstone for a never-indexed doc
+    * is a no-op row, and deciding otherwise would need a by-doc-id
+    * probe of the text-hash-bucketed doc rows (unprunable). */
+  def applyCdcBatch(dir: String, buckets: Int = Buckets)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    val b = batch.select(col("doc_id"), col("text"),
+      col("deleted").cast("boolean").as("deleted")).persist()
+    try {
+      if (b.isEmpty) {
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
+      val nullS = lit(null).cast("string")
+      val tombRows = b
+        .select(lit(TombKind).as("kind"),
+          bucketOf(col("doc_id"), nb).as("bucket"),
+          col("doc_id"), lit(null).cast("int").as("band_idx"),
+          nullS.as("band_key"), nullS.as("shingle"),
+          lit(null).cast("long").as("n"), nullS.as("text"),
+          lit(batchId).as("sseq"))
+      val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
+      commitSegment(root, m, nb, batchId,
+        segmentRows(live, nb, batchId).unionByName(tombRows))
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** One partitioned write + pointer swap shared by the append and CDC
+    * apply paths. */
+  private def commitSegment(root: java.io.File, m: SnapshotManifest.State,
+      nb: Int, batchId: Long, rows: DataFrame): Unit = {
+    val segName = s"epoch_$batchId"
+    rows
+      .repartition(2 * nb, col("kind"), col("bucket"))
+      .write.mode("overwrite").partitionBy("kind", "bucket")
+      .parquet(new java.io.File(root, s"$segName/data").toString)
+    val entries = m.entries +
+      ("conf/buckets" -> nb.toString) +
+      (s"seg/e$batchId" -> segName) +
+      ("lastBatch" -> batchId.toString)
+    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
+    SnapshotManifest.commit(root, next)
+    SnapshotManifest.gc(root, next, "epoch_")
   }
 
   /** Segment merge: every current segment folded into one fresh
     * immutable `epoch_compact<version>` segment published by the same
     * pointer swap — probe answers unchanged (the rows only move), probe
-    * listing drops from O(segments × buckets) to O(buckets). */
+    * listing drops from O(segments × buckets) to O(buckets).
+    * Tombstones RESOLVE here: only live rows (stamp at or above every
+    * tombstone stamp for the doc) are rewritten and no tombstone
+    * survives — a fully-deleted doc simply has no rows, and any later
+    * tombstone's stamp exceeds every kept `sseq` (batch ids are
+    * monotone), so the liveness rule keeps working across the merge. */
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -136,15 +210,17 @@ object DedupIndex {
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val schema = "doc_id LONG, band_idx INT, band_key STRING, " +
-      "shingle STRING, n LONG, text STRING"
+      "shingle STRING, n LONG, text STRING, sseq LONG"
+    val tmax = tombMax(spark, root, segs, nb)
     val all = Kinds.map { kind =>
       val paths = for {
         seg <- segs; bk <- 0 until nb
         d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
         if d.exists()
       } yield d.toString
-      (if (paths.isEmpty) emptyDf(spark, schema)
-       else spark.read.schema(schema).parquet(paths: _*))
+      liveRows(
+        if (paths.isEmpty) emptyDf(spark, schema)
+        else spark.read.schema(schema).parquet(paths: _*), tmax)
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .withColumn("bucket",
@@ -160,6 +236,37 @@ object DedupIndex {
     SnapshotManifest.commit(root, next)
     SnapshotManifest.gc(root, next, "epoch_")
   }
+
+  /** Max tombstone stamp per doc across every segment — None when the
+    * index holds no tombstones (the pure-append path), so the liveness
+    * join vanishes from probe and compact plans entirely. Tombstones
+    * are O(deletes), never O(corpus), so this read is not bucket-
+    * pruned: probe-side candidates arrive from band-key buckets whose
+    * doc ids are arbitrary. */
+  private def tombMax(spark: SparkSession, root: java.io.File,
+      segs: Seq[String], nb: Int): Option[DataFrame] = {
+    val paths = for {
+      seg <- segs; bk <- 0 until nb
+      d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
+      if d.exists()
+    } yield d.toString
+    if (paths.isEmpty) None
+    else Some(spark.read.schema("doc_id LONG, sseq LONG")
+      .parquet(paths: _*)
+      .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax")))
+  }
+
+  /** Live-version filter: a row survives iff its stamp is at or above
+    * every tombstone stamp for its doc (a batch's own re-add ties its
+    * own tombstone and lives; pre-CDC rows with a null stamp are older
+    * than any tombstone and die under one). */
+  private def liveRows(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
+    tmax match {
+      case None => rows
+      case Some(t) => rows.join(t, Seq("doc_id"), "left")
+        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+        .drop("tmax")
+    }
 
   /** Classify a probe batch against the indexed corpus — identical
     * output to [[Dedup.incremental]](union of appended batches, batch):
@@ -177,6 +284,7 @@ object DedupIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty dedup index at $dir")
     val nb = bucketsOf(m)
+    val tmax = tombMax(spark, root, segs, nb)
     def readLeaves(kind: String, schema: String, probed: Seq[Int]): DataFrame = {
       val paths = for {
         seg <- segs
@@ -184,8 +292,10 @@ object DedupIndex {
         d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
         if d.exists()
       } yield d.toString
-      if (paths.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(paths: _*)
+      liveRows(
+        if (paths.isEmpty) emptyDf(spark, s"$schema, sseq LONG")
+        else spark.read.schema(s"$schema, sseq LONG").parquet(paths: _*),
+        tmax).drop("sseq")
     }
     val n = batch.select(col("doc_id"), col("text")).cache()
     // exact tier: only the buckets the batch's own full-text hashes land in
@@ -195,10 +305,13 @@ object DedupIndex {
       .toDF("base_id", "text")
       .join(broadcast(n), Seq("text"))
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_of"))
-    // near tier: LSH candidates from the batch's own band-key buckets
+    // near tier: LSH candidates from the batch's own band-key buckets;
+    // signatures and shingle counts share one aggregation (the b_n
+    // verification join below reads the cached sigs, not a second
+    // shuffle of the shingle set)
     val shBatch = Dedup.shingles(n, "doc_id", "text").cache()
-    val bandBatch = Dedup.bandRowsOf(Dedup.minhashSignatures(shBatch))
-      .cache()
+    val sigsBatch = Dedup.minhashSignaturesWithSize(shBatch).cache()
+    val bandBatch = Dedup.bandRowsOf(sigsBatch).cache()
     val bandBuckets = bandBatch.select(bucketOf(col("band_key"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     val candidates = readLeaves("band",
@@ -225,8 +338,7 @@ object DedupIndex {
       .join(candIds, Seq("base_id"), "left_semi")
     val near = inter
       .join(baseSizes, "base_id")
-      .join(shBatch.groupBy(col("doc_id")).agg(count(lit(1)).as("b_n")),
-        "doc_id")
+      .join(sigsBatch.select(col("doc_id"), col("n").as("b_n")), "doc_id")
       .withColumn("jaccard",
         round(col("n_inter").cast("double") /
           (col("a_n") + col("b_n") - col("n_inter")), 6))

@@ -632,6 +632,17 @@ object ExtensionQueries {
       graft.streaming.CdcStream.streamDedupIndex(s, dir)
         .orderBy("doc_id")),
 
+    // the signature index under the CDC semantic: a changelog of adds,
+    // full-image updates (%7) and deletes (%11) folds per micro-batch
+    // into tombstone + re-add segments (compaction mid-drain resolves
+    // them), then the standard probe classifies the planted batch
+    // against the LIVE corpus. Oracle: the inline classifier's SQL
+    // over the post-apply corpus — updated bases demote their planted
+    // exact copies to near, deleted bases orphan theirs.
+    "stream_dedup_index_cdc" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamDedupIndexCdc(s, dir)
+        .orderBy("doc_id")),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -826,6 +837,50 @@ object ExtensionQueries {
          CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
               ELSE text END AS text
        FROM documents WHERE doc_id % 11 <> 0""")
+
+  /** Incremental-ingest classification over base ∪ batch: the id ranges
+    * mark the sides, so near pairs are jac ∧ band-match restricted to
+    * base→batch; best match by (jaccard DESC, base id) on the ROUNDED
+    * jaccard — the same ordering key the Spark window uses. The base
+    * corpus arrives as `corpusCtes` (any CTE chain ending in a
+    * `corpus` relation): the inline classifier and the served/streamed
+    * index probes share it verbatim, and the CDC-maintained variant
+    * pins it over the POST-APPLY corpus — the tombstone fold must
+    * answer what a full rebuild of the applied state answers. */
+  private def dedupIncrementalOracleOver(corpusCtes: String): String = {
+    val bandCond = (0 until Dedup.Bands).map { bi =>
+      val r = Dedup.MinhashParams.size / Dedup.Bands
+      (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
+        .mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    s"""WITH $corpusCtes, $ShingleCtes, $sigsCte,
+        exact AS (
+          SELECT c.doc_id, MIN(b.doc_id) AS exact_of
+          FROM corpus c JOIN corpus b ON b.text = c.text
+          WHERE c.doc_id >= 100000 AND b.doc_id < 100000
+          GROUP BY c.doc_id),
+        near AS (
+          SELECT b_id AS doc_id, a_id, jaccard,
+            ROW_NUMBER() OVER (PARTITION BY b_id
+              ORDER BY jaccard DESC, a_id) AS rn
+          FROM jac
+          JOIN sigs sa ON sa.doc_id = a_id
+          JOIN sigs sb ON sb.doc_id = b_id
+          WHERE a_id < 100000 AND b_id >= 100000
+            AND jaccard >= 0.5 AND ($bandCond))
+        SELECT n.doc_id,
+          CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+               WHEN nr.a_id IS NOT NULL THEN 'near'
+               ELSE 'novel' END AS verdict,
+          COALESCE(e.exact_of, nr.a_id) AS dup_of,
+          CASE WHEN e.exact_of IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+               ELSE nr.jaccard END AS jaccard
+        FROM (SELECT doc_id FROM corpus WHERE doc_id >= 100000) n
+        LEFT JOIN exact e ON e.doc_id = n.doc_id
+        LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr
+          ON nr.doc_id = n.doc_id
+        ORDER BY n.doc_id"""
+  }
 
   private val oraclesBase: Map[String, String] = Map(
     "text_tokens" ->
@@ -1263,40 +1318,8 @@ object ExtensionQueries {
     // same ordering key the Spark window uses. The SERVED twin probes
     // the maintained signature artifact but answers identically, so it
     // shares this SQL verbatim (registered right below).
-    "dedup_incremental" -> {
-      val bandCond = (0 until Dedup.Bands).map { bi =>
-        val r = Dedup.MinhashParams.size / Dedup.Bands
-        (0 until r).map(ri => s"sa.mh_${bi * r + ri} = sb.mh_${bi * r + ri}")
-          .mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      s"""WITH ${ExtCorpus.IncrementalCorpusCte}, $ShingleCtes, $sigsCte,
-          exact AS (
-            SELECT c.doc_id, MIN(b.doc_id) AS exact_of
-            FROM corpus c JOIN corpus b ON b.text = c.text
-            WHERE c.doc_id >= 100000 AND b.doc_id < 100000
-            GROUP BY c.doc_id),
-          near AS (
-            SELECT b_id AS doc_id, a_id, jaccard,
-              ROW_NUMBER() OVER (PARTITION BY b_id
-                ORDER BY jaccard DESC, a_id) AS rn
-            FROM jac
-            JOIN sigs sa ON sa.doc_id = a_id
-            JOIN sigs sb ON sb.doc_id = b_id
-            WHERE a_id < 100000 AND b_id >= 100000
-              AND jaccard >= 0.5 AND ($bandCond))
-          SELECT n.doc_id,
-            CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
-                 WHEN nr.a_id IS NOT NULL THEN 'near'
-                 ELSE 'novel' END AS verdict,
-            COALESCE(e.exact_of, nr.a_id) AS dup_of,
-            CASE WHEN e.exact_of IS NOT NULL THEN CAST(1.0 AS DOUBLE)
-                 ELSE nr.jaccard END AS jaccard
-          FROM (SELECT doc_id FROM corpus WHERE doc_id >= 100000) n
-          LEFT JOIN exact e ON e.doc_id = n.doc_id
-          LEFT JOIN (SELECT * FROM near WHERE rn = 1) nr
-            ON nr.doc_id = n.doc_id
-          ORDER BY n.doc_id"""
-    },
+    "dedup_incremental" ->
+      dedupIncrementalOracleOver(ExtCorpus.IncrementalCorpusCte),
     "dedup_clusters" -> {
       val bandCond = (0 until Dedup.Bands).map { bi =>
         val r = Dedup.MinhashParams.size / Dedup.Bands
@@ -1528,5 +1551,7 @@ object ExtensionQueries {
     * `dedup_incremental` SQL verbatim. */
   val oracles: Map[String, String] = oraclesBase +
     ("dedup_incremental_served" -> oraclesBase("dedup_incremental")) +
-    ("stream_dedup_index" -> oraclesBase("dedup_incremental"))
+    ("stream_dedup_index" -> oraclesBase("dedup_incremental")) +
+    ("stream_dedup_index_cdc" -> dedupIncrementalOracleOver(
+      ExtCorpus.CdcAppliedIncrementalCorpusCte))
 }

@@ -84,6 +84,24 @@ object ExtCorpus {
        UNION ALL
        SELECT doc_id, text FROM batch)"""
 
+  /** [[IncrementalCorpusCte]] with the CDC changelog's net effect
+    * applied to the BASE side (docs % 11 deleted, docs % 7 re-written
+    * with the update marker, delete wins on the overlap — the
+    * [[graft.streaming.CdcStream]] index-maintenance changelog): the
+    * oracle for probes against a CDC-maintained signature index. The
+    * probe batch still plants copies of the ORIGINAL texts, so updated
+    * bases demote their exact copies to near matches and deleted bases
+    * orphan theirs — the apply visibly moves verdicts. */
+  val CdcAppliedIncrementalCorpusCte: String =
+    s"""$IncrementalBatchCte,
+     corpus AS (
+       SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
+              ELSE text END AS text
+       FROM documents WHERE doc_id % 11 <> 0
+       UNION ALL
+       SELECT doc_id, text FROM batch)"""
+
   def embCorpus(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.table(spark, sfDir, "embeddings")

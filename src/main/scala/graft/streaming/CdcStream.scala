@@ -1041,13 +1041,66 @@ object CdcStream {
     val ss = streamSession(spark, flush = false)
     val docs = Tables.table(ss, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+    // 2 micro-batches (the serving-loop count, not the ingest drains'
+    // 3): the signature index has the heaviest per-batch floor of the
+    // maintained artifacts (a doc-keyed minhash aggregation + a
+    // bucket-partitioned write per batch), so batch count is the
+    // lever — still ≥2 so the multi-batch commit protocol stays
+    // exercised. This drain compacts mid-stream (merge invisibility);
+    // its CDC twin below skips compaction so ITS probe folds live
+    // tombstones — the pair covers both artifact states, and the
+    // multi-segment probe is separately pinned by
+    // `dedup_incremental_served`'s two-segment memoized index.
     val stream = streamOf(docs, "dedup_index_docs", sfDir,
-      maxFilesPerTrigger = Some(3))
+      maxFilesPerTrigger = Some(4))
     val idxDir = drainToStateDir(stream, "graft_dedup_index_stream", sfDir,
       dir => (batch, id) => {
         DedupIndex.appendBatch(dir)(batch.toDF(), id)
         if (id == 1L) DedupIndex.compact(batch.sparkSession, dir)
       })
+    DedupIndex.probe(ss, idxDir,
+      graft.sources.ExtCorpus.incrementalBatch(ss, sfDir), 0.5)
+  }
+
+  /** CDC-maintained signature index — the dedup twin of
+    * [[streamTextIndexCdc]]: the documents table's changelog (adds for
+    * every doc, full-image updates for doc_id % 7, deletes for
+    * doc_id % 11, delete wins on overlap) streams through the same
+    * keyed FMGWS fold into [[graft.operators.DedupIndex.applyCdcBatch]]
+    * — update = tombstone + re-add, delete = tombstone — with a
+    * compaction mid-drain so tombstones both survive a merge and
+    * resolve in one. The standard incremental-ingest probe then
+    * classifies the planted batch against the maintained corpus; the
+    * oracle is the inline classifier's SQL over the POST-APPLY corpus
+    * — maintained ≡ rebuilt-from-applied-state, bit-for-bit. */
+  def streamDedupIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.DedupIndex
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ops = docs
+      .select(col("doc_id"), col("text"), lit(false).as("deleted"),
+        (col("doc_id") * 3).as("seq"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graft cdc update")).as("text"),
+          lit(false).as("deleted"), (col("doc_id") * 3 + 1).as("seq")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(true).as("deleted"), (col("doc_id") * 3 + 2).as("seq")))
+    // 2 micro-batches, NO mid-drain compaction (deliberately, unlike
+    // the append twin): every tombstone is still LIVE at probe time,
+    // so the measured query exercises the unresolved-tombstone fold
+    // across a multi-segment index — compaction resolution is pinned
+    // by the append twin and DedupIndexSpec's CDC properties.
+    val stream = streamOf(ops, "dedup_cdc_ops", sfDir, maxFilesPerTrigger = Some(4))
+    val deltas = stream.as[DocOp].groupByKey(_.doc_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldDocOps)
+      .toDF("doc_id", "text", "deleted")
+    val idxDir = drainToStateDir(deltas, "graft_dedup_index_cdc", sfDir,
+      dir => (batch, id) => DedupIndex.applyCdcBatch(dir)(batch, id))
     DedupIndex.probe(ss, idxDir,
       graft.sources.ExtCorpus.incrementalBatch(ss, sfDir), 0.5)
   }

@@ -70,6 +70,80 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(probeRows(dir) === inlineRows())
   }
 
+  private def cdcDf(rows: Seq[(Long, String, Boolean)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "deleted")
+  }
+
+  test("CDC apply: update = tombstone + re-add, delete = tombstone; " +
+      "probe ≡ inline over the live corpus; compaction resolves") {
+    val dir = build(Seq(base.take(3), base.drop(3)))
+    // batch 2: doc 0 re-written (its exact copy must demote), doc 2
+    // deleted (its near-dup candidate must vanish)
+    DedupIndex.applyCdcBatch(dir)(cdcDf(Seq(
+      (0L, "an entirely different replacement text body now", false),
+      (2L, null, true))), 2L)
+    val live = Seq(
+      (0L, "an entirely different replacement text body now")) ++
+      base.filter(r => r._1 != 0L && r._1 != 2L)
+    val want = Dedup.incremental(df(live), df(batch), "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(probeRows(dir) === want)
+    // the planted exact copy of doc 0's OLD text is no longer exact
+    assert(probeRows(dir).find(_.getLong(0) == 100L)
+      .get.getString(1) !== "exact")
+    // compaction resolves tombstones: answers identical, no tomb rows
+    DedupIndex.compact(spark, dir)
+    assert(probeRows(dir) === want)
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    val seg = m.entries.collectFirst {
+      case (k, v) if k.startsWith("seg/") => v }.get
+    assert(!new java.io.File(dir, s"$seg/data/kind=tomb").exists())
+    // a re-add AFTER compaction revives the doc under a fresh stamp
+    DedupIndex.applyCdcBatch(dir)(cdcDf(Seq(
+      (2L, base(2)._2, false))), 3L)
+    val live2 = live :+ (2L -> base(2)._2)
+    assert(probeRows(dir) === Dedup.incremental(df(live2), df(batch),
+      "doc_id", "text", 0.5).orderBy("doc_id").collect().toSeq)
+  }
+
+  test("property: random add/update/delete interleavings ≡ inline " +
+      "over the folded live state") {
+    val rnd = new scala.util.Random(29)
+    val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
+      "bread", "cheese", "rug", "naps", "hare", "the", "and", "over")
+    def text() = Seq.fill(4 + rnd.nextInt(8))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    for (round <- 0 until 2) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_dedupidx_cdc").toString
+      var state = Map.empty[Long, String]
+      val nBatches = 3 + rnd.nextInt(2)
+      for (b <- 0 until nBatches) {
+        val ops = (0 until (2 + rnd.nextInt(3))).map { _ =>
+          val id = rnd.nextInt(8).toLong
+          if (state.contains(id) && rnd.nextInt(3) == 0)
+            (id, null: String, true) // delete
+          else (id, text(), false)   // add or full-image update
+        }.groupBy(_._1).map(_._2.last).toSeq // one post-state per doc
+        ops.foreach { case (id, t, del) =>
+          if (del) state -= id else state += (id -> t)
+        }
+        DedupIndex.applyCdcBatch(dir)(cdcDf(ops), b.toLong)
+        if (b == 1) DedupIndex.compact(spark, dir)
+      }
+      val probeBatch = Seq(
+        (500L, state.values.headOption.getOrElse("xx yy zz")),
+        (501L, "totally novel text with unique words qqq www eee"))
+      val got = DedupIndex.probe(spark, dir, df(probeBatch), 0.5)
+        .orderBy("doc_id").collect().toSeq
+      val want = Dedup.incremental(df(state.toSeq.sortBy(_._1)),
+          df(probeBatch), "doc_id", "text", 0.5)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === want, s"round $round: live=${state.keys.toSeq.sorted}")
+    }
+  }
+
   test("property: random corpus, random split ≡ inline classifier") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
