@@ -181,8 +181,15 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val matchedTerms = terms.join(
       broadcast(queries.select(col("term")).distinct()), "term")
+    // persisted: df's BROADCAST build and the candidate path both
+    // consume this aggregate, and a broadcast-exchange subplan is never
+    // unified with a shuffle plan by exchange reuse — without the pin
+    // the corpus explode+probe+aggregation runs TWICE per query set.
+    // Size is probe-bounded (matched postings only), the same contract
+    // that lets the query set broadcast. (Bench/Verify unpersist all
+    // RDD blocks per query, so the pin cannot leak across queries.)
     val tf = matchedTerms.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf")).persist()
     // dl = exploded-row count per doc ≡ size(tokens): split() yields
     // [""] for an empty string (1 row either way) and null for null
     // text (explode drops the doc; the filter drops it here) — the two
