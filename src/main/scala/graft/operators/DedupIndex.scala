@@ -360,6 +360,38 @@ object DedupIndex {
           .otherwise(col("jaccard")).as("jaccard"))
   }
 
+  /** Index observability, the signature twin of TextIndex.profile /
+    * AnnIndex.profile: the LIVE artifact's per-kind composition
+    * (rows, distinct docs) answered from the index alone — the audit a
+    * deployment runs before trusting the maintained corpus state
+    * (shingle mass vs doc count is the LSH selectivity signal; doc vs
+    * size row counts must agree or a writer misbehaved). Every kind's
+    * files carry the superset layout, so the count scan reads only
+    * (doc_id, sseq) regardless of kind; liveness folds exactly as in
+    * [[probe]]. */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    require(segs.nonEmpty, s"empty dedup index at $dir")
+    val nb = bucketsOf(m)
+    val tmax = tombMax(spark, root, segs, nb)
+    Kinds.map { kind =>
+      val paths = for {
+        seg <- segs; bk <- 0 until nb
+        d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
+        if d.exists()
+      } yield d.toString
+      liveRows(
+        if (paths.isEmpty) emptyDf(spark, "doc_id LONG, sseq LONG")
+        else spark.read.schema("doc_id LONG, sseq LONG").parquet(paths: _*),
+        tmax)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .select(lit(kind).as("kind"), col("n_rows"), col("n_docs"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Memoized per-(process, sfDir) built index over the documents
     * table, folded in TWO segments so every probe exercises the
     * multi-segment path. */

@@ -643,6 +643,17 @@ object ExtensionQueries {
       graft.streaming.CdcStream.streamDedupIndexCdc(s, dir)
         .orderBy("doc_id")),
 
+    // Index observability, signature twin of text_index_profile /
+    // ann_index_profile: per-kind live composition (rows, docs) of the
+    // maintained artifact, answered from the index alone. Oracle
+    // recomputes the corpus's shingle/signature masses: every doc with
+    // ≥1 shingle owns Bands band rows, one size row, its shingle-set
+    // rows; every doc owns one doc row.
+    "dedup_index_profile" -> ((s, dir) => {
+      val idx = DedupIndex.builtIndexDir(s, dir)
+      DedupIndex.profile(s, idx).orderBy("kind")
+    }),
+
     // per-doc SimHash signature
     "dedup_simhash" -> ((s, dir) => {
       val corpus = ExtCorpus.docCorpus(s, dir)
@@ -1553,5 +1564,17 @@ object ExtensionQueries {
     ("dedup_incremental_served" -> oraclesBase("dedup_incremental")) +
     ("stream_dedup_index" -> oraclesBase("dedup_incremental")) +
     ("stream_dedup_index_cdc" -> dedupIncrementalOracleOver(
-      ExtCorpus.CdcAppliedIncrementalCorpusCte))
+      ExtCorpus.CdcAppliedIncrementalCorpusCte)) +
+    ("dedup_index_profile" -> s"""
+       WITH corpus AS (SELECT doc_id, text FROM documents), $ShingleCtes,
+       agg AS (
+         SELECT 'band' AS kind, ${Dedup.Bands} * COUNT(*) AS n_rows,
+           COUNT(*) AS n_docs FROM sz
+         UNION ALL
+         SELECT 'doc', COUNT(*), COUNT(DISTINCT doc_id) FROM corpus
+         UNION ALL
+         SELECT 'shingle', CAST(SUM(n) AS BIGINT), COUNT(*) FROM sz
+         UNION ALL
+         SELECT 'size', COUNT(*), COUNT(*) FROM sz)
+       SELECT kind, n_rows, n_docs FROM agg ORDER BY kind""")
 }

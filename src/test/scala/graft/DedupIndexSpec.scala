@@ -92,9 +92,18 @@ class DedupIndexSpec extends AnyFunSuite {
     // the planted exact copy of doc 0's OLD text is no longer exact
     assert(probeRows(dir).find(_.getLong(0) == 100L)
       .get.getString(1) !== "exact")
+    // the live profile reflects the applied state: doc 2 gone, doc 0's
+    // replacement counted once — 4 live docs on every doc-keyed kind
+    val prof = DedupIndex.profile(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(prof("doc") === 4L)
+    assert(prof("size") === 4L)
+    assert(prof("band") === 4L)
     // compaction resolves tombstones: answers identical, no tomb rows
     DedupIndex.compact(spark, dir)
     assert(probeRows(dir) === want)
+    assert(DedupIndex.profile(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap === prof)
     val m = SnapshotManifest.read(new java.io.File(dir))
     val seg = m.entries.collectFirst {
       case (k, v) if k.startsWith("seg/") => v }.get
