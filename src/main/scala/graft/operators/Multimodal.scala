@@ -426,6 +426,44 @@ object Multimodal {
       }
   }
 
+  /** STFT-style frame-window planning over decoded audio headers — the
+    * audio twin of [[patchPlan]] (whose patch grid is the geometry half
+    * of ViT tokenization, this is the geometry half of fbank/MFCC
+    * feature extraction; the windowed FFT itself is the codec seam).
+    * Frame/hop lengths in samples derive from the REAL fmt-chunk parse
+    * (`frameMs`/`hopMs` at the doc's own sample rate), the window count
+    * is the standard (n - frame) / hop + 1, and each planned window
+    * emits one row with its sample offset — the slice list a
+    * feature-extract stage consumes, capped at `maxFrames` windows per
+    * doc. Pure integer arithmetic (SQL `div`, exact in any engine),
+    * map-side, one generator — no shuffle, no UDF past the decode
+    * seam; scale cost is O(output windows). */
+  def frameWindows(decoded: DataFrame, frameMs: Int, hopMs: Int,
+      maxFrames: Int): DataFrame = {
+    decoded
+      .select(col("doc_id"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_samples"),
+        expr(s"(cast(sample_rate as bigint) * $frameMs) div 1000")
+          .as("frame_len"),
+        expr(s"(cast(sample_rate as bigint) * $hopMs) div 1000")
+          .as("hop_len"))
+      // a doc shorter than one frame yields no windows (frame_len > 0
+      // also screens the decoder's unknown-payload zero rows)
+      .where(col("frame_len") > 0 && col("n_samples") >= col("frame_len"))
+      .withColumn("n_frames",
+        expr("(n_samples - frame_len) div hop_len + 1"))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("frame_len"), col("hop_len"), col("n_frames"),
+        posexplode(sequence(lit(0L),
+          least(col("n_frames"), lit(maxFrames.toLong)) - 1))
+          .as(Seq("frame_idx", "win")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("frame_len"), col("hop_len"), col("n_frames"),
+        col("frame_idx"),
+        (col("win") * col("hop_len")).as("start_sample"))
+  }
+
   /** Attach a binary payload column + metadata struct to documents —
     * the ingestion shape for media tables: (id, media BINARY,
     * media_meta STRUCT<mime, n_bytes>). */

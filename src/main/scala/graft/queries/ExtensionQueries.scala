@@ -287,6 +287,22 @@ object ExtensionQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // frame-window planner over DECODED audio headers: STFT/fbank
+    // geometry (frame/hop at each doc's OWN parsed sample rate) as one
+    // row per planned window with its sample offset, capped at 12
+    // windows/doc — the slice list the feature-extract seam consumes;
+    // the audio twin of mm_patch_plan. The production default is
+    // 25 ms/10 ms (ExtensionSpec runs that); the synthetic ASCII
+    // payloads are sub-second, so the query runs a proportionally
+    // scaled 5 ms/2 ms window to exercise multi-window + cap paths.
+    // Oracle re-derives sample counts from the planted RIFF layout.
+    "mm_frame_windows" -> ((s, dir) => {
+      val wav = Multimodal.syntheticWavTable(Tables.table(s, dir, "documents"))
+      Multimodal.frameWindows(Multimodal.decodeWav(wav).toDF(),
+          frameMs = 5, hopMs = 2, maxFrames = 12)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -1039,6 +1055,24 @@ object ExtensionQueries {
            AS frame_idx,
          unnest(generate_series(0, least(dur, 35), 5)) AS ts_s
        FROM m ORDER BY doc_id, frame_idx""",
+    // planted WAV layout → sample counts, then the same integer frame
+    // arithmetic ((ns - frame) // hop + 1, offsets = win * hop)
+    "mm_frame_windows" -> """
+       WITH m AS (SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sr,
+           CAST(length(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS ns
+         FROM documents),
+       g AS (SELECT doc_id, sr, ns,
+           sr * 5 // 1000 AS fl, sr * 2 // 1000 AS hl FROM m),
+       f AS (SELECT doc_id, sr, ns, fl, hl, (ns - fl) // hl + 1 AS nf
+         FROM g WHERE ns >= fl),
+       e AS (SELECT doc_id, sr, ns, fl, hl, nf,
+           unnest(generate_series(0, least(nf, 12) - 1)) AS win
+         FROM f)
+       SELECT doc_id, sr AS sample_rate, ns AS n_samples,
+         fl AS frame_len, hl AS hop_len, nf AS n_frames,
+         CAST(win AS INTEGER) AS frame_idx, win * hl AS start_sample
+       FROM e ORDER BY doc_id, frame_idx""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the
     // Spark zip_with) so every double is bit-identical

@@ -126,6 +126,38 @@ class ExtensionSpec extends AnyFunSuite {
     assert((u.sample_rate, u.channels, u.n_samples) === ((0, 0, 0L)))
   }
 
+  test("frameWindows: tiling invariants + edge docs over the real WAV parse") {
+    import spark.implicits._
+    // planted texts: shorter than one frame (sr=8000 → frame 200 samples,
+    // mono 16-bit → 2 bytes/sample → <400 bytes drops), exactly one
+    // frame, mid-size, and long enough to hit the 12-window cap
+    val docs = Seq(
+      (0L, "x" * 100),   // 50 samples < 200 → no windows
+      (8L, "y" * 400),   // sr=8000 mono → exactly 200 samples = 1 window
+      (1L, "z" * 2000),  // sr=12000 stereo → 500 samples, frame 300 hop 120
+      (16L, "w" * 8000)) // sr=8000 mono → 4000 samples → 48 frames, cap 12
+      .toDF("doc_id", "text")
+    val wav = Multimodal.syntheticWavTable(docs)
+    val out = Multimodal.frameWindows(Multimodal.decodeWav(wav).toDF(),
+      frameMs = 25, hopMs = 10, maxFrames = 12).collect()
+    assert(!out.exists(_.getLong(0) == 0L)) // sub-frame doc emits nothing
+    val one = out.filter(_.getLong(0) == 8L)
+    assert(one.length === 1 && one.head.getLong(7) === 0L)
+    val mid = out.filter(_.getLong(0) == 1L)
+    // (500 - 300) div 120 + 1 = 2 windows at offsets 0, 120
+    assert(mid.map(_.getLong(7)).sorted.toSeq === Seq(0L, 120L))
+    mid.foreach { r =>
+      assert(r.getLong(3) === 300L && r.getLong(4) === 120L)
+      // every emitted window fits inside the sample count
+      assert(r.getLong(7) + r.getLong(3) <= r.getLong(2))
+    }
+    val capped = out.filter(_.getLong(0) == 16L)
+    assert(capped.length === 12 && capped.map(_.getLong(5)).head === 48L)
+    assert(capped.map(_.getInt(6)).sorted.toSeq === (0 until 12))
+    // offsets tile with the hop everywhere
+    out.foreach(r => assert(r.getLong(7) % r.getLong(4) === 0L))
+  }
+
   test("Mp4Decoder: box walk with free shift + udta skip; truncated box; garbage") {
     import graft.operators.Multimodal.Mp4Decoder
     def be32(v: Int) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
