@@ -440,6 +440,26 @@ object Multimodal {
     * seam; scale cost is O(output windows). */
   def frameWindows(decoded: DataFrame, frameMs: Int, hopMs: Int,
       maxFrames: Int): DataFrame = {
+    frameCounts(decoded, frameMs, hopMs, maxFrames)
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("frame_len"), col("hop_len"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("seq_len") - 1))
+          .as(Seq("frame_idx", "win")))
+      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+        col("frame_len"), col("hop_len"), col("n_frames"),
+        col("frame_idx"),
+        (col("win") * col("hop_len")).as("start_sample"))
+  }
+
+  /** Per-doc planned-window COUNTS without materializing the windows —
+    * the audio-token budget a packer consumes ([[frameWindows]] is this
+    * plus the explode; the count is all sequence packing needs, so the
+    * packing path never generates O(windows) rows). `seq_len` is the
+    * capped count, `n_frames` the uncapped plan size. Same guards as
+    * the window generator: sub-frame docs (and the decoder's
+    * unknown-payload zero rows) drop. Map-side, no shuffle. */
+  def frameCounts(decoded: DataFrame, frameMs: Int, hopMs: Int,
+      maxFrames: Int): DataFrame = {
     decoded
       .select(col("doc_id"),
         col("sample_rate").cast("long").as("sample_rate"),
@@ -453,15 +473,8 @@ object Multimodal {
       .where(col("frame_len") > 0 && col("n_samples") >= col("frame_len"))
       .withColumn("n_frames",
         expr("(n_samples - frame_len) div hop_len + 1"))
-      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
-        col("frame_len"), col("hop_len"), col("n_frames"),
-        posexplode(sequence(lit(0L),
-          least(col("n_frames"), lit(maxFrames.toLong)) - 1))
-          .as(Seq("frame_idx", "win")))
-      .select(col("doc_id"), col("sample_rate"), col("n_samples"),
-        col("frame_len"), col("hop_len"), col("n_frames"),
-        col("frame_idx"),
-        (col("win") * col("hop_len")).as("start_sample"))
+      .withColumn("seq_len",
+        least(col("n_frames"), lit(maxFrames.toLong)))
   }
 
   /** Attach a binary payload column + metadata struct to documents —

@@ -303,6 +303,42 @@ object ExtensionQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // audio sequence packing: capped per-doc window COUNTS (frameCounts
+    // — the packer needs the budget, never the O(windows) explode) fed
+    // through the same prefix-sum packer as the vision and text paths.
+    // One map-side pass to per-doc counts, then packBins' single range
+    // shuffle; same frame geometry as mm_frame_windows so the two
+    // queries pin count ≡ explode cardinality against each other.
+    "mm_pack_audio" -> ((s, dir) => {
+      val wav = Multimodal.syntheticWavTable(Tables.table(s, dir, "documents"))
+      val counts = Multimodal.frameCounts(Multimodal.decodeWav(wav).toDF(),
+        frameMs = 5, hopMs = 2, maxFrames = 12)
+      Curation.packBins(counts, "doc_id", col("seq_len"), 64L)
+        .orderBy("bin")
+    }),
+
+    // interleaved multimodal packing — the LLaVA-style sample shape: a
+    // doc's sequence is its caption tokens + its image's patch tokens +
+    // 2 modality separators. Patch geometry comes from the REAL header
+    // parse of the media table; token counts from the text table; the
+    // two map-side streams meet in one doc_id equi-join (the production
+    // media-store ↔ caption-table join), then the shared prefix-sum
+    // packer bins the combined budgets. No explode anywhere — counts
+    // only, so the pack cost is O(docs) not O(tokens).
+    "mm_pack_interleaved" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val media = Multimodal.syntheticMediaTable(docs)
+      val vis = Multimodal.patchPlan(media, Multimodal.HeaderDecoder, 16)
+        .toDF().select(col("doc_id"), col("seq_len").cast("long").as("vis_tokens"))
+      val text = docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("text_tokens"))
+      val combined = vis.join(text, "doc_id")
+        .select(col("doc_id"),
+          (col("vis_tokens") + col("text_tokens") + lit(2L)).as("n_tokens"))
+      Curation.packBins(combined, "doc_id", col("n_tokens"), 4096L)
+        .orderBy("bin")
+    }),
+
     // int8 embedding quantization + reconstruction stats
     "emb_quantize" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
@@ -1073,6 +1109,43 @@ object ExtensionQueries {
          fl AS frame_len, hl AS hop_len, nf AS n_frames,
          CAST(win AS INTEGER) AS frame_idx, win * hl AS start_sample
        FROM e ORDER BY doc_id, frame_idx""",
+    // same planted frame arithmetic reduced to capped counts, then the
+    // doc_pack prefix-sum rule (as in mm_pack_vision) at budget 64
+    "mm_pack_audio" -> """
+       WITH m AS (SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 4000 AS BIGINT) AS sr,
+           CAST(length(text) // ((1 + doc_id % 2) * 2) AS BIGINT) AS ns
+         FROM documents),
+       g AS (SELECT doc_id, sr * 5 // 1000 AS fl, sr * 2 // 1000 AS hl, ns
+         FROM m),
+       f AS (SELECT doc_id, least((ns - fl) // hl + 1, 12) AS n_tokens
+         FROM g WHERE ns >= fl),
+       p AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         FROM f)
+       SELECT CAST(prefix // 64 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
+    // planted patch geometry + whitespace token count + 2 separators,
+    // same prefix-sum rule at budget 4096
+    "mm_pack_interleaved" -> """
+       WITH d AS (SELECT doc_id,
+           ((100 + doc_id % 577 + 15) // 16)
+             * ((64 + doc_id % 331 + 15) // 16) + 1 AS vis,
+           len(string_split(text, ' ')) AS ntext
+         FROM documents),
+       t AS (SELECT doc_id, CAST(vis + ntext + 2 AS BIGINT) AS n_tokens
+         FROM d),
+       p AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         FROM t)
+       SELECT CAST(prefix // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
     // same affine quantization, fold order and expression trees mirrored
     // (left-fold list_reduce; (mn + codes[i]*scale - emb[i]) matches the
     // Spark zip_with) so every double is bit-identical

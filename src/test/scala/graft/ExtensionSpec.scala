@@ -158,6 +158,35 @@ class ExtensionSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getLong(7) % r.getLong(4) === 0L))
   }
 
+  test("frameCounts ≡ frameWindows cardinality; interleaved pack budgets") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x" * 100), (8L, "y" * 400), (1L, "z" * 2000), (16L, "w" * 8000))
+      .toDF("doc_id", "text")
+    val dec = Multimodal.decodeWav(Multimodal.syntheticWavTable(docs)).toDF()
+    val counts = Multimodal.frameCounts(dec, 25, 10, 12)
+      .select("doc_id", "seq_len").as[(Long, Long)].collect().toMap
+    val wins = Multimodal.frameWindows(dec, 25, 10, 12)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(counts === wins) // the count path IS the explode's cardinality
+    assert(!counts.contains(0L)) // sub-frame doc dropped on both paths
+
+    // interleaved sample budget: vis seq + text tokens + 2, per doc
+    val d2 = Seq((3L, "a b c"), (4L, "one two")).toDF("doc_id", "text")
+    val media = Multimodal.syntheticMediaTable(d2)
+    val vis = Multimodal.patchPlan(media, Multimodal.HeaderDecoder, 16)
+      .toDF().select($"doc_id", $"seq_len".cast("long").as("v"))
+    val got = vis.join(
+        d2.select($"doc_id", size(split($"text", " ")).cast("long").as("t")),
+        "doc_id")
+      .select($"doc_id", ($"v" + $"t" + lit(2L)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    // doc 3: w=103,h=67 → ceil grids 7x5 → 35+1 vis, 3 text, +2 = 41
+    assert(got(3L) === (7 * 5 + 1) + 3 + 2)
+    // doc 4: w=104,h=68 → 7x5 → 36 vis, 2 text, +2 = 40
+    assert(got(4L) === (7 * 5 + 1) + 2 + 2)
+  }
+
   test("Mp4Decoder: box walk with free shift + udta skip; truncated box; garbage") {
     import graft.operators.Multimodal.Mp4Decoder
     def be32(v: Int) = Seq((v >> 24) & 0xff, (v >> 16) & 0xff, (v >> 8) & 0xff, v & 0xff)
