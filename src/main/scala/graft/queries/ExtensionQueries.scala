@@ -287,6 +287,24 @@ object ExtensionQueries {
         .orderBy("doc_id", "frame_idx")
     }),
 
+    // video sequence packing — the third modality through the shared
+    // packer: per-doc budget = planned frame count (mm_frame_sample's
+    // every-5s-capped-at-8 rule, computed map-side from the REAL
+    // mvhd-parsed duration WITHOUT the explode) × 197 tokens/frame
+    // (each sampled frame resizes to the encoder's fixed 224/16 grid —
+    // 196 patches + CLS — regardless of native size, the standard
+    // video-LM shape) + 2 separators. One map pass + packBins' range
+    // shuffle; O(docs) like the audio and interleaved twins.
+    "mm_pack_video" -> ((s, dir) => {
+      val mp4 = Multimodal.syntheticMp4Table(Tables.table(s, dir, "documents"))
+      val counts = Multimodal.decodeMp4(mp4).toDF()
+        .select(col("doc_id"),
+          (expr("least(duration_s, 35) div 5 + 1") * lit(197L) + lit(2L))
+            .as("n_tokens"))
+      Curation.packBins(counts, "doc_id", col("n_tokens"), 4096L)
+        .orderBy("bin")
+    }),
+
     // frame-window planner over DECODED audio headers: STFT/fbank
     // geometry (frame/hop at each doc's OWN parsed sample rate) as one
     // row per planned window with its sample offset, capped at 12
@@ -333,6 +351,37 @@ object ExtensionQueries {
       val text = docs.select(col("doc_id"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("text_tokens"))
       val combined = vis.join(text, "doc_id")
+        .select(col("doc_id"),
+          (col("vis_tokens") + col("text_tokens") + lit(2L)).as("n_tokens"))
+      Curation.packBins(combined, "doc_id", col("n_tokens"), 4096L)
+        .orderBy("bin")
+    }),
+
+    // multimodal curation capstone — the image-caption twin of
+    // pipeline_curate, composing this family end-to-end: real header
+    // parse → patch-budget gate (oversized images drop: a vision
+    // encoder has a hard token ceiling) → caption quality gate (≥ 30
+    // whitespace tokens — a too-short caption is noise for contrastive
+    // training) → exact caption dedup keep-first (min doc_id
+    // per text wins) → interleaved budgets → prefix-sum packing. All
+    // stages are map-side except the dedup groupBy, one doc_id
+    // equi-join, and the packer's single range shuffle — O(docs) at
+    // any scale, no explode, no pair generation.
+    "pipeline_multimodal" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val media = Multimodal.syntheticMediaTable(docs)
+      val vis = Multimodal.patchPlan(media, Multimodal.HeaderDecoder, 16)
+        .toDF()
+        .where(col("n_patches") <= 512)
+        .select(col("doc_id"), col("seq_len").cast("long").as("vis_tokens"))
+      val gated = docs.select(col("doc_id"), col("text"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("text_tokens"))
+        .where(col("text_tokens") >= 30)
+      // text_tokens is a function of the group key, so max = the value
+      val canon = gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          max(col("text_tokens")).as("text_tokens"))
+      val combined = canon.join(vis, "doc_id")
         .select(col("doc_id"),
           (col("vis_tokens") + col("text_tokens") + lit(2L)).as("n_tokens"))
       Curation.packBins(combined, "doc_id", col("n_tokens"), 4096L)
@@ -1109,6 +1158,23 @@ object ExtensionQueries {
          fl AS frame_len, hl AS hop_len, nf AS n_frames,
          CAST(win AS INTEGER) AS frame_idx, win * hl AS start_sample
        FROM e ORDER BY doc_id, frame_idx""",
+    // planted mvhd duration → capped frame count ×(196 patches + CLS)
+    // + 2 separators, then the doc_pack prefix-sum rule at budget 4096
+    "mm_pack_video" -> """
+       WITH m AS (SELECT doc_id,
+           CAST(10 + doc_id % 50 AS BIGINT) AS dur
+         FROM documents),
+       f AS (SELECT doc_id,
+           CAST((least(dur, 35) // 5 + 1) * 197 + 2 AS BIGINT) AS n_tokens
+         FROM m),
+       p AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         FROM f)
+       SELECT CAST(prefix // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
     // same planted frame arithmetic reduced to capped counts, then the
     // doc_pack prefix-sum rule (as in mm_pack_vision) at budget 64
     "mm_pack_audio" -> """
@@ -1142,6 +1208,29 @@ object ExtensionQueries {
            COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
          FROM t)
+       SELECT CAST(prefix // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin""",
+    // gates mirrored on planted arithmetic: patch budget ≤ 512, ≥ 3
+    // tokens, keep-first caption dedup, then the same prefix-sum rule
+    "pipeline_multimodal" -> """
+       WITH txt AS (SELECT doc_id, text,
+           len(string_split(text, ' ')) AS ntok
+         FROM documents WHERE len(string_split(text, ' ')) >= 30),
+       canon AS (SELECT MIN(doc_id) AS doc_id, MAX(ntok) AS ntok
+         FROM txt GROUP BY text),
+       vis AS (SELECT doc_id,
+           ((100 + doc_id % 577 + 15) // 16)
+             * ((64 + doc_id % 331 + 15) // 16) AS np
+         FROM documents),
+       v2 AS (SELECT doc_id, np + 1 AS vis FROM vis WHERE np <= 512),
+       j AS (SELECT c.doc_id, CAST(c.ntok + v.vis + 2 AS BIGINT) AS n_tokens
+         FROM canon c JOIN v2 v USING (doc_id)),
+       p AS (SELECT doc_id, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+         FROM j)
        SELECT CAST(prefix // 4096 AS BIGINT) AS bin, COUNT(*) AS n_docs,
          CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
