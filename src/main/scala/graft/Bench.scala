@@ -29,7 +29,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional args = query names: bench ONLY those and MERGE into the
+    // existing bench.json (per-query refresh after a targeted change,
+    // without paying a full contended-window suite run). The driver's
+    // no-args invocation is unchanged: full suite, full rewrite.
+    val subset = args.toSet
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subset.isEmpty || subset(n) }
+    if (subset.nonEmpty) {
+      val missing = subset -- queries.map(_._1).toSet
+      require(missing.isEmpty, s"unknown queries: ${missing.mkString(",")}")
+    }
     // Watchdog: no single query may wedge the whole suite (an AQE
     // lost-event hang was observed once under co-tenant load). Each count
     // runs under its own job group; if it exceeds the budget the group is
@@ -99,9 +109,20 @@ object Bench {
           s"[bench] skipping pass $p: ${elapsed}ms elapsed + ${lastPassMs}ms/pass exceeds ${totalBudgetMs}ms budget")
       }
     }
-    val results = queries.map { case (name, _) =>
+    val measured = queries.map { case (name, _) =>
       name -> passes.map(_(name)).min
     }
+    // subset mode: carry forward the prior recording for unmeasured keys
+    val results = (if (subset.isEmpty) measured else {
+      val path = java.nio.file.Paths.get("bench.json")
+      val prior: Map[String, Double] = if (java.nio.file.Files.exists(path)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        """"([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(
+          txt.substring(txt.indexOf("\"queries\"")))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } else Map.empty
+      (prior ++ measured.toMap).toSeq
+    }).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
