@@ -585,6 +585,15 @@ object ExtensionQueries {
         .orderBy("canonical_id")
     }),
 
+    // substring-level duplicate spans (suffix-array-dedup semantic):
+    // maximal token ranges whose every k-gram repeats corpus-wide,
+    // via one gram count aggregate + per-doc island merge — O(tokens)
+    "dedup_substring" -> ((s, dir) => {
+      Dedup.duplicatedSpans(Tables.table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // exact n-gram Jaccard via shared-shingle candidates
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
@@ -1446,6 +1455,34 @@ object ExtensionQueries {
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
        SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    // same positional k-gram -> count>=2 -> island-merge arithmetic;
+    // DuckDB slices are 1-based inclusive, Spark slice(t, i+1, k) —
+    // both cover tokens i..i+k-1 for 0-based pos i
+    "dedup_substring" -> {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       u AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1)) AS i,
+           t FROM toks),
+       g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM u),
+       d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b)
+       SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + $k AS span_end,
+         MAX(pos) + $k - MIN(pos) AS span_tokens,
+         COUNT(*) AS n_grams
+       FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
     "dedup_overlap_matrix" -> s"""
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,
        p AS (SELECT a_id, b_id FROM jacc WHERE jaccard >= 0.5),

@@ -454,4 +454,51 @@ class ExtensionSpec extends AnyFunSuite {
     assert(h2 >= h1, s"recall dropped: nprobe1=$h1 nprobe2=$h2")
     assert(h1 > 0) // non-vacuous: single-cell search already finds hits
   }
+
+  test("duplicatedSpans: planted repeats merge to maximal spans, unique text reports nothing") {
+    import spark.implicits._
+    val k = 3
+    // doc 0 and doc 1 share tokens c..h (6 tokens -> 4 marked 3-gram
+    // starts merging into ONE span); doc 2 repeats its own c d e
+    // internally (within-doc duplication counts); doc 3 is unique.
+    val docs = Seq(
+      (0L, "a b c d e f g h i"),
+      (1L, "x y c d e f g h z"),
+      (2L, "c d e q1 q2 q3 q4 c d e"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", k)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens",
+        $"n_grams")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // shared run c..h sits at tokens 2..7 in doc 0 and 2..7 in doc 1:
+    // marked gram starts {2,3,4,5}, span [2, 5+3) = [2, 8), 6 tokens.
+    // doc 2's c d e occurs at 0 and 7: spans [0,3) and [7,10).
+    assert(out === Set(
+      (0L, 2L, 8L, 6L, 4L),
+      (1L, 2L, 8L, 6L, 4L),
+      (2L, 0L, 3L, 3L, 1L),
+      (2L, 7L, 10L, 3L, 1L)))
+  }
+
+  test("duplicatedSpans: adjacent-but-not-overlapping windows merge (coverage is contiguous)") {
+    import spark.implicits._
+    // grams at starts 0 and 3 with k=3 cover [0,3) and [3,6): touching
+    // ranges must merge even though the starts are k apart. Build it by
+    // repeating the 6-token run in two docs but breaking the middle
+    // gram's duplicate status is impossible for a verbatim repeat — so
+    // instead plant two separate 3-token repeats back to back and one
+    // with a 1-token gap (must NOT merge).
+    val docs = Seq(
+      (0L, "a b c d e f"),     // a b c + d e f both repeat -> one span
+      (1L, "a b c x d e f"),   // same repeats, 1-token gap -> two spans
+      (2L, "a b c z z d e f")  // provides the second occurrences
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.filter(_._1 == 0L) === Set((0L, 0L, 6L)),
+      s"back-to-back repeats must merge: $out")
+    assert(out.filter(_._1 == 1L) === Set((1L, 0L, 3L), (1L, 4L, 7L)),
+      s"gapped repeats must stay separate: $out")
+  }
 }
