@@ -594,6 +594,13 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // the span-removal payoff: cleaned corpus + token accounting
+    "dedup_substring_clean" -> ((s, dir) => {
+      Dedup.removeDuplicatedSpans(Tables.table(s, dir, "documents"),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // exact n-gram Jaccard via shared-shingle candidates
     "dedup_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccard(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.5)
@@ -1482,6 +1489,47 @@ object ExtensionQueries {
          MAX(pos) + $k - MIN(pos) AS span_tokens,
          COUNT(*) AS n_grams
        FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
+    // same spans folded back as a per-doc removal mask (1-based token
+    // index survives iff no span covers index-1); docs without spans
+    // pass through via the left join + empty-list coalesce
+    "dedup_substring_clean" -> {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       u AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1)) AS i,
+           t FROM toks),
+       g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM u),
+       d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b),
+       sp AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + $k AS se
+         FROM i2 GROUP BY doc_id, island),
+       spl AS (SELECT doc_id, list({'ss': ss, 'se': se}) AS spans
+         FROM sp GROUP BY doc_id),
+       alltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents),
+       c AS (SELECT a.doc_id, a.t, COALESCE(l.spans, []) AS spans
+         FROM alltoks a LEFT JOIN spl l USING (doc_id)),
+       o AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before,
+           list_filter(range(1, len(t) + 1), i ->
+             len(list_filter(spans,
+               sp2 -> i - 1 >= sp2.ss AND i - 1 < sp2.se)) = 0) AS keep, t
+         FROM c)
+       SELECT doc_id, n_before, CAST(len(keep) AS BIGINT) AS n_after,
+         -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is ''
+         COALESCE(array_to_string(list_transform(keep, i -> t[i]), ' '),
+           '') AS text_clean
+       FROM o ORDER BY doc_id"""
     },
     "dedup_overlap_matrix" -> s"""
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,

@@ -501,4 +501,21 @@ class ExtensionSpec extends AnyFunSuite {
     assert(out.filter(_._1 == 1L) === Set((1L, 0L, 3L), (1L, 4L, 7L)),
       s"gapped repeats must stay separate: $out")
   }
+
+  test("removeDuplicatedSpans: spans slice out, clean docs pass through verbatim") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g h i"),
+      (1L, "x y c d e f g h z"),
+      (2L, "c d e q1 q2 q3 q4 c d e"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicatedSpans(docs, "doc_id", "text", 3)
+      .select($"doc_id", $"n_before", $"n_after", $"text_clean")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (0L, 9L, 3L, "a b i"),
+      (1L, 9L, 3L, "x y z"),
+      (2L, 10L, 4L, "q1 q2 q3 q4"),
+      (3L, 8L, 8L, "p1 p2 p3 p4 p5 p6 p7 p8")))
+  }
 }
