@@ -261,6 +261,30 @@ object CurationQueries {
     // oracle-proven; this pins that they COMPOSE (column contracts,
     // filter interactions) and that the composite stays one pipeline:
     // the gates and hashes are map-side, dedup adds the one groupBy.
+    // pretraining-corpus capstone: substring-dedup CLEAN the corpus
+    // (span removal, not doc dropping) -> length gate on what remains
+    // -> decontaminate the cleaned text against the benchmark slice ->
+    // pack survivors into training sequences. The spans/shingles stages
+    // each add one key-aggregate + one join; the packer adds its single
+    // range shuffle; everything else is map-side — O(tokens) at any
+    // scale, like each stage individually.
+    "pipeline_pretrain" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val cleaned = graft.operators.Dedup
+        .removeDuplicatedSpans(docs, "doc_id", "text")
+        .where(col("n_after") >= 30)
+        .select(col("doc_id"), col("text_clean"), col("n_after"))
+      val contaminated = Curation.decontaminate(
+          cleaned.select(col("doc_id"), col("text_clean").as("text")),
+          "doc_id", "text")
+        .select(col("doc_id"))
+      val train = cleaned
+        .where(!Curation.isBenchmark(col("doc_id")))
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      Curation.packBins(train, "doc_id", col("n_after"), 2048L)
+        .orderBy("bin")
+    }),
+
     "pipeline_curate" -> ((s, dir) => {
       val docs = Tables.fanout(Tables.table(s, dir, "documents"))
       val gated = Curation.repeatedNgrams(docs, "doc_id", "text")
@@ -1215,6 +1239,64 @@ object CurationQueries {
          ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
            AS mean_prob
        FROM j GROUP BY 1 ORDER BY doc_id""",
+    // the dedup_substring_clean chain -> len>=30 gate -> 3-gram
+    // decontamination on the CLEANED tokens -> doc_pack prefix-sum rule
+    "pipeline_pretrain" -> {
+      val k = graft.operators.Dedup.SpanGramK
+      s"""
+       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       u AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1)) AS i,
+           t FROM toks),
+       g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM u),
+       d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b),
+       sp AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + $k AS se
+         FROM i2 GROUP BY doc_id, island),
+       spl AS (SELECT doc_id, list({'ss': ss, 'se': se}) AS spans
+         FROM sp GROUP BY doc_id),
+       alltoks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents),
+       c AS (SELECT a.doc_id, a.t, COALESCE(l.spans, []) AS spans
+         FROM alltoks a LEFT JOIN spl l USING (doc_id)),
+       o AS (SELECT doc_id,
+           list_filter(range(1, len(t) + 1), i ->
+             len(list_filter(spans,
+               sp2 -> i - 1 >= sp2.ss AND i - 1 < sp2.se)) = 0) AS keep, t
+         FROM c),
+       cl AS (SELECT doc_id, list_transform(keep, i -> t[i]) AS tc,
+           CAST(len(keep) AS BIGINT) AS n_after
+         FROM o WHERE len(keep) >= 30),
+       psh AS (SELECT doc_id, unnest(list_distinct(
+           list_transform(range(1, len(tc) - 1),
+             i -> tc[i] || ' ' || tc[i + 1] || ' ' || tc[i + 2])))
+           AS shingle FROM cl),
+       bench AS (SELECT DISTINCT shingle FROM psh WHERE doc_id % 97 = 0),
+       contam AS (SELECT DISTINCT doc_id FROM psh JOIN bench
+         USING (shingle) WHERE doc_id % 97 <> 0),
+       train AS (SELECT doc_id, n_after FROM cl
+         WHERE doc_id % 97 <> 0
+           AND doc_id NOT IN (SELECT doc_id FROM contam)),
+       p AS (SELECT doc_id, n_after,
+           COALESCE(SUM(n_after) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS prefix
+         FROM train)
+       SELECT CAST(prefix // 2048 AS BIGINT) AS bin, COUNT(*) AS n_docs,
+         CAST(SUM(n_after) AS BIGINT) AS sum_tokens,
+         MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       FROM p GROUP BY 1 ORDER BY bin"""
+    },
+
     "pipeline_curate" -> s"""
        WITH $DocShingleCtes,
        tot AS (
