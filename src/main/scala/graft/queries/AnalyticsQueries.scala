@@ -70,6 +70,34 @@ object AnalyticsQueries {
         .orderBy("stage")
     }),
 
+    // Cohort retention matrix — the other product-analytics primitive
+    // next to the funnel: cohort = first-signup week, retention = weeks
+    // with a purchase at or after it, cell = users active at that
+    // offset. Two pre-filtered scans (event_type reaches the parquet
+    // scan), one shuffle on user_id each, a co-partitioned user_id
+    // join, and a cohort-week-sized final aggregate. Week arithmetic
+    // stays in whole days (both weeks are Mondays, the difference is an
+    // exact multiple of 7) so the offset is integer-exact cross-engine.
+    "q_cohort_retention" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val cohort = ev.where(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).cast("date")
+          .as("cohort_week"))
+      val act = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"),
+          date_trunc("week", col("ts")).cast("date").as("week"))
+        .distinct()
+      act.join(cohort, "user_id")
+        .where(col("week") >= col("cohort_week"))
+        .groupBy(col("cohort_week"),
+          (datediff(col("week"), col("cohort_week")) / 7).cast("long")
+            .as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "ann_recall_eval" -> ((s, dir) => {
       val brute = ExtensionQueries.queries("ann_cosine_topk")(s, dir)
         .select(col("q_id"), col("vec_id"))
@@ -414,6 +442,26 @@ object AnalyticsQueries {
     // here, not in ExtensionQueries, so the oracle maps keep their
     // acyclic init order: Analytics → Curation → Extension)
     "stream_ann_serve" -> CurationQueries.oracles("ann_ivf_pq_served"),
+    // trunc(min(ts)) ≡ min(trunc) (order-preserving); offsets in whole
+    // days // 7 — Monday-based date_trunc('week') in both engines
+    "q_cohort_retention" -> """
+      WITH cohort AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE)
+          AS cohort_week
+        FROM events WHERE event_type = 'signup' GROUP BY 1),
+      act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+          AS week
+        FROM events WHERE event_type = 'purchase'),
+      j AS (
+        SELECT c.cohort_week,
+          CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+            AS week_offset
+        FROM cohort c JOIN act a USING (user_id)
+        WHERE a.week >= c.cohort_week)
+      SELECT cohort_week, week_offset, COUNT(*) AS n_users
+      FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "q_funnel" -> """
       WITH s1 AS (
         SELECT user_id, MIN(ts) AS t1 FROM events

@@ -779,6 +779,36 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // threshold-tuning sweep for embedding near-dedup: the FULL
+    // histogram of candidate-pair cosines (0.05-wide buckets) plus the
+    // reverse-cumulative pair count — "how many pairs would each
+    // threshold flag" in ONE pass over the SAME (label, hyperplane)
+    // candidate tier dedup_embedding verifies, instead of re-running
+    // the dedup once per candidate threshold. Buckets floor the
+    // UNROUNDED cosine: both engines compute the identical IEEE op
+    // sequence, so the bits — and the floor — agree exactly (round()
+    // would re-introduce the trailing-5 cross-engine flip). The
+    // unpartitioned cumulative window runs on ≤ 41 post-aggregate rows.
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      val bucketed = ExtCorpus.embCorpus(s, dir).withColumn("hp",
+        Dedup.hyperplaneBucket(col("embedding"), 4))
+      val a = bucketed.select(col("vec_id").as("a_id"), col("label"),
+        col("hp"), col("embedding").as("a_emb"))
+      val b = bucketed.select(col("vec_id").as("b_id"), col("label"),
+        col("hp"), col("embedding").as("b_emb"))
+      val pairs = a.join(b, Seq("label", "hp"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("cos", cos(col("a_emb"), col("b_emb")))
+      val hist = pairs
+        .groupBy(floor(col("cos") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+      hist.withColumn("n_at_or_above",
+          sum(col("n_pairs")).over(
+            Window.orderBy(col("bucket").desc)))
+        .orderBy("bucket")
+    }),
+
     // embedding near-dup pairs via (label, hyperplane-bucket) blocking
     "dedup_embedding" -> ((s, dir) => {
       // verification cosine runs the codegen'd native expression —
@@ -1647,6 +1677,25 @@ object ExtensionQueries {
           SELECT doc_id, CAST($bits AS BIGINT) AS simhash
           FROM hs GROUP BY doc_id ORDER BY doc_id"""
     },
+    // same candidate tier, UNROUNDED cosine floored into 0.05 buckets;
+    // reverse-cumulative via a descending-ordered window
+    "dedup_threshold_sweep" -> s"""
+       WITH ${ExtCorpus.EmbCorpusCte},
+       bucketed AS (
+         SELECT vec_id, label, embedding, ${sqlBucket("embedding")} AS hp
+         FROM corpus),
+       pairs AS (
+         SELECT ${sqlCos("a.embedding", "b.embedding")} AS cos
+         FROM bucketed a JOIN bucketed b
+           ON a.label = b.label AND a.hp = b.hp AND a.vec_id < b.vec_id),
+       h AS (
+         SELECT CAST(floor(cos * 20) AS BIGINT) AS bucket,
+           COUNT(*) AS n_pairs
+         FROM pairs GROUP BY 1)
+       SELECT bucket, n_pairs,
+         CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT)
+           AS n_at_or_above
+       FROM h ORDER BY bucket""",
     "dedup_embedding" -> s"""
        WITH ${ExtCorpus.EmbCorpusCte},
        bucketed AS (
