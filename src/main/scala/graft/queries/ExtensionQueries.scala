@@ -594,6 +594,28 @@ object ExtensionQueries {
         .orderBy("doc_id", "span_start")
     }),
 
+    // per-source duplication profile: which ingest feed carries the
+    // boilerplate — duplicated-token share per source as exact integer
+    // counts (no division to diverge). Span sums ride the same span
+    // pipeline; the source dimension joins on doc_id; output is
+    // |sources| rows.
+    "dedup_span_profile" -> ((s, dir) => {
+      val docs = Tables.table(s, dir, "documents")
+      val spanTok = Dedup.duplicatedSpans(docs, "doc_id", "text")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_tokens")).as("dup_tokens"))
+      docs.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .join(spanTok, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L))
+            .as("n_docs_with_dups"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"))
+        .orderBy("source")
+    }),
+
     // the span-removal payoff: cleaned corpus + token accounting
     "dedup_substring_clean" -> ((s, dir) => {
       Dedup.removeDuplicatedSpans(Tables.table(s, dir, "documents"),
@@ -1519,6 +1541,41 @@ object ExtensionQueries {
          MAX(pos) + $k - MIN(pos) AS span_tokens,
          COUNT(*) AS n_grams
        FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
+    // span sums grouped up the source dimension, all-integer
+    "dedup_span_profile" -> {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       u AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1)) AS i,
+           t FROM toks),
+       g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM u),
+       d AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b),
+       sp AS (SELECT doc_id, MIN(pos) AS ss, MAX(pos) + $k AS se
+         FROM i2 GROUP BY doc_id, island),
+       dt AS (SELECT doc_id, CAST(SUM(se - ss) AS BIGINT) AS dup_tokens
+         FROM sp GROUP BY doc_id),
+       base AS (SELECT d2.doc_id, d2.source,
+           CAST(len(string_split(d2.text, ' ')) AS BIGINT) AS n_tokens,
+           dt.dup_tokens
+         FROM documents d2 LEFT JOIN dt USING (doc_id))
+       SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CASE WHEN dup_tokens IS NOT NULL THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_docs_with_dups,
+         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(SUM(COALESCE(dup_tokens, 0)) AS BIGINT) AS dup_tokens
+       FROM base GROUP BY source ORDER BY source"""
     },
     // same spans folded back as a per-doc removal mask (1-based token
     // index survives iff no span covers index-1); docs without spans
