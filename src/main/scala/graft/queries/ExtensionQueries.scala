@@ -629,6 +629,12 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // asymmetric containment: small-copied-into-big pairs Jaccard misses
+    "dedup_containment" -> ((s, dir) => {
+      Dedup.containment(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.6)
+        .orderBy("contained_id", "container_id")
+    }),
+
     // Cross-source overlap matrix: near-dup pairs rolled up by source
     // pair — the curation report that decides which ingest feeds
     // duplicate which ("is src2 just a re-crawl of src0?"). Rides the
@@ -1514,6 +1520,25 @@ object ExtensionQueries {
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
        SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    // jacc's candidate plan with the containment denominator; direction
+    // resolved by shingle-set size (a<b orientation breaks ties)
+    "dedup_containment" -> s"""
+       WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes,
+       cont AS (
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           MIN(sa.n) AS a_n, MIN(sb.n) AS b_n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / least(MIN(sa.n), MIN(sb.n)), 6)
+             AS containment
+         FROM rare a JOIN rare b USING (shingle)
+         JOIN sz sa ON sa.doc_id = a.doc_id
+         JOIN sz sb ON sb.doc_id = b.doc_id
+         WHERE a.doc_id < b.doc_id
+         GROUP BY a.doc_id, b.doc_id)
+       SELECT CASE WHEN a_n <= b_n THEN a_id ELSE b_id END AS contained_id,
+         CASE WHEN a_n <= b_n THEN b_id ELSE a_id END AS container_id,
+         containment
+       FROM cont WHERE containment >= 0.6
+       ORDER BY contained_id, container_id""",
     // same positional k-gram -> count>=2 -> island-merge arithmetic;
     // DuckDB slices are 1-based inclusive, Spark slice(t, i+1, k) —
     // both cover tokens i..i+k-1 for 0-based pos i

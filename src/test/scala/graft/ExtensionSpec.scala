@@ -502,6 +502,26 @@ class ExtensionSpec extends AnyFunSuite {
       s"gapped repeats must stay separate: $out")
   }
 
+  test("containment flags small-in-big copies that Jaccard misses, directed") {
+    import spark.implicits._
+    // doc 0: 6 tokens, all inside doc 1's 30. Shingle sets: |A| = 4,
+    // |B| = 10 distinct, A∩B = 4 → Jaccard 4/10 = 0.4 (misses at 0.5);
+    // containment = 4/min(4,10) = 1.0.
+    val big = ("w1 " * 12) + "a b c d e f " + ("z1 " * 12)
+    val docs = Seq(
+      (0L, "a b c d e f"),
+      (1L, big.trim),
+      (2L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val jac = Dedup.ngramJaccard(docs, "doc_id", "text", 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((0L, 1L)), s"jaccard should miss the copy: $jac")
+    val cont = Dedup.containment(docs, "doc_id", "text", 0.9)
+      .select($"contained_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((0L, 1L, 1.0)),
+      s"containment must flag doc 0 inside doc 1, directed: $cont")
+  }
+
   test("removeDuplicatedSpans: spans slice out, clean docs pass through verbatim") {
     import spark.implicits._
     val docs = Seq(
