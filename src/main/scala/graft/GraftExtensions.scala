@@ -66,6 +66,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.expressions.BigramBuckets(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("word_kgrams"),
+      new ExpressionInfo(classOf[graft.expressions.WordKGrams].getCanonicalName,
+        "word_kgrams"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (exprs.length != 2)
+          throw new IllegalArgumentException(
+            s"word_kgrams requires exactly 2 arguments (text, k); got ${exprs.length}")
+        graft.expressions.WordKGrams(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[graft.expressions.NfcNormalize].getCanonicalName,
         "nfc_normalize"),

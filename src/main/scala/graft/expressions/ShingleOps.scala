@@ -50,6 +50,9 @@ object ShingleOps {
       reg.createOrReplaceTempFunction(
         "word_bigram_buckets",
         exprs => BigramBuckets(exprs(0), exprs(1)), "built-in")
+    if (!reg.functionExists(FunctionIdentifier("word_kgrams")))
+      reg.createOrReplaceTempFunction(
+        "word_kgrams", exprs => WordKGrams(exprs(0), exprs(1)), "built-in")
   }
 
   def wordShingles(text: UTF8String): ArrayData = {
@@ -108,6 +111,29 @@ object ShingleOps {
         j += Character.charCount(cp)
       }
       out(i) = acc % buckets
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Positional word k-grams: element i joins tokens i..i+k-1 with one
+    * space, so the array INDEX is the gram's 0-based start position (the
+    * substring-dedup tier rides posexplode of this). NOT distinct —
+    * multiplicity and position both matter for span detection. Semantics
+    * pinned to transform(sequence(0, n-k), i -> concat_ws(" ",
+    * slice(split(text, " "), i+1, k))); < k tokens → empty array. */
+  def wordKGrams(text: UTF8String, k: Int): ArrayData = {
+    val s = text.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (k <= 0 || n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < k) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
       i += 1
     }
     new GenericArrayData(out)
@@ -180,6 +206,35 @@ case class BigramBuckets(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BigramBuckets =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Positional word k-grams — the codegen'd twin of the
+  * transform/sequence/slice/concat_ws HOF chain (see
+  * [[ShingleOps.wordKGrams]] for the pinned semantics). Array index =
+  * 0-based gram start position; not distinct. */
+case class WordKGrams(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType &&
+        (right.dataType == IntegerType || right.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      "word_kgrams expects (string, int/bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_kgrams"
+
+  override def nullSafeEval(t: Any, k: Any): Any =
+    ShingleOps.wordKGrams(t.asInstanceOf[UTF8String],
+      k.asInstanceOf[Number].intValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, k) => s"graft.expressions.ShingleOps.wordKGrams($t, (int) $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordKGrams =
     copy(left = newLeft, right = newRight)
 }
 
