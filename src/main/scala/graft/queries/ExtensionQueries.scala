@@ -629,6 +629,16 @@ object ExtensionQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // ingest-time substring dedup: the arriving batch's duplicated
+    // spans vs corpus ∪ batch, corpus side probe-filtered pre-shuffle
+    "dedup_substring_incremental" -> ((s, dir) => {
+      Dedup.incrementalSpans(
+          Tables.table(s, dir, "documents"),
+          ExtCorpus.incrementalBatch(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id", "span_start")
+    }),
+
     // asymmetric containment: small-copied-into-big pairs Jaccard misses
     "dedup_containment" -> ((s, dir) => {
       Dedup.containment(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.6)
@@ -1520,6 +1530,43 @@ object ExtensionQueries {
        WITH ${ExtCorpus.DocCorpusCte}, $ShingleCtes
        SELECT a_id, b_id, jaccard FROM jacc
        WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+    // count over corpus ∪ batch (≥ 2 anywhere), positions marked on the
+    // batch side only, same island merge — logically equal to the
+    // probe-pushed plan, spelled set-theoretically
+    "dedup_substring_incremental" -> {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH ${ExtCorpus.IncrementalBatchCte},
+       bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch
+         WHERE len(string_split(text, ' ')) >= $k),
+       bu AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1))
+           AS i, t FROM bt),
+       bg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM bu),
+       ct AS (SELECT string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= $k),
+       cu AS (SELECT unnest(generate_series(1, len(t) - $k + 1)) AS i, t
+         FROM ct),
+       cg AS (SELECT array_to_string(t[i:i + ${k - 1}], ' ') AS gram
+         FROM cu),
+       allg AS (SELECT gram FROM cg UNION ALL SELECT gram FROM bg),
+       d AS (SELECT gram FROM allg GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM bg
+         WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b)
+       SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + $k AS span_end,
+         MAX(pos) + $k - MIN(pos) AS span_tokens,
+         COUNT(*) AS n_grams
+       FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    },
     // jacc's candidate plan with the containment denominator; direction
     // resolved by shingle-set size (a<b orientation breaks ties)
     "dedup_containment" -> s"""

@@ -502,6 +502,29 @@ class ExtensionSpec extends AnyFunSuite {
       s"gapped repeats must stay separate: $out")
   }
 
+  test("incrementalSpans: corpus hits, within-batch repeats, novel text — scoped to the batch") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "a b c d e"),
+      (1L, "p q r s t")).toDF("doc_id", "text")
+    val batch = Seq(
+      (100L, "a b c d e"),        // verbatim corpus copy -> full span
+      (101L, "n1 n2 n3 n4 n5"),   // novel -> no span
+      (102L, "x y z m1 x y z"),   // within-batch self-repeat -> 2 spans
+      (103L, "c d e f g")         // shares c d e with corpus -> 1 span
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalSpans(corpus, batch, "doc_id", "text", 3)
+      .select($"doc_id", $"span_start", $"span_end")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (100L, 0L, 5L),
+      (102L, 0L, 3L), (102L, 4L, 7L),
+      (103L, 0L, 3L)),
+      s"got $out")
+    // corpus docs never appear: the report is scoped to the batch
+    assert(out.forall(_._1 >= 100L))
+  }
+
   test("containment flags small-in-big copies that Jaccard misses, directed") {
     import spark.implicits._
     // doc 0: 6 tokens, all inside doc 1's 30. Shingle sets: |A| = 4,
