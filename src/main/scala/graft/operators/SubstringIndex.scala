@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Maintained k-gram index — the substring-dedup artifact, beside
+  * [[TextIndex]] (postings), [[AnnIndex]] (inverted lists), and
+  * [[DedupIndex]] (signatures).
+  *
+  * [[Dedup.incrementalSpans]] already avoids counting the corpus
+  * wholesale (the broadcast gram probe pushes below the aggregation),
+  * but it still SCANS the full corpus per arriving batch — at 100 TB
+  * that is a corpus-sized read per micro-batch. This index persists the
+  * per-doc gram counts once, bucketed on the gram hash for probe-side
+  * pruning, on the same manifest-committed segment model as the other
+  * artifacts:
+  *
+  *   data/kind=gram / bucket=hash(gram)  % B   (gram, doc_id, cnt, sseq)
+  *   data/kind=tomb / bucket=hash(doc_id)% B   (doc_id, sseq)
+  *
+  * A probe batch computes ITS OWN positional grams (O(batch)) and reads
+  * only the buckets its own grams hash to — listing-level pruned to a
+  * bucket set bounded by the batch — then folds corpus counts
+  * additively across segments (per-doc rows survive the liveness rule,
+  * so counts stay exact under CDC delete/update). [[appendBatch]] folds
+  * accepted batches in as immutable segments under the lastBatch replay
+  * watermark; [[applyCdcBatch]] folds a changelog's per-doc post-batch
+  * states with the shared tombstone pattern (update = tombstone +
+  * re-add under the same stamp, delete = tombstone; a row is live iff
+  * its stamp is at or above every tombstone stamp for its doc);
+  * [[compact]] merges segments and RESOLVES tombstones.
+  *
+  * [[probe]] answers bit-for-bit what [[Dedup.incrementalSpans]]
+  * answers over the live state of every appended/applied batch
+  * (SubstringIndexSpec pins it under random corpora, split points,
+  * compaction, and add/update/delete interleavings).
+  */
+object SubstringIndex {
+
+  /** Default gram/doc hash-bucket count — manifest-recorded at creation
+    * ("conf/buckets") like the other artifacts' geometry; thousands at
+    * 100 TB. */
+  val Buckets = 8
+
+  private val GramKind = "gram"
+  private val TombKind = "tomb"
+
+  private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
+    pmod(hash(c), lit(nb))
+
+  private def bucketsOf(m: SnapshotManifest.State): Int =
+    m.entries.getOrElse("conf/buckets", Buckets.toString).toInt
+
+  private def kOf(m: SnapshotManifest.State): Int =
+    m.entries.getOrElse("conf/k", Dedup.SpanGramK.toString).toInt
+
+  private def segments(m: SnapshotManifest.State): Seq[String] =
+    m.entries.toSeq.filter(_._1.startsWith("seg/")).sortBy(_._1).map(_._2)
+
+  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+
+  /** Per-doc gram counts of a batch in the shared superset layout. */
+  private def gramRows(docs: DataFrame, nb: Int, k: Int,
+      sseq: Long): DataFrame = {
+    graft.expressions.ShingleOps.ensureRegistered(docs.sparkSession)
+    docs
+      .select(col("doc_id"),
+        explode(call_function("word_kgrams", col("text"), lit(k)))
+          .as("gram"))
+      .groupBy(col("gram"), col("doc_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(lit(GramKind).as("kind"), bucketOf(col("gram"), nb).as("bucket"),
+        col("gram"), col("doc_id"), col("cnt"), lit(sseq).as("sseq"))
+  }
+
+  /** Fold one accepted batch in as an immutable segment — one
+    * partitioned write job, manifest-committed under the lastBatch
+    * watermark (replays are detected no-ops). */
+  def appendBatch(dir: String, buckets: Int = Buckets,
+      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    val kk = if (m.version == 0L) k else kOf(m)
+    val docs = batch.select(col("doc_id"), col("text")).persist()
+    try {
+      if (docs.isEmpty) {
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
+      commitSegment(root, m, nb, kk, batchId, gramRows(docs, nb, kk, batchId))
+    } finally { docs.unpersist(blocking = false); () }
+  }
+
+  /** foreachBatch body for the CDC-MAINTAINED index: per-doc POST-BATCH
+    * states (doc_id, text, deleted) from a keyed stream fold — every
+    * touched doc gets a tombstone row stamped with this batch, every
+    * non-deleted doc re-adds its gram counts under the same stamp. */
+  def applyCdcBatch(dir: String, buckets: Int = Buckets,
+      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    val nb = if (m.version == 0L) buckets else bucketsOf(m)
+    val kk = if (m.version == 0L) k else kOf(m)
+    val b = batch.select(col("doc_id"), col("text"),
+      col("deleted").cast("boolean").as("deleted")).persist()
+    try {
+      if (b.isEmpty) {
+        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
+          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        return
+      }
+      val tombRows = b.select(lit(TombKind).as("kind"),
+        bucketOf(col("doc_id"), nb).as("bucket"),
+        lit(null).cast("string").as("gram"), col("doc_id"),
+        lit(null).cast("long").as("cnt"), lit(batchId).as("sseq"))
+      val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
+      commitSegment(root, m, nb, kk, batchId,
+        gramRows(live, nb, kk, batchId).unionByName(tombRows))
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  private def commitSegment(root: java.io.File, m: SnapshotManifest.State,
+      nb: Int, k: Int, batchId: Long, rows: DataFrame): Unit = {
+    val segName = s"epoch_$batchId"
+    rows
+      .repartition(2 * nb, col("kind"), col("bucket"))
+      .write.mode("overwrite").partitionBy("kind", "bucket")
+      .parquet(new java.io.File(root, s"$segName/data").toString)
+    val entries = m.entries +
+      ("conf/buckets" -> nb.toString) +
+      ("conf/k" -> k.toString) +
+      (s"seg/e$batchId" -> segName) +
+      ("lastBatch" -> batchId.toString)
+    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
+    SnapshotManifest.commit(root, next)
+    SnapshotManifest.gc(root, next, "epoch_")
+  }
+
+  /** Max tombstone stamp per doc — None when the index holds none (the
+    * pure-append path), so the liveness join vanishes from probe and
+    * compact plans entirely. Tombstones are O(deletes), never
+    * O(corpus). */
+  private def tombMax(spark: SparkSession, root: java.io.File,
+      segs: Seq[String], nb: Int): Option[DataFrame] = {
+    val paths = for {
+      seg <- segs; bk <- 0 until nb
+      d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
+      if d.exists()
+    } yield d.toString
+    if (paths.isEmpty) None
+    else Some(spark.read.schema("doc_id LONG, sseq LONG")
+      .parquet(paths: _*)
+      .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax")))
+  }
+
+  private def liveRows(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
+    tmax match {
+      case None => rows
+      case Some(t) => rows.join(t, Seq("doc_id"), "left")
+        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+        .drop("tmax")
+    }
+
+  /** Segment merge — rows move verbatim into one fresh immutable
+    * `epoch_compact<version>` segment under the same pointer swap;
+    * probe answers unchanged, probe listing drops from
+    * O(segments × buckets) to O(buckets). Tombstones RESOLVE here. */
+  def compact(spark: SparkSession, dir: String): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    if (segs.size <= 1) return
+    val nb = bucketsOf(m)
+    val version = m.version + 1
+    val outName = s"epoch_compact$version"
+    val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
+    val tmax = tombMax(spark, root, segs, nb)
+    val paths = for {
+      seg <- segs; bk <- 0 until nb
+      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
+      if d.exists()
+    } yield d.toString
+    val all = liveRows(
+      if (paths.isEmpty) emptyDf(spark, schema)
+      else spark.read.schema(schema).parquet(paths: _*), tmax)
+      .withColumn("kind", lit(GramKind))
+      .withColumn("bucket", bucketOf(col("gram"), nb))
+    all.repartition(2 * nb, col("kind"), col("bucket"))
+      .write.mode("overwrite").partitionBy("kind", "bucket")
+      .parquet(new java.io.File(root, s"$outName/data").toString)
+    val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
+      (s"seg/c$version" -> outName)
+    val next = SnapshotManifest.State(version, entries, m.retain)
+    SnapshotManifest.commit(root, next)
+    SnapshotManifest.gc(root, next, "epoch_")
+  }
+
+  /** Duplicated spans of a probe batch against the indexed corpus —
+    * identical output to [[Dedup.incrementalSpans]](live corpus, batch).
+    * Artifact reads are pruned to the buckets the batch's OWN grams
+    * hash to (a driver-side collect bounded by the bucket count,
+    * computed by the engine's own hash so probe and writer can never
+    * disagree), then narrowed to the exact gram set by a broadcast
+    * semi-join before the count fold — O(batch-gram hits) corpus work,
+    * no corpus scan anywhere. */
+  def probe(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    require(segs.nonEmpty, s"empty substring index at $dir")
+    val nb = bucketsOf(m)
+    val k = kOf(m)
+    val tmax = tombMax(spark, root, segs, nb)
+    graft.expressions.ShingleOps.ensureRegistered(spark)
+    val bGrams = batch.select(col("doc_id"),
+      posexplode(call_function("word_kgrams", col("text"), lit(k)))
+        .as(Seq("pos", "gram"))).cache()
+    val probeSet = bGrams.select(col("gram")).distinct()
+    val probed = probeSet.select(bucketOf(col("gram"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
+    val paths = for {
+      seg <- segs; bk <- probed
+      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
+      if d.exists()
+    } yield d.toString
+    val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
+    val cCnt = liveRows(
+      if (paths.isEmpty) emptyDf(spark, schema)
+      else spark.read.schema(schema).parquet(paths: _*), tmax)
+      .join(broadcast(probeSet), Seq("gram"), "left_semi")
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("c_cnt"))
+    val dup = bGrams.groupBy(col("gram")).agg(count(lit(1)).as("b_cnt"))
+      .join(cCnt, Seq("gram"), "left")
+      .where(coalesce(col("c_cnt"), lit(0L)) + col("b_cnt") >= 2)
+      .select(col("gram"))
+    Dedup.spanIslands(bGrams.join(dup, "gram"), k)
+  }
+
+  /** Per-process memoized two-segment build over the documents table
+    * (the [[DedupIndex.builtIndexDir]] idiom): Verify/Bench invoke the
+    * served query repeatedly; the artifact is the fixture, not the
+    * measurement. Two segments keep the multi-segment count fold
+    * exercised on every probe. */
+  def builtIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(
+        s"/tmp/graft_substring_index/p${graft.Fs.pid}_$key")
+      if (SnapshotManifest.read(dir).version == 0L) {
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        appendBatch(dir.toString)(docs.where(col("doc_id") % 2 === 0), 0L)
+        appendBatch(dir.toString)(docs.where(col("doc_id") % 2 === 1), 1L)
+      }
+      dir.toString
+    }
+}

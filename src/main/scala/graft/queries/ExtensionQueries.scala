@@ -115,6 +115,44 @@ object ExtensionQueries {
       s"(CASE WHEN list_reduce(list_transform(range(1, len($e) + 1), i -> $e[i] * $plane), (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  /** Shared by the inline and SERVED incremental substring oracles:
+    * count over corpus ∪ batch (≥ 2 anywhere), positions marked on
+    * the batch side only, the same island merge. */
+  private val IncrementalSpansOracle: String = {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH ${ExtCorpus.IncrementalBatchCte},
+       bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch
+         WHERE len(string_split(text, ' ')) >= $k),
+       bu AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1))
+           AS i, t FROM bt),
+       bg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM bu),
+       ct AS (SELECT string_split(text, ' ') AS t FROM documents
+         WHERE len(string_split(text, ' ')) >= $k),
+       cu AS (SELECT unnest(generate_series(1, len(t) - $k + 1)) AS i, t
+         FROM ct),
+       cg AS (SELECT array_to_string(t[i:i + ${k - 1}], ' ') AS gram
+         FROM cu),
+       allg AS (SELECT gram FROM cg UNION ALL SELECT gram FROM bg),
+       d AS (SELECT gram FROM allg GROUP BY gram HAVING COUNT(*) >= 2),
+       m AS (SELECT doc_id, pos FROM bg
+         WHERE gram IN (SELECT gram FROM d)),
+       s AS (SELECT doc_id, pos,
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM m),
+       b AS (SELECT doc_id, pos,
+           CASE WHEN prev IS NULL OR pos > prev + $k THEN 1 ELSE 0 END
+             AS brk FROM s),
+       i2 AS (SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         FROM b)
+       SELECT doc_id, MIN(pos) AS span_start,
+         MAX(pos) + $k AS span_end,
+         MAX(pos) + $k - MIN(pos) AS span_tokens,
+         COUNT(*) AS n_grams
+       FROM i2 GROUP BY doc_id, island ORDER BY doc_id, span_start"""
+    }
+
   // ---------- queries ----------
 
   /** IVF cell search: route each query to its `nprobe` nearest per-label
@@ -638,6 +676,37 @@ object ExtensionQueries {
           "doc_id", "text")
         .orderBy("doc_id", "span_start")
     }),
+
+    // the same ingest question SERVED from the maintained k-gram
+    // artifact: corpus gram counts persist bucketed on the gram hash;
+    // the probe reads ONLY the buckets its own grams hash to, then
+    // narrows to the exact gram set by a broadcast semi-join before the
+    // count fold — O(batch-gram hits) artifact reads, no corpus scan.
+    // Served ≡ inline by construction, oracle verbatim.
+    "dedup_substring_served" -> ((s, dir) => {
+      val idx = graft.operators.SubstringIndex.builtIndexDir(s, dir)
+      graft.operators.SubstringIndex
+        .probe(s, idx, ExtCorpus.incrementalBatch(s, dir))
+        .orderBy("doc_id", "span_start")
+    }),
+
+    // the k-gram index maintained from a REAL stream: micro-batches of
+    // documents fold into immutable gram-count segments (compaction
+    // mid-drain), then the probe reports the planted batch's spans
+    // against the maintained corpus. Maintained ≡ inline, oracle
+    // verbatim.
+    "stream_substring_index" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamSubstringIndex(s, dir)
+        .orderBy("doc_id", "span_start")),
+
+    // the k-gram index under the CDC semantic: adds for every doc,
+    // full-image updates (%7), deletes (%11, delete wins) fold into
+    // tombstone + re-count segments; the probe folds LIVE tombstones
+    // across a multi-segment index. Oracle: the same span arithmetic
+    // over the POST-APPLY corpus.
+    "stream_substring_index_cdc" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamSubstringIndexCdc(s, dir)
+        .orderBy("doc_id", "span_start")),
 
     // asymmetric containment: small-copied-into-big pairs Jaccard misses
     "dedup_containment" -> ((s, dir) => {
@@ -1533,17 +1602,30 @@ object ExtensionQueries {
     // count over corpus ∪ batch (≥ 2 anywhere), positions marked on the
     // batch side only, same island merge — logically equal to the
     // probe-pushed plan, spelled set-theoretically
-    "dedup_substring_incremental" -> {
+    "dedup_substring_incremental" -> IncrementalSpansOracle,
+    // served ≡ inline by construction (the artifact persists exactly
+    // the per-doc gram counts the inline pass computes)
+    "dedup_substring_served" -> IncrementalSpansOracle,
+    // stream-maintained ≡ inline ≡ served: same oracle again
+    "stream_substring_index" -> IncrementalSpansOracle,
+    // the CDC twin: identical span arithmetic with the corpus gram
+    // stream drawn from the POST-APPLY base (updates %7 re-texted,
+    // deletes %11 gone; delete wins the overlap)
+    "stream_substring_index_cdc" -> {
       val k = Dedup.SpanGramK
       s"""
        WITH ${ExtCorpus.IncrementalBatchCte},
+       base AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
+                ELSE text END AS text
+         FROM documents WHERE doc_id % 11 <> 0),
        bt AS (SELECT doc_id, string_split(text, ' ') AS t FROM batch
          WHERE len(string_split(text, ' ')) >= $k),
        bu AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1))
            AS i, t FROM bt),
        bg AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
            array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM bu),
-       ct AS (SELECT string_split(text, ' ') AS t FROM documents
+       ct AS (SELECT string_split(text, ' ') AS t FROM base
          WHERE len(string_split(text, ' ')) >= $k),
        cu AS (SELECT unnest(generate_series(1, len(t) - $k + 1)) AS i, t
          FROM ct),

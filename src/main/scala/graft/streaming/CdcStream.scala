@@ -1073,6 +1073,65 @@ object CdcStream {
     * classifies the planted batch against the maintained corpus; the
     * oracle is the inline classifier's SQL over the POST-APPLY corpus
     * — maintained ≡ rebuilt-from-applied-state, bit-for-bit. */
+  /** Stream-maintained k-gram index — the substring tier's twin of
+    * [[streamDedupIndex]]: document micro-batches fold into the gram-
+    * count artifact via foreachBatch (immutable segments, compaction
+    * mid-drain), then the standard probe reports the planted batch's
+    * duplicated spans against the maintained corpus. Maintained ≡
+    * inline, oracle verbatim. */
+  def streamSubstringIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SubstringIndex
+    val ss = streamSession(spark, flush = false)
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val stream = streamOf(docs, "substring_index_docs", sfDir,
+      maxFilesPerTrigger = Some(4))
+    val idxDir = drainToStateDir(stream, "graft_substring_index_stream",
+      sfDir, dir => (batch, id) => {
+        SubstringIndex.appendBatch(dir)(batch.toDF(), id)
+        if (id == 1L) SubstringIndex.compact(batch.sparkSession, dir)
+      })
+    SubstringIndex.probe(ss, idxDir,
+      graft.sources.ExtCorpus.incrementalBatch(ss, sfDir))
+  }
+
+  /** CDC-maintained k-gram index: the same add/update/delete changelog
+    * as [[streamDedupIndexCdc]] folds per micro-batch into tombstone +
+    * re-count segments (no mid-drain compaction — the probe folds LIVE
+    * tombstones across a multi-segment index; resolution is pinned by
+    * the append twin and SubstringIndexSpec), then the probe reports
+    * the planted batch's spans against the LIVE corpus. Oracle: the
+    * inline span arithmetic over the post-apply corpus — an updated
+    * base doc's grams shift (its planted copies lose full-doc spans),
+    * a deleted base's grams vanish. */
+  def streamSubstringIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.SubstringIndex
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val docs = Tables.table(ss, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val ops = docs
+      .select(col("doc_id"), col("text"), lit(false).as("deleted"),
+        (col("doc_id") * 3).as("seq"))
+      .unionByName(docs.where(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          concat(col("text"), lit(" graft cdc update")).as("text"),
+          lit(false).as("deleted"), (col("doc_id") * 3 + 1).as("seq")))
+      .unionByName(docs.where(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(null).cast("string").as("text"),
+          lit(true).as("deleted"), (col("doc_id") * 3 + 2).as("seq")))
+    val stream = streamOf(ops, "substring_cdc_ops", sfDir,
+      maxFilesPerTrigger = Some(4))
+    val deltas = stream.as[DocOp].groupByKey(_.doc_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldDocOps)
+      .toDF("doc_id", "text", "deleted")
+    val idxDir = drainToStateDir(deltas, "graft_substring_index_cdc", sfDir,
+      dir => (batch, id) => SubstringIndex.applyCdcBatch(dir)(batch, id))
+    SubstringIndex.probe(ss, idxDir,
+      graft.sources.ExtCorpus.incrementalBatch(ss, sfDir))
+  }
+
   def streamDedupIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.DedupIndex
     val ss = streamSession(spark, flush = false)
