@@ -243,6 +243,33 @@ object SubstringIndex {
     Dedup.spanIslands(bGrams.join(dup, "gram"), k)
   }
 
+  /** Index observability, k-gram twin of [[TextIndex.profile]] /
+    * [[DedupIndex.profile]]: the LIVE corpus's gram composition from
+    * the artifact alone — row count (distinct live (gram, doc) pairs),
+    * distinct grams, docs, and total gram occurrences. An audit scans
+    * the full artifact by design (queries probe, audits list). */
+  def profile(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    require(segs.nonEmpty, s"empty substring index at $dir")
+    val nb = bucketsOf(m)
+    val tmax = tombMax(spark, root, segs, nb)
+    val paths = for {
+      seg <- segs; bk <- 0 until nb
+      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
+      if d.exists()
+    } yield d.toString
+    val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
+    liveRows(
+      if (paths.isEmpty) emptyDf(spark, schema)
+      else spark.read.schema(schema).parquet(paths: _*), tmax)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("gram")).as("n_grams_distinct"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("cnt")).as("n_gram_occurrences"))
+  }
+
   /** Per-process memoized two-segment build over the documents table
     * (the [[DedupIndex.builtIndexDir]] idiom): Verify/Bench invoke the
     * served query repeatedly; the artifact is the fixture, not the

@@ -708,6 +708,13 @@ object ExtensionQueries {
       graft.streaming.CdcStream.streamSubstringIndexCdc(s, dir)
         .orderBy("doc_id", "span_start")),
 
+    // k-gram index observability: live composition from the artifact
+    // alone; oracle recomputes the same masses from the corpus
+    "substring_index_profile" -> ((s, dir) => {
+      val idx = graft.operators.SubstringIndex.builtIndexDir(s, dir)
+      graft.operators.SubstringIndex.profile(s, idx)
+    }),
+
     // asymmetric containment: small-copied-into-big pairs Jaccard misses
     "dedup_containment" -> ((s, dir) => {
       Dedup.containment(ExtCorpus.docCorpus(s, dir), "doc_id", "text", 0.6)
@@ -1608,6 +1615,23 @@ object ExtensionQueries {
     "dedup_substring_served" -> IncrementalSpansOracle,
     // stream-maintained ≡ inline ≡ served: same oracle again
     "stream_substring_index" -> IncrementalSpansOracle,
+    // live masses recomputed from the corpus: distinct (gram, doc)
+    // pairs, distinct grams, docs with >= k tokens, total occurrences
+    "substring_index_profile" -> {
+      val k = Dedup.SpanGramK
+      s"""
+       WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+         FROM documents WHERE len(string_split(text, ' ')) >= $k),
+       u AS (SELECT doc_id, unnest(generate_series(1, len(t) - $k + 1))
+           AS i, t FROM toks),
+       g AS (SELECT doc_id,
+           array_to_string(t[i:i + ${k - 1}], ' ') AS gram FROM u)
+       SELECT CAST(COUNT(DISTINCT (gram, doc_id)) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_grams_distinct,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_gram_occurrences
+       FROM g"""
+    },
     // the CDC twin: identical span arithmetic with the corpus gram
     // stream drawn from the POST-APPLY base (updates %7 re-texted,
     // deletes %11 gone; delete wins the overlap)
