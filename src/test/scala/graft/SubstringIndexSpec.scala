@@ -118,9 +118,15 @@ class SubstringIndexSpec extends AnyFunSuite {
       val split = 1 + rnd.nextInt(corpus.size - 1)
       val dir = java.nio.file.Files
         .createTempDirectory("graft_ssidx_prop").toString
-      SubstringIndex.appendBatch(dir, k = K)(df(corpus.take(split)), 0L)
+      // non-default geometry on odd rounds: the bucket knob runs, not
+      // just asserts (the creation call pins it in the manifest; the
+      // second append's mismatched argument must be ignored)
+      val nb = if (round % 2 == 1) 3 else SubstringIndex.Buckets
+      SubstringIndex.appendBatch(dir, buckets = nb, k = K)(
+        df(corpus.take(split)), 0L)
       if (rnd.nextBoolean()) SubstringIndex.compact(spark, dir)
-      SubstringIndex.appendBatch(dir, k = K)(df(corpus.drop(split)), 1L)
+      SubstringIndex.appendBatch(dir, buckets = 99, k = K)(
+        df(corpus.drop(split)), 1L)
       val got = probeRows(dir)
       assert(got === inlineRows(corpus), s"round $round, corpus $corpus")
     }
