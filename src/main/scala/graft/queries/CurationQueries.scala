@@ -261,6 +261,65 @@ object CurationQueries {
     // oracle-proven; this pins that they COMPOSE (column contracts,
     // filter interactions) and that the composite stays one pipeline:
     // the gates and hashes are map-side, dedup adds the one groupBy.
+    // Deterministic epoch shuffling — the training-reproducibility op:
+    // each epoch orders the packed bins by an affine integer key
+    // (bin·2654435761 + epoch·40503 mod 2^32, the Knuth/xxhash
+    // constants), so the schedule is a pure function of (data, epoch) —
+    // re-runs and failure recovery see the identical order, no RNG
+    // state anywhere. One range shuffle per epoch (the sort), nothing
+    // else; at 100 TB this is exactly how you shuffle 10^9 sequences
+    // without a shuffle buffer. Ties (none at these sizes, possible at
+    // 2^32-scale bins) break on the bin id — still deterministic.
+    "data_shuffle_epochs" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.table(s, dir, "documents")
+      val bins = Curation
+        .packBins(d, "doc_id", size(split(col("text"), " ")), 256L)
+        .select(col("bin"))
+      val epochs = bins.crossJoin(broadcast(Seq(0L, 1L).toDF("epoch")))
+      val key = pmod(col("bin") * lit(2654435761L) +
+        col("epoch") * lit(40503L), lit(4294967296L))
+      epochs
+        .withColumn("position", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("epoch")).orderBy(key, col("bin"))))
+        .select(col("epoch"), col("position").cast("long").as("position"),
+          col("bin"))
+        .orderBy("epoch", "position")
+    }),
+
+    // Stride-scheduled source interleaving — the mixture SCHEDULE (not
+    // the sample): each source advances a virtual clock by L/weight per
+    // doc (L = lcm of the weights keeps every tick an exact integer),
+    // and the global order merges on that clock — a weight-4 source
+    // appears 4× as often as weight-1, evenly spread, deterministically.
+    // One rank per source (partitioned window) + one global sort; no
+    // RNG, no driver loop.
+    "data_mix_schedule" -> ((s, dir) => {
+      val wSrc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      val d = Tables.table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          (pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("long"),
+            lit(4L)) + 1L).as("w"))
+      val ticked = d
+        .withColumn("rn", row_number().over(wSrc).cast("long"))
+        // L = lcm(1..4) = 12; v = rn * (12 / w) is an exact integer
+        .withColumn("vtime", col("rn") * (lit(12L) / col("w")).cast("long"))
+      // head of the schedule via sort+limit (a PARALLEL range sort, not
+      // a single-partition global window); position then numbers the
+      // 200-row result, where a one-partition window is free
+      ticked
+        .orderBy(col("vtime"), col("source"), col("doc_id"))
+        .limit(200)
+        .withColumn("position", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("vtime"), col("source"), col("doc_id")))
+          .cast("long"))
+        .select(col("position"), col("vtime"), col("source"), col("doc_id"))
+        .orderBy("position")
+    }),
+
     // pretraining-corpus capstone: substring-dedup CLEAN the corpus
     // (span removal, not doc dropping) -> length gate on what remains
     // -> decontaminate the cleaned text against the benchmark slice ->
@@ -1239,6 +1298,44 @@ object CurationQueries {
          ROUND(CAST(SUM(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 6)
            AS mean_prob
        FROM j GROUP BY 1 ORDER BY doc_id""",
+    // doc_pack's bins crossed with epochs, the same affine integer key
+    "data_shuffle_epochs" -> """
+       WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+                  FROM documents),
+       p AS (SELECT doc_id, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prefix
+             FROM t),
+       bins AS (SELECT DISTINCT CAST(prefix // 256 AS BIGINT) AS bin FROM p),
+       e AS (SELECT bin, unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)])
+               AS epoch FROM bins),
+       keyed AS (SELECT epoch, bin,
+           (bin * 2654435761 + epoch * 40503) % 4294967296 AS k FROM e)
+       SELECT epoch,
+         CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY k, bin)
+           AS BIGINT) AS position,
+         bin
+       FROM keyed ORDER BY epoch, position""",
+    // per-source rank × integer stride L/w (L = lcm(1..4) = 12), head
+    // of the merged schedule
+    "data_mix_schedule" -> """
+       WITH d AS (SELECT doc_id, source,
+           CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4 + 1
+             AS w
+         FROM documents),
+       r AS (SELECT doc_id, source, w,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+             AS BIGINT) AS rn
+         FROM d),
+       v AS (SELECT doc_id, source, rn * (12 // w) AS vtime FROM r),
+       o AS (SELECT CAST(ROW_NUMBER() OVER
+             (ORDER BY vtime, source, doc_id) AS BIGINT) AS position,
+           vtime, source, doc_id
+         FROM v)
+       SELECT position, vtime, source, doc_id FROM o
+       WHERE position <= 200 ORDER BY position""",
+
     // the dedup_substring_clean chain -> len>=30 gate -> 3-gram
     // decontamination on the CLEANED tokens -> doc_pack prefix-sum rule
     "pipeline_pretrain" -> {
