@@ -383,6 +383,17 @@ object AnnIndex {
     * detects replays and appends fresh segments on top of the merged
     * one. Crash mid-rewrite leaves an orphan dir for the next commit's
     * gc; single-writer, like every sink maintenance op here. */
+  /** Tiered merge policy — [[TextIndex.maybeCompact]]'s vector twin:
+    * merge only when the committed code+tombstone segment count exceeds
+    * `maxSegments`. Returns whether a merge ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxSegments: Int): Boolean = {
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    if (codeDirs(m).size + tombDirs(m).size > maxSegments) {
+      compact(spark, dir); true
+    } else false
+  }
+
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)

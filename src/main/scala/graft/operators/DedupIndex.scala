@@ -201,6 +201,15 @@ object DedupIndex {
     * survives — a fully-deleted doc simply has no rows, and any later
     * tombstone's stamp exceeds every kept `sseq` (batch ids are
     * monotone), so the liveness rule keeps working across the merge. */
+  /** Tiered merge policy — [[TextIndex.maybeCompact]]'s signature twin:
+    * merge only when the committed segment count exceeds `maxSegments`.
+    * Returns whether a merge ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxSegments: Int): Boolean = {
+    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
+    if (n > maxSegments) { compact(spark, dir); true } else false
+  }
+
   def compact(spark: SparkSession, dir: String): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)

@@ -172,12 +172,37 @@ object SubstringIndex {
     * `epoch_compact<version>` segment under the same pointer swap;
     * probe answers unchanged, probe listing drops from
     * O(segments × buckets) to O(buckets). Tombstones RESOLVE here. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    merge(spark, dir, None)
+
+  /** Tiered merge policy — [[TextIndex.maybeCompact]]'s k-gram twin:
+    * merge only when the committed segment count exceeds `maxSegments`.
+    * Returns whether a merge ran. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxSegments: Int): Boolean = {
+    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
+    if (n > maxSegments) { compact(spark, dir); true } else false
+  }
+
+  /** Geometry-evolution rotation — [[TextIndex.rebucket]]'s k-gram
+    * twin: re-shard the live gram counts under a NEW hash-bucket count
+    * through the same single-write merge, updating `conf/buckets`
+    * inside the same pointer swap so probes and appenders switch
+    * geometry atomically with the data. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    merge(spark, dir, Some(newBuckets))
+  }
+
+  private def merge(spark: SparkSession, dir: String,
+      newBuckets: Option[Int]): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
-    if (segs.size <= 1) return
-    val nb = bucketsOf(m)
+    if (newBuckets.isEmpty && segs.size <= 1) return
+    require(segs.nonEmpty, s"empty substring index at $dir")
+    val nb = bucketsOf(m) // committed geometry: what the reads use
+    val outNb = newBuckets.getOrElse(nb) // what the rewritten rows use
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
@@ -191,12 +216,13 @@ object SubstringIndex {
       if (paths.isEmpty) emptyDf(spark, schema)
       else spark.read.schema(schema).parquet(paths: _*), tmax)
       .withColumn("kind", lit(GramKind))
-      .withColumn("bucket", bucketOf(col("gram"), nb))
-    all.repartition(2 * nb, col("kind"), col("bucket"))
+      .withColumn("bucket", bucketOf(col("gram"), outNb))
+    all.repartition(2 * outNb, col("kind"), col("bucket"))
       .write.mode("overwrite").partitionBy("kind", "bucket")
       .parquet(new java.io.File(root, s"$outName/data").toString)
     val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
-      (s"seg/c$version" -> outName)
+      (s"seg/c$version" -> outName) +
+      ("conf/buckets" -> outNb.toString)
     val next = SnapshotManifest.State(version, entries, m.retain)
     SnapshotManifest.commit(root, next)
     SnapshotManifest.gc(root, next, "epoch_")

@@ -348,12 +348,52 @@ object TextIndex {
     * gc; old segments age out of the time-travel retention window like
     * any superseded snapshot. Single-writer, like every sink
     * maintenance op here. */
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    merge(spark, dir, None)
+
+  /** Tiered merge POLICY — the operational form a maintenance loop
+    * calls after each commit: merge only when the committed segment
+    * count exceeds `maxSegments`, so probe listings stay bounded at
+    * O(maxSegments × probed buckets) while merge cost amortizes over
+    * many appends instead of following every batch. Returns whether a
+    * merge ran. Single-writer like [[compact]] itself. */
+  def maybeCompact(spark: SparkSession, dir: String,
+      maxSegments: Int): Boolean = {
+    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
+    if (n > maxSegments) { compact(spark, dir); true } else false
+  }
+
+  /** Geometry-evolution rotation — re-shard the index under a NEW
+    * term/doc hash-bucket count, the operation a growing index needs
+    * when its creation-time bucket count stops fitting the corpus (hot
+    * buckets concentrate probe cost; too many buckets fragment the
+    * listing). The live state moves through the same single-write merge
+    * as [[compact]], but every output row re-buckets under the new hash
+    * space and `conf/buckets` updates INSIDE the same pointer swap — so
+    * appenders, probes, and compactions all switch geometry atomically
+    * with the data (a reader holds either the old geometry with the old
+    * segments or the new with the new, never a mix), and [[retrieveAt]]
+    * keeps the prior geometry queryable within the retention window
+    * because each retained manifest carries its own `conf/buckets`.
+    * Crash mid-rewrite leaves an orphan dir and the old index intact;
+    * the `lastBatch` watermark carries through, so a maintenance stream
+    * keeps appending — now bucketed by the new count. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    merge(spark, dir, Some(newBuckets))
+  }
+
+  private def merge(spark: SparkSession, dir: String,
+      newBuckets: Option[Int]): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
-    if (segs.size <= 1) return
-    val nb = bucketsOf(m)
+    // a compaction of ≤1 segment is a no-op; a rebucket is not — it
+    // rewrites the hash space even of a single segment
+    if (newBuckets.isEmpty && segs.size <= 1) return
+    require(segs.nonEmpty, s"empty text index at $root")
+    val nb = bucketsOf(m) // the COMMITTED geometry: what the reads use
+    val outNb = newBuckets.getOrElse(nb) // what the rewritten rows use
     val attrs = attrsOf(m)
     val version = m.version + 1
     val outName = s"epoch_compact$version"
@@ -366,7 +406,7 @@ object TextIndex {
           attrs.map { case (n, t) => s", $n $t" }.mkString)
         .parquet(leaves(root, segs, PostKind, nb): _*), tombPaths)
       .select(lit(PostKind).as("kind") +:
-        bucketOf(col("term"), nb).as("bucket") +:
+        bucketOf(col("term"), outNb).as("bucket") +:
         col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
         col("sseq") +: attrs.map { case (n, _) => col(n) }: _*)
     val liveDocs = liveRows(spark, root,
@@ -376,7 +416,7 @@ object TextIndex {
     try {
       val docRows = liveDocs
         .select(lit(DocKind).as("kind") +:
-          bucketOf(col("doc_id"), nb).as("bucket") +:
+          bucketOf(col("doc_id"), outNb).as("bucket") +:
           col("doc_id") +: nullS.as("term") +: nullL.as("tf") +: col("dl") +:
           col("sseq") +: nullAttrs: _*)
       // tombstones of fully-deleted docs survive the merge (folded to
@@ -389,11 +429,11 @@ object TextIndex {
           .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
           .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(lit(TombKind).as("kind") +:
-            bucketOf(col("doc_id"), nb).as("bucket") +: col("doc_id") +:
+            bucketOf(col("doc_id"), outNb).as("bucket") +: col("doc_id") +:
             nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
             col("sseq") +: nullAttrs: _*))
       (livePost +: docRows +: tombRows).reduce(_ unionByName _)
-        .repartition(3 * nb, col("kind"), col("bucket"))
+        .repartition(3 * outNb, col("kind"), col("bucket"))
         .write.mode("overwrite").partitionBy("kind", "bucket")
         .parquet(new java.io.File(root, s"$outName/data").toString)
     } finally {
@@ -407,7 +447,8 @@ object TextIndex {
     val entries = m.entries.filterNot(e =>
       e._1.startsWith("seg/") || e._1.startsWith("stats/")) +
       (s"seg/c$version" -> outName) +
-      (s"stats/$outName" -> statsEntry(nDocs, sumDl, 0L, 0L))
+      (s"stats/$outName" -> statsEntry(nDocs, sumDl, 0L, 0L)) +
+      ("conf/buckets" -> outNb.toString)
     val next = SnapshotManifest.State(version, entries, m.retain)
     SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_")
@@ -580,6 +621,24 @@ object TextIndex {
               .as("text"),
             (col("doc_id") % 11 === 0).as("deleted"))
         applyBatch(dir.toString)(changed, 1L)
+      }
+      dir.toString
+    }
+
+  /** Memoized GEOMETRY-ROTATED index — the [[rebucket]] fixture: the
+    * built artifact cloned, then rotated to a non-default bucket count.
+    * Serving from it must be bit-identical to the batch tier (the
+    * rotation moves layout, never answers), so the served query shares
+    * the batch oracle. */
+  def rebucketedIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = new java.io.File(
+        s"/tmp/graft_text_index_rebucket/p${graft.Fs.pid}_$key")
+      if (SnapshotManifest.read(dir).version == 0L) {
+        graft.Fs.copyRecursively(
+          new java.io.File(builtIndexDir(spark, sfDir)), dir)
+        rebucket(spark, dir.toString, 5) // non-divisor of the default 8
       }
       dir.toString
     }

@@ -528,6 +528,24 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Retrieval after a GEOMETRY ROTATION ([[TextIndex.rebucket]]): the
+    // built artifact re-sharded to a non-default bucket count — the
+    // operation a 100 TB index runs when its creation-time hash space
+    // stops fitting the corpus. The rotation moves layout only, so the
+    // served query is bit-identical to the batch tier and shares its
+    // oracle; probe/writer geometry agreement is enforced by the
+    // manifest-carried conf/buckets both sides read back.
+    "text_retrieval_rebucket" -> ((s, dir) => {
+      val idx = graft.operators.TextIndex.rebucketedIndexDir(s, dir)
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      graft.operators.TextIndex.retrieve(s, idx, qs, k = 5)
+        .orderBy("q_id", "rnk")
+    }),
+
     // RAG context assembly — the step after retrieval: the top-5 docs
     // per query are chunked into overlapping token windows and packed
     // greedily in (rank, chunk) order under a token BUDGET; the output
@@ -1463,6 +1481,7 @@ object ExtensionQueries {
     // retrieval: UNROUNDED per-term scores summed through DECIMAL (term
     // addition order cannot move the output), ranked on the exact sum
     "text_retrieval_bm25" -> bm25RetrievalOracle,
+    "text_retrieval_rebucket" -> bm25RetrievalOracle,
     // candidates restricted by metadata, statistics corpus-wide; the
     // maintained index answers the same question bit-for-bit
     "text_retrieval_filtered" -> bm25RetrievalOracleOver(

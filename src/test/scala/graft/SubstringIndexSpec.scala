@@ -107,6 +107,19 @@ class SubstringIndexSpec extends AnyFunSuite {
     assert(probeRows(dir).exists(_.getLong(0) == 101L))
   }
 
+  test("rebucket rotation: new geometry, identical probe answers, appends continue") {
+    val dir = build(Seq(base.take(2), base.slice(2, 4)))
+    val before = probeRows(dir)
+    SubstringIndex.rebucket(spark, dir, 5) // non-divisor of the default 8
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries("conf/buckets") === "5",
+      "geometry must switch inside the same pointer swap")
+    assert(probeRows(dir) === before)
+    // appends after the rotation bucket under the NEW count
+    SubstringIndex.appendBatch(dir, k = K)(df(base.drop(4)), 2L)
+    assert(probeRows(dir) === inlineRows(base))
+  }
+
   test("property: random corpora, random splits and merge points ≡ inline") {
     val rnd = new scala.util.Random(41)
     val vocab = Vector("w0", "w1", "w2", "w3", "w4")

@@ -92,6 +92,56 @@ class TextIndexSpec extends AnyFunSuite {
       "aged-out pre-merge segments must be collected")
   }
 
+  test("merge policy: maybeCompact no-ops at the threshold, merges above it, answers invariant") {
+    val dir = buildIndex() // 2 segments
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val v = SnapshotManifest.read(new java.io.File(dir)).version
+    assert(!TextIndex.maybeCompact(spark, dir, maxSegments = 2))
+    assert(SnapshotManifest.read(new java.io.File(dir)).version === v,
+      "a declined merge must not burn a version")
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+    TextIndex.appendBatch(dir)(
+      corpus((6L, "bread and wine for the quick fox")), 2) // 3 segments
+    assert(TextIndex.maybeCompact(spark, dir, maxSegments = 2))
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries.keys.count(_.startsWith("seg/")) === 1)
+    // answers equal a one-shot build over all three batches
+    val all = corpus(batch1 ++ batch2 :+ (6L, "bread and wine for the quick fox"): _*)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq ===
+      TextAnalysis.bm25Retrieve(all, queries, "doc_id", "text", k = 3)
+        .orderBy("q_id", "rnk").collect().toSeq)
+  }
+
+  test("rebucket rotation: new geometry, identical answers, old version still serves, appends continue") {
+    val dir = buildIndex()
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    val vOld = SnapshotManifest.read(new java.io.File(dir)).version
+    TextIndex.rebucket(spark, dir, 5) // non-divisor of the default 8
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries("conf/buckets") === "5",
+      "geometry must switch inside the same pointer swap")
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+    // the prior geometry stays queryable within the retention window —
+    // its retained manifest carries its own conf/buckets
+    val at = TextIndex.retrieveAt(spark, dir, vOld, queries, k = 3)
+    assert(at.isDefined &&
+      at.get.orderBy("q_id", "rnk").collect().toSeq === before)
+    // appends after the rotation bucket under the NEW count and the
+    // index still answers like a one-shot build
+    val batch3 = Seq((6L, "bread and wine for the quick fox"))
+    TextIndex.appendBatch(dir)(corpus(batch3: _*), 2)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq ===
+      TextAnalysis.bm25Retrieve(corpus(batch1 ++ batch2 ++ batch3: _*),
+          queries, "doc_id", "text", k = 3)
+        .orderBy("q_id", "rnk").collect().toSeq)
+  }
+
   test("property: random corpus, random batch split, random merge point ≡ one-shot build") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
