@@ -129,6 +129,67 @@ object TextIndex {
       .foldLeft((0L, 0L)) { case ((n, s), a) =>
         (n + a(0) - a(2), s + a(1) - a(3)) }
 
+  /** False-positive rate of the per-segment term blooms — 7-8 bits per
+    * expected term, so the default capacity costs ~120 KB of sidecar
+    * per segment. */
+  private val BloomFpp = 0.03
+
+  /** Default bloom CAPACITY (expected distinct terms per segment) — a
+    * creation-time knob recorded in the manifest (`conf/bloomCap`) like
+    * the bucket count: millions at 100 TB, sized to the segment
+    * vocabulary. A fixed capacity keeps the bloom build ONE aggregate
+    * over the batch's cached tf (an exact distinct-count first would
+    * double the per-commit job count — measured as a 1.3× tax on the
+    * CDC drain's micro-batch floor); an undersized capacity only
+    * raises the false-positive rate, which degrades segment SKIPPING,
+    * never answers. */
+  val BloomCap = 1 << 17
+
+  private def bloomCapOf(m: SnapshotManifest.State): Long =
+    m.entries.get("conf/bloomCap").map(_.toLong).getOrElse(BloomCap.toLong)
+
+  private def bloomFile(root: java.io.File, seg: String) =
+    new java.io.File(root, s"$seg/term_bloom.bin")
+
+  /** Per-segment TERM BLOOM sidecar — the Lucene-style segment-skip
+    * structure: a probe tests its (driver-bounded) query terms against
+    * each segment's bloom and skips segments that provably lack every
+    * term. Blooms have no false negatives, so a skipped segment cannot
+    * hold a matching posting and answers are unchanged by construction;
+    * a false positive only costs the read the probe would have done
+    * anyway. Built distributed (one aggregate over the batch's cached
+    * tf), written BEFORE the manifest commit so a crash leaves it an
+    * orphan beside its segment dir. At 100 TB this is what keeps a
+    * probe's listing O(segments containing the term), not O(segments),
+    * between compactions. */
+  private def writeTermBloom(root: java.io.File, seg: String,
+      terms: DataFrame, cap: Long, knownEmpty: Boolean): Unit = {
+    // a postings-free segment (delete-only CDC batch, or a merge that
+    // leaves nothing live) gets an empty bloom that excludes every
+    // term — stat.bloomFilter itself NPEs on a zero-row aggregate.
+    // Callers already know emptiness from their cached counts, so no
+    // extra job probes it here.
+    val bf =
+      if (knownEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+      else terms.stat.bloomFilter("term", cap, BloomFpp)
+    val os = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(bloomFile(root, seg)))
+    try bf.writeTo(os) finally os.close()
+  }
+
+  /** None when the sidecar is absent (a pre-bloom artifact) — absent
+    * means "might contain anything", so old indexes stay readable. */
+  private[graft] def readTermBloom(root: java.io.File, seg: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val f = bloomFile(root, seg)
+    if (!f.exists()) None
+    else {
+      val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+      finally is.close()
+    }
+  }
+
   /** Write one immutable segment as ONE partitioned write job —
     * postings, per-doc rows, and tombstones are `kind=` partitions of a
     * single dataset, so a batch commit costs one pass over the batch
@@ -188,13 +249,18 @@ object TextIndex {
           coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
     }
     val r = st.head()
+    // n_docs == 0 ⟺ tf is empty (a doc with no terms never enters the
+    // index), so the cached stats row decides emptiness — no extra job
+    val cap = bloomCapOf(m)
+    writeTermBloom(root, seg, tf, cap, knownEmpty = r.getLong(0) == 0L)
     val attrDdl = SnapshotManifest.renderAttrDdl(tf.schema, attrs)
     val next = SnapshotManifest.State(m.version + 1,
       m.entries + (s"seg/$batchId" -> seg) +
         (s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
           r.getLong(2), r.getLong(3))) +
         ("lastBatch" -> batchId.toString) +
-        ("conf/buckets" -> nb.toString) ++
+        ("conf/buckets" -> nb.toString) +
+        ("conf/bloomCap" -> cap.toString) ++
         (if (attrs.isEmpty) Map.empty[String, String]
          else Map("conf/attrs" -> attrDdl)), m.retain)
     SnapshotManifest.commit(root, next) // the commit point
@@ -401,6 +467,10 @@ object TextIndex {
     val nullL = lit(null).cast("long")
     val nullAttrs = attrs.map { case (n, t) => lit(null).cast(t).as(n) }
     val tombPaths = leaves(root, segs, TombKind, nb)
+    // net stats: driver-side fold of the manifest partials — also the
+    // zero-job emptiness witness for the merged segment's term bloom
+    // (no live docs ⟺ no live postings)
+    val (nDocs, sumDl) = statsOf(m)
     val livePost = liveRows(spark, root,
       spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
           attrs.map { case (n, t) => s", $n $t" }.mkString)
@@ -436,14 +506,18 @@ object TextIndex {
         .repartition(3 * outNb, col("kind"), col("bucket"))
         .write.mode("overwrite").partitionBy("kind", "bucket")
         .parquet(new java.io.File(root, s"$outName/data").toString)
+      // the merged segment's term bloom — same live-postings plan the
+      // rewrite consumed (robust to a merge that leaves no live
+      // postings at all, where the kind=post partition never
+      // materializes)
+      writeTermBloom(root, outName, livePost, bloomCapOf(m),
+        knownEmpty = nDocs == 0L)
     } finally {
       liveDocs.unpersist(blocking = false)
       ()
     }
-    // net stats: driver-side fold of the manifest partials, kill
-    // counters reset — equal by invariant to a recount over the merged
-    // live docs; no scan job
-    val (nDocs, sumDl) = statsOf(m)
+    // kill counters reset in the rewritten partial — equal by invariant
+    // to a recount over the merged live docs; no scan job
     val entries = m.entries.filterNot(e =>
       e._1.startsWith("seg/") || e._1.startsWith("stats/")) +
       (s"seg/c$version" -> outName) +
@@ -505,16 +579,31 @@ object TextIndex {
     val qdf = spark.createDataFrame(
       spark.sparkContext.parallelize(qrows.toSeq, 1), queries.select(
         col("q_id"), col("term")).schema)
-    // bounded driver-side collect: at most `nb` ids, computed by the
-    // ENGINE's own hash over the snapshot — the same expression the
-    // segment writer bucketed by (the count comes from the manifest,
-    // so probe and writer can never disagree)
-    val probed = qdf.select(bucketOf(col("term"), nb).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
+    // bounded driver-side collect: the distinct (term, bucket) pairs of
+    // the snapshot (≤ MaxQueryTerms rows), buckets computed by the
+    // ENGINE's own hash — the same expression the segment writer
+    // bucketed by (the count comes from the manifest, so probe and
+    // writer can never disagree)
+    val termBuckets = qdf
+      .select(col("term"), bucketOf(col("term"), nb).as("b"))
+      .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+    // per-segment bloom skip: a segment whose term bloom excludes every
+    // query term is never listed (no false negatives ⇒ no lost hits);
+    // within a kept segment only the surviving terms' buckets are read.
+    // Missing sidecar (pre-bloom artifact) degrades to all probed
+    // buckets.
+    val segBuckets: Seq[(String, Array[Int])] = segs.map { seg =>
+      val bks = readTermBloom(root, seg) match {
+        case None => termBuckets.map(_._2)
+        case Some(bf) => termBuckets.collect {
+          case (t, b) if bf.mightContainString(t) => b }
+      }
+      (seg, bks.distinct.sorted.toArray)
+    }
     def readLeaves(kind: String, schema: String): DataFrame = {
       val paths = for {
-        seg <- segs
-        bk <- probed
+        (seg, bks) <- segBuckets
+        bk <- bks
         d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
         if d.exists()
       } yield d.toString

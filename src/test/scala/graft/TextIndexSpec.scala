@@ -92,6 +92,36 @@ class TextIndexSpec extends AnyFunSuite {
       "aged-out pre-merge segments must be collected")
   }
 
+  test("per-segment term blooms: sidecars written, absent terms excluded, missing sidecar degrades") {
+    val dir = buildIndex()
+    val root = new java.io.File(dir)
+    val bf0 = TextIndex.readTermBloom(root, "epoch_0")
+    val bf1 = TextIndex.readTermBloom(root, "epoch_1")
+    assert(bf0.isDefined && bf1.isDefined, "every commit writes its sidecar")
+    // no false negatives: every batch-1 term must hit batch 1's bloom
+    assert(batch1.flatMap(_._2.split(" ")).forall(bf0.get.mightContainString))
+    // segment skip is real: terms only batch 2 holds miss batch 1's
+    // bloom (deterministic — same build ⇒ same bits)
+    assert(!bf0.get.mightContainString("cheese") &&
+      !bf0.get.mightContainString("chased") &&
+      !bf1.get.mightContainString("stains"))
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // a pre-bloom artifact (sidecar removed) keeps answering — absent
+    // means "might contain anything"
+    assert(new java.io.File(root, "epoch_0/term_bloom.bin").delete())
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+    // compaction rebuilds the sidecar for the merged segment
+    TextIndex.compact(spark, dir)
+    val m = SnapshotManifest.read(root)
+    val seg = m.entries.collectFirst {
+      case (k, v) if k.startsWith("seg/") => v }.get
+    assert(TextIndex.readTermBloom(root, seg).isDefined)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
+  }
+
   test("merge policy: maybeCompact no-ops at the threshold, merges above it, answers invariant") {
     val dir = buildIndex() // 2 segments
     val before = TextIndex.retrieve(spark, dir, queries, k = 3)
