@@ -60,6 +60,13 @@ object StreamingQueries {
     "stream_incremental_agg" -> ((s, dir) =>
       CdcStream.streamIncrementalAgg(s, dir).orderBy("event_type")),
 
+    // Streaming JOIN-view maintenance (the delta rule): each order
+    // micro-batch broadcast-joins the dims map-side and folds algebraic
+    // partials into the stored revenue-by-nation view — the fact log is
+    // never rescanned. Final state ≡ one join+agg over the full log.
+    "stream_join_mv" -> ((s, dir) =>
+      CdcStream.streamJoinMv(s, dir).orderBy("n_name")),
+
     // The keyed schema-aware apply at sf scale: 10k+ generated customer
     // events through per-image FMGWS state — the 100 TB streaming path —
     // checked against the same replica oracle as every other apply.
@@ -211,6 +218,14 @@ object StreamingQueries {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_join_mv" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS DOUBLE) AS sum_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
     "stream_apply_truncate" ->
       """SELECT * FROM (VALUES
            ('box', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),

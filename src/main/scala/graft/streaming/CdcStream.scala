@@ -944,6 +944,45 @@ object CdcStream {
     graft.operators.IncrementalAgg.read(ss, stateDir)
   }
 
+  /** Incrementally-maintained JOIN view — delta-rule maintenance: for
+    * an insert-only fact stream, Δ(orders ⋈ customer ⋈ nation) =
+    * Δorders ⋈ dims, so each micro-batch of orders broadcast-joins the
+    * two dimension tables MAP-SIDE (no shuffle touches the fact delta)
+    * and folds the enriched rows' algebraic partials into the stored
+    * view through [[graft.operators.IncrementalAgg.updateMv]] — the
+    * same manifest-snapshot + lastBatch-watermark protocol as the
+    * events MV, instantiated at [[graft.operators.IncrementalAgg.RevenueByNationMv]].
+    * The fact log is never rescanned; dims are read per batch (cheap,
+    * broadcast-sized) and treated as fixed for the view's lifetime.
+    * Revenue rides exact decimal partials, so the drained state is
+    * bit-identical to one join+agg over the full log — which is
+    * exactly what the DuckDB oracle runs. */
+  def streamJoinMv(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val ss = streamSession(spark, flush = false)
+    val orders = streamOf(
+      graft.sources.Tables.table(ss, sfDir, "orders")
+        .select(col("o_custkey"), col("o_totalprice")),
+      "join_mv_orders", sfDir, maxFilesPerTrigger = Some(3))
+    val stateDir = drainToStateDir(orders, "graft_joinmv_stream", sfDir,
+      dir => (batch, id) => {
+        val s2 = batch.sparkSession
+        val dims = graft.sources.Tables.table(s2, sfDir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(graft.sources.Tables.table(s2, sfDir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val enriched = batch.join(broadcast(dims),
+          col("o_custkey") === col("c_custkey"))
+        IncrementalAgg.updateMv(s2, dir, enriched,
+          IncrementalAgg.RevenueByNationMv, id)
+      })
+    IncrementalAgg.readMv(ss, stateDir, IncrementalAgg.RevenueByNationMv)
+      .select(col("n_name"), col("n_orders"),
+        col("sum_revenue").cast("double").as("sum_revenue"))
+  }
+
   /** Incremental ANN index maintenance (round-7 item 3): the IVFADC
     * index is TRAINED on the base corpus slice, then every micro-batch
     * of newly arrived embeddings is ENCODED against the frozen codebooks

@@ -242,6 +242,41 @@ class SinkSpec extends AnyFunSuite {
       .agg(sum(col("n"))).collect()(0).getLong(0) === ev.count())
   }
 
+  test("join-MV delta rule: split-batch enriched folds ≡ one join+agg over the full log") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    import graft.operators.IncrementalAgg
+    val stateDir = Files.createTempDirectory("graft_joinmv").toString
+    val orders = graft.sources.Tables.table(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val dims = graft.sources.Tables.table(spark, Sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(graft.sources.Tables.table(spark, Sf, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"))
+    def fold(slice: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAgg.updateMv(spark, stateDir,
+        slice.join(broadcast(dims), col("o_custkey") === col("c_custkey")),
+        IncrementalAgg.RevenueByNationMv, id)
+    fold(orders.where(col("o_orderkey") % 3 === 0), 0L)
+    fold(orders.where(col("o_orderkey") % 3 === 1), 1L)
+    // replay of a folded batch must not double-count
+    fold(orders.where(col("o_orderkey") % 3 === 1), 1L)
+    fold(orders.where(col("o_orderkey") % 3 === 2), 2L)
+    val got = IncrementalAgg.readMv(spark, stateDir,
+        IncrementalAgg.RevenueByNationMv)
+      .orderBy("n_name").collect().toSeq
+    val want = orders
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)"))
+          .cast("decimal(38,2)").as("sum_revenue"))
+      .orderBy("n_name").collect().toSeq
+    assert(got.nonEmpty && got === want)
+  }
+
   test("retention knob: retain=1 ages versions out; retain=3 keeps them; vacuum ages populated") {
     import spark.implicits._
     import java.nio.file.Files
