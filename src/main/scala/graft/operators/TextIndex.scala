@@ -199,7 +199,7 @@ object TextIndex {
     * caller: both feed two consumers (the write's branches and the
     * stats aggregate). */
   private def commitSegment(root: java.io.File,
-      m: SnapshotManifest.State, nb: Int, batchId: Long,
+      m: SnapshotManifest.State, nb: Int, cap: Long, batchId: Long,
       tf: DataFrame, attrs: Seq[String],
       killed: Option[DataFrame]): Unit = {
     val seg = s"epoch_$batchId"
@@ -251,7 +251,6 @@ object TextIndex {
     val r = st.head()
     // n_docs == 0 ⟺ tf is empty (a doc with no terms never enters the
     // index), so the cached stats row decides emptiness — no extra job
-    val cap = bloomCapOf(m)
     writeTermBloom(root, seg, tf, cap, knownEmpty = r.getLong(0) == 0L)
     val attrDdl = SnapshotManifest.renderAttrDdl(tf.schema, attrs)
     val next = SnapshotManifest.State(m.version + 1,
@@ -276,7 +275,7 @@ object TextIndex {
     * append CREATES the index; the manifest-recorded count wins after. */
   def appendBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", buckets: Int = Buckets,
-      attrs: Seq[String] = Nil)(
+      attrs: Seq[String] = Nil, bloomCap: Long = BloomCap.toLong)(
       batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -291,8 +290,9 @@ object TextIndex {
     }
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
+    val cap = if (m.version == 0L) bloomCap else bloomCapOf(m)
     val tf = tfOf(batch, idCol, textCol, as).persist()
-    try commitSegment(root, m, nb, batchId, tf, as, None)
+    try commitSegment(root, m, nb, cap, batchId, tf, as, None)
     finally { tf.unpersist(blocking = false); () }
   }
 
@@ -313,7 +313,8 @@ object TextIndex {
     * earlier segments are never touched. */
   def applyBatch(dir: String, idCol: String = "doc_id",
       textCol: String = "text", delCol: String = "deleted",
-      buckets: Int = Buckets, attrs: Seq[String] = Nil)(
+      buckets: Int = Buckets, attrs: Seq[String] = Nil,
+      bloomCap: Long = BloomCap.toLong)(
       batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
@@ -321,6 +322,7 @@ object TextIndex {
     if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
+    val cap = if (m.version == 0L) bloomCap else bloomCapOf(m)
     val segs = segments(m)
     val b = batch.select(col(idCol).as("doc_id") +:
       col(textCol).as("text") +:
@@ -354,7 +356,7 @@ object TextIndex {
           .where(col("tmax").isNull || col("sseq") >= col("tmax"))
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
-        try commitSegment(root, m, nb, batchId, tf, as, Some(killed))
+        try commitSegment(root, m, nb, cap, batchId, tf, as, Some(killed))
         finally { killed.unpersist(blocking = false); () }
       } finally {
         tf.unpersist(blocking = false)

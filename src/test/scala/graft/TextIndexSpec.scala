@@ -120,6 +120,17 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.readTermBloom(root, seg).isDefined)
     assert(TextIndex.retrieve(spark, dir, queries, k = 3)
       .orderBy("q_id", "rnk").collect().toSeq === before)
+    // knob honesty: a non-default capacity is recorded at creation,
+    // wins over later appends' defaults, and answers are unchanged
+    // (capacity only moves the false-positive rate)
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_textidx_cap").toString
+    TextIndex.appendBatch(dir2, bloomCap = 64L)(corpus(batch1: _*), 0)
+    TextIndex.appendBatch(dir2)(corpus(batch2: _*), 1)
+    val m2 = SnapshotManifest.read(new java.io.File(dir2))
+    assert(m2.entries("conf/bloomCap") === "64")
+    assert(TextIndex.retrieve(spark, dir2, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before)
   }
 
   test("merge policy: maybeCompact no-ops at the threshold, merges above it, answers invariant") {
