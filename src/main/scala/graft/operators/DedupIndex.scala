@@ -210,12 +210,28 @@ object DedupIndex {
     if (n > maxSegments) { compact(spark, dir); true } else false
   }
 
-  def compact(spark: SparkSession, dir: String): Unit = {
+  def compact(spark: SparkSession, dir: String): Unit =
+    merge(spark, dir, None)
+
+  /** Geometry-evolution rotation — [[TextIndex.rebucket]]'s signature
+    * twin: re-shard the live signature rows under a NEW hash-bucket
+    * count through the same single-write merge, `conf/buckets`
+    * switching inside the same pointer swap so probes and appenders
+    * change geometry atomically with the data. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive: $newBuckets")
+    merge(spark, dir, Some(newBuckets))
+  }
+
+  private def merge(spark: SparkSession, dir: String,
+      newBuckets: Option[Int]): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
-    if (segs.size <= 1) return
-    val nb = bucketsOf(m)
+    if (newBuckets.isEmpty && segs.size <= 1) return
+    require(segs.nonEmpty, s"empty dedup index at $dir")
+    val nb = bucketsOf(m) // committed geometry: what the reads use
+    val outNb = newBuckets.getOrElse(nb) // what the rewritten rows use
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val schema = "doc_id LONG, band_idx INT, band_key STRING, " +
@@ -233,14 +249,15 @@ object DedupIndex {
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .withColumn("bucket",
-        when(col("kind") === "band", bucketOf(col("band_key"), nb))
-          .when(col("kind") === "doc", bucketOf(col("text"), nb))
-          .otherwise(bucketOf(col("doc_id"), nb)))
-    all.repartition(2 * nb, col("kind"), col("bucket"))
+        when(col("kind") === "band", bucketOf(col("band_key"), outNb))
+          .when(col("kind") === "doc", bucketOf(col("text"), outNb))
+          .otherwise(bucketOf(col("doc_id"), outNb)))
+    all.repartition(2 * outNb, col("kind"), col("bucket"))
       .write.mode("overwrite").partitionBy("kind", "bucket")
       .parquet(new java.io.File(root, s"$outName/data").toString)
     val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
-      (s"seg/c$version" -> outName)
+      (s"seg/c$version" -> outName) +
+      ("conf/buckets" -> outNb.toString)
     val next = SnapshotManifest.State(version, entries, m.retain)
     SnapshotManifest.commit(root, next)
     SnapshotManifest.gc(root, next, "epoch_")

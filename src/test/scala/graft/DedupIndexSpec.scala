@@ -70,6 +70,19 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(probeRows(dir) === inlineRows())
   }
 
+  test("rebucket rotation: new geometry, identical probe answers, appends continue") {
+    val dir = build(Seq(base.take(2), base.slice(2, 4)))
+    val before = probeRows(dir)
+    DedupIndex.rebucket(spark, dir, 5) // non-divisor of the default 8
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries("conf/buckets") === "5",
+      "geometry must switch inside the same pointer swap")
+    assert(probeRows(dir) === before)
+    // appends after the rotation bucket under the NEW count
+    DedupIndex.appendBatch(dir)(df(base.drop(4)), 2L)
+    assert(probeRows(dir) === inlineRows())
+  }
+
   private def cdcDf(rows: Seq[(Long, String, Boolean)]) = {
     import spark.implicits._
     rows.toDF("doc_id", "text", "deleted")
