@@ -183,6 +183,26 @@ object Sql4Queries {
         USING 'orders', 0""")
     }),
 
+    // SQL pipe syntax (Spark 4): the linear FROM |> WHERE |> AGGREGATE
+    // |> ... form — each |> stage maps 1:1 onto the same logical
+    // operators the nested form produces (zero new physical operators;
+    // the plan is identical to the classic GROUP BY query), so the
+    // oracle is that classic query. Ordered top-k through the pipe
+    // keeps the cross-engine rank contract: rank on exact integer
+    // sums, never rounded doubles.
+    "q_pipe_sql" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql("""
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> EXTEND o_orderkey % 7 AS bucket
+        |> AGGREGATE COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+             GROUP BY o_orderpriority, bucket
+        |> WHERE n > 0
+        |> ORDER BY o_orderpriority, bucket
+        |> SELECT o_orderpriority AS prio, bucket, n, key_checksum""")
+    }),
+
     "q_collation_group" -> ((s, dir) => {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql("""
@@ -228,6 +248,15 @@ object Sql4Queries {
     "q_sql_script" -> """
       SELECT CAST(SUM(o_orderkey % 5 + 1) AS BIGINT) AS weighted_n
       FROM orders""",
+
+    // the pipe stages' classic nested form
+    "q_pipe_sql" -> """
+      SELECT o_orderpriority AS prio, o_orderkey % 7 AS bucket,
+        COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority, o_orderkey % 7
+      HAVING COUNT(*) > 0
+      ORDER BY prio, bucket""",
 
     // the dynamic text with params substituted
     "q_execute_immediate" -> """
