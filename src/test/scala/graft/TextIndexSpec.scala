@@ -92,6 +92,52 @@ class TextIndexSpec extends AnyFunSuite {
       "aged-out pre-merge segments must be collected")
   }
 
+  test("snapshot isolation: a probe plan built before a concurrent commit answers from its snapshot") {
+    val dir = buildIndex()
+    // build (but do not collect) the probe plan against the current
+    // snapshot — this is the reader a concurrent maintenance loop races
+    val planned = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk")
+    val expected = TextAnalysis.bm25Retrieve(
+        corpus(batch1 ++ batch2: _*), queries, "doc_id", "text", k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // a writer commits a new segment AFTER the plan snapshot
+    TextIndex.appendBatch(dir)(
+      corpus((6L, "red red red fox fox wine quick")), 2)
+    // the planned reader still answers from ITS snapshot: segment dirs
+    // are immutable and the plan's path list + manifest-folded stats
+    // were fixed at plan time
+    assert(planned.collect().toSeq === expected)
+    // a fresh reader sees the new commit
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq ===
+      TextAnalysis.bm25Retrieve(
+          corpus(batch1 ++ batch2 :+ ((6L, "red red red fox fox wine quick")): _*),
+          queries, "doc_id", "text", k = 3)
+        .orderBy("q_id", "rnk").collect().toSeq)
+  }
+
+  test("crash tolerance: an uncommitted orphan segment dir is invisible and gc'd by the next commit") {
+    val dir = buildIndex()
+    val root = new java.io.File(dir)
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    // simulate a crash mid-compaction/append: a segment dir exists on
+    // disk but no manifest names it
+    val orphan = new java.io.File(root, "epoch_compact99/data")
+    orphan.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(orphan, "garbage.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before,
+      "probes list manifest-named segments only — orphans are invisible")
+    // the next successful commit collects the orphan (retention-aware gc)
+    TextIndex.appendBatch(dir)(corpus((7L, "naps on the rug")), 2)
+    assert(!new java.io.File(root, "epoch_compact99").exists(),
+      "gc must reclaim crash orphans")
+  }
+
   test("per-segment term blooms: sidecars written, absent terms excluded, missing sidecar degrades") {
     val dir = buildIndex()
     val root = new java.io.File(dir)
