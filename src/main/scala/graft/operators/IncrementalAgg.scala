@@ -74,6 +74,22 @@ object IncrementalAgg {
       sum(col("sum_revenue")).cast("decimal(38,2)").as("sum_revenue")),
     cols = Seq("n_name", "n_orders", "sum_revenue"))
 
+  /** Counting-algorithm instance for CDC-MAINTAINED join views — the
+    * full generalization of the insert-only delta rule: delta rows
+    * carry a SIGNED multiplicity (`mult` = ±1) and a signed 2dp value
+    * contribution (`val_2dp`), so a keyed changelog fold maintains the
+    * view exactly under update/delete (an update is −old +new; the
+    * contributions cancel exactly because every row is quantized to
+    * the same decimal scale before summing — the reason the value
+    * column arrives pre-cast). min/max are deliberately absent: they
+    * are not incrementally maintainable under deletes without
+    * per-group history, the classic IVM limitation. */
+  val OrderDeltaByNationMv: MvSpec = MvSpec("n_name",
+    partialAggs = Seq(sum(col("mult")).cast("long").as("n_orders"),
+      sum(col("val_2dp")).cast("decimal(38,2)").as("sum_revenue")),
+    mergeAggs = RevenueByNationMv.mergeAggs,
+    cols = RevenueByNationMv.cols)
+
   /** One batch reduced to mergeable partials, one row per group. */
   def partials(delta: DataFrame, spec: MvSpec = EventsMv): DataFrame =
     delta.groupBy(col(spec.groupCol))

@@ -60,6 +60,13 @@ object StreamingQueries {
     "stream_incremental_agg" -> ((s, dir) =>
       CdcStream.streamIncrementalAgg(s, dir).orderBy("event_type")),
 
+    // CDC-maintained JOIN view (the counting algorithm): the orders
+    // changelog's update/delete ops emit signed −old/+new delta rows
+    // from a keyed fold; decimal-quantized contributions cancel exactly,
+    // so the drained view ≡ one join+agg over the post-apply orders.
+    "stream_cdc_join_mv" -> ((s, dir) =>
+      CdcStream.streamCdcJoinMv(s, dir).orderBy("n_name")),
+
     // Streaming JOIN-view maintenance (the delta rule): each order
     // micro-batch broadcast-joins the dims map-side and folds algebraic
     // partials into the stored revenue-by-nation view — the fact log is
@@ -218,6 +225,17 @@ object StreamingQueries {
          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
          MIN(value) AS min_value, MAX(value) AS max_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "stream_cdc_join_mv" ->
+      """SELECT n_name, COUNT(*) AS n_orders,
+         CAST(CAST(SUM(CAST(CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(o_orderkey % 1000 AS DOUBLE) + 0.25
+               ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(38,2))
+           AS DOUBLE) AS sum_revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderkey % 11 <> 0
+         GROUP BY n_name ORDER BY n_name""",
     "stream_join_mv" ->
       """SELECT n_name, COUNT(*) AS n_orders,
          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2))

@@ -983,6 +983,93 @@ object CdcStream {
         col("sum_revenue").cast("double").as("sum_revenue"))
   }
 
+  final case class OrderOp(o_orderkey: Long, o_custkey: Long,
+      o_totalprice: Double, deleted: Boolean, seq: Long)
+  final case class OrderOpState(seq: Long, cust: Long, price: Double,
+      live: Boolean)
+
+  /** Signed delta rows (o_custkey, mult, price) of one key's pre-batch
+    * → post-batch state transition: −1/−old when a prior version was
+    * live, +1/+new when the new state is — the counting algorithm's
+    * per-key emission. A no-op transition emits a cancelling pair,
+    * which nets to zero in the fold. */
+  private def foldOrderOps(key: Long, it: Iterator[OrderOp],
+      state: GroupState[OrderOpState]): Iterator[(Long, Long, Double)] = {
+    val old = state.getOption.getOrElse(
+      OrderOpState(Long.MinValue, 0L, 0.0, live = false))
+    var cur = old
+    it.foreach { o =>
+      if (o.seq > cur.seq)
+        cur = OrderOpState(o.seq, o.o_custkey, o.o_totalprice, !o.deleted)
+    }
+    state.update(cur)
+    val out = Seq.newBuilder[(Long, Long, Double)]
+    if (old.live) out += ((old.cust, -1L, -old.price))
+    if (cur.live) out += ((cur.cust, 1L, cur.price))
+    out.result().iterator
+  }
+
+  /** CDC-maintained JOIN view — the COUNTING algorithm, the full
+    * generalization of [[streamJoinMv]]'s insert-only delta rule: the
+    * orders changelog (adds for every order, price-rewrite UPDATES for
+    * o_orderkey % 7, DELETES for % 11 — delete wins on the overlap)
+    * streams through a keyed FMGWS fold that emits SIGNED delta rows
+    * (−old version, +new version) per touched key, each micro-batch
+    * broadcast-joins the dims map-side and folds the signed partials
+    * into the stored revenue-by-nation view
+    * ([[graft.operators.IncrementalAgg.OrderDeltaByNationMv]]).
+    * Contributions are quantized to 2dp decimals before summing, so an
+    * update's −old/+new pair cancels EXACTLY and the drained state is
+    * bit-identical to one join+agg over the POST-APPLY orders — which
+    * is what the DuckDB oracle runs. Groups whose orders all died net
+    * to n_orders = 0 and are filtered like any empty group. The
+    * rewritten price is (o_orderkey % 1000) + 0.25 — exactly
+    * representable in binary, so the double→decimal quantization is
+    * exact in both engines. */
+  def streamCdcJoinMv(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val orders = Tables.table(ss, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val ops = orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        lit(false).as("deleted"), (col("o_orderkey") * 3).as("seq"))
+      .unionByName(orders.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          ((col("o_orderkey") % 1000).cast("double") + lit(0.25))
+            .as("o_totalprice"),
+          lit(false).as("deleted"), (col("o_orderkey") * 3 + 1).as("seq")))
+      .unionByName(orders.where(col("o_orderkey") % 11 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          lit(true).as("deleted"), (col("o_orderkey") * 3 + 2).as("seq")))
+    val stream = streamOf(ops, "cdc_join_mv_ops", sfDir,
+      maxFilesPerTrigger = Some(3))
+    val deltas = stream.as[OrderOp].groupByKey(_.o_orderkey)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldOrderOps)
+      .toDF("o_custkey", "mult", "price")
+    val stateDir = drainToStateDir(deltas, "graft_cdc_joinmv_stream", sfDir,
+      dir => (batch, id) => {
+        val s2 = batch.sparkSession
+        val dims = Tables.table(s2, sfDir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+          .join(broadcast(Tables.table(s2, sfDir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("n_name"))
+        val enriched = batch
+          .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .withColumn("val_2dp", col("price").cast("decimal(18,2)"))
+        graft.operators.IncrementalAgg.updateMv(s2, dir, enriched,
+          IncrementalAgg.OrderDeltaByNationMv, id)
+      })
+    IncrementalAgg.readMv(ss, stateDir, IncrementalAgg.OrderDeltaByNationMv)
+      .where(col("n_orders") > 0)
+      .select(col("n_name"), col("n_orders"),
+        col("sum_revenue").cast("double").as("sum_revenue"))
+  }
+
   /** Incremental ANN index maintenance (round-7 item 3): the IVFADC
     * index is TRAINED on the base corpus slice, then every micro-batch
     * of newly arrived embeddings is ENCODED against the frozen codebooks
