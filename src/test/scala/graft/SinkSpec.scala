@@ -277,6 +277,36 @@ class SinkSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === want)
   }
 
+  test("counting-algorithm MV: signed deltas cancel exactly — update, group move, delete, revive") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.Files
+    import graft.operators.IncrementalAgg
+    import spark.implicits._
+    val stateDir = Files.createTempDirectory("graft_countmv").toString
+    def fold(rows: Seq[(String, Long, Double)], id: Long): Unit =
+      IncrementalAgg.updateMv(spark, stateDir,
+        rows.toDF("n_name", "mult", "price")
+          .withColumn("val_2dp", col("price").cast("decimal(18,2)")),
+        IncrementalAgg.OrderDeltaByNationMv, id)
+    // batch 0: three orders — two in FR, one in DE
+    fold(Seq(("FR", 1L, 10.10), ("FR", 1L, 20.20), ("DE", 1L, 5.05)), 0L)
+    // batch 1: price update in FR (−old +new), group MOVE DE→FR
+    fold(Seq(("FR", -1L, -10.10), ("FR", 1L, 11.11),
+      ("DE", -1L, -5.05), ("FR", 1L, 5.05)), 1L)
+    // batch 2: delete one FR order, then revive it at a new price
+    fold(Seq(("FR", -1L, -20.20)), 2L)
+    fold(Seq(("FR", 1L, 7.00)), 3L)
+    val got = IncrementalAgg.readMv(spark, stateDir,
+        IncrementalAgg.OrderDeltaByNationMv)
+      .orderBy("n_name")
+      .select(col("n_name"), col("n_orders"),
+        col("sum_revenue").cast("string").as("rev"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // DE netted to an empty group (0, 0.00); FR holds the three live
+    // orders at exactly 11.11 + 5.05 + 7.00
+    assert(got === Seq(("DE", 0L, "0.00"), ("FR", 3L, "23.16")))
+  }
+
   test("retention knob: retain=1 ages versions out; retain=3 keeps them; vacuum ages populated") {
     import spark.implicits._
     import java.nio.file.Files
