@@ -57,6 +57,16 @@ object ReplicaSink {
     * snapshot fully readable. */
   val ReplicaBuckets = 16
 
+  /** The replica's committed bucket count — a CREATION-TIME property
+    * recorded in the manifest by the first upsert (`conf/buckets`, the
+    * shared index-artifact convention) and read back by every later
+    * upsert and compaction: a binary recompiled with a different
+    * [[ReplicaBuckets]] default keeps merging an existing replica under
+    * the geometry its rows were actually hashed into, instead of
+    * silently probing the wrong buckets and duplicating keys. */
+  private def bucketsOf(m: SnapshotManifest.State): Int =
+    m.entries.get("conf/buckets").map(_.toInt).getOrElse(ReplicaBuckets)
+
   /** Upsert invocations of the current/most recent streaming sink query —
     * introspection for SinkSpec's incremental-path assertion only. */
   @volatile var lastUpsertBatches: Int = 0
@@ -77,14 +87,17 @@ object ReplicaSink {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
+    // the manifest-recorded geometry wins over the compile-time default
+    // (single-writer: the read is stable across this invocation)
+    val m = SnapshotManifest.read(root)
+    val nb = bucketsOf(m)
     val delta = batch
-      .withColumn("bucket", pmod(hash(col("uri"), col("key")), lit(ReplicaBuckets)))
+      .withColumn("bucket", pmod(hash(col("uri"), col("key")), lit(nb)))
       .persist()
     try {
       val affected = delta.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted
       if (affected.nonEmpty) {
-        val m = SnapshotManifest.read(root)
         // Replay of an ALREADY-COMMITTED batch (driver died after the
         // manifest swap but before the streaming checkpoint recorded the
         // batch): re-running would overwrite epoch_<id> while reading
@@ -117,7 +130,7 @@ object ReplicaSink {
           spark.read.parquet(existingPaths: _*)
             .select(col("uri"), col("key"), col("image"))
             .withColumn("bucket",
-              pmod(hash(col("uri"), col("key")), lit(ReplicaBuckets)))
+              pmod(hash(col("uri"), col("key")), lit(nb)))
             .join(delta.select(col("uri"), col("key")).distinct(),
               Seq("uri", "key"), "left_anti")
             .unionByName(live)
@@ -134,7 +147,8 @@ object ReplicaSink {
           .filter(b => new java.io.File(epochDir, s"bucket=$b").exists())
         val entries = (m.entries -- affected.map(b => s"bucket=$b")) ++
           written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
-          Map("lastBatch" -> batchId.toString)
+          Map("lastBatch" -> batchId.toString,
+            "conf/buckets" -> nb.toString)
         val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
         SnapshotManifest.commit(root, next) // the commit point
         SnapshotManifest.gc(root, next, "epoch_")
@@ -185,7 +199,7 @@ object ReplicaSink {
       .parquet(buckets.map { case (_, rel) =>
         new java.io.File(root, rel).toString }: _*)
       .withColumn("bucket",
-        pmod(hash(col("uri"), col("key")), lit(ReplicaBuckets)))
+        pmod(hash(col("uri"), col("key")), lit(bucketsOf(m))))
       .repartition(buckets.length, col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
     // every named bucket holds rows (upserts drop emptied buckets from

@@ -277,6 +277,39 @@ class SinkSpec extends AnyFunSuite {
     assert(got.nonEmpty && got === want)
   }
 
+  test("replica geometry is manifest-recorded: upserts follow the committed bucket count") {
+    import spark.implicits._
+    import java.nio.file.Files
+    import graft.operators.SnapshotManifest
+    val dir = Files.createTempDirectory("graft_replica_geom").toString
+    // a replica created under a NON-DEFAULT 5-bucket geometry (as if by
+    // a binary built with a different ReplicaBuckets)
+    SnapshotManifest.commit(new java.io.File(dir),
+      SnapshotManifest.State(1L, Map("conf/buckets" -> "5")))
+    def batch(rows: (String, Seq[String], Boolean)*) = rows
+      .map { case (k, img, del) => ("flv://m/g/t", k, img, del) }
+      .toDF("uri", "key", "image", "deleted")
+    ReplicaSink.upsertBatch(dir)(batch(
+      ("a", Seq("a", "1"), false), ("b", Seq("b", "2"), false)), 0)
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    assert(m.entries("conf/buckets") === "5",
+      "the recorded geometry must survive upserts")
+    assert(m.entries.keys.filter(_.startsWith("bucket=")).forall(
+      k => k.stripPrefix("bucket=").toInt < 5),
+      "rows must hash into the RECORDED bucket space, not the default")
+    // update + delete keep merging under the recorded geometry
+    ReplicaSink.upsertBatch(dir)(batch(
+      ("a", Seq("a", "1b"), false), ("b", null, true)), 1)
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === Set(Seq("a", "1b")))
+    // compaction preserves it too
+    ReplicaSink.compact(spark, dir)
+    assert(SnapshotManifest.read(new java.io.File(dir))
+      .entries("conf/buckets") === "5")
+    assert(ReplicaSink.readReplicaImages(spark, dir)
+      .as[Seq[String]].collect().toSet === Set(Seq("a", "1b")))
+  }
+
   test("counting-algorithm MV: signed deltas cancel exactly — update, group move, delete, revive") {
     import org.apache.spark.sql.functions._
     import java.nio.file.Files
