@@ -1182,7 +1182,8 @@ object CdcStream {
     val idxDir = drainToStateDir(stream, "graft_dedup_index_stream", sfDir,
       dir => (batch, id) => {
         DedupIndex.appendBatch(dir)(batch.toDF(), id)
-        if (id == 1L) DedupIndex.compact(batch.sparkSession, dir)
+        // rebucket = merge + live re-shard (see streamSubstringIndex)
+        if (id == 1L) DedupIndex.rebucket(batch.sparkSession, dir, 5)
       })
     DedupIndex.probe(ss, idxDir,
       graft.sources.ExtCorpus.incrementalBatch(ss, sfDir), 0.5)
@@ -1215,7 +1216,10 @@ object CdcStream {
     val idxDir = drainToStateDir(stream, "graft_substring_index_stream",
       sfDir, dir => (batch, id) => {
         SubstringIndex.appendBatch(dir)(batch.toDF(), id)
-        if (id == 1L) SubstringIndex.compact(batch.sparkSession, dir)
+        // a rebucket is also a merge — the mid-drain maintenance this
+        // drain pins is strictly stronger: ingest continues across a
+        // live re-shard to a non-default geometry
+        if (id == 1L) SubstringIndex.rebucket(batch.sparkSession, dir, 5)
       })
     SubstringIndex.probe(ss, idxDir,
       graft.sources.ExtCorpus.incrementalBatch(ss, sfDir))
@@ -1402,12 +1406,15 @@ object CdcStream {
     * DELETES (doc_id % 11, delete wins on overlap) — streams through a
     * keyed FMGWS fold (per-doc post-batch state, monotone across
     * batches: the ReplicaSink contract) into
-    * [[graft.operators.TextIndex.applyBatch]], with a compaction run
-    * mid-drain so tombstones both survive and resolve a merge inside
-    * the measured query. Retrieval then serves from the maintained
-    * index; the oracle is the batch BM25 SQL over the POST-APPLY
-    * corpus — the index must answer bit-for-bit what a full rebuild
-    * of the applied state answers. */
+    * [[graft.operators.TextIndex.applyBatch]], with a GEOMETRY
+    * ROTATION run mid-drain ([[graft.operators.TextIndex.rebucket]] to
+    * a non-default bucket count — a rebucket is also a merge, so
+    * tombstones both survive and resolve inside the measured query AND
+    * ingest continues across a live re-shard: later batches bucket
+    * under the rotated count read back from the manifest). Retrieval
+    * then serves from the maintained index; the oracle is the batch
+    * BM25 SQL over the POST-APPLY corpus — the index must answer
+    * bit-for-bit what a full rebuild of the applied state answers. */
   def streamTextIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.TextIndex
     val ss = streamSession(spark, flush = false)
@@ -1432,7 +1439,7 @@ object CdcStream {
     val idxDir = drainToStateDir(deltas, "graft_text_index_cdc", sfDir,
       dir => (batch, id) => {
         TextIndex.applyBatch(dir)(batch, id)
-        if (id == 1L) TextIndex.compact(batch.sparkSession, dir)
+        if (id == 1L) TextIndex.rebucket(batch.sparkSession, dir, 5)
       })
     val qs = Tables.table(ss, sfDir, "documents")
       .where(col("doc_id") % 100 === 0)
