@@ -546,6 +546,27 @@ object ExtensionQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // TIME-TRAVEL retrieval ([[TextIndex.retrieveAt]]): the CDC-applied
+    // artifact's PRE-APPLY version stays queryable within the retention
+    // window, so an audit read reproduces the ORIGINAL corpus's answers
+    // bit-for-bit while the current version serves the post-apply state
+    // (text_retrieval_hybrid_cdc reads the same artifact's head) — one
+    // artifact, two consistent reads, the before/after diffing a CDC
+    // consumer owes its auditors. Oracle = the batch BM25 SQL over the
+    // unmodified documents table.
+    "text_retrieval_asof" -> ((s, dir) => {
+      val idx = graft.operators.TextIndex.cdcAppliedIndexDir(s, dir)
+      val docs = Tables.table(s, dir, "documents")
+      val qs = docs.where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+      graft.operators.TextIndex.retrieveAt(s, idx, 1L, qs, k = 5)
+        .getOrElse(throw new IllegalStateException(
+          "pre-apply version aged out of retention"))
+        .orderBy("q_id", "rnk")
+    }),
+
     // RAG context assembly — the step after retrieval: the top-5 docs
     // per query are chunked into overlapping token windows and packed
     // greedily in (rank, chunk) order under a token BUDGET; the output
@@ -1482,6 +1503,7 @@ object ExtensionQueries {
     // addition order cannot move the output), ranked on the exact sum
     "text_retrieval_bm25" -> bm25RetrievalOracle,
     "text_retrieval_rebucket" -> bm25RetrievalOracle,
+    "text_retrieval_asof" -> bm25RetrievalOracle,
     // candidates restricted by metadata, statistics corpus-wide; the
     // maintained index answers the same question bit-for-bit
     "text_retrieval_filtered" -> bm25RetrievalOracleOver(
