@@ -512,6 +512,40 @@ object AnnIndex {
       .select(col("q_id"), col("rnk"), col("vec_id"), col("cos"))
   }
 
+  /** Quantization-quality audit — the NUMERIC signal behind the
+    * [[rebuild]] schedule (the scaladoc's "codebook drift", measured):
+    * per-subspace sum of squared distances between each LIVE vector's
+    * sub-embedding and its assigned PQ centroid, from the artifact +
+    * the exact vectors. Rising SSE on the appended tail means the
+    * frozen codebooks have drifted from the corpus and a rotation is
+    * due. Cost: one codes scan + per-subspace broadcast of k·subDim
+    * centroid scalars — no training, no pairwise anything. Per-vector
+    * distances are the same strict-fold doubles the assignment used,
+    * then FLOOR-quantized to integer micro-units before the sum — the
+    * emb_gram_topk idiom: floor of bit-identical doubles is identical
+    * in both engines (no rounding mode anywhere), where a
+    * double→DECIMAL(38,18) cast is not (shortest-repr vs binary
+    * rounding diverges at the 18th digit — measured one ulp here). */
+  def quantizationError(spark: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    require(m.version > 0L, s"no committed index at $dir")
+    val c = confOf(m)
+    val joined = liveCodes(spark, root, m).join(emb, "vec_id")
+    (0 until c.pqM).map { i =>
+      val cents = readCents(spark, root, m, s"pq$i")
+        .select(col("cluster_id").as(s"code$i"), col("centroid"))
+      joined.join(broadcast(cents), s"code$i")
+        .select(lit(i).as("subspace"),
+          KMeansOp.sqDist(sub(col("e"), i, c.subDim), col("centroid"))
+            .as("d"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("subspace"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(floor(col("d") * lit(1e6)).cast("long")).as("sse_e6"))
+  }
+
   /** Index observability — [[TextIndex.profile]]'s vector twin: live
     * cell occupancy of the inverted lists, from the artifact alone.
     * The routing quality audit: a skewed histogram means hot cells

@@ -665,6 +665,20 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // Quantization-quality audit of the trained index — the NUMERIC
+    // codebook-drift signal behind the rebuild schedule: per-subspace
+    // SSE between every live vector and its assigned PQ centroid, from
+    // the artifact + exact vectors. No training, no pairwise shape —
+    // one codes scan + a broadcast of k·subDim centroid scalars per
+    // subspace. Distances are the assignment's own strict-fold doubles
+    // summed through DECIMAL (order-independent, engine-identical).
+    "ann_pq_error" -> ((s, dir) => {
+      val idx = graft.operators.AnnIndex.trainedIndexDir(s, dir)
+      val emb = graft.operators.AnnIndex.embeddings(s, dir)
+      graft.operators.AnnIndex.quantizationError(s, idx, emb)
+        .orderBy("subspace")
+    }),
+
     // Attribute-FILTERED vector search, exact tier: top-k cosine among
     // only the candidates passing a metadata predicate (label % 3 = 0)
     // — the predicate prunes the candidate side at the parquet scan
@@ -878,6 +892,36 @@ object CurationQueries {
        WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   private lazy val ivfPqOracle: String = ivfPqOracleWith("")
+
+  /** Per-subspace reconstruction SSE under the trained PQ codebooks —
+    * the same pqChain training reproduction as the served oracle, then
+    * the strict-fold squared distance of each vector to its assigned
+    * centroid, floor-quantized to micro-units and summed as BIGINT
+    * (floor of identical doubles is identical; decimal casts are not —
+    * see the operator's scaladoc). */
+  private lazy val pqErrorOracle: String = s"""
+       WITH emb AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       err AS (
+         SELECT 0 AS subspace,
+           list_reduce(list_transform(range(1, 17),
+             j -> (e.e[j] - c.c[j]) * (e.e[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d
+         FROM s0a2 a JOIN s0c2 c ON c.cluster_id = a.cluster_id
+         JOIN emb e ON e.vec_id = a.vec_id
+         UNION ALL
+         SELECT 1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (e.e[j + 16] - c.c[j]) * (e.e[j + 16] - c.c[j])),
+             (acc, x) -> acc + x)
+         FROM s1a2 a JOIN s1c2 c ON c.cluster_id = a.cluster_id
+         JOIN emb e ON e.vec_id = a.vec_id)
+       SELECT subspace, COUNT(*) AS n_vectors,
+         CAST(SUM(CAST(FLOOR(d * 1000000) AS BIGINT)) AS BIGINT) AS sse_e6
+       FROM err GROUP BY subspace ORDER BY subspace"""
 
   private lazy val filteredServedOracle: String =
     ivfPqOracleWith("WHERE lb.label % 3 = 0")
@@ -1738,6 +1782,7 @@ object CurationQueries {
     // identical training math, identical results: the served variant's
     // oracle IS the inline variant's
     "ann_ivf_pq_served" -> ivfPqOracle,
+    "ann_pq_error" -> pqErrorOracle,
     "ann_filtered_topk" -> filteredBruteOracle,
     "ann_filtered_served" -> filteredServedOracle,
     "ann_index_profile" -> s"""
