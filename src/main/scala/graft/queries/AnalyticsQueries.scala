@@ -112,6 +112,37 @@ object AnalyticsQueries {
         .orderBy("q_id")
     }),
 
+    // Recall audit of the CDC-MAINTAINED path — the third maintained
+    // serving state beside served/appended: the CDC-applied artifact
+    // (live tombstone + re-add segments, folded at serve time) vs exact
+    // brute force over the POST-APPLY corpus. Keeps recall measured
+    // where it is most at risk: re-embedded vectors encoded under
+    // codebooks trained before their drift.
+    "ann_recall_eval_cdc" -> ((s, dir) => {
+      import graft.operators.{AnnIndex, Similarity}
+      val emb = AnnIndex.embeddings(s, dir)
+      val post = emb.where(col("vec_id") % 13 =!= 0)
+        .select(col("vec_id"),
+          when(col("vec_id") % 9 === 0, transform(col("e"), x => -x))
+            .otherwise(col("e")).as("e"))
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val brute = Similarity.bruteForceTopK(
+          queries.select(col("q_id"), col("qe").as("q_emb")),
+          post.select(col("vec_id"), col("e").as("embedding")), 5)
+        .select(col("q_id"), col("vec_id"))
+      val served = AnnIndex.serve(s, AnnIndex.cdcAppliedIndexDir(s, dir),
+          queries, post)
+        .select(col("q_id"), col("vec_id"))
+      val hits = brute.join(served, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy("q_id").agg(count(lit(1)).as("hits"))
+      brute.select("q_id").distinct()
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("hits"), lit(0L)).as("hits"),
+          (coalesce(col("hits"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy("q_id")
+    }),
+
     // Recall audit of the MAINTAINED-index serving paths (round-8
     // item 6): recall@5 vs exact brute force for (a) the served IVFADC
     // artifact and (b) a post-append maintained state — two appended
@@ -432,11 +463,49 @@ object AnalyticsQueries {
     FROM grid g LEFT JOIN hits h ON h.tier = g.tier AND h.q_id = g.q_id
     ORDER BY 1, 2"""
 
+  /** Recall of the CDC-served tier vs exact brute force over the
+    * POST-APPLY corpus — served rows from the stream_ann_index_cdc
+    * oracle (the CDC apply's end-to-end training+encode reproduction),
+    * brute rows from the applied corpus (deletes removed, re-embeds
+    * negated — negation of a double is exact in both engines). */
+  private lazy val recallCdcOracle: String = s"""
+    WITH pemb AS (
+      SELECT vec_id, CASE WHEN vec_id % 9 = 0
+          THEN list_transform(embedding, x -> -CAST(x AS DOUBLE))
+          ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS e
+      FROM embeddings WHERE vec_id % 13 <> 0),
+    q AS (SELECT vec_id AS q_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        ROUND(${ExtensionQueries.sqlCos("q.qe", "e.e")}, 6) AS cos
+      FROM q JOIN pemb e ON e.vec_id <> q.q_id),
+    brute AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, vec_id) AS rnk
+        FROM scored) WHERE rnk <= 5),
+    served AS (
+      SELECT q_id, vec_id
+      FROM (${CurationQueries.oracles("stream_ann_index_cdc")})),
+    hits AS (
+      SELECT b.q_id, COUNT(*) AS hits
+      FROM brute b JOIN served s ON s.q_id = b.q_id AND s.vec_id = b.vec_id
+      GROUP BY 1)
+    SELECT g.q_id, COALESCE(h.hits, 0) AS hits,
+           COALESCE(h.hits, 0) / 5.0 AS recall
+    FROM (SELECT DISTINCT q_id FROM brute) g
+    LEFT JOIN hits h ON h.q_id = g.q_id
+    ORDER BY g.q_id"""
+
   val oracles: Map[String, String] = Map(
     "ts_gapfill" -> gapfillOracle,
     "graph_triangles" -> trianglesOracle,
     "ann_recall_eval" -> recallOracle,
     "ann_recall_eval_served" -> recallServedOracle,
+    "ann_recall_eval_cdc" -> recallCdcOracle,
     // the ANN serving loop is stateless per query ⇒ stream ≡ batch:
     // the oracle is the served tier's batch SQL verbatim (registered
     // here, not in ExtensionQueries, so the oracle maps keep their
