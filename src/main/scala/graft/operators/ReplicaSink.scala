@@ -145,12 +145,21 @@ object ReplicaSink {
           .write.mode("overwrite").partitionBy("bucket").parquet(epochDir.toString)
         val written = affected
           .filter(b => new java.io.File(epochDir, s"bucket=$b").exists())
-        val entries = (m.entries -- affected.map(b => s"bucket=$b")) ++
-          written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
-          Map("lastBatch" -> batchId.toString,
-            "conf/buckets" -> nb.toString)
-        val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-        SnapshotManifest.commit(root, next) // the commit point
+        // Commit under optimistic concurrency: the entry update re-derives
+        // from whatever head wins the claim race, so a concurrent commit
+        // to OTHER buckets (another table maintenance job) rebases and
+        // merges automatically, while a concurrent rewrite of one of THIS
+        // batch's buckets — which would make the merge above stale —
+        // surfaces as WriteConflict and fails the stream instead of
+        // silently committing a lost update. The data job never re-runs:
+        // epoch_<batchId> is immutable and already written.
+        val next = SnapshotManifest.transact(root) { base =>
+          val entries = (base.entries -- affected.map(b => s"bucket=$b")) ++
+            written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
+            Map("lastBatch" -> batchId.toString,
+              "conf/buckets" -> nb.toString)
+          SnapshotManifest.State(base.version + 1, entries, base.retain)
+        }
         SnapshotManifest.gc(root, next, "epoch_")
       }
     } finally {
@@ -180,9 +189,13 @@ object ReplicaSink {
     * versions keeps working until retention prunes them, and a crash
     * mid-rewrite leaves an orphan `epoch_compact*` dir the next
     * commit's gc collects (the `epoch_` name prefix keeps one reference
-    * walk covering both upsert and compaction output). Single-writer
-    * like the upsert path: run it from the maintenance cadence of the
-    * stream that owns the table, not concurrently with it. */
+    * walk covering both upsert and compaction output). Concurrency: the
+    * commit goes through [[SnapshotManifest.transact]], so compaction
+    * LOSES to any interleaved upsert that rewrote a bucket it compacted
+    * (WriteConflict — its output dir becomes a gc-able orphan; rerun at
+    * the next maintenance window), while a concurrent commit to buckets
+    * born AFTER this compaction's read rebases in cleanly. That is the
+    * standard lakehouse priority: maintenance jobs yield, data wins. */
   def compact(spark: SparkSession, dir: String): Seq[CompactEntry] = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -205,13 +218,20 @@ object ReplicaSink {
     // every named bucket holds rows (upserts drop emptied buckets from
     // the entries), so each re-materializes; the existence filter is the
     // same belt-and-braces as the upsert path
-    val entries = m.entries.map {
-      case (k, rel) if k.startsWith("bucket=") &&
-          new java.io.File(outDir, k).exists() => k -> s"$outName/$k"
-      case other => other
+    // f re-derives entries from the winning head: only buckets THIS
+    // compaction actually read (present in m) move to the compacted dir;
+    // buckets added concurrently carry over untouched (correct — they
+    // were not compacted), and a concurrent rewrite of a compacted
+    // bucket clashes → WriteConflict, the orphan output dir is gc'd by
+    // the next commit.
+    val next = SnapshotManifest.transact(root) { base =>
+      val entries = base.entries.map {
+        case (k, rel) if k.startsWith("bucket=") && m.entries.contains(k) &&
+            new java.io.File(outDir, k).exists() => k -> s"$outName/$k"
+        case other => other
+      }
+      SnapshotManifest.State(base.version + 1, entries, base.retain)
     }
-    val next = SnapshotManifest.State(version, entries, m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
     SnapshotManifest.gc(root, next, "epoch_")
     // report what was COMMITTED: a bucket the existence filter kept at
     // its old path must not be claimed as moved

@@ -21,6 +21,25 @@ import com.fasterxml.jackson.databind.ObjectMapper
   * a crash between data write and pointer swap leaves orphan files that
   * the NEXT successful commit's [[gc]] removes, and the old snapshot
   * stays fully readable throughout.
+  *
+  * ==Multi-writer optimistic concurrency==
+  * At 100 TB one artifact has many writers — the streaming upsert, a
+  * compaction job, a retention change, a backfill — and last-writer-wins
+  * on the pointer silently DROPS the loser's commit (its buckets revert
+  * to the base the winner read). The protocol therefore makes the
+  * version claim the commit point, exactly the lakehouse-log contract
+  * (Delta's `_delta_log/N.json` put-if-absent): [[commit]] publishes
+  * `_history/v<N>.json` via an atomic create-exclusive (a hardlink here;
+  * a conditional PUT on an object store) and throws [[VersionConflict]]
+  * if version N is already claimed by someone else. The `MANIFEST.json`
+  * pointer is demoted to a read cache: [[read]] reconciles it against
+  * the highest claim, so a racing or crashed pointer swap can neither
+  * lose nor roll back a claimed commit. [[transact]] is the writer-side
+  * retry loop: re-derive the update from the new head and retry when the
+  * concurrent commits touched DISJOINT entries (two batches upserting
+  * different buckets serialize automatically), surface [[WriteConflict]]
+  * when they collide on an entry with different values (two writers
+  * rewriting the same bucket from different bases — no merge is sound).
   */
 object SnapshotManifest {
 
@@ -53,9 +72,31 @@ object SnapshotManifest {
     commit(root, State(m.version + 1, m.entries, retain))
   }
 
+  /** Current committed state: the pointer file, reconciled against the
+    * highest claimed version in `_history/`. The claim is the commit
+    * point (see the class doc), so a claim above the pointer means a
+    * writer committed but crashed (or lost a race) before its pointer
+    * swap — that commit is real and must win. The listing is of a dir
+    * holding O(retain) small files; on an object store this is the one
+    * bounded LIST every lakehouse log read does. */
   def read(root: File): State = {
     val f = new File(root, Name)
-    if (!f.exists()) State(0L, Map.empty) else parse(f)
+    val pointed = if (f.exists()) Some(parse(f)) else None
+    val hist = new File(root, HistoryDir)
+    val claims = Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.json"))
+    val maxClaim =
+      if (claims.isEmpty) None
+      else Some(claims.maxBy(
+        _.getName.stripPrefix("v").stripSuffix(".json").toLong))
+    (pointed, maxClaim) match {
+      case (Some(p), Some(c))
+          if c.getName.stripPrefix("v").stripSuffix(".json").toLong
+            > p.version => parse(c)
+      case (Some(p), _) => p
+      case (None, Some(c)) => parse(c)
+      case (None, None) => State(0L, Map.empty)
+    }
   }
 
   /** The `conf/attrs` convention shared by the attribute-carrying index
@@ -110,20 +151,57 @@ object SnapshotManifest {
     State(node.get("version").asLong(), es.toMap, retain)
   }
 
-  /** Publish a snapshot: serialize to a temp name, one atomic move onto
-    * the manifest. The data dirs `s.entries` names must already be fully
-    * written — this call is the commit point. An archive copy lands in
-    * `_history/` first (before the pointer swap, so a crash in between
-    * leaves the archive as a harmless orphan) and archives older than
-    * the state's `retain` versions are pruned. */
+  /** Version `version` is already claimed in `_history/` with DIFFERENT
+    * content — a concurrent writer won the race for this version. The
+    * caller's data dirs are untouched orphans (next gc collects them);
+    * retry against the new head via [[transact]]. */
+  final case class VersionConflict(root: String, version: Long)
+    extends RuntimeException(
+      s"manifest version $version already committed under $root")
+
+  /** A [[transact]] retry found the concurrent commits changed the SAME
+    * entry keys to different values — bucket-level write-write conflict,
+    * no automatic merge is sound. */
+  final case class WriteConflict(root: String, keys: Set[String])
+    extends RuntimeException(
+      s"concurrent commits under $root both rewrote: " +
+        keys.toSeq.sorted.mkString(", "))
+
+  /** Publish a snapshot. The data dirs `s.entries` names must already be
+    * fully written — this call is the commit point, and the commit point
+    * is the atomic CREATE-EXCLUSIVE of `_history/v<version>.json`
+    * (hardlink of a fully written temp, so a concurrent [[read]] can
+    * never observe a half-written claim; on an object store this is the
+    * conditional PUT of the log entry). If the version is already
+    * claimed: identical bytes mean OUR OWN earlier commit crashed before
+    * the pointer swap and this is the recovery replay — a success;
+    * different bytes mean another writer won → [[VersionConflict]].
+    * The pointer swap that follows is only a read cache refresh, and the
+    * history prune runs last so a crash anywhere here never shrinks a
+    * committed version's retention window. */
   def commit(root: File, s: State): Unit = {
     root.mkdirs()
     val bytes = serialize(s)
     val hist = new File(root, HistoryDir)
     hist.mkdirs()
-    java.nio.file.Files.write(
-      new File(hist, s"v${s.version}.json").toPath, bytes)
-    val tmp = new File(root, s"_$Name.tmp")
+    val claim = new File(hist, s"v${s.version}.json")
+    val claimTmp = File.createTempFile(s"_v${s.version}", ".tmp", hist)
+    java.nio.file.Files.write(claimTmp.toPath, bytes)
+    try {
+      java.nio.file.Files.createLink(claim.toPath, claimTmp.toPath)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        val existing = java.nio.file.Files.readAllBytes(claim.toPath)
+        if (!java.util.Arrays.equals(existing, bytes))
+          throw VersionConflict(root.toString, s.version)
+    } finally {
+      claimTmp.delete()
+      ()
+    }
+    // pointer refresh — a cache, not the commit ([[read]] reconciles),
+    // so losing a swap race to a higher version is harmless. Unique temp
+    // names keep concurrent writers from moving each other's bytes.
+    val tmp = File.createTempFile(s"_$Name", ".tmp", root)
     java.nio.file.Files.write(tmp.toPath, bytes)
     java.nio.file.Files.move(tmp.toPath, new File(root, Name).toPath,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING,
@@ -137,6 +215,58 @@ object SnapshotManifest {
           < s.version - s.retain)
       .foreach(_.delete())
     ()
+  }
+
+  /** Entry keys whose value differs between two snapshots (adds,
+    * changes, AND deletes — a deleted key is a write). */
+  def diffKeys(a: Map[String, String], b: Map[String, String]): Set[String] =
+    (a.keySet ++ b.keySet).filter(k => a.get(k) != b.get(k))
+
+  /** Optimistic-concurrency commit loop: derive the next state from the
+    * current head with `f` (which must bump `version` by exactly 1),
+    * attempt the commit, and on [[VersionConflict]] re-read the head and
+    * RE-DERIVE — but only when the interleaved commits are mergeable:
+    * if a key this update writes was also changed by the concurrent
+    * commits TO A DIFFERENT VALUE, both writers rewrote the same bucket
+    * from different bases and the only sound outcome is
+    * [[WriteConflict]] (equal values — e.g. both stamping the same
+    * `conf/buckets` — are not conflicts). Disjoint-entry writers (the
+    * common case: different buckets, different stats keys) serialize
+    * automatically, each retry costing one manifest read + one claim
+    * attempt, never a data rewrite — `f` re-derives entries, it must not
+    * re-run the data job (the data dirs are immutable and already
+    * written). */
+  def transact(root: File, maxRetries: Int = 5)(f: State => State): State = {
+    var base = read(root)
+    var attempts = 0
+    var done: Option[State] = None
+    while (done.isEmpty) {
+      val next = f(base)
+      require(next.version == base.version + 1,
+        s"transact update must bump version by exactly 1 " +
+          s"(base ${base.version} -> ${next.version})")
+      try {
+        commit(root, next)
+        done = Some(next)
+      } catch {
+        case VersionConflict(_, _) =>
+          attempts += 1
+          if (attempts > maxRetries)
+            throw WriteConflict(root.toString,
+              Set(s"<retries exhausted after $maxRetries>"))
+          val head = read(root)
+          val ours = diffKeys(base.entries, next.entries)
+          val theirs = diffKeys(base.entries, head.entries)
+          val clash = ours.intersect(theirs)
+            .filter(k => next.entries.get(k) != head.entries.get(k))
+          if (clash.nonEmpty) throw WriteConflict(root.toString, clash)
+          if (next.retain != base.retain && head.retain != base.retain &&
+              next.retain != head.retain)
+            throw WriteConflict(root.toString, Set("<retain>"))
+          base = head
+      }
+    }
+    done.get
   }
 
   /** Time travel: the committed snapshot at `version`, if still within

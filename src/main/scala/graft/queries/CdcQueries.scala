@@ -364,6 +364,70 @@ object CdcQueries {
       report.join(content, Seq("bucket")).orderBy("bucket")
     }),
 
+    // Multi-writer commit under optimistic concurrency (SnapshotManifest
+    // class doc "Multi-writer optimistic concurrency"): two writers each
+    // rewrite a DISJOINT half of the bucketed customer replica (+100 /
+    // +200 on the balance, held in integer cents for cross-engine
+    // exactness) from the same base version. Writer B lands first;
+    // writer A's claim collides and transact() rebases — re-deriving its
+    // manifest entries on B's head WITHOUT re-running the data job (the
+    // epoch dirs are immutable and already written). The output reads
+    // the final snapshot: both halves updated, version 3 (base + B + A),
+    // the lost-update the last-writer-wins pointer would have silently
+    // committed structurally impossible. At 100 TB this is the streaming
+    // upsert, the compaction job, and the backfill sharing one artifact.
+    "sink_concurrent_commits" -> ((s, dir) => {
+      val root = new java.io.File(s"/tmp/graft_occ/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val nb = 4
+      val cust = graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+      cust.repartition(nb, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(root, "snap_base").toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+          + ("conf/buckets" -> nb.toString)))
+      val rbSchema = "c_custkey BIGINT, cents BIGINT"
+      // a writer's DATA phase: merge its delta into its buckets under an
+      // immutable epoch dir (reads its base's bucket dirs only)
+      def rewrite(label: String, touch: Seq[Int],
+          deltaCents: Long): Map[String, String] = {
+        val m = SnapshotManifest.read(root)
+        val paths = touch
+          .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+        s.read.schema(rbSchema).parquet(paths: _*)
+          .withColumn("cents", col("cents") + lit(deltaCents))
+          .withColumn("bucket", pmod(col("c_custkey"), lit(nb)).cast("int"))
+          .repartition(touch.length, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(new java.io.File(root, s"epoch_$label").toString)
+        touch.map(b => s"bucket=$b" -> s"epoch_$label/bucket=$b").toMap
+      }
+      val aEntries = rewrite("A", Seq(0, 1), 10000L)
+      val bEntries = rewrite("B", Seq(2, 3), 20000L)
+      var staged = false
+      val fin = SnapshotManifest.transact(root) { base =>
+        if (!staged) {
+          staged = true // writer B wins the claim race for version 2
+          SnapshotManifest.commit(root, SnapshotManifest.State(
+            base.version + 1, base.entries ++ bEntries, base.retain))
+        }
+        SnapshotManifest.State(
+          base.version + 1, base.entries ++ aEntries, base.retain)
+      }
+      val m = SnapshotManifest.read(root)
+      val paths = (0 until nb)
+        .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+      s.read.schema(rbSchema).parquet(paths: _*)
+        .select(col("c_custkey"), col("cents").as("acctbal_cents"))
+        .withColumn("n_commits", lit(fin.version).cast("bigint"))
+        .orderBy("c_custkey")
+    }),
+
     // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
     // follower moves the table's whole state to the new name — rows
     // inserted pre-rename are updated/deleted/widened post-rename under
@@ -574,6 +638,16 @@ object CdcQueries {
            (CAST(8 AS INTEGER), 'epoch_1/bucket=8', 'epoch_compact4/bucket=8', 'b|b,1'))
          AS t(bucket, before, after, rows)
          ORDER BY bucket""",
+    // buckets 0/1 got writer A's +100, buckets 2/3 writer B's +200;
+    // three commits land (base, B, A-rebased) — a lost update would
+    // leave one half at its base balance and hash-mismatch here
+    "sink_concurrent_commits" ->
+      """SELECT c_custkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) +
+             CASE WHEN c_custkey % 4 IN (0, 1) THEN 10000 ELSE 20000 END
+             AS acctbal_cents,
+           CAST(3 AS BIGINT) AS n_commits
+         FROM customer ORDER BY c_custkey""",
     "cdc_apply_rename" ->
       """SELECT * FROM (VALUES
            ('inv', 'audit', CAST(9 AS BIGINT), 'keep', CAST(NULL AS BIGINT)),
