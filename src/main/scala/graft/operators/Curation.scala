@@ -193,6 +193,43 @@ object Curation {
         max(col("doc_id")).as("last_doc"))
   }
 
+  /** Two-phase INCLUSIVE prefix sum of `value` under the total order
+    * `order` — [[packBins]]'s machinery generalized to any sort key
+    * (packBins keeps its own doc_id-ranged copy because its plan is
+    * pinned): range-partition by the order columns, per-partition
+    * running-sum window (parallel), per-partition totals — #partitions
+    * scalars — cumulated on the driver and broadcast back as offsets.
+    * No single-partition window; the collect is #partitions-sized by
+    * construction. Output = `df`'s columns + `cum` (inclusive running
+    * sum of `value`). */
+  def runningSum(df: DataFrame, order: Seq[Column], value: Column,
+      cumName: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.withColumn("_rs_v", value.cast("long"))
+    val ranged = base.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_rs_part", spark_partition_id())
+      .cache()
+    val totals = ranged.groupBy(col("_rs_part"))
+      .agg(sum(col("_rs_v")).as("part_sum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, s)) =>
+      (pid, acc + s)
+    }.tail.zip(totals).map { case ((pid, inclusive), (_, s)) =>
+      (pid, inclusive - s) // exclusive offset of the partition
+    }
+    val offsetDf = broadcast(offsets.toSeq.toDF("_rs_part", "_rs_off"))
+    val w = Window.partitionBy(col("_rs_part")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ranged
+      .join(offsetDf, "_rs_part")
+      .withColumn(cumName, sum(col("_rs_v")).over(w) + col("_rs_off"))
+      .drop("_rs_part", "_rs_off", "_rs_v")
+  }
+
   // ---------- dataset-card statistics ----------
 
   /** Per-stratum corpus report — the "dataset card" panel a curation run

@@ -29,6 +29,37 @@ object AnalyticsQueries {
     "ts_gapfill" -> ((s, dir) =>
       TimeSeries.gapFillHourly(Tables.events(s, dir), maxUser = 8)),
 
+    // OHLC downsampling — the metrics-pipeline resample: per
+    // (event_type, hour), open/close are the first/last values in event
+    // order, high/low/volume the extremes and sum, all in integer cents
+    // (floor/ceil quantization — no engine round, no cast divergence).
+    // open/close ride min_by/max_by ON A COMPOSITE ORDERING STRUCT
+    // (ts, event_id), so the whole query is ONE two-phase hash
+    // aggregation: partials fold map-side, one shuffle on the group key,
+    // no window sort anywhere — the shape that survives a 100 TB event
+    // stream where a per-group ROW_NUMBER sort would shuffle and sort
+    // the full table. The oracle derives first/last by ROW_NUMBER over
+    // the same (ts, event_id) order — tie-free because event_id is
+    // unique, so the two derivations are exactly equal.
+    "ts_downsample" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"),
+          date_trunc("hour", col("ts")).as("hour"),
+          col("ts"), col("event_id"),
+          when(col("value") >= 0, floor(col("value") * 100 + 0.5))
+            .otherwise(ceil(col("value") * 100 - 0.5))
+            .cast("long").as("cents"))
+      val ord = struct(col("ts"), col("event_id"))
+      ev.groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("n"),
+          min_by(col("cents"), ord).as("open_cents"),
+          max(col("cents")).as("high_cents"),
+          min(col("cents")).as("low_cents"),
+          max_by(col("cents"), ord).as("close_cents"),
+          sum(col("cents")).as("vol_cents"))
+        .orderBy("event_type", "hour")
+    }),
+
     // co-occurrence graph → degree-oriented triangle count (broadcast-
     // adjacency edge-iterator; the partitioned wedge join is the
     // beyond-broadcast fallback, pinned equal in GraphSpec)
@@ -502,6 +533,25 @@ object AnalyticsQueries {
 
   val oracles: Map[String, String] = Map(
     "ts_gapfill" -> gapfillOracle,
+    "ts_downsample" -> """
+       WITH q AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour, ts, event_id,
+           CAST(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                     ELSE ceil(value * 100 - 0.5) END AS BIGINT) AS cents
+         FROM events),
+       rk AS (
+         SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hour
+             ORDER BY ts, event_id) AS ra,
+           ROW_NUMBER() OVER (PARTITION BY event_type, hour
+             ORDER BY ts DESC, event_id DESC) AS rd
+         FROM q)
+       SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n,
+         MAX(CASE WHEN ra = 1 THEN cents END) AS open_cents,
+         MAX(cents) AS high_cents, MIN(cents) AS low_cents,
+         MAX(CASE WHEN rd = 1 THEN cents END) AS close_cents,
+         CAST(SUM(cents) AS BIGINT) AS vol_cents
+       FROM rk GROUP BY 1, 2 ORDER BY event_type, hour""",
     "graph_triangles" -> trianglesOracle,
     "ann_recall_eval" -> recallOracle,
     "ann_recall_eval_served" -> recallServedOracle,

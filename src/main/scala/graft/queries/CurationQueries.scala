@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, KMeansOp}
+import graft.operators.{Curation, KMeansOp, TextAnalysis}
 import graft.sources.Tables
 
 /** Corpus-curation queries (charter extensions, SURVEY.md §2.7 round-4
@@ -163,6 +163,35 @@ object CurationQueries {
         .orderBy("bin")
     }),
 
+    // Token-budget selection — "fill 10k tokens with the best documents":
+    // rank the corpus by an exact integer quality score (stopword density
+    // in millionths — integral division, no float anywhere), take the
+    // prefix whose INCLUSIVE running token sum fits the budget. The
+    // running sum is the two-phase distributed prefix sum
+    // (Curation.runningSum — range shuffle + per-partition window +
+    // #partitions-sized driver fold), never a single-partition window,
+    // so the selection scales to a corpus-wide cut at 100 TB: the budget
+    // knob is how a pretraining run sizes a data mixture to a token
+    // target rather than a document count.
+    "curate_token_budget" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val base = Tables.table(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, w =>
+          w.isin(TextAnalysis.Stopwords.map(lit(_)): _*))).cast("long")
+          .as("n_stop"))
+        .withColumn("quality_milli",
+          expr("(n_stop * 1000000) div n_tokens"))
+      Curation.runningSum(base,
+          Seq(col("quality_milli").desc, col("doc_id").asc),
+          col("n_tokens"), "cum_tokens")
+        .where(col("cum_tokens") <= 10000L)
+        .select(col("doc_id"), col("quality_milli"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // duplicate-3-gram repetition fraction + keep flag (Gopher-rule family)
     "text_rep_ngrams" -> ((s, dir) => {
       Curation.repeatedNgrams(Tables.table(s, dir, "documents"), "doc_id", "text")
@@ -205,6 +234,45 @@ object CurationQueries {
         .where(col("rnk") <= 5)
         .select(col("q_id"), col("cluster_id").cast("long").as("cluster_id"),
           col("rnk"), col("vec_id"), col("cos"))
+        .orderBy("q_id", "rnk")
+    }),
+
+    // kNN JOIN — both sides LARGE (the shape ann_* probe queries never
+    // exercise: there is no small query set to broadcast). Every vector
+    // finds its top-3 neighbors among vectors of its own trained IVF
+    // cell: the join shuffles BOTH sides on cluster_id (cell
+    // co-partitioning), pair count is Σ|cell|² instead of N², and the
+    // per-cell top-k rides the RankLimitToTopK rewrite (partial heaps
+    // map-side, no full pair sort). This is the kernel of embedding-
+    // corpus self-analysis at 100 TB — kNN-graph construction,
+    // duplicate-cluster seeding, hubness audits — where "broadcast the
+    // queries" is not an option because the queries ARE the corpus.
+    // Recall is bounded by cell purity exactly as in IVF serving
+    // (nprobe=1 here); the oracle replays the same routing, so the
+    // check is exact.
+    "ann_knn_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .cache()
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      val left = assigned.select(col("cluster_id"),
+        col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val right = assigned.select(col("cluster_id"), col("vec_id"),
+        col("embedding"))
+      val wk = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_x").desc, col("vec_id"))
+      left.join(right, Seq("cluster_id"))
+        .where(col("vec_id") =!= col("q_id"))
+        // rank on the UNROUNDED cosine (identical fold order ⇒ identical
+        // bits in both engines); round only the emitted column
+        .withColumn("cos_x", cos(col("q_emb"), col("embedding")))
+        .withColumn("rnk", row_number().over(wk))
+        .where(col("rnk") <= 3)
+        .select(col("q_id"), col("cluster_id").cast("long").as("cluster_id"),
+          col("rnk"), col("vec_id"), round(col("cos_x"), 6).as("cos"))
         .orderBy("q_id", "rnk")
     }),
 
@@ -1210,6 +1278,24 @@ object CurationQueries {
        FROM dshingles JOIN bench USING (shingle)
        WHERE doc_id % 97 <> 0
        GROUP BY doc_id ORDER BY doc_id""",
+    "curate_token_budget" -> {
+      val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""
+       WITH scored AS (
+         SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '),
+             w -> w IN ($stop))) AS BIGINT) AS n_stop
+         FROM documents),
+       q AS (SELECT doc_id, n_tokens,
+               (n_stop * 1000000) // n_tokens AS quality_milli
+             FROM scored),
+       c AS (SELECT *, SUM(n_tokens) OVER (ORDER BY quality_milli DESC,
+               doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM q)
+       SELECT doc_id, quality_milli, n_tokens,
+         CAST(cum AS BIGINT) AS cum_tokens
+       FROM c WHERE cum <= 10000 ORDER BY doc_id"""
+    },
     "doc_pack" -> """
        WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                   FROM documents),
@@ -1506,6 +1592,18 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM scored)
        WHERE rnk <= 5 ORDER BY q_id, rnk""",
+    "ann_knn_join" -> s"""
+       WITH $kmeansCtes,
+       pairs AS (
+         SELECT l.vec_id AS q_id, l.cluster_id, r.vec_id,
+           ${ExtensionQueries.sqlCos("l.e", "r.e")} AS cos
+         FROM a2 l JOIN a2 r
+           ON l.cluster_id = r.cluster_id AND r.vec_id <> l.vec_id)
+       SELECT q_id, CAST(cluster_id AS BIGINT) AS cluster_id, rnk, vec_id,
+         ROUND(cos, 6) AS cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM pairs)
+       WHERE rnk <= 3 ORDER BY q_id, rnk""",
     "lm_pmi_bigrams" -> """
        WITH words AS (
          SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
