@@ -278,6 +278,37 @@ object SnapshotManifest {
     if (f.exists() && version <= read(root).version) Some(parse(f)) else None
   }
 
+  /** One row of [[history]]: a committed version still inside the
+    * retention window, with its entry-level delta against the previous
+    * RETAINED version (the oldest retained row reports its full entry
+    * set as `added` — its predecessor is out of the window). */
+  final case class HistoryRow(version: Long, nEntries: Int,
+      added: Int, removed: Int, changed: Int, retain: Int)
+
+  /** The artifact's commit log as data — the DESCRIBE HISTORY surface:
+    * one row per retained version, ascending, each with the number of
+    * manifest entries added/removed/changed relative to the previous
+    * retained version. Reads only `_history/` (O(retain) small files);
+    * nothing here opens a data dir. */
+  def history(root: File): Seq[HistoryRow] = {
+    val hist = new File(root, HistoryDir)
+    val versions = Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("v\\d+\\.json"))
+      .map(f => (f.getName.stripPrefix("v").stripSuffix(".json").toLong, f))
+      .sortBy(_._1)
+    versions.foldLeft((Map.empty[String, String], Seq.empty[HistoryRow])) {
+      case ((prev, acc), (v, f)) =>
+        val s = parse(f)
+        val added = s.entries.keySet.diff(prev.keySet).size
+        val removed = prev.keySet.diff(s.entries.keySet).size
+        val changed = s.entries.count { case (k, x) =>
+          prev.get(k).exists(_ != x)
+        }
+        (s.entries, acc :+ HistoryRow(v, s.entries.size,
+          added, removed, changed, s.retain))
+    }._2
+  }
+
   /** One row of [[vacuumReport]]: a snapshot dir (or an unreferenced
     * child of a partially referenced dir), its classification, and its
     * modification age. */

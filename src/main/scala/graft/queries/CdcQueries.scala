@@ -364,6 +364,83 @@ object CdcQueries {
       report.join(content, Seq("bucket")).orderBy("bucket")
     }),
 
+    // Change Data Feed between two committed replica versions
+    // (ReplicaSink.changesBetween): v1 = the customer table bucketed by
+    // custkey, v2 = one upsert epoch that updates bucket 1 (+500 on
+    // every custkey%4==1 balance), deletes custkey%8==7 (bucket 3), and
+    // inserts shadow keys custkey+100000 (bucket 1 again). The feed is
+    // derived purely from the snapshot DIFF: the manifest names buckets
+    // 1 and 3 as changed, only those four dirs are opened (O(delta),
+    // not O(table)), and the full-outer key join classifies each row.
+    // The replica — built by CONSUMING a changelog — here re-EMITS one:
+    // replication chaining, the converse of mysql_manager.rs:232-292.
+    "sink_change_feed" -> ((s, dir) => {
+      val root = new java.io.File(s"/tmp/graft_cdf/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val nb = 4
+      val rbSchema = "c_custkey BIGINT, cents BIGINT"
+      val cust = graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+      cust.repartition(nb, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(root, "snap_base").toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+          + ("conf/buckets" -> nb.toString)))
+      // the upsert epoch: bucket 1 = updates + inserts, bucket 3 = deletes
+      val m1 = SnapshotManifest.read(root)
+      def bucketDf(b: Int) = s.read.schema(rbSchema)
+        .parquet(new java.io.File(root, m1.entries(s"bucket=$b")).toString)
+      val b1 = bucketDf(1)
+        .withColumn("cents", col("cents") + lit(500L))
+        .unionByName(bucketDf(1).where(col("c_custkey") % 16 === 1)
+          .select((col("c_custkey") + 100000L).as("c_custkey"),
+            (col("cents") + 1000L).as("cents")))
+      val b3 = bucketDf(3).where(col("c_custkey") % 8 =!= 7)
+      val epoch = new java.io.File(root, "epoch_cdc")
+      b1.withColumn("bucket", lit(1))
+        .unionByName(b3.withColumn("bucket", lit(3)))
+        .repartition(2, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(epoch.toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(2L,
+        m1.entries ++ Map("bucket=1" -> "epoch_cdc/bucket=1",
+          "bucket=3" -> "epoch_cdc/bucket=3")))
+      ReplicaSink.changesBetween(s, root.toString, 1L, 2L,
+          rbSchema, Seq("c_custkey"))
+        .select(col("c_custkey"), col("change_type"),
+          col("before_cents"), col("after_cents"))
+        .orderBy("c_custkey")
+    }),
+
+    // The artifact's commit log as data (SnapshotManifest.history — the
+    // DESCRIBE HISTORY surface): three deterministic commits, one row
+    // per retained version with its entry-level delta vs the previous
+    // one. Reads only the O(retain) manifest archives; no data dir is
+    // ever opened.
+    "sink_history" -> ((s, _) => {
+      import s.implicits._
+      val root = new java.io.File(s"/tmp/graft_hist/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L, Map(
+        "conf/buckets" -> "4", "bucket=0" -> "e1/b0", "bucket=1" -> "e1/b1")))
+      SnapshotManifest.commit(root, SnapshotManifest.State(2L, Map(
+        "conf/buckets" -> "4", "bucket=0" -> "e1/b0", "bucket=1" -> "e2/b1",
+        "bucket=2" -> "e2/b2")))
+      SnapshotManifest.commit(root, SnapshotManifest.State(3L, Map(
+        "conf/buckets" -> "4", "bucket=1" -> "e2/b1", "bucket=2" -> "e2/b2")))
+      SnapshotManifest.history(root)
+        .map(h => (h.version, h.nEntries, h.added, h.removed, h.changed,
+          h.retain))
+        .toDF("version", "n_entries", "added", "removed", "changed",
+          "retain")
+        .orderBy("version")
+    }),
+
     // Multi-writer commit under optimistic concurrency (SnapshotManifest
     // class doc "Multi-writer optimistic concurrency"): two writers each
     // rewrite a DISJOINT half of the bucketed customer replica (+100 /
@@ -638,6 +715,36 @@ object CdcQueries {
            (CAST(8 AS INTEGER), 'epoch_1/bucket=8', 'epoch_compact4/bucket=8', 'b|b,1'))
          AS t(bucket, before, after, rows)
          ORDER BY bucket""",
+    // update = every bucket-1 key (+500); delete = custkey%8==7 (those
+    // are exactly the bucket-3 deletions); insert = shadow keys
+    // 100000+custkey for custkey%16==1, carrying cents+1000. Rows of
+    // buckets 1/3 untouched by any of the three are absent (null-safe
+    // value filter); buckets 0/2 are never read at all.
+    "sink_change_feed" ->
+      """WITH base AS (
+           SELECT c_custkey AS k,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer)
+         SELECT * FROM (
+           SELECT k AS c_custkey, 'update' AS change_type,
+             cents AS before_cents, cents + 500 AS after_cents
+           FROM base WHERE k % 4 = 1
+           UNION ALL
+           SELECT k, 'delete', cents, CAST(NULL AS BIGINT)
+           FROM base WHERE k % 8 = 7
+           UNION ALL
+           SELECT k + 100000, 'insert', CAST(NULL AS BIGINT), cents + 1000
+           FROM base WHERE k % 16 = 1)
+         ORDER BY c_custkey""",
+    // v1 creates 3 entries; v2 rewrites bucket=1 and adds bucket=2;
+    // v3 drops bucket=0 — the commit log's entry-level deltas
+    "sink_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(1 AS BIGINT), 3, 3, 0, 0, 2),
+           (CAST(2 AS BIGINT), 4, 1, 0, 1, 2),
+           (CAST(3 AS BIGINT), 3, 0, 1, 0, 2))
+         AS t(version, n_entries, added, removed, changed, retain)
+         ORDER BY version""",
     // buckets 0/1 got writer A's +100, buckets 2/3 writer B's +200;
     // three commits land (base, B, A-rebased) — a lost update would
     // leave one half at its base balance and hash-mismatch here

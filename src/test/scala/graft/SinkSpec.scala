@@ -32,6 +32,42 @@ class SinkSpec extends AnyFunSuite {
     assert(df.collect().nonEmpty)
   }
 
+  test("change feed opens ONLY the buckets the manifest diff names (O(delta), not O(table))") {
+    import graft.operators.SnapshotManifest
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf_spec").toFile
+    val rows = (0L until 40L).map(k => (k, k * 10))
+    import spark.implicits._
+    rows.toDF("k", "v").withColumn("bucket", pmod(col("k"), lit(4)).cast("int"))
+      .repartition(4, col("bucket"))
+      .write.partitionBy("bucket").parquet(new java.io.File(root, "e1").toString)
+    SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+      (0 until 4).map(b => s"bucket=$b" -> s"e1/bucket=$b").toMap))
+    // v2 rewrites bucket 2 only: k=2 updated, k=6 deleted, k=102 inserted
+    rows.filter(_._1 % 4 == 2).filterNot(_._1 == 6)
+      .map { case (k, v) => (k, if (k == 2) v + 1 else v) }
+      .toDF("k", "v").unionByName(Seq((102L, 9L)).toDF("k", "v"))
+      .withColumn("bucket", lit(2))
+      .coalesce(1)
+      .write.partitionBy("bucket").parquet(new java.io.File(root, "e2").toString)
+    SnapshotManifest.commit(root, SnapshotManifest.State(2L,
+      SnapshotManifest.read(root).entries + ("bucket=2" -> "e2/bucket=2")))
+    val feed = ReplicaSink.changesBetween(spark, root.toString, 1L, 2L,
+      "k BIGINT, v BIGINT", Seq("k"))
+    val got = feed.select("k", "change_type", "before_v", "after_v")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)), Option(r.get(3)))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, "update", Some(20L), Some(21L)),
+      (6L, "delete", Some(60L), None),
+      (102L, "insert", None, Some(9L))),
+      s"unexpected feed: ${got.toSeq}")
+    // the scan must touch bucket=2's dirs only — unchanged buckets are
+    // invisible to the plan, which is the whole O(delta) contract
+    val files = feed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("bucket=2")),
+      s"feed read outside the changed bucket: ${files.mkString(", ")}")
+  }
+
   test("partitioned replica: read-back equals the direct apply for that nation") {
     import spark.implicits._
     val direct = graft.operators.ChangelogApply.customerSnapshot(spark, Sf)
