@@ -319,6 +319,23 @@ object ReplicaSink {
       .drop("_in_a", "_in_b")
   }
 
+  /** RESTORE: make a retained earlier version the current one by
+    * re-committing its entries as a NEW version — rollback that never
+    * rewrites data (the old version's dirs are immutable and still on
+    * disk inside the retention window) and never loses history (the
+    * rolled-back head stays retained and time-travel-readable; the
+    * restore itself is one more row in [[SnapshotManifest.history]]).
+    * Goes through [[SnapshotManifest.transact]], so a restore racing a
+    * live writer conflicts instead of silently undoing its commit. */
+  def restore(dir: String, version: Long): SnapshotManifest.State = {
+    val root = new java.io.File(dir)
+    val target = SnapshotManifest.readAt(root, version).getOrElse(throw new
+      IllegalArgumentException(s"version $version not retained under $dir"))
+    SnapshotManifest.transact(root) { base =>
+      SnapshotManifest.State(base.version + 1, target.entries, base.retain)
+    }
+  }
+
   private def readState(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State): DataFrame = {
     // only bucket entries name data dirs; lastBatch is the replay watermark

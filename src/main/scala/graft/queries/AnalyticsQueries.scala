@@ -34,8 +34,9 @@ object AnalyticsQueries {
     // order, high/low/volume the extremes and sum, all in integer cents
     // (floor/ceil quantization — no engine round, no cast divergence).
     // open/close ride min_by/max_by ON A COMPOSITE ORDERING STRUCT
-    // (ts, event_id), so the whole query is ONE two-phase hash
-    // aggregation: partials fold map-side, one shuffle on the group key,
+    // (ts, event_id), so the whole query is ONE two-phase aggregation
+    // (SortAggregate — struct-ordered min_by/max_by partials fold
+    // map-side), one shuffle on the group key,
     // no window sort anywhere — the shape that survives a 100 TB event
     // stream where a per-group ROW_NUMBER sort would shuffle and sort
     // the full table. The oracle derives first/last by ROW_NUMBER over

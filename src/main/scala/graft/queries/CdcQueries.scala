@@ -416,6 +416,49 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // RESTORE as a commit (ReplicaSink.restore): v1 = the customer
+    // balances, v2 = a bad deploy (bucket 0 corrupted +999, bucket 2
+    // dropped entirely), v3 = restore(v1) — a rollback that re-commits
+    // v1's entries as a new version without rewriting a byte of data.
+    // The head read returns exactly the original table; the bad v2
+    // stays retained and auditable behind it.
+    "sink_restore" -> ((s, dir) => {
+      val root = new java.io.File(s"/tmp/graft_restore/p${graft.Fs.pid}")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val nb = 4
+      val rbSchema = "c_custkey BIGINT, cents BIGINT"
+      val cust = graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+      cust.repartition(nb, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(root, "snap_base").toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+          + ("conf/buckets" -> nb.toString)))
+      // the bad deploy: corrupt bucket 0, drop bucket 2
+      val m1 = SnapshotManifest.read(root)
+      s.read.schema(rbSchema)
+        .parquet(new java.io.File(root, m1.entries("bucket=0")).toString)
+        .withColumn("cents", col("cents") + lit(999L))
+        .withColumn("bucket", lit(0))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(root, "epoch_bad").toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(2L,
+        m1.entries - "bucket=2" + ("bucket=0" -> "epoch_bad/bucket=0")))
+      val fin = ReplicaSink.restore(root.toString, 1L)
+      val m = SnapshotManifest.read(root)
+      val paths = (0 until nb)
+        .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+      s.read.schema(rbSchema).parquet(paths: _*)
+        .select(col("c_custkey"), col("cents").as("acctbal_cents"))
+        .withColumn("n_commits", lit(fin.version).cast("bigint"))
+        .orderBy("c_custkey")
+    }),
+
     // The artifact's commit log as data (SnapshotManifest.history — the
     // DESCRIBE HISTORY surface): three deterministic commits, one row
     // per retained version with its entry-level delta vs the previous
@@ -736,6 +779,13 @@ object CdcQueries {
            SELECT k + 100000, 'insert', CAST(NULL AS BIGINT), cents + 1000
            FROM base WHERE k % 16 = 1)
          ORDER BY c_custkey""",
+    // the restored head is byte-for-byte the original balances; the
+    // restore is the third commit
+    "sink_restore" ->
+      """SELECT c_custkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+           CAST(3 AS BIGINT) AS n_commits
+         FROM customer ORDER BY c_custkey""",
     // v1 creates 3 entries; v2 rewrites bucket=1 and adds bucket=2;
     // v3 drops bucket=0 — the commit log's entry-level deltas
     "sink_history" ->
