@@ -230,6 +230,115 @@ object Curation {
       .drop("_rs_part", "_rs_off", "_rs_v")
   }
 
+  /** Learning-rate denominator of [[linearProbe]] (2^22): weight updates
+    * are `w -= grad / LrDen` in symmetric (truncate-toward-zero) integer
+    * division, so the whole training loop stays in exact fixed-point —
+    * Long `/` truncates toward zero, and the oracle spells the same
+    * truncation with flooring `//` on the negated absolute value. */
+  val LrDen = 4194304L
+
+  /** Fixed-point scale of [[linearProbe]] labels and weights (micro). */
+  val ProbeScale = 1000000L
+
+  /** Train a LINEAR quality/domain classifier inside the engine — the
+    * fastText-style filter every pretraining pipeline runs, as
+    * distributed full-batch gradient descent with squared loss, kept
+    * EXACT end to end: features are integer token-length-bucket counts
+    * (+ bias), labels live in micro-units, per-row products stay in
+    * Long, per-dim gradient sums fold through DECIMAL(38,0) (order-
+    * independent), and the update divides by the power-of-two [[LrDen]]
+    * in truncating integer division. No float appears anywhere, so N
+    * partial aggregations merge bit-identically to one — and the DuckDB
+    * oracle replays the identical arithmetic.
+    *
+    * Scale shape: one cached featurize pass (map-side — 9 columns from
+    * one token array), then one aggregation per unrolled iteration whose
+    * partials fold map-side into TEN scalars (9 gradients + loss); the
+    * weights return to the plan as inlined LITERALS (the
+    * [[KMeansOp.assignLiteral]] idiom — no join, no broadcast, map-only
+    * scoring), so each iteration is one scan + one 10-scalar reduce.
+    * At 100 TB that is the textbook data-parallel GD step; the driver
+    * holds 9 longs. Learning rate is effectively lr/N absorbed into
+    * [[LrDen]] — a knob a deployment tunes; the two unrolled iterations
+    * here pin the loop's arithmetic, not a converged model.
+    *
+    * Returns 9 rows: (dim, w1_micro, w2_micro, loss0_sh, loss1_sh,
+    * loss2_sh) — weights after each iteration plus the (2^20-downshifted)
+    * squared losses before/between/after, whose strict descent is the
+    * visible proof the loop learns. */
+  def linearProbe(docs: DataFrame, textCol: String,
+      labelExpr: Column): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (w1, w2, losses) = trainProbe(docs, textCol, labelExpr, Nil)
+    (0 until 9).map(j => (j, w1(j), w2(j),
+        losses(0) / 1048576L, losses(1) / 1048576L, losses(2) / 1048576L))
+      .toDF("dim", "w1_micro", "w2_micro",
+        "loss0_sh", "loss1_sh", "loss2_sh")
+  }
+
+  /** [[linearProbe]]'s trained model APPLIED: score every document with
+    * the final weights — a map-only pass (weights are inlined literals,
+    * no join, no broadcast; at 100 TB the filter runs at scan speed) —
+    * and roll the scores up per `groupCol`: the separation report an
+    * operator reads BEFORE letting the probe gate a corpus. On the
+    * synthetic corpus it shows per-class means barely apart (the
+    * length-bucket features carry little language signal there) — which
+    * is precisely the go/no-go answer the report exists to give.
+    * Scores stay in exact micro-unit integers. */
+  def linearProbeScore(docs: DataFrame, textCol: String,
+      labelExpr: Column, groupCol: String): DataFrame = {
+    val (_, w2, _) = trainProbe(docs, textCol, labelExpr, Seq(groupCol))
+    val scored = featurize(docs, textCol, labelExpr, Seq(groupCol))
+      .withColumn("score_micro",
+        (0 until 9).map(j => col(s"x$j") * lit(w2(j))).reduce(_ + _))
+    scored.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("score_micro")).cast("long").as("sum_score_micro"))
+  }
+
+  private def featurize(docs: DataFrame, textCol: String,
+      labelExpr: Column, carry: Seq[String]): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val xs = (0 until 8).map(j =>
+      size(filter(toks, t => length(t) % 8 === j)).cast("long").as(s"x$j")) :+
+      lit(1L).as("x8")
+    docs.select(carry.map(col) ++ xs :+
+      (labelExpr.cast("long") * ProbeScale).as("ys"): _*)
+  }
+
+  /** The unrolled 2-iteration GD loop shared by [[linearProbe]] and
+    * [[linearProbeScore]]: returns (w1, w2, losses(3)). */
+  private def trainProbe(docs: DataFrame, textCol: String,
+      labelExpr: Column, carry: Seq[String]): (Seq[Long], Seq[Long], Seq[Long]) = {
+    val feat = featurize(docs, textCol, labelExpr, carry).cache()
+    // one GD pass: gradient of 0.5*Σ(x·w − y)² per dim + the loss, all
+    // folded in a single 10-scalar aggregation with literal-inlined w
+    def pass(w: Seq[Long]): (Seq[Long], Long) = {
+      val pred = (0 until 9).map(j => col(s"x$j") * lit(w(j))).reduce(_ + _)
+      val withDiff = feat.withColumn("diff", pred - col("ys"))
+      val aggs = (0 until 9).map(j =>
+        sum((col(s"x$j") * col("diff")).cast("decimal(38,0)"))
+          .cast("long").as(s"g$j")) :+
+        sum((col("diff") * col("diff")).cast("decimal(38,0)"))
+          .cast("long").as("loss")
+      val r = withDiff.agg(aggs.head, aggs.tail: _*).collect()(0)
+      ((0 until 9).map(r.getLong), r.getLong(9))
+    }
+    // symmetric integer division — Long / already truncates toward zero;
+    // spelled out so the oracle's CASE-wrapped floor `//` is visibly the
+    // same function
+    def sdiv(g: Long): Long = if (g >= 0) g / LrDen else -((-g) / LrDen)
+    val w0 = Seq.fill(9)(0L)
+    val (g1, loss0) = pass(w0)
+    val w1 = w0.zip(g1).map { case (w, g) => w - sdiv(g) }
+    val (g2, loss1) = pass(w1)
+    val w2 = w1.zip(g2).map { case (w, g) => w - sdiv(g) }
+    val (_, loss2) = pass(w2)
+    feat.unpersist(blocking = false)
+    (w1, w2, Seq(loss0, loss1, loss2))
+  }
+
   // ---------- dataset-card statistics ----------
 
   /** Per-stratum corpus report — the "dataset card" panel a curation run

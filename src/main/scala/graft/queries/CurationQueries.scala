@@ -112,6 +112,44 @@ object CurationQueries {
        c1 AS (${sqlUpdate("a1")}),
        a2 AS (${sqlAssign("c1")})"""
 
+  /** DuckDB twin of one Curation.trainProbe gradient pass over `src`
+    * (rows carrying x0..x8 + diff): 9 decimal-exact per-dim gradient
+    * sums + the squared loss. */
+  private def probeGradCte(src: String, name: String, loss: String) =
+    s"""$name AS (SELECT ${(0 until 9).map(j =>
+         s"CAST(SUM(CAST(x$j * diff AS DECIMAL(38,0))) AS BIGINT) AS g$j")
+         .mkString(", ")},
+       CAST(SUM(CAST(diff * diff AS DECIMAL(38,0))) AS BIGINT) AS $loss
+       FROM $src)"""
+
+  /** Shared CTE chain of the linear-probe oracles: featurize (token-
+    * length buckets + bias + micro-scaled en label, lang carried for the
+    * scoring rollup), two unrolled GD iterations to weights w1/w2 with
+    * the same truncate-toward-zero /2^22 update as the Scala trainer. */
+  private lazy val ProbeCtes: String = {
+    val D = Curation.LrDen
+    def sdiv(e: String) =
+      s"(CASE WHEN ($e) >= 0 THEN ($e) // $D ELSE -((-($e)) // $D) END)"
+    val dims = 0 until 9
+    val featCols = (0 until 8).map(j =>
+      s"CAST(len(list_filter(string_split(text, ' '), t -> len(t) % 8 = $j)) AS BIGINT) AS x$j")
+      .mkString(", ")
+    s"""feat AS (
+         SELECT lang, $featCols, CAST(1 AS BIGINT) AS x8,
+           CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT)
+             AS ys
+         FROM documents),
+       p1 AS (SELECT *, (0 - ys) AS diff FROM feat),
+       ${probeGradCte("p1", "g1", "loss0")},
+       w1 AS (SELECT ${dims.map(j => s"(0 - ${sdiv(s"g$j")}) AS w$j")
+      .mkString(", ")} FROM g1),
+       p2 AS (SELECT f.*, (${dims.map(j => s"f.x$j * w1.w$j")
+      .mkString(" + ")}) - f.ys AS diff FROM feat f CROSS JOIN w1),
+       ${probeGradCte("p2", "g2", "loss1")},
+       w2 AS (SELECT ${dims.map(j => s"(w1.w$j - ${sdiv(s"g2.g$j")}) AS w$j")
+      .mkString(", ")} FROM w1, g2)"""
+  }
+
   private def kmeansCtes: String = kmeansChain(
     """emb AS (
          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -190,6 +228,32 @@ object CurationQueries {
         .select(col("doc_id"), col("quality_milli"), col("n_tokens"),
           col("cum_tokens"))
         .orderBy("doc_id")
+    }),
+
+    // In-engine classifier training (Curation.linearProbe): a linear
+    // en-vs-rest probe on token-length-bucket features, trained by TWO
+    // unrolled full-batch GD iterations in exact fixed-point integer
+    // arithmetic — per-dim gradients fold map-side through decimal
+    // sums, weights come back as inlined literals, the loop is one scan
+    // + one 10-scalar reduce per iteration (textbook data-parallel GD).
+    // loss0 > loss1 > loss2 in the output rows is the visible descent.
+    "curate_train_classifier" -> ((s, dir) => {
+      Curation.linearProbe(Tables.table(s, dir, "documents"), "text",
+          when(col("lang") === "en", 1L).otherwise(0L))
+        .orderBy("dim")
+    }),
+
+    // the trained probe APPLIED (Curation.linearProbeScore): every doc
+    // scored map-only with the literal-inlined final weights, rolled up
+    // per language — the separation report an operator reads before
+    // letting the probe gate a corpus (here it reveals WEAK separation:
+    // the synthetic corpus carries no language-specific vocabulary, so
+    // the probe mostly learns length — exactly the go/no-go answer the
+    // report exists to give).
+    "curate_classifier_score" -> ((s, dir) => {
+      Curation.linearProbeScore(Tables.table(s, dir, "documents"), "text",
+          when(col("lang") === "en", 1L).otherwise(0L), "lang")
+        .orderBy("lang")
     }),
 
     // duplicate-3-gram repetition fraction + keep flag (Gopher-rule family)
@@ -1278,6 +1342,33 @@ object CurationQueries {
        FROM dshingles JOIN bench USING (shingle)
        WHERE doc_id % 97 <> 0
        GROUP BY doc_id ORDER BY doc_id""",
+    // the identical fixed-point GD replayed in SQL: same feature fold,
+    // same decimal gradient sums, same truncate-toward-zero /2^22 update
+    "curate_train_classifier" -> {
+      val rows = (0 until 9).map(j =>
+        s"""SELECT $j AS dim, w1.w$j AS w1_micro, w2.w$j AS w2_micro,
+            g1.loss0 // 1048576 AS loss0_sh, g2.loss1 // 1048576 AS loss1_sh,
+            g3.loss2 // 1048576 AS loss2_sh
+            FROM w1, w2, g1, g2, g3""").mkString(" UNION ALL ")
+      s"""
+       WITH $ProbeCtes,
+       p3 AS (SELECT f.*, (${(0 until 9).map(j => s"f.x$j * w2.w$j")
+         .mkString(" + ")}) - f.ys AS diff FROM feat f CROSS JOIN w2),
+       ${probeGradCte("p3", "g3", "loss2")}
+       SELECT * FROM ($rows) ORDER BY dim"""
+    },
+    // the probe's separation report: map-only scoring with w2, per-lang
+    // exact integer rollup
+    "curate_classifier_score" -> s"""
+       WITH $ProbeCtes,
+       scored AS (SELECT f.lang,
+           (${(0 until 9).map(j => s"f.x$j * w2.w$j").mkString(" + ")})
+             AS score_micro
+         FROM feat f CROSS JOIN w2)
+       SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(CAST(score_micro AS DECIMAL(38,0))) AS BIGINT)
+           AS sum_score_micro
+       FROM scored GROUP BY lang ORDER BY lang""",
     "curate_token_budget" -> {
       val stop = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
       s"""

@@ -28,6 +28,30 @@ class CurationSpec extends AnyFunSuite {
     assert(rPq > 0.0)
   }
 
+  test("linearProbe: strict loss descent, exact determinism, join-free scoring plan") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.table(spark, Sf, "documents")
+    val label = when(col("lang") === "en", 1L).otherwise(0L)
+    val run1 = graft.operators.Curation.linearProbe(docs, "text", label)
+      .orderBy("dim").collect().toSeq
+    // fixed-point integer GD is deterministic to the bit, not "close"
+    val run2 = graft.operators.Curation.linearProbe(docs, "text", label)
+      .orderBy("dim").collect().toSeq
+    assert(run1.map(_.toSeq) == run2.map(_.toSeq))
+    val h = run1.head
+    val (l0, l1, l2) = (h.getLong(3), h.getLong(4), h.getLong(5))
+    assert(l0 > l1 && l1 > l2,
+      s"squared loss must strictly descend across the two GD steps: $l0, $l1, $l2")
+    // scoring inlines the weights as literals: the executed plan must
+    // contain no join of any kind — the filter runs at scan speed
+    val score = graft.operators.Curation.linearProbeScore(
+      docs, "text", label, "lang")
+    val plan = score.queryExecution.executedPlan.toString()
+    assert(!plan.toLowerCase.contains("join"),
+      s"probe scoring must be map-only (weights are literals), plan:\n$plan")
+    assert(score.collect().length == 5)
+  }
+
   test("chunk: window coverage, overlap, and short-final-window semantics") {
     import spark.implicits._
     // 10 tokens, chunkSize 4, stride 3 → starts 0,3,6,9
