@@ -264,6 +264,67 @@ object ReplicaSink {
     SnapshotManifest.readAt(root, version).map(readState(spark, root, _))
   }
 
+  /** Geometry evolution for the replica — the bucket-count twin of the
+    * index artifacts' `rebucket`: every current row re-hashed under
+    * `newBuckets` into one immutable `epoch_rebucket<v>` dir (one task
+    * per new bucket) and committed with `conf/buckets` updated, so every
+    * LATER upsert merges under the new geometry (bucketsOf reads the
+    * manifest, never the compile-time default). Content is untouched;
+    * time travel to pre-rotation versions keeps answering under the old
+    * geometry because each archived manifest carries its own entries.
+    * A maintenance job like compaction, it YIELDS: any interleaved
+    * bucket commit — including a concurrently ADDED bucket, which would
+    * be hashed by the old count — conflicts rather than merging. */
+  def rebucket(spark: SparkSession, dir: String, newBuckets: Int): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val dirs = m.entries.collect {
+      case (k, rel) if k.startsWith("bucket=") => rel
+    }.toSeq.sorted.map(rel => new java.io.File(root, rel).toString)
+    if (dirs.isEmpty) return
+    val outName = s"epoch_rebucket${m.version + 1}"
+    val outDir = new java.io.File(root, outName)
+    spark.read.schema("uri STRING, key STRING, image ARRAY<STRING>")
+      .parquet(dirs: _*)
+      .withColumn("bucket", pmod(hash(col("uri"), col("key")), lit(newBuckets)))
+      .repartition(newBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(outDir.toString)
+    val written = (0 until newBuckets)
+      .filter(b => new java.io.File(outDir, s"bucket=$b").exists())
+    val next = SnapshotManifest.transact(root) { base =>
+      val drift = SnapshotManifest.diffKeys(base.entries, m.entries)
+        .filter(k => k.startsWith("bucket=") || k == "conf/buckets")
+      if (drift.nonEmpty)
+        throw SnapshotManifest.WriteConflict(root.toString, drift)
+      val entries = base.entries.filterNot(_._1.startsWith("bucket=")) ++
+        written.map(b => s"bucket=$b" -> s"$outName/bucket=$b") +
+        ("conf/buckets" -> newBuckets.toString)
+      SnapshotManifest.State(base.version + 1, entries, base.retain)
+    }
+    SnapshotManifest.gc(root, next, "epoch_")
+  }
+
+  /** Full (uri, key, image) rows of a retained version — the read a CDF
+    * consumer reconstructs from; one multi-path scan of the version's
+    * bucket dirs, strictly through its archived manifest. */
+  def readReplicaRowsAt(spark: SparkSession, dir: String,
+      version: Long): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SnapshotManifest.readAt(root, version).map { m =>
+      val dirs = m.entries.collect {
+        case (k, rel) if k.startsWith("bucket=") => rel
+      }.toSeq.sorted.map(rel => new java.io.File(root, rel).toString)
+      if (dirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "uri STRING, key STRING, image ARRAY<STRING>"))
+      else spark.read
+        .schema("uri STRING, key STRING, image ARRAY<STRING>")
+        .parquet(dirs: _*)
+    }
+  }
+
   /** Change Data Feed from snapshot diffs: every row-level change
     * between two retained versions, derived from the data itself — the
     * replica turned back into a change PRODUCER. The reference's whole

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.streaming.CdcStream
 
@@ -119,6 +120,65 @@ object StreamingQueries {
       graft.sources.CdcGen.decodeCustomer(
           CdcStream.customerReplicaStreamSink(s, dir))
         .orderBy("c_custkey")),
+
+    // Streaming replica → change data feed → reconstruction: the drain
+    // commits one manifest version per micro-batch; the CDF between the
+    // FIRST batch's commit and the head (ReplicaSink.changesBetween —
+    // only changed buckets opened) applied onto that first version's
+    // rows must reproduce the head exactly. The micro-batch file split
+    // is round-robin (not SQL-derivable), so the oracle checks the
+    // reconstruction against the full-replay truth — any wrong or
+    // missing feed row diverges the rebuilt head. This is the consumer
+    // loop of replication chaining: downstream incrementals read the
+    // feed, never rescan the table.
+    "stream_sink_cdf" -> ((s, dir) => {
+      import graft.operators.{ReplicaSink, SnapshotManifest}
+      val replicaDir = CdcStream.customerReplicaStreamDir(s, dir)
+      val head = SnapshotManifest.read(new java.io.File(replicaDir)).version
+      val fromV = 2L // v1 = the retention stamp; v2 = the first batch
+      val feed = ReplicaSink.changesBetween(s, replicaDir, fromV, head,
+        "uri STRING, key STRING, image ARRAY<STRING>", Seq("uri", "key"))
+      val base = ReplicaSink.readReplicaRowsAt(s, replicaDir, fromV).get
+      val reconstructed = base
+        .join(feed.select(col("uri"), col("key")), Seq("uri", "key"),
+          "left_anti")
+        .select(col("image"))
+        .unionByName(feed.where(col("change_type") =!= "delete")
+          .select(col("after_image").as("image")))
+      graft.sources.CdcGen.decodeCustomer(reconstructed)
+        .orderBy("c_custkey")
+    }),
+
+    // Replica geometry rotation UNDER continued ingest
+    // (ReplicaSink.rebucket): after the streaming drain, the replica is
+    // re-sharded 16 → 7 buckets in one committed rotation, then a
+    // FURTHER upsert (a delete batch) merges — and must land under the
+    // NEW geometry, because the merge reads `conf/buckets` from the
+    // manifest, never the compile-time default (probing the old count
+    // would hash to the wrong buckets and duplicate keys). Output =
+    // decoded replica after rotation + delete, with the live geometry
+    // as a column.
+    "stream_sink_rebucket" -> ((s, dir) => {
+      import graft.operators.{ReplicaSink, SnapshotManifest}
+      val replicaDir = CdcStream.customerReplicaStreamDir(s, dir)
+      ReplicaSink.rebucket(s, replicaDir, 7)
+      val root = new java.io.File(replicaDir)
+      val head = SnapshotManifest.read(root)
+      val delta = ReplicaSink
+        .readReplicaRowsAt(s, replicaDir, head.version).get
+        .where(org.apache.spark.sql.functions
+          .element_at(col("image"), 1).cast("long") % 9 === 0)
+        .select(col("uri"), col("key"), col("image"),
+          org.apache.spark.sql.functions.lit(true).as("deleted"))
+      ReplicaSink.upsertBatch(replicaDir)(delta, 99L)
+      val fin = SnapshotManifest.read(root)
+      val nBuckets = fin.entries("conf/buckets").toInt
+      graft.sources.CdcGen.decodeCustomer(
+          ReplicaSink.readReplicaImages(s, replicaDir))
+        .withColumn("n_buckets",
+          org.apache.spark.sql.functions.lit(nBuckets))
+        .orderBy("c_custkey")
+    }),
 
     // Stateless curation gates on a document stream: map-side quality
     // filters, no state store — the shape of filter-on-ingest at 100 TB.
@@ -268,6 +328,22 @@ object StreamingQueries {
     // the replica after the full replay must equal the batch apply — the
     // same claim as stream_cdc_apply, now through the durable sink
     "stream_sink_replica" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
+         CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment
+         FROM customer WHERE c_custkey % 7 <> 0 ORDER BY c_custkey""",
+    // post-rotation content = full replay minus the delete batch; the
+    // geometry column pins that the rotation's count is what later
+    // merges ran under
+    "stream_sink_rebucket" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+         c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
+         CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment,
+         CAST(7 AS INTEGER) AS n_buckets
+         FROM customer WHERE c_custkey % 7 <> 0 AND c_custkey % 9 <> 0
+         ORDER BY c_custkey""",
+    // first-batch state + change feed must rebuild the full-replay head
+    "stream_sink_cdf" ->
       """SELECT c_custkey, c_name, c_nationkey,
          c_acctbal + (CASE WHEN c_custkey % 5 = 0 THEN 100.0 ELSE 0.0 END) AS c_acctbal,
          CASE WHEN c_custkey % 25 = 0 THEN NULL ELSE c_mktsegment END AS c_mktsegment

@@ -917,15 +917,27 @@ object CdcStream {
     stateDir.toString
   }
 
-  def customerReplicaStreamSink(spark: SparkSession, sfDir: String): DataFrame = {
+  def customerReplicaStreamSink(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.ReplicaSink.readReplicaImages(
+      streamSession(spark, flush = false),
+      customerReplicaStreamDir(spark, sfDir))
+
+  /** The [[customerReplicaStreamSink]] drain, returning the durable
+    * replica DIR instead of the read-back — for consumers of the
+    * artifact's version history (time travel, change data feed).
+    * Retention is widened up front (a committed v1, before any batch)
+    * so every per-batch commit of the drain stays readable behind the
+    * head. */
+  def customerReplicaStreamDir(spark: SparkSession, sfDir: String): String = {
     import graft.operators.ReplicaSink
     val ss = streamSession(spark, flush = false)
     val events = streamOf(CdcGen.customerEvents(ss, sfDir), "cdc_events", sfDir,
       maxFilesPerTrigger = Some(3)) // 8 staged files → 3 micro-batches
     ReplicaSink.lastUpsertBatches = 0
-    val replicaDir = drainToStateDir(applyStreamDeltas(events),
-      "graft_replica_stream", sfDir, dir => ReplicaSink.upsertBatch(dir))
-    ReplicaSink.readReplicaImages(ss, replicaDir)
+    drainToStateDir(applyStreamDeltas(events),
+      "graft_replica_stream", sfDir, dir => ReplicaSink.upsertBatch(dir),
+      init = dir => graft.operators.SnapshotManifest.setRetention(
+        new java.io.File(dir), 8))
   }
 
   /** Streaming materialized-view maintenance: every micro-batch of the
