@@ -52,6 +52,41 @@ object Graph {
       .select(col("a"), col("b")).distinct()
   }
 
+  /** Synchronous label propagation over an undirected edge set — the
+    * community-detection sibling of the hash-to-min components in
+    * [[Dedup]] (CC converges to connectivity; LPA converges to dense
+    * neighborhoods): every node starts labeled with its own id, and each
+    * round adopts the MODE of its neighbors' labels (count desc, label
+    * asc on ties — a total order, so the sync update is deterministic
+    * and both engines agree exactly).
+    *
+    * Scale shape per round: one shuffle join of the N-sized label table
+    * onto the 2m-sized adjacency (both hash-partitioned on the node id —
+    * no broadcast of anything data-sized), one (v, label) count
+    * aggregation with map-side partials, and a per-node top-1 that
+    * Spark's WindowGroupLimit cuts to ≤1 row per node BEFORE the final
+    * exchange. Rounds are unrolled; labels(round k) is O(N). */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val adj = edges.select(col("a").as("v"), col("b").as("nbr"))
+      .unionAll(edges.select(col("b").as("v"), col("a").as("nbr")))
+    var labels = adj.select(col("v")).distinct()
+      .withColumn("label", col("v"))
+    (1 to rounds).foreach { _ =>
+      val nbrLabels = adj
+        .join(labels.withColumnRenamed("v", "nbr"), "nbr")
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val wk = Window.partitionBy(col("v"))
+        .orderBy(col("cnt").desc, col("label"))
+      labels = nbrLabels
+        .withColumn("rn", row_number().over(wk))
+        .where(col("rn") === 1)
+        .select(col("v"), col("label"))
+    }
+    labels
+  }
+
   /** Orient each undirected edge from the endpoint of lower (deg, id)
     * rank to the higher; degree table is node-sized → broadcast. */
   private def orientByDegree(edges: DataFrame): DataFrame = {

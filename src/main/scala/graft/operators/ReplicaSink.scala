@@ -406,11 +406,12 @@ object ReplicaSink {
     if (dirs.isEmpty)
       spark.range(0).select(lit(null).cast("array<string>").as("image"))
     else
-      dirs
-        .map(rel => spark.read
-          .schema("uri STRING, key STRING, image ARRAY<STRING>")
-          .parquet(new java.io.File(root, rel).toString))
-        .reduce(_ unionByName _)
+      // ONE multi-path read — a per-bucket read + union chain grows the
+      // plan linearly in bucket count (the AnnIndex.readCodes lesson);
+      // one relation keeps it constant at thousands of buckets
+      spark.read
+        .schema("uri STRING, key STRING, image ARRAY<STRING>")
+        .parquet(dirs.map(rel => new java.io.File(root, rel).toString): _*)
         .select(col("image"))
   }
 }

@@ -67,6 +67,43 @@ object AnalyticsQueries {
     "graph_triangles" -> ((s, dir) =>
       Graph.triangleCountAutoFromEvents(Tables.events(s, dir))),
 
+    // Label-propagation communities over the purchase co-occurrence
+    // graph (Graph.labelPropagation): 2 synchronous mode-label rounds,
+    // per-round one N-vs-2m shuffle join + count agg + WindowGroupLimit
+    // top-1 — the community summary (label, size, member checksum).
+    "graph_communities" -> ((s, dir) => {
+      val edges = Graph.coOccurrenceEdges(Tables.events(s, dir))
+      Graph.labelPropagation(edges, 2)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("v")).as("member_checksum"))
+        .orderBy("label")
+    }),
+
+    // Behavioral path mining: the 20 most frequent event-type TRIGRAM
+    // paths across per-user ordered timelines — two lead() windows on
+    // one user_id shuffle, a count aggregation, and a two-phase
+    // TakeOrdered top-20 (the rank window runs on 20 rows, post-limit).
+    "ts_path_trigrams" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val top = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("s1"))
+        .withColumn("s2", lead(col("s1"), 1).over(w))
+        .withColumn("s3", lead(col("s1"), 2).over(w))
+        .where(col("s2").isNotNull && col("s3").isNotNull)
+        .groupBy(col("s1"), col("s2"), col("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(20)
+      top.withColumn("rnk", row_number().over(
+          Window.orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))))
+        .select(col("rnk"), col("s1"), col("s2"), col("s3"), col("n"))
+        .orderBy("rnk")
+    }),
+
     // recall@5 of the IVF cell search against brute-force ground truth —
     // the accuracy/efficiency trade every ANN deployment must measure.
     // Both pipelines are the already-verified queries; the eval is a
@@ -554,6 +591,47 @@ object AnalyticsQueries {
          CAST(SUM(cents) AS BIGINT) AS vol_cents
        FROM rk GROUP BY 1, 2 ORDER BY event_type, hour""",
     "graph_triangles" -> trianglesOracle,
+    // the same 2 unrolled mode-label rounds over the same edge CTE
+    "graph_communities" -> """
+      WITH acts AS (
+        SELECT DISTINCT date_trunc('hour', ts) AS hb, user_id
+        FROM events WHERE event_type = 'purchase'),
+      edges AS (
+        SELECT DISTINCT l.user_id AS a, r.user_id AS b
+        FROM acts l JOIN acts r USING (hb)
+        WHERE l.user_id < r.user_id),
+      adj AS (SELECT a AS v, b AS nbr FROM edges
+              UNION ALL SELECT b, a FROM edges),
+      l0 AS (SELECT DISTINCT v, v AS label FROM adj),
+      n1 AS (SELECT adj.v, l0.label, COUNT(*) AS cnt
+             FROM adj JOIN l0 ON l0.v = adj.nbr GROUP BY 1, 2),
+      l1 AS (SELECT v, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                 ORDER BY cnt DESC, label) AS rn FROM n1) WHERE rn = 1),
+      n2 AS (SELECT adj.v, l1.label, COUNT(*) AS cnt
+             FROM adj JOIN l1 ON l1.v = adj.nbr GROUP BY 1, 2),
+      l2 AS (SELECT v, label FROM (
+               SELECT *, ROW_NUMBER() OVER (PARTITION BY v
+                 ORDER BY cnt DESC, label) AS rn FROM n2) WHERE rn = 1)
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(SUM(v) AS BIGINT) AS member_checksum
+      FROM l2 GROUP BY 1 ORDER BY label""",
+    "ts_path_trigrams" -> """
+      WITH tri AS (
+        SELECT event_type AS s1,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS s2,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS s3
+        FROM events),
+      c AS (SELECT s1, s2, s3, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tri WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+            GROUP BY 1, 2, 3),
+      top AS (SELECT * FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 20)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, s1, s2, s3)
+          AS INTEGER) AS rnk,
+        s1, s2, s3, n
+      FROM top ORDER BY rnk""",
     "ann_recall_eval" -> recallOracle,
     "ann_recall_eval_served" -> recallServedOracle,
     "ann_recall_eval_cdc" -> recallCdcOracle,
