@@ -32,6 +32,51 @@ object CdcQueries {
               ELSE 'UPDATE noop SET v = ' || event_id END AS query
        FROM events)"""
 
+  private val CdfSchema = "c_custkey BIGINT, cents BIGINT"
+
+  /** Shared two-version replica fixture of the change-feed queries:
+    * v1 = customer balances in integer cents, bucketed custkey%4;
+    * v2 = one upsert epoch updating bucket 1 (+500 everywhere, plus
+    * shadow-key inserts custkey+100000 carrying cents+1000 for
+    * custkey%16==1) and deleting custkey%8==7 from bucket 3. Fresh
+    * root per (pid, tag) so the queries sharing it stay independent. */
+  private def cdfFixture(s: SparkSession, dir: String, tag: String): String = {
+    val root = new java.io.File(s"/tmp/$tag/p${graft.Fs.pid}")
+    graft.Fs.deleteRecursively(root)
+    root.mkdirs()
+    val nb = 4
+    val cust = graft.sources.Tables.table(s, dir, "customer")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+        pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+    cust.repartition(nb, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(new java.io.File(root, "snap_base").toString)
+    SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+      (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+        + ("conf/buckets" -> nb.toString)))
+    // the upsert epoch: bucket 1 = updates + inserts, bucket 3 = deletes
+    val m1 = SnapshotManifest.read(root)
+    def bucketDf(b: Int) = s.read.schema(CdfSchema)
+      .parquet(new java.io.File(root, m1.entries(s"bucket=$b")).toString)
+    val b1 = bucketDf(1)
+      .withColumn("cents", col("cents") + lit(500L))
+      .unionByName(bucketDf(1).where(col("c_custkey") % 16 === 1)
+        .select((col("c_custkey") + 100000L).as("c_custkey"),
+          (col("cents") + 1000L).as("cents")))
+    val b3 = bucketDf(3).where(col("c_custkey") % 8 =!= 7)
+    val epoch = new java.io.File(root, "epoch_cdc")
+    b1.withColumn("bucket", lit(1))
+      .unionByName(b3.withColumn("bucket", lit(3)))
+      .repartition(2, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(epoch.toString)
+    SnapshotManifest.commit(root, SnapshotManifest.State(2L,
+      m1.entries ++ Map("bucket=1" -> "epoch_cdc/bucket=1",
+        "bucket=3" -> "epoch_cdc/bucket=3")))
+    root.toString
+  }
+
   val queries: Map[String, Q] = Map(
     // D10 — changelog apply, scale path (latest-image per key).
     "cdc_apply_snapshot" -> ((s, dir) =>
@@ -375,45 +420,52 @@ object CdcQueries {
     // The replica — built by CONSUMING a changelog — here re-EMITS one:
     // replication chaining, the converse of mysql_manager.rs:232-292.
     "sink_change_feed" -> ((s, dir) => {
-      val root = new java.io.File(s"/tmp/graft_cdf/p${graft.Fs.pid}")
-      graft.Fs.deleteRecursively(root)
-      root.mkdirs()
-      val nb = 4
-      val rbSchema = "c_custkey BIGINT, cents BIGINT"
-      val cust = graft.sources.Tables.table(s, dir, "customer")
-        .select(col("c_custkey"),
-          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
-          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
-      cust.repartition(nb, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(new java.io.File(root, "snap_base").toString)
-      SnapshotManifest.commit(root, SnapshotManifest.State(1L,
-        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
-          + ("conf/buckets" -> nb.toString)))
-      // the upsert epoch: bucket 1 = updates + inserts, bucket 3 = deletes
-      val m1 = SnapshotManifest.read(root)
-      def bucketDf(b: Int) = s.read.schema(rbSchema)
-        .parquet(new java.io.File(root, m1.entries(s"bucket=$b")).toString)
-      val b1 = bucketDf(1)
-        .withColumn("cents", col("cents") + lit(500L))
-        .unionByName(bucketDf(1).where(col("c_custkey") % 16 === 1)
-          .select((col("c_custkey") + 100000L).as("c_custkey"),
-            (col("cents") + 1000L).as("cents")))
-      val b3 = bucketDf(3).where(col("c_custkey") % 8 =!= 7)
-      val epoch = new java.io.File(root, "epoch_cdc")
-      b1.withColumn("bucket", lit(1))
-        .unionByName(b3.withColumn("bucket", lit(3)))
-        .repartition(2, col("bucket"))
-        .write.mode("overwrite").partitionBy("bucket")
-        .parquet(epoch.toString)
-      SnapshotManifest.commit(root, SnapshotManifest.State(2L,
-        m1.entries ++ Map("bucket=1" -> "epoch_cdc/bucket=1",
-          "bucket=3" -> "epoch_cdc/bucket=3")))
-      ReplicaSink.changesBetween(s, root.toString, 1L, 2L,
-          rbSchema, Seq("c_custkey"))
+      val root = cdfFixture(s, dir, "graft_cdf")
+      ReplicaSink.changesBetween(s, root, 1L, 2L,
+          CdfSchema, Seq("c_custkey"))
         .select(col("c_custkey"), col("change_type"),
           col("before_cents"), col("after_cents"))
         .orderBy("c_custkey")
+    }),
+
+    // CDF → downstream incremental MV, the consumption loop the feed
+    // exists for: a balances-by-group rollup initialized from v1 and
+    // maintained ONLY from the change feed (counting algorithm — each
+    // feed row becomes a ±1/±cents signed delta, updates cancel
+    // exactly), never rescanning the table; a replayed fold is a
+    // detected no-op (the IncrementalAgg lastBatch watermark). The
+    // result must equal a direct aggregate over the v2 head — which is
+    // exactly what the oracle computes.
+    "sink_cdf_mv" -> ((s, dir) => {
+      import graft.operators.IncrementalAgg
+      val root = cdfFixture(s, dir, "graft_cdfmv")
+      val mvDir = s"$root/_mv"
+      val spec = IncrementalAgg.MvSpec("grp",
+        partialAggs = Seq(sum(col("mult")).cast("long").as("n_rows"),
+          sum(col("cents_s")).cast("long").as("sum_cents")),
+        mergeAggs = Seq(sum(col("n_rows")).cast("long").as("n_rows"),
+          sum(col("sum_cents")).cast("long").as("sum_cents")),
+        cols = Seq("grp", "n_rows", "sum_cents"))
+      val init = s.read.schema(CdfSchema)
+        .parquet((0 until 4).map(b =>
+          s"$root/snap_base/bucket=$b"): _*)
+        .select((col("c_custkey") % 10).as("grp"),
+          lit(1L).as("mult"), col("cents").as("cents_s"))
+      IncrementalAgg.updateMv(s, mvDir, init, spec, 0L)
+      val feed = ReplicaSink.changesBetween(s, root, 1L, 2L,
+        CdfSchema, Seq("c_custkey"))
+      val minus = feed
+        .where(col("change_type").isin("delete", "update"))
+        .select((col("c_custkey") % 10).as("grp"),
+          lit(-1L).as("mult"), (-col("before_cents")).as("cents_s"))
+      val plus = feed
+        .where(col("change_type").isin("insert", "update"))
+        .select((col("c_custkey") % 10).as("grp"),
+          lit(1L).as("mult"), col("after_cents").as("cents_s"))
+      IncrementalAgg.updateMv(s, mvDir, minus.unionByName(plus), spec, 1L)
+      // replay of the already-folded batch: must be a detected no-op
+      IncrementalAgg.updateMv(s, mvDir, minus.unionByName(plus), spec, 1L)
+      IncrementalAgg.readMv(s, mvDir, spec).orderBy("grp")
     }),
 
     // RESTORE as a commit (ReplicaSink.restore): v1 = the customer
@@ -786,6 +838,22 @@ object CdcQueries {
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
            CAST(3 AS BIGINT) AS n_commits
          FROM customer ORDER BY c_custkey""",
+    // direct aggregate over the v2 head — inserts added, deletes gone,
+    // updates at their new balance; the MV saw only v1 + the feed
+    "sink_cdf_mv" ->
+      """WITH base AS (
+           SELECT c_custkey AS k,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         head AS (
+           SELECT k, cents + CASE WHEN k % 4 = 1 THEN 500 ELSE 0 END
+             AS cents
+           FROM base WHERE k % 8 <> 7
+           UNION ALL
+           SELECT k + 100000, cents + 1000 FROM base WHERE k % 16 = 1)
+         SELECT k % 10 AS grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+         FROM head GROUP BY 1 ORDER BY grp""",
     // v1 creates 3 entries; v2 rewrites bucket=1 and adds bucket=2;
     // v3 drops bucket=0 — the commit log's entry-level deltas
     "sink_history" ->
