@@ -104,6 +104,32 @@ object AnalyticsQueries {
         .orderBy("rnk")
     }),
 
+    // Outlier detection with NO floating point: flag events whose value
+    // sits more than 2 standard deviations from their type's mean —
+    // the z-score test cross-multiplied into pure integers,
+    //   (x−μ)² > 4σ²  ⟺  (x·n − Σ)² > 4·(n·Σx² − Σ²),
+    // so both engines agree exactly (no sqrt, no division anywhere).
+    // One two-phase stats aggregation (n, Σ, Σx² in cents), the
+    // per-type stats broadcast back onto the scan, the flag map-side.
+    "ts_anomaly" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("event_type"),
+          when(col("value") >= 0, floor(col("value") * 100 + 0.5))
+            .otherwise(ceil(col("value") * 100 - 0.5))
+            .cast("decimal(38,0)").as("cents"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("cents")).cast("decimal(38,0)").as("s"),
+          sum(col("cents") * col("cents")).cast("decimal(38,0)").as("sq"))
+      ev.join(broadcast(stats), "event_type")
+        .where((col("cents") * col("n") - col("s")) *
+               (col("cents") * col("n") - col("s")) >
+          lit(4) * (col("n") * col("sq") - col("s") * col("s")))
+        .select(col("event_id"), col("event_type"),
+          col("cents").cast("bigint").as("cents"))
+        .orderBy("event_id")
+    }),
+
     // recall@5 of the IVF cell search against brute-force ground truth —
     // the accuracy/efficiency trade every ANN deployment must measure.
     // Both pipelines are the already-verified queries; the eval is a
@@ -616,6 +642,21 @@ object AnalyticsQueries {
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
         CAST(SUM(v) AS BIGINT) AS member_checksum
       FROM l2 GROUP BY 1 ORDER BY label""",
+    "ts_anomaly" -> """
+      WITH ev AS (
+        SELECT event_id, event_type,
+          CAST(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                    ELSE ceil(value * 100 - 0.5) END AS HUGEINT) AS cents
+        FROM events),
+      st AS (
+        SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+          SUM(cents) AS s, SUM(cents * cents) AS sq
+        FROM ev GROUP BY 1)
+      SELECT e.event_id, e.event_type, CAST(e.cents AS BIGINT) AS cents
+      FROM ev e JOIN st USING (event_type)
+      WHERE (e.cents * n - s) * (e.cents * n - s)
+              > 4 * (n * sq - s * s)
+      ORDER BY event_id""",
     "ts_path_trigrams" -> """
       WITH tri AS (
         SELECT event_type AS s1,

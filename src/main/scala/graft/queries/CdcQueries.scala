@@ -428,6 +428,24 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // Point lookup through the manifest: resolve each key's bucket from
+    // the recorded geometry and open ONLY those bucket dirs — the
+    // O(bucket), never O(table), serving read a keyed replica exists
+    // for (key 15 is deleted in v2 and must be absent; 13 reads its
+    // updated balance; 100017 is a v2 insert).
+    "sink_point_lookup" -> ((s, dir) => {
+      val root = cdfFixture(s, dir, "graft_ptlkp")
+      val m = SnapshotManifest.read(new java.io.File(root))
+      val keys = Seq(11L, 13L, 15L, 100017L)
+      val paths = keys.map(k => (k % 4).toInt).distinct.sorted
+        .flatMap(b => m.entries.get(s"bucket=$b"))
+        .map(rel => new java.io.File(root, rel).toString)
+      s.read.schema(CdfSchema).parquet(paths: _*)
+        .where(col("c_custkey").isin(keys: _*))
+        .select(col("c_custkey"), col("cents"))
+        .orderBy("c_custkey")
+    }),
+
     // CDF → downstream incremental MV, the consumption loop the feed
     // exists for: a balances-by-group rollup initialized from v1 and
     // maintained ONLY from the change feed (counting algorithm — each
@@ -838,6 +856,21 @@ object CdcQueries {
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
            CAST(3 AS BIGINT) AS n_commits
          FROM customer ORDER BY c_custkey""",
+    // the v2 head restricted to the probed keys; the deleted key is
+    // structurally absent
+    "sink_point_lookup" ->
+      """WITH base AS (
+           SELECT c_custkey AS k,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         head AS (
+           SELECT k, cents + CASE WHEN k % 4 = 1 THEN 500 ELSE 0 END
+             AS cents
+           FROM base WHERE k % 8 <> 7
+           UNION ALL
+           SELECT k + 100000, cents + 1000 FROM base WHERE k % 16 = 1)
+         SELECT k AS c_custkey, cents FROM head
+         WHERE k IN (11, 13, 15, 100017) ORDER BY c_custkey""",
     // direct aggregate over the v2 head — inserts added, deletes gone,
     // updates at their new balance; the MV saw only v1 + the feed
     "sink_cdf_mv" ->
