@@ -340,6 +340,37 @@ object CurationQueries {
         .orderBy("q_id", "rnk")
     }),
 
+    // RANGE (radius) search — the API sibling of top-k: ALL pairs within
+    // a cosine threshold inside each trained IVF cell, not a fixed k per
+    // probe. Same cell-co-partitioned join as ann_knn_join (Σ|cell|²
+    // pairs, no broadcastable side); the threshold test runs on the
+    // UNROUNDED cosine (identical IEEE fold both engines) with the
+    // emitted value rounded, and a pair-count guard keeps ties off the
+    // cut: the boundary is a strict > on a value both engines derive
+    // bit-identically. This is the duplicate-radius query (find
+    // everything closer than τ) a dedup pass runs where top-k would
+    // miss high-multiplicity clusters.
+    "ann_range_search" -> ((s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .cache()
+      val assigned = KMeansOp.fit(emb, "vec_id", "embedding", 4, 2).cache()
+      val cos = graft.expressions.CosineSimilarity.cosineSim(s) _
+      val left = assigned.select(col("cluster_id"),
+        col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      val right = assigned.select(col("cluster_id"), col("vec_id"),
+        col("embedding"))
+      left.join(right, Seq("cluster_id"))
+        .where(col("vec_id") > col("a_id")) // each unordered pair once
+        .withColumn("cos_x", cos(col("a_emb"), col("embedding")))
+        .where(col("cos_x") > lit(0.45))
+        .select(col("a_id"), col("vec_id").as("b_id"),
+          col("cluster_id").cast("long").as("cluster_id"),
+          round(col("cos_x"), 6).as("cos"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // PageRank quality prior: 2 unrolled power iterations over the
     // deterministic citation graph (decimal-exact contribution sums)
     "doc_pagerank" -> ((s, dir) => {
@@ -1695,6 +1726,17 @@ object CurationQueries {
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                ORDER BY cos DESC, vec_id) AS rnk FROM pairs)
        WHERE rnk <= 3 ORDER BY q_id, rnk""",
+    "ann_range_search" -> s"""
+       WITH $kmeansCtes,
+       pairs AS (
+         SELECT l.vec_id AS a_id, r.vec_id AS b_id, l.cluster_id,
+           ${ExtensionQueries.sqlCos("l.e", "r.e")} AS cos
+         FROM a2 l JOIN a2 r
+           ON l.cluster_id = r.cluster_id AND r.vec_id > l.vec_id)
+       SELECT a_id, b_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+         ROUND(cos, 6) AS cos
+       FROM pairs WHERE cos > 0.45
+       ORDER BY a_id, b_id""",
     "lm_pmi_bigrams" -> """
        WITH words AS (
          SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS i,
