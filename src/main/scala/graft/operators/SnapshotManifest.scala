@@ -84,7 +84,7 @@ object SnapshotManifest {
     val pointed = if (f.exists()) Some(parse(f)) else None
     val hist = new File(root, HistoryDir)
     val claims = Option(hist.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.json"))
+      .filter(f => f.getName.matches("v\\d+\\.json") && f.length() > 0)
     val maxClaim =
       if (claims.isEmpty) None
       else Some(claims.maxBy(
@@ -208,12 +208,24 @@ object SnapshotManifest {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // prune AFTER the pointer swap: a crash before this point must not
     // shrink the still-committed older version's retention window (a
-    // deleted archive is not a harmless orphan; an extra one is)
+    // deleted archive is not a harmless orphan; an extra one is).
+    // Pruning TRUNCATES to a zero-byte tombstone rather than deleting:
+    // a deleted claim would re-open its version slot, and a writer
+    // stalled since before that version was claimed could then
+    // create-exclusive it "successfully" — committing into the past,
+    // invisible to every reader (observed as a lost update in the
+    // ManifestSpec thread race before this guard). The tombstone keeps
+    // the slot occupied forever, so the zombie claim collides and
+    // retries from the real head. One empty file per aged-out version
+    // is the cost — the lakehouse-log equivalent is a checkpoint plus
+    // a monotone log, same monotonicity contract.
     Option(hist.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("v\\d+\\.json") &&
+      .filter(f => f.getName.matches("v\\d+\\.json") && f.length() > 0 &&
         f.getName.stripPrefix("v").stripSuffix(".json").toLong
           < s.version - s.retain)
-      .foreach(_.delete())
+      .foreach(f => java.nio.file.Files.write(f.toPath,
+        Array.emptyByteArray,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
     ()
   }
 
@@ -254,6 +266,11 @@ object SnapshotManifest {
           if (attempts > maxRetries)
             throw WriteConflict(root.toString,
               Set(s"<retries exhausted after $maxRetries>"))
+          // bounded exponential backoff: under a contending writer herd
+          // an immediate retry can lose every race (all writers re-read
+          // and re-claim in lockstep); a short growing pause breaks the
+          // convoy, the standard OCC loop discipline
+          Thread.sleep(math.min(1L << math.min(attempts, 6), 50L))
           val head = read(root)
           val ours = diffKeys(base.entries, next.entries)
           val theirs = diffKeys(base.entries, head.entries)
@@ -274,8 +291,11 @@ object SnapshotManifest {
   def readAt(root: File, version: Long): Option[State] = {
     val f = new File(new File(root, HistoryDir), s"v$version.json")
     // an archive is written BEFORE its pointer swap; only trust archives
-    // at or below the committed current version
-    if (f.exists() && version <= read(root).version) Some(parse(f)) else None
+    // at or below the committed current version (zero-byte = pruned
+    // tombstone, not a readable version)
+    if (f.exists() && f.length() > 0 && version <= read(root).version)
+      Some(parse(f))
+    else None
   }
 
   /** One row of [[history]]: a committed version still inside the
@@ -293,7 +313,7 @@ object SnapshotManifest {
   def history(root: File): Seq[HistoryRow] = {
     val hist = new File(root, HistoryDir)
     val versions = Option(hist.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.matches("v\\d+\\.json"))
+      .filter(f => f.getName.matches("v\\d+\\.json") && f.length() > 0)
       .map(f => (f.getName.stripPrefix("v").stripSuffix(".json").toLong, f))
       .sortBy(_._1)
     versions.foldLeft((Map.empty[String, String], Seq.empty[HistoryRow])) {

@@ -47,6 +47,21 @@ class CurationPlanSpec extends AnyFunSuite {
       s"running-sum window must partition by part_id:\n$windowLines")
   }
 
+  test("runningSum: generalized prefix sum keeps its window partitioned too") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n_tokens"))
+    val df = Curation.runningSum(docs,
+      Seq(col("n_tokens").desc, col("doc_id").asc),
+      col("n_tokens"), "cum")
+    val plan = finalPlan(df)
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, s"expected a Window node:\n$plan")
+    assert(windowLines.forall(_.contains("_rs_part")),
+      s"running-sum window must partition by _rs_part:\n$windowLines")
+  }
+
   test("decontaminate: benchmark shingle set joins as broadcast") {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$Sf/documents.parquet")

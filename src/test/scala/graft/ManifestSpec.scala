@@ -142,6 +142,36 @@ class ManifestSpec extends AnyFunSuite {
     ()
   }
 
+  test("true thread race: every disjoint-entry writer's commit survives") {
+    val root = tmpRoot()
+    SnapshotManifest.commit(root, State(1L, Map("conf/buckets" -> "4")))
+    val writers = 6
+    val commitsPerWriter = 4
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until writers).map { w =>
+      new Thread(() => {
+        try {
+          (0 until commitsPerWriter).foreach { i =>
+            SnapshotManifest.transact(root, maxRetries = 64) { base =>
+              State(base.version + 1,
+                base.entries + (s"bucket=w${w}_$i" -> s"e$w/$i"), base.retain)
+            }
+            ()
+          }
+        } catch { case t: Throwable => errors.add(t); () }
+      }, s"occ-writer-$w")
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(errors.isEmpty, s"writer failed: ${errors.peek()}")
+    val fin = SnapshotManifest.read(root)
+    assert(fin.version == 1L + writers * commitsPerWriter,
+      s"every commit must claim its own version, head=${fin.version}")
+    val won = fin.entries.keys.count(_.startsWith("bucket=w"))
+    assert(won == writers * commitsPerWriter,
+      s"lost update: only $won of ${writers * commitsPerWriter} writer entries survive")
+  }
+
   test("retention prune and readAt guard survive the claim-based commit") {
     val root = tmpRoot()
     (1 to 5).foreach { v =>
