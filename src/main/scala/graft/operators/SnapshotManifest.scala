@@ -386,15 +386,28 @@ object SnapshotManifest {
     * unreferenced children. Runs strictly AFTER [[commit]], so a reader
     * holding the old manifest has already been superseded when its
     * files disappear. */
-  def gc(root: File, s: State, snapshotPrefix: String): Unit = {
+  /** `graceMs`: an UNREFERENCED dir younger than this survives the
+    * pass. Under a single writer 0 is safe (an unreferenced dir can
+    * only be this writer's own crash orphan). Under CONCURRENT writers
+    * an in-flight peer's epoch dir is unreferenced between its data
+    * write and its claim — a zero-grace gc racing that window deletes
+    * data a commit is about to reference. Multi-writer deployments set
+    * graceMs above their longest data write (the VACUUM-retention
+    * discipline every lakehouse format imposes for the same reason);
+    * the single-writer streams and tests here keep 0 so crash orphans
+    * collect on the very next commit. */
+  def gc(root: File, s: State, snapshotPrefix: String,
+      graceMs: Long = 0L): Unit = {
     val hist = new File(root, HistoryDir)
     val retained = Option(hist.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("v\\d+\\.json"))
       .flatMap(f => scala.util.Try(parse(f)).toOption)
       .flatMap(_.entries.values)
     val referenced = s.entries.values.toSet ++ retained
+    val cutoff = System.currentTimeMillis() - graceMs
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith(snapshotPrefix))
+      .filter(d => d.isDirectory && d.getName.startsWith(snapshotPrefix) &&
+        d.lastModified() <= cutoff)
       .foreach { d =>
         if (referenced.contains(d.getName)) ()
         else if (referenced.exists(_.startsWith(d.getName + "/"))) {

@@ -172,6 +172,27 @@ class ManifestSpec extends AnyFunSuite {
       s"lost update: only $won of ${writers * commitsPerWriter} writer entries survive")
   }
 
+  test("gc grace window: a young unreferenced dir (an in-flight writer's data) survives") {
+    val root = tmpRoot()
+    val young = new java.io.File(root, "epoch_inflight/data")
+    young.mkdirs()
+    val old = new java.io.File(root, "epoch_orphan/data")
+    old.mkdirs()
+    old.setLastModified(System.currentTimeMillis() - 120000)
+    new java.io.File(root, "epoch_orphan").setLastModified(
+      System.currentTimeMillis() - 120000)
+    val s = State(1L, Map("cur" -> "snap_1"))
+    SnapshotManifest.commit(root, s)
+    SnapshotManifest.gc(root, s, "epoch_", graceMs = 60000)
+    assert(young.exists(),
+      "an unreferenced dir younger than the grace must survive (it may be a concurrent writer's in-flight data)")
+    assert(!new java.io.File(root, "epoch_orphan").exists(),
+      "an aged-out orphan past the grace must still collect")
+    // zero grace keeps the single-writer contract: next pass collects it
+    SnapshotManifest.gc(root, s, "epoch_")
+    assert(!young.exists())
+  }
+
   test("retention prune and readAt guard survive the claim-based commit") {
     val root = tmpRoot()
     (1 to 5).foreach { v =>
