@@ -131,6 +131,29 @@ object LangModel {
           .as("cum_frac"))
   }
 
+  /** Per-document out-of-vocabulary rate against the corpus' own top-k
+    * vocabulary — the coverage metric a vocab-size decision is read
+    * from (what OOV mass does a k-word vocab leave on the table, doc
+    * by doc). The vocab is k strings — the same driver-side TopK bound
+    * as [[vocabTopK]] — inlined as literals, so the per-doc pass is
+    * MAP-ONLY: no explode, no join, no shuffle; at 100 TB the metric
+    * costs exactly one scan after the vocab count. Rates are exact
+    * integer permille (integral division), engine-identical. */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 100): DataFrame = {
+    val vocab = docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(k)
+      .collect().map(_.getString(0)).toSeq
+    val toks = split(col(textCol), " ")
+    docs.select(col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => !t.isin(vocab.map(lit(_)): _*)))
+          .cast("long").as("n_oov"))
+      .withColumn("oov_permille", expr("(n_oov * 1000) div n_tokens"))
+  }
+
   /** Per-document mean trigram probability under the corpus model — the
     * perplexity-style quality signal without the log (ratio-form, same
     * rationale as BM25's idf): fluent in-distribution text scores high,

@@ -555,6 +555,16 @@ object CurationQueries {
         .orderBy("rnk")
     }),
 
+    // OOV coverage (LangModel.oovRate): per-doc out-of-vocabulary rate
+    // against the corpus' own top-100 vocab — the number a vocab-size
+    // decision reads. Vocab inlined as literals → the per-doc pass is
+    // map-only (no explode, no join); exact integer permille.
+    "lm_oov_rate" -> ((s, dir) => {
+      graft.operators.LangModel
+        .oovRate(Tables.table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // self-calibrating stratified sampling: per-language rates derived
     // from the data (downsample every stratum toward the smallest)
     "data_sample_stratified" -> ((s, dir) => {
@@ -1818,6 +1828,25 @@ object CurationQueries {
                    % ${graft.expressions.ShingleOps.P}))),
              (acc, x) -> acc + x)) AS BIGINT) AS sym_checksum
          FROM enc GROUP BY doc_id ORDER BY doc_id""",
+    "lm_oov_rate" -> """
+       WITH counts AS (
+         SELECT w AS word, COUNT(*) AS cnt
+         FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         GROUP BY 1),
+       vocab AS (SELECT word FROM counts ORDER BY cnt DESC, word LIMIT 100),
+       toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM documents),
+       oov AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_oov
+               FROM toks t LEFT JOIN vocab v ON v.word = t.w
+               WHERE v.word IS NULL GROUP BY 1),
+       base AS (SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         FROM documents)
+       SELECT b.doc_id, b.n_tokens,
+         CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+         (CAST(COALESCE(o.n_oov, 0) AS BIGINT) * 1000) // b.n_tokens
+           AS oov_permille
+       FROM base b LEFT JOIN oov o USING (doc_id) ORDER BY b.doc_id""",
     "lm_vocab_topk" -> """
        WITH c AS (
          SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
