@@ -534,6 +534,45 @@ object CurationQueries {
         .orderBy("split")
     }),
 
+    // Curation PROVENANCE — the row-level "why did my document
+    // disappear" audit every production pipeline ends up needing:
+    // for EVERY input doc, the FIRST pipeline_curate gate that dropped
+    // it (repetition → diversity → exact-duplicate → mixdown) or
+    // 'kept'. Same gates, same order, same constants as the capstone —
+    // but instead of surviving rows it emits the complement with
+    // attribution. All gates stay in their capstone shapes (map-side
+    // flags, one text-keyed canonical agg, broadcast mix table); the
+    // when-chain is the only addition, so provenance costs what the
+    // pipeline already cost.
+    "pipeline_provenance" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.fanout(Tables.table(s, dir, "documents"))
+      val rep = Curation.repeatedNgrams(docs, "doc_id", "text")
+        .select(col("doc_id"), col("keep").as("rep_ok"))
+      val gin = Curation.charDiversity(docs, "doc_id", "text")
+        .select(col("doc_id"), (col("char_gini") >= 0.9).as("gini_ok"))
+      val base = docs.join(rep, "doc_id").join(gin, "doc_id")
+      val canon = base.where(col("rep_ok") && col("gini_ok"))
+        .groupBy(col("text")).agg(min(col("doc_id")).as("canon_id"))
+      val mixTable = broadcast(
+        Curation.MixPermille.toDF("suffix_mod", "permille"))
+      base
+        .join(canon, Seq("text"), "left")
+        .withColumn("suffix_mod",
+          pmod(regexp_extract(col("source"), "([0-9]+)$", 1).cast("int"),
+            lit(Curation.MixPermille.size)))
+        .join(mixTable, Seq("suffix_mod"), "left")
+        .withColumn("verdict",
+          when(!col("rep_ok"), "repetition")
+            .when(!col("gini_ok"), "diversity")
+            .when(col("doc_id") =!= col("canon_id"), "duplicate")
+            .when(Curation.mixHash(col("doc_id")) >= col("permille"),
+              "mixdown")
+            .otherwise("kept"))
+        .select(col("doc_id"), col("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // ratio-form PMI collocations: phrase-mining over adjacent pairs
     "lm_pmi_bigrams" -> ((s, dir) => {
       graft.operators.LangModel
@@ -1701,6 +1740,54 @@ object CurationQueries {
          FROM kept)
        SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_checksum
        FROM sp GROUP BY 1 ORDER BY split""",
+    // same gates, same order, same constants as pipeline_curate — the
+    // complement with attribution instead of the survivors
+    "pipeline_provenance" -> s"""
+       WITH $DocShingleCtes,
+       tot AS (
+         SELECT doc_id,
+           greatest(len(string_split(text, ' ')) - 2, 0) AS n_grams
+         FROM documents),
+       dst AS (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_distinct
+         FROM dshingles GROUP BY doc_id),
+       rep AS (
+         SELECT t.doc_id,
+           CASE WHEN t.n_grams > 0
+                THEN ROUND(1.0 - CAST(COALESCE(d.n_distinct, 0) AS DOUBLE)
+                  / t.n_grams, 6)
+                ELSE 0.0 END AS dup_frac
+         FROM tot t LEFT JOIN dst d USING (doc_id)),
+       cnt AS (
+         SELECT doc_id, len, c, COUNT(*) AS n FROM (
+           SELECT doc_id, length(text) AS len,
+             unnest(list_transform(range(1, length(text) + 1),
+               i -> text[i:i])) AS c
+           FROM documents) GROUP BY 1, 2, 3),
+       gin AS (
+         SELECT doc_id, ROUND(1.0 - CAST(SUM(n * n) AS DOUBLE)
+           / (CAST(len AS DOUBLE) * CAST(len AS DOUBLE)), 6) AS char_gini
+         FROM cnt GROUP BY doc_id, len),
+       flags AS (
+         SELECT d.doc_id, d.text, d.source,
+           (r.dup_frac <= 0.3) AS rep_ok, (g.char_gini >= 0.9) AS gini_ok
+         FROM documents d JOIN rep r USING (doc_id)
+           JOIN gin g USING (doc_id)),
+       canon AS (
+         SELECT text, MIN(doc_id) AS canon_id FROM flags
+         WHERE rep_ok AND gini_ok GROUP BY text)
+       SELECT f.doc_id,
+         CASE WHEN NOT rep_ok THEN 'repetition'
+              WHEN NOT gini_ok THEN 'diversity'
+              WHEN f.doc_id <> c.canon_id THEN 'duplicate'
+              WHEN (f.doc_id * 2246822519) % 1000 >=
+                (CASE CAST(regexp_extract(f.source, '([0-9]+)$$', 1)
+                      AS INTEGER) % 5
+                 WHEN 0 THEN 1000 WHEN 1 THEN 800 WHEN 2 THEN 600
+                 WHEN 3 THEN 400 ELSE 200 END) THEN 'mixdown'
+              ELSE 'kept' END AS verdict
+       FROM flags f LEFT JOIN canon c ON c.text = f.text
+       ORDER BY f.doc_id""",
     "ann_ivf_trained" -> s"""
        WITH $kmeansCtes,
        c2 AS (${sqlUpdate("a2")}),
