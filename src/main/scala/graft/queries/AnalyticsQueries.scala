@@ -104,6 +104,24 @@ object AnalyticsQueries {
         .orderBy("rnk")
     }),
 
+    // Seasonality profile: per (event_type, hour-of-day) volume and
+    // mean value — the diurnal baseline an anomaly alert is judged
+    // against. One two-phase hash aggregation over 24×5 groups; means
+    // in exact integer millicents (integral division — positive sums).
+    "ts_seasonality" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          hour(col("ts")).cast("int").as("hod"),
+          when(col("value") >= 0, floor(col("value") * 100 + 0.5))
+            .otherwise(ceil(col("value") * 100 - 0.5))
+            .cast("long").as("cents"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+        .withColumn("mean_millicents",
+          expr("(sum_cents * 1000) div n"))
+        .orderBy("event_type", "hod")
+    }),
+
     // Outlier detection with NO floating point: flag events whose value
     // sits more than 2 standard deviations from their type's mean —
     // the z-score test cross-multiplied into pure integers,
@@ -642,6 +660,16 @@ object AnalyticsQueries {
       SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
         CAST(SUM(v) AS BIGINT) AS member_checksum
       FROM l2 GROUP BY 1 ORDER BY label""",
+    "ts_seasonality" -> """
+      WITH ev AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+          CAST(CASE WHEN value >= 0 THEN floor(value * 100 + 0.5)
+                    ELSE ceil(value * 100 - 0.5) END AS BIGINT) AS cents
+        FROM events)
+      SELECT event_type, hod, CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        (CAST(SUM(cents) AS BIGINT) * 1000) // COUNT(*) AS mean_millicents
+      FROM ev GROUP BY 1, 2 ORDER BY event_type, hod""",
     "ts_anomaly" -> """
       WITH ev AS (
         SELECT event_id, event_type,
