@@ -489,6 +489,142 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
         .as("media_meta"))
 
+  case class PixelMeta(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, pixel_sum: Long)
+
+  /** REAL PNG encoding — the step beyond header synthesis: each doc
+    * becomes a complete, spec-valid 8-bit grayscale PNG (IHDR + IDAT +
+    * IEND, every chunk CRC32-stamped, scanlines zlib-DEFLATED through
+    * `java.util.zip.Deflater` with alternating None/Up row filters so
+    * the decoder's unfilter path is genuinely exercised). Pixel truth
+    * is planted arithmetic — pixel(x, y) = (doc_id + 7x + 13y) mod 256
+    * on a (4 + id%5) × (3 + id%4) grid — so the DuckDB oracle derives
+    * the decoded sums without ever touching compression. Runs
+    * iterator-to-iterator per partition like every media op here. */
+  def syntheticPngTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      val crc = new java.util.zip.CRC32()
+      def chunk(tag: String, payload: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+        out.putInt(payload.length)
+        val tb = tag.getBytes("US-ASCII")
+        out.put(tb).put(payload)
+        crc.reset(); crc.update(tb); crc.update(payload)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      it.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        def pix(x: Int, y: Int): Int = ((id + 7L * x + 13L * y) % 256).toInt
+        // filtered raw stream: one filter byte + w samples per scanline
+        val raw = new Array[Byte](h * (w + 1))
+        var p = 0
+        (0 until h).foreach { y =>
+          val f = if (y % 2 == 0) 0 else 2 // None / Up alternating
+          raw(p) = f.toByte; p += 1
+          (0 until w).foreach { x =>
+            raw(p) = (if (f == 0) pix(x, y)
+                      else (pix(x, y) - pix(x, y - 1)) & 0xFF).toByte
+            p += 1
+          }
+        }
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw); defl.finish()
+        val buf = new Array[Byte](raw.length + 64)
+        val n = defl.deflate(buf)
+        defl.end()
+        val ihdr = java.nio.ByteBuffer.allocate(13)
+          .putInt(w).putInt(h)
+          .put(8.toByte).put(0.toByte) // bit depth 8, grayscale
+          .put(0.toByte).put(0.toByte).put(0.toByte).array()
+        val sig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A)
+          .map(_.toByte)
+        (id, sig ++ chunk("IHDR", ihdr) ++
+          chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.emptyByteArray))
+      }
+    }.toDF("doc_id", "media")
+  }
+
+  /** REAL PNG pixel decode — the inverse, with nothing assumed: chunk
+    * walk from the signature, CRC32 of EVERY chunk verified (a corrupt
+    * byte anywhere is an error, not a wrong number), IDAT payloads
+    * concatenated and INFLATED, scanlines un-filtered (None/Sub/Up —
+    * the filters an encoder of grayscale content actually emits), and
+    * the pixel sum folded exactly. The stub-decode charter allowance is
+    * no longer used for PNG: this is the genuine codec path, pure JVM
+    * (`java.util.zip`), batched iterator-to-iterator. */
+  def decodePng(media: DataFrame): Dataset[PixelMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val crc = new java.util.zip.CRC32()
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          require(bb.getLong == 0x89504E470D0A1A0AL, s"doc $id: not a PNG")
+          var w = 0; var h = 0
+          val idat = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            val len = bb.getInt
+            val tag = new Array[Byte](4); bb.get(tag)
+            val payload = new Array[Byte](len); bb.get(payload)
+            val stored = bb.getInt
+            crc.reset(); crc.update(tag); crc.update(payload)
+            require(crc.getValue.toInt == stored,
+              s"doc $id: CRC mismatch in ${new String(tag, "US-ASCII")}")
+            new String(tag, "US-ASCII") match {
+              case "IHDR" =>
+                val ib = java.nio.ByteBuffer.wrap(payload)
+                w = ib.getInt; h = ib.getInt
+                require(ib.get == 8 && ib.get == 0,
+                  s"doc $id: only 8-bit grayscale supported")
+              case "IDAT" => idat.write(payload)
+              case "IEND" => done = true
+              case _ => () // ancillary chunks skip by size
+            }
+          }
+          val inf = new java.util.zip.Inflater()
+          inf.setInput(idat.toByteArray)
+          val raw = new Array[Byte](h * (w + 1))
+          var off = 0
+          while (off < raw.length && !inf.finished()) {
+            val n = inf.inflate(raw, off, raw.length - off)
+            require(n > 0 || inf.finished(),
+              s"doc $id: truncated IDAT stream")
+            off += n
+          }
+          inf.end()
+          require(off == raw.length, s"doc $id: truncated IDAT stream")
+          // unfilter in place to recovered pixels, then fold the sum
+          val prev = new Array[Int](w)
+          var sum = 0L
+          var p = 0
+          (0 until h).foreach { y =>
+            val f = raw(p) & 0xFF; p += 1
+            var left = 0
+            (0 until w).foreach { x =>
+              val v = raw(p) & 0xFF
+              val recon = f match {
+                case 0 => v
+                case 1 => (v + left) & 0xFF
+                case 2 => (v + prev(x)) & 0xFF
+                case other =>
+                  throw new IllegalArgumentException(
+                    s"doc $id: unsupported filter $other")
+              }
+              sum += recon; left = recon; prev(x) = recon; p += 1
+            }
+          }
+          PixelMeta(id, w, h, w.toLong * h, sum)
+        }
+      }
+  }
+
   /** Batched per-partition decode. Partition-parallel, streaming
     * iterator-to-iterator (no partition materialization), decoder
     * instantiated once per partition — the properties that matter when

@@ -223,6 +223,24 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PNG pixel decode end-to-end: spec-valid PNGs (CRC32-stamped
+    // chunks, zlib-DEFLATED scanlines with alternating None/Up filters)
+    // generated per doc, then decoded for real — chunk walk, per-chunk
+    // CRC verification, Inflater, un-filtering — down to the exact
+    // pixel sum. The planted truth pixel(x,y) = (doc_id + 7x + 13y)
+    // mod 256 lets the oracle derive the sums arithmetically without
+    // touching compression: the decode stub allowance is retired for
+    // PNG, this is the genuine codec path in pure JVM.
+    "mm_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val pngs = Multimodal.syntheticPngTable(
+        Tables.table(s, dir, "documents"))
+      Multimodal.decodePng(pngs).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image-header parsing over binary media columns: payloads carry
     // genuine PNG/GIF/JPEG container headers (built by expressions), the
     // row-level decoder does the marker-segment scan, and the
@@ -1201,6 +1219,19 @@ object ExtensionQueries {
            w -> 1 + CAST(floor((length(w) - 1) / 4.0) AS BIGINT))) AS BIGINT)
            AS n_subwords
          FROM documents ORDER BY doc_id""",
+    // the decoded sums derived arithmetically: nested range lambdas
+    // replay pixel(x,y) = (doc_id + 7x + 13y) mod 256 over the planted
+    // grid — compression never enters the oracle
+    "mm_png_decode" -> """
+       SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height,
+         CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT) AS n_pixels,
+         CAST(list_sum(flatten(list_transform(range(0, 3 + doc_id % 4),
+           y -> list_transform(range(0, 4 + doc_id % 5),
+             x -> (doc_id + 7 * x + 13 * y) % 256)))) AS BIGINT)
+           AS pixel_sum
+       FROM documents ORDER BY doc_id""",
     "text_quality" -> s"""
        SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,

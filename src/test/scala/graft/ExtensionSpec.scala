@@ -97,6 +97,37 @@ class ExtensionSpec extends AnyFunSuite {
     assert((u.width, u.height) === (0, 0))
   }
 
+  test("PNG decode: real zlib round-trip, filter reconstruction, CRC rejection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(0L, 1L, 7L, 19L).toDF("doc_id")
+    val pngs = graft.operators.Multimodal.syntheticPngTable(docs)
+    val got = graft.operators.Multimodal.decodePng(pngs)
+      .collect().map(m => m.doc_id -> m).toMap
+    Seq(0L, 1L, 7L, 19L).foreach { id =>
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+      val expect = (for { y <- 0 until h; x <- 0 until w }
+        yield (id + 7L * x + 13L * y) % 256).sum
+      assert(got(id).width == w && got(id).height == h &&
+        got(id).pixel_sum == expect,
+        s"doc $id decoded wrong: ${got(id)}")
+    }
+    // a single flipped payload byte must be REJECTED (CRC), never a
+    // silently wrong sum
+    val corrupted = pngs.as[(Long, Array[Byte])].map { case (id, b) =>
+      val c = b.clone(); c(c.length - 15) = (c(c.length - 15) ^ 0x01).toByte
+      (id, c)
+    }.toDF("doc_id", "media")
+    val ex = intercept[org.apache.spark.SparkException] {
+      graft.operators.Multimodal.decodePng(corrupted).collect()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("CRC")),
+      s"expected a CRC rejection, got: $messages")
+  }
+
   test("WavDecoder: canonical header, LIST-chunk scan, odd-size padding, garbage") {
     import graft.operators.Multimodal.WavDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
