@@ -239,6 +239,58 @@ object Multimodal {
       concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
   }
 
+  case class PcmStats(doc_id: Long, n_samples: Long, peak_abs: Long,
+      sum_abs: Long)
+
+  /** REAL PCM sample decode — past the header, into the data: the RIFF
+    * walk locates the `data` chunk (same alignment/LIST-skip rules as
+    * [[WavDecoder]]), its payload is interpreted as little-endian
+    * SIGNED 16-bit samples, and exact integer sample statistics fold
+    * out (peak |amplitude|, Σ|amplitude|) — the clipping/level scan an
+    * audio-curation gate runs. A trailing odd byte is ignored
+    * (truncated final sample). Signedness is real two's-complement
+    * (spec-pinned with planted negative samples); the ASCII test
+    * corpus happens to produce positive samples, which is what lets
+    * the DuckDB oracle re-derive the stats from the text bytes. */
+  def decodePcm(media: DataFrame): Dataset[PcmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          def u8(i: Int): Int = p(i) & 0xff
+          def leU32(i: Int): Long =
+            (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+              (u8(i + 3).toLong << 24)
+          def tag(i: Int): String =
+            new String(p.slice(i, i + 4), "US-ASCII")
+          var off = -1; var size = 0L
+          if (p.length >= 36 && tag(0) == "RIFF" && tag(8) == "WAVE") {
+            var i = 12
+            while (i + 8 <= p.length && off < 0) {
+              val t = tag(i)
+              val sz = leU32(i + 4)
+              if (t == "data") { off = i + 8; size = sz }
+              else i += 8 + sz.toInt + (sz.toInt & 1)
+            }
+          }
+          var n = 0L; var peak = 0L; var sumAbs = 0L
+          if (off >= 0) {
+            val end = math.min(off + size, p.length.toLong).toInt
+            var i = off
+            while (i + 1 < end) {
+              val v = (u8(i) | (u8(i + 1) << 8)).toShort.toLong // signed LE16
+              val a = math.abs(v)
+              if (a > peak) peak = a
+              sumAbs += a; n += 1; i += 2
+            }
+          }
+          PcmStats(id, n, peak, sumAbs)
+        }
+      }
+  }
+
   /** Batched per-partition WAV decode (iterator-to-iterator, decoder
     * once per partition — same batching contract as [[decodeMedia]]). */
   def decodeWav(media: DataFrame): Dataset[AudioMeta] = {

@@ -241,6 +241,20 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL PCM sample decode (Multimodal.decodePcm): the RIFF walk to
+    // the data chunk, then signed LE16 sample interpretation and exact
+    // integer level stats (peak |amp|, Σ|amp|) — the clipping/level
+    // gate of an audio curation pass, decoded from genuine container
+    // bytes, oracle re-derived from the planted payload.
+    "mm_audio_stats" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodePcm(Multimodal.syntheticWavTable(
+          Tables.table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("n_samples"), col("peak_abs"),
+          col("sum_abs"))
+        .orderBy("doc_id")
+    }),
+
     // REAL image-header parsing over binary media columns: payloads carry
     // genuine PNG/GIF/JPEG container headers (built by expressions), the
     // row-level decoder does the marker-segment scan, and the
@@ -1219,6 +1233,21 @@ object ExtensionQueries {
            w -> 1 + CAST(floor((length(w) - 1) / 4.0) AS BIGINT))) AS BIGINT)
            AS n_subwords
          FROM documents ORDER BY doc_id""",
+    // samples re-derived from the ASCII payload bytes: LE16 pairs of
+    // character codes (always positive for ASCII, so |v| = v; the
+    // decoder's signedness is spec-pinned with planted negatives)
+    "mm_audio_stats" -> """
+       WITH s AS (
+         SELECT doc_id,
+           CAST(len(text) // 2 AS BIGINT) AS n_samples,
+           list_transform(range(0, len(text) // 2),
+             j -> ascii(text[CAST(2 * j + 1 AS INTEGER)]) +
+                  256 * ascii(text[CAST(2 * j + 2 AS INTEGER)])) AS v
+         FROM documents)
+       SELECT doc_id, n_samples,
+         CAST(COALESCE(list_max(v), 0) AS BIGINT) AS peak_abs,
+         CAST(COALESCE(list_sum(v), 0) AS BIGINT) AS sum_abs
+       FROM s ORDER BY doc_id""",
     // the decoded sums derived arithmetically: nested range lambdas
     // replay pixel(x,y) = (doc_id + 7x + 13y) mod 256 over the planted
     // grid — compression never enters the oracle

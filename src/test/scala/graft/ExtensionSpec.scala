@@ -128,6 +128,30 @@ class ExtensionSpec extends AnyFunSuite {
       s"expected a CRC rejection, got: $messages")
   }
 
+  test("decodePcm: signed two's-complement samples, odd trailing byte, non-WAV") {
+    import spark.implicits._
+    // canonical 44-byte header + planted samples: +1, -1, -32768, +score
+    def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+    def le32(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val data = le16(1) ++ le16(0xFFFF) ++ le16(0x8000) ++ le16(300) ++
+      Array(0x7F.toByte) // odd trailing byte: truncated final sample
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 8 + data.length) ++
+      "WAVE".getBytes ++ "fmt ".getBytes ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+      le16(2) ++ le16(16) ++ "data".getBytes ++ le32(data.length) ++ data
+    val got = graft.operators.Multimodal.decodePcm(
+      Seq((1L, wav)).toDF("doc_id", "media")).collect().head
+    assert(got.n_samples == 4, s"odd byte must truncate: $got")
+    assert(got.peak_abs == 32768, s"two's-complement peak: $got")
+    assert(got.sum_abs == 1 + 1 + 32768 + 300, s"abs sum: $got")
+    // garbage input decodes to zeros, never throws (audio gates skip)
+    val junk = graft.operators.Multimodal.decodePcm(
+      Seq((2L, "not a riff".getBytes)).toDF("doc_id", "media"))
+      .collect().head
+    assert(junk.n_samples == 0 && junk.peak_abs == 0)
+  }
+
   test("WavDecoder: canonical header, LIST-chunk scan, odd-size padding, garbage") {
     import graft.operators.Multimodal.WavDecoder
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
