@@ -239,6 +239,171 @@ object Multimodal {
       concat(unhex(header), encode(col("text"), "UTF-8")).as("media"))
   }
 
+  /** GIF-variant LZW codec over an 8-bit alphabet at FIXED 9-bit code
+    * width (LSB-first packing, leading CLEAR, trailing EOI — the wire
+    * form inside a GIF image block). The images encoded here are small
+    * enough that the code table never reaches 512 entries, so the
+    * width-growth schedule is deliberately out of scope (its
+    * encoder/decoder pairing conventions are the classic GIF
+    * interop trap); everything else is the real algorithm — greedy
+    * longest-match insertion on the encode side, the KwKwK
+    * (code == next-entry) reconstruction case on the decode side,
+    * spec-pinned. */
+  object GifLzw extends Serializable {
+    private val MinCode = 8
+    private val Clear = 1 << MinCode
+    private val Eoi = Clear + 1
+    private val CodeSize = MinCode + 1
+
+    def encode(pixels: Array[Int]): Array[Byte] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var cur = 0L; var nbits = 0
+      def emit(code: Int): Unit = {
+        cur |= code.toLong << nbits; nbits += CodeSize
+        while (nbits >= 8) {
+          out += (cur & 0xFF).toByte; cur >>= 8; nbits -= 8
+        }
+      }
+      val dict = scala.collection.mutable.HashMap.empty[List[Int], Int]
+      var next = Eoi + 1
+      emit(Clear)
+      var w = List(pixels(0))
+      (1 until pixels.length).foreach { i =>
+        val wk = w :+ pixels(i)
+        if (dict.contains(wk)) w = wk
+        else {
+          emit(if (w.length == 1) w.head else dict(w))
+          require(next < (1 << CodeSize),
+            "image too large for the fixed-width variant")
+          dict(wk) = next; next += 1
+          w = List(pixels(i))
+        }
+      }
+      emit(if (w.length == 1) w.head else dict(w))
+      emit(Eoi)
+      if (nbits > 0) out += (cur & 0xFF).toByte
+      out.toArray
+    }
+
+    def decode(bytes: Array[Byte]): Array[Int] = {
+      var bit = 0
+      def read(): Int = {
+        var v = 0
+        (0 until CodeSize).foreach { j =>
+          val b = bit + j
+          if ((bytes(b >> 3) >> (b & 7) & 1) != 0) v |= 1 << j
+        }
+        bit += CodeSize
+        v
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val dict = scala.collection.mutable.HashMap.empty[Int, List[Int]]
+      var next = Eoi + 1
+      var prev: List[Int] = Nil
+      var done = false
+      while (!done) {
+        val c = read()
+        if (c == Clear) { dict.clear(); next = Eoi + 1; prev = Nil }
+        else if (c == Eoi) done = true
+        else {
+          val entry =
+            if (c < Clear) List(c)
+            else dict.getOrElse(c, {
+              require(c == next && prev.nonEmpty,
+                s"corrupt LZW stream: code $c, next $next")
+              prev :+ prev.head // the KwKwK case
+            })
+          out ++= entry
+          if (prev.nonEmpty) { dict(next) = prev :+ entry.head; next += 1 }
+          prev = entry
+        }
+      }
+      out.toArray
+    }
+  }
+
+  /** REAL GIF89a encoding — complete files: header, logical screen
+    * descriptor, 256-entry grayscale global color table, image
+    * descriptor, the [[GifLzw]]-compressed index stream framed in
+    * ≤255-byte sub-blocks, trailer. Pixel truth is planted arithmetic
+    * pix(x, y) = (doc_id + 7x + 13y) mod 8 — eight distinct indices, so
+    * runs repeat and the LZW dictionary genuinely builds multi-symbol
+    * entries (the compression is real, not degenerate literals). */
+  def syntheticGifTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      def le16(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+      it.map { id =>
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 4).toInt
+        val pixels = (for (y <- 0 until h; x <- 0 until w)
+          yield ((id + 7L * x + 13L * y) % 8).toInt).toArray
+        val lzw = GifLzw.encode(pixels)
+        val sub = lzw.grouped(255)
+          .flatMap(g => g.length.toByte +: g).toArray
+        val palette = (0 until 256)
+          .flatMap(i => Seq(i.toByte, i.toByte, i.toByte)).toArray
+        val bytes = "GIF89a".getBytes("US-ASCII") ++
+          le16(w) ++ le16(h) ++ Array(0xF7.toByte, 0.toByte, 0.toByte) ++
+          palette ++
+          Array(0x2C.toByte) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+          Array(0.toByte, 8.toByte) ++ // descriptor flags, min code size
+          sub ++ Array(0.toByte, 0x3B.toByte) // terminator, trailer
+        (id, bytes)
+      }
+    }.toDF("doc_id", "media")
+  }
+
+  /** REAL GIF pixel decode: signature check, logical-screen walk (global
+    * color table skipped by its declared size), extension blocks (0x21)
+    * skipped by sub-block framing, image descriptor, sub-block
+    * de-framing, full [[GifLzw]] decompression (dictionary rebuild
+    * including the KwKwK case), and pixel values resolved THROUGH the
+    * palette (red channel of each index — nothing assumes the identity
+    * palette the generator happens to use). */
+  def decodeGif(media: DataFrame): Dataset[PixelMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          def u8(i: Int): Int = p(i) & 0xFF
+          def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+          require(new String(p.take(4), "US-ASCII") == "GIF8",
+            s"doc $id: not a GIF")
+          val flags = u8(10)
+          var i = 13
+          val palOff =
+            if ((flags & 0x80) != 0) { val o = i
+              i += 3 * (1 << ((flags & 7) + 1)); o
+            } else -1
+          while (u8(i) == 0x21) { // extensions: label + sub-blocks
+            i += 2
+            while (u8(i) != 0) i += 1 + u8(i)
+            i += 1
+          }
+          require(u8(i) == 0x2C, s"doc $id: expected image descriptor")
+          val w = le16(i + 5); val h = le16(i + 7)
+          require((u8(i + 9) & 0x80) == 0, s"doc $id: local palettes unsupported")
+          i += 10
+          require(u8(i) == 8, s"doc $id: unexpected min code size")
+          i += 1
+          val lzw = new java.io.ByteArrayOutputStream()
+          while (u8(i) != 0) {
+            val n = u8(i); lzw.write(p, i + 1, n); i += 1 + n
+          }
+          val idx = GifLzw.decode(lzw.toByteArray)
+          require(idx.length == w * h,
+            s"doc $id: decoded ${idx.length} pixels, expected ${w * h}")
+          val sum = idx.foldLeft(0L)((acc, ix) =>
+            acc + (if (palOff >= 0) u8(palOff + 3 * ix) else ix))
+          PixelMeta(id, w, h, w.toLong * h, sum)
+        }
+      }
+  }
+
   case class PcmStats(doc_id: Long, n_samples: Long, peak_abs: Long,
       sum_abs: Long)
 

@@ -241,6 +241,22 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL GIF decode end-to-end: complete GIF89a files (screen
+    // descriptor, 256-entry palette, LZW-compressed index stream in
+    // sub-blocks) decoded for real — container walk, sub-block
+    // de-framing, full LZW dictionary rebuild (KwKwK case spec-pinned),
+    // palette resolution — to exact pixel sums the oracle derives
+    // arithmetically. With mm_png_decode this makes both raster formats
+    // genuine codec paths, not header stubs.
+    "mm_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeGif(Multimodal.syntheticGifTable(
+          Tables.table(s, dir, "documents"))).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("n_pixels"), col("pixel_sum"))
+        .orderBy("doc_id")
+    }),
+
     // REAL PCM sample decode (Multimodal.decodePcm): the RIFF walk to
     // the data chunk, then signed LE16 sample interpretation and exact
     // integer level stats (peak |amp|, Σ|amp|) — the clipping/level
@@ -1233,6 +1249,18 @@ object ExtensionQueries {
            w -> 1 + CAST(floor((length(w) - 1) / 4.0) AS BIGINT))) AS BIGINT)
            AS n_subwords
          FROM documents ORDER BY doc_id""",
+    // mod-8 planted pixels replayed arithmetically — LZW never enters
+    // the oracle
+    "mm_gif_decode" -> """
+       SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS width,
+         CAST(3 + doc_id % 4 AS INTEGER) AS height,
+         CAST((4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT) AS n_pixels,
+         CAST(list_sum(flatten(list_transform(range(0, 3 + doc_id % 4),
+           y -> list_transform(range(0, 4 + doc_id % 5),
+             x -> (doc_id + 7 * x + 13 * y) % 8)))) AS BIGINT)
+           AS pixel_sum
+       FROM documents ORDER BY doc_id""",
     // samples re-derived from the ASCII payload bytes: LE16 pairs of
     // character codes (always positive for ASCII, so |v| = v; the
     // decoder's signedness is spec-pinned with planted negatives)

@@ -128,6 +128,31 @@ class ExtensionSpec extends AnyFunSuite {
       s"expected a CRC rejection, got: $messages")
   }
 
+  test("GifLzw: round-trip incl. the KwKwK case; decodeGif walks extensions") {
+    import graft.operators.Multimodal.GifLzw
+    // [1,1,1] forces code==next on decode (the classic KwKwK edge)
+    assert(GifLzw.decode(GifLzw.encode(Array(1, 1, 1))).toSeq == Seq(1, 1, 1))
+    // deterministic pseudo-random and highly repetitive streams
+    val r = (0 until 300).map(i => (i * 31 + 7) % 8).toArray
+    assert(GifLzw.decode(GifLzw.encode(r)).toSeq == r.toSeq)
+    val runs = Array.fill(200)(3) ++ Array.fill(100)(5)
+    assert(GifLzw.decode(GifLzw.encode(runs)).toSeq == runs.toSeq)
+    // a planted extension block must be skipped by sub-block framing
+    import spark.implicits._
+    val gif = graft.operators.Multimodal.syntheticGifTable(
+      Seq(5L).toDF("doc_id")).as[(Long, Array[Byte])].collect().head._2
+    val palEnd = 13 + 768
+    val ext = Array(0x21.toByte, 0xFE.toByte, // comment extension
+      3.toByte, 'h'.toByte, 'i'.toByte, '!'.toByte, 0.toByte)
+    val withExt = gif.take(palEnd) ++ ext ++ gif.drop(palEnd)
+    val got = graft.operators.Multimodal.decodeGif(
+      Seq((5L, withExt)).toDF("doc_id", "media")).collect().head
+    val expect = (for { y <- 0 until (3 + 5 % 4); x <- 0 until (4 + 5 % 5) }
+      yield (5L + 7 * x + 13 * y) % 8).sum
+    assert(got.pixel_sum == expect && got.width == 4 && got.height == 4,
+      s"extension-skipping decode wrong: $got")
+  }
+
   test("decodePcm: signed two's-complement samples, odd trailing byte, non-WAV") {
     import spark.implicits._
     // canonical 44-byte header + planted samples: +1, -1, -32768, +score
