@@ -34,6 +34,40 @@ import graft.model.Cdc
   */
 object ChangelogApply {
 
+  /** SCD TYPE-2 dimension build from the changelog — the Kimball
+    * materialization the reference's replica apply deliberately
+    * collapses (mysql_manager.rs:232-292 keeps only the latest image;
+    * here the full version HISTORY is the product): every Add/Update
+    * row event opens a version valid from its sequence, the key's next
+    * event — update or delete — closes it (`valid_to_seq`), a Delete
+    * closes without opening, and the open version is `is_current`.
+    *
+    * Scale shape: one shuffle on (uri, key), then per-key windows that
+    * share one sort — lead() for the close-out and row_number() for the
+    * version ordinal (computed after Delete rows drop so ordinals stay
+    * dense under re-insert histories). No state store, no driver
+    * anything: a 100 TB changelog becomes its dimension table in one
+    * pass. */
+  def scd2Dimension(events: DataFrame, keyIdx: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = events
+      .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
+      .select(col("sequence"), col("op"), col("uri"),
+        explode(col("rows")).as("r"))
+      .select(col("sequence"), col("op"), col("uri"),
+        col("r.cols").as("image"))
+      .withColumn("key", element_at(col("image"), keyIdx + 1))
+    val w = Window.partitionBy(col("uri"), col("key"))
+      .orderBy(col("sequence"))
+    rows
+      .withColumn("valid_to_seq", lead(col("sequence"), 1).over(w))
+      .where(col("op") =!= Cdc.OpDelete)
+      .withColumn("version", row_number().over(w))
+      .select(col("uri"), col("key"), col("version"),
+        col("sequence").as("valid_from_seq"), col("valid_to_seq"),
+        col("valid_to_seq").isNull.as("is_current"), col("image"))
+  }
+
   /** Scale path: latest image per key; key = cell `keyIdx` (0-based) of the
     * row image. Update events contribute their after-image (`cols`);
     * Add/Delete their `cols` image (row_ops.rs:20-29). Grouped by

@@ -428,6 +428,23 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // SCD TYPE-2 dimension from the changelog (ChangelogApply.
+    // scd2Dimension): the warehouse materialization the replica apply
+    // collapses — per key, EVERY version with its validity interval in
+    // sequence numbers (insert opens v1; the %5 update closes it and
+    // opens v2; the %7 delete closes the open version without opening).
+    // One key shuffle + shared-sort windows; cell layout per the
+    // generator's fixed customer schema.
+    "cdc_scd2" -> ((s, dir) => {
+      ChangelogApply.scd2Dimension(CdcGen.customerEvents(s, dir))
+        .select(element_at(col("image"), 1).cast("long").as("c_custkey"),
+          col("version"),
+          col("valid_from_seq"), col("valid_to_seq"), col("is_current"),
+          element_at(col("image"), 4).cast("double").as("c_acctbal"),
+          element_at(col("image"), 5).as("c_mktsegment"))
+        .orderBy("c_custkey", "version")
+    }),
+
     // Point lookup through the manifest: resolve each key's bucket from
     // the recorded geometry and open ONLY those bucket dirs — the
     // O(bucket), never O(table), serving read a keyed replica exists
@@ -856,6 +873,31 @@ object CdcQueries {
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
            CAST(3 AS BIGINT) AS n_commits
          FROM customer ORDER BY c_custkey""",
+    // v1 for every key (closed by the %5 update else the %7 delete);
+    // v2 for %5 keys (closed by the %7 delete); sequence arithmetic
+    // mirrors the generator (insert = key+1, update = 2^30+key,
+    // delete = 2^31+key)
+    "cdc_scd2" ->
+      """WITH base AS (
+           SELECT c_custkey AS k, c_acctbal, c_mktsegment FROM customer)
+         SELECT * FROM (
+           SELECT k AS c_custkey, CAST(1 AS INTEGER) AS version,
+             CAST(k + 1 AS BIGINT) AS valid_from_seq,
+             CAST(CASE WHEN k % 5 = 0 THEN 1073741824 + k
+                       WHEN k % 7 = 0 THEN 2147483648 + k END AS BIGINT)
+               AS valid_to_seq,
+             (k % 5 <> 0 AND k % 7 <> 0) AS is_current,
+             c_acctbal, c_mktsegment
+           FROM base
+           UNION ALL
+           SELECT k, CAST(2 AS INTEGER),
+             CAST(1073741824 + k AS BIGINT),
+             CAST(CASE WHEN k % 7 = 0 THEN 2147483648 + k END AS BIGINT),
+             k % 7 <> 0,
+             c_acctbal + 100.0,
+             CASE WHEN k % 25 = 0 THEN NULL ELSE c_mktsegment END
+           FROM base WHERE k % 5 = 0)
+         ORDER BY c_custkey, version""",
     // the v2 head restricted to the probed keys; the deleted key is
     // structurally absent
     "sink_point_lookup" ->
