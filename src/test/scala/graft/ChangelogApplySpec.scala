@@ -48,6 +48,31 @@ class ChangelogApplySpec extends AnyFunSuite {
     assert(snap.except(expect).isEmpty && expect.except(snap).isEmpty)
   }
 
+  test("scd2Dimension: re-insert after delete opens a DENSE next version") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key "k": insert(v1) → update(v2) → delete(closes v2) → re-insert(v3)
+    val events = Seq(
+      ev(1L, Cdc.OpAdd, null, Seq("k", "one")),
+      ev(5L, Cdc.OpUpdate, Seq("k", "one"), Seq("k", "two")),
+      ev(9L, Cdc.OpDelete, null, Seq("k", "two")),
+      ev(12L, Cdc.OpAdd, null, Seq("k", "three")),
+      ev(3L, Cdc.OpAdd, null, Seq("q", "solo"))).toDS().toDF()
+    val got = ChangelogApply.scd2Dimension(events)
+      .select(col("key"), col("version"), col("valid_from_seq"),
+        col("valid_to_seq"), col("is_current"),
+        element_at(col("image"), 2).as("b"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4),
+        r.getString(5))).sortBy(t => (t._1, t._2))
+    assert(got.toSeq == Seq(
+      ("k", 1, 1L, Some(5L), false, "one"),
+      ("k", 2, 5L, Some(9L), false, "two"),   // closed by the DELETE
+      ("k", 3, 12L, None, true, "three"),     // dense ordinal, re-insert
+      ("q", 1, 3L, None, true, "solo")),
+      s"unexpected SCD2 history: ${got.toSeq}")
+  }
+
   test("latest-image: same-key rows within one multi-row event resolve to the LAST row") {
     import spark.implicits._
     // one event, three rows, two sharing key "k": sequence alone cannot
