@@ -2,16 +2,36 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — one warmup PASS over every query (plan, codegen,
-  * parquet footer caching: cluster steady-state conditions), then three
-  * timed PASSES over the whole suite, reporting each query's MIN across
-  * passes. Interleaving passes (rather than running one query 3× back to
-  * back) makes the min robust to a co-tenant stall WINDOW: a stall that
-  * lasts minutes poisons one pass's worth of queries, and the other two
-  * passes recover them — round 1's driver run and a round-2 dev run both
-  * showed multi-minute stalls sweeping a contiguous alphabetical block,
-  * which back-to-back repeats cannot escape. Prints the driver-contract
-  * JSON line. */
+/** Benchmark main. Protocol (round-8 verdict item 1 — the multi-pass
+  * noise protection must survive a 272-query suite inside a 25-minute
+  * process budget):
+  *
+  *   1. WARMUP at the smoke SF (sf0.001 next to the target dir): plan
+  *      construction, codegen, JIT, classloading and parquet-reader code
+  *      paths are SF-independent, so warming there costs a small fraction
+  *      of a full-SF pass. (Per-sfDir memoized artifacts do still build at
+  *      the target SF inside pass 1 — the min across later passes removes
+  *      that one-time cost, same as any other cold-start effect.)
+  *   2. PASS 1: every query timed at the target SF, name order.
+  *   3. PASS 2: every query re-timed in DESCENDING pass-1-time order —
+  *      the queries most likely poisoned by a co-tenant stall window or a
+  *      one-time artifact build get their second sample first, so budget
+  *      truncation sheds the queries whose single sample is already
+  *      trustworthy. A different visit order also decorrelates from pass
+  *      1's wall-clock stall windows (a multi-minute stall poisons a
+  *      contiguous block of whatever order is running; two different
+  *      orders never lose the same query twice).
+  *   4. PASS 3: only queries whose two samples still DISAGREE (spread
+  *      > 25% and > 0.2 s) or that truncation left single-sampled,
+  *      largest spread first.
+  *
+  * Every pass after the first checks the remaining process budget before
+  * each query (not per pass): a contended machine degrades coverage
+  * query-by-query from the least-trustworthy end, instead of losing the
+  * entire second pass the moment warmup + pass 1 overrun half the budget
+  * — the round-8 failure mode, where one contended pass became the
+  * driver-observed number. Reported value per query = MIN across its
+  * samples. Prints the driver-contract JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +66,9 @@ object Bench {
     // cancelled — cancellation fails the pending stage, which unblocks
     // AQE's result wait — and the query is recorded as failed.
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "180000").toLong
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    def once(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): Unit = {
       val sc = spark.sparkContext
       val group = s"bench_$name"
       val watchdog = new Thread(() => {
@@ -73,7 +95,7 @@ object Bench {
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
         sc.setJobGroup(group, name, interruptOnCancel = true)
         watchdog.start()
-        fn(spark, sfDir).count()
+        fn(spark, dir).count()
         ()
       } catch {
         case e: Throwable =>
@@ -85,32 +107,76 @@ object Bench {
     }
     // Total wall budget for the whole bench PROCESS: round 3's driver run
     // hit the driver-side timeout (rc 124) and produced NO number — worse
-    // than a number from fewer passes. Warmup + pass 1 always run; passes
-    // 2-3 run only if the previous pass's duration still fits the
-    // remaining budget, so the process always finishes with a result.
+    // than a number from fewer passes.
     val totalBudgetMs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_MS", "1500000").toLong
+    // Reserve enough to finish the query in flight plus JSON write +
+    // session stop; the per-query check also adds the query's own last
+    // observed time so a multi-second query is not started into a window
+    // it cannot finish.
+    val safetyMs = 60000L
     val wall0 = System.currentTimeMillis()
-    queries.foreach { case (n, f) => once(n, f) } // warmup pass
-    var passes = Vector.empty[Map[String, Double]]
-    var lastPassMs = 0L
-    for (p <- 1 to 3) {
-      val elapsed = System.currentTimeMillis() - wall0
-      if (p == 1 || elapsed + lastPassMs <= totalBudgetMs) {
-        val p0 = System.currentTimeMillis()
-        passes :+= queries.map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          once(name, fn)
-          name -> (System.nanoTime() - t0) / 1e9
-        }.toMap
-        lastPassMs = System.currentTimeMillis() - p0
-      } else {
-        System.err.println(
-          s"[bench] skipping pass $p: ${elapsed}ms elapsed + ${lastPassMs}ms/pass exceeds ${totalBudgetMs}ms budget")
-      }
+    def remainingMs(): Long = totalBudgetMs - (System.currentTimeMillis() - wall0)
+
+    // 1. warmup at the smoke SF (fall back to the target dir when no
+    //    sibling sf0.001 exists — e.g. the target IS the smoke SF)
+    val warmDir = sys.env.get("SPARK_GRAFT_WARMUP_SF_DIR").getOrElse {
+      val parent = new java.io.File(sfDir).getAbsoluteFile.getParentFile
+      val smoke = new java.io.File(parent, "sf0.001")
+      if (smoke.isDirectory && smoke.toString != new java.io.File(sfDir).getAbsolutePath)
+        smoke.toString
+      else sfDir
     }
+    System.err.println(s"[bench] warmup at $warmDir")
+    queries.foreach { case (n, f) => once(n, f, warmDir) }
+    System.err.println(s"[bench] warmup done in ${(System.currentTimeMillis() - wall0) / 1000}s")
+
+    val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    def timed(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      once(name, fn, sfDir)
+      samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+    }
+    def fits(name: String): Boolean = {
+      val lastMs = (samples(name).lastOption.getOrElse(0.0) * 1500).toLong
+      remainingMs() > safetyMs + lastMs
+    }
+    def runPass(label: String, order: Seq[(String,
+        (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+        guard: Boolean): Unit = {
+      val p0 = System.currentTimeMillis()
+      var cut = 0
+      order.foreach { case (n, f) =>
+        if (!guard || fits(n)) timed(n, f) else cut += 1
+      }
+      val msg = if (cut == 0) "complete"
+        else s"shed $cut of ${order.size} queries on budget"
+      System.err.println(s"[bench] $label $msg in ${(System.currentTimeMillis() - p0) / 1000}s")
+    }
+
+    // 2. pass 1: full, name order (never budget-shed: one sample per
+    //    query is the floor the process must always deliver)
+    runPass("pass 1", queries, guard = false)
+    // 3. pass 2: descending pass-1 time — least-trustworthy samples
+    //    (stall victims, one-time artifact builds) re-timed first
+    runPass("pass 2",
+      queries.sortBy { case (n, _) => -samples(n).max }, guard = true)
+    // 4. pass 3: only still-disagreeing or single-sampled queries,
+    //    largest spread first
+    def spread(n: String): Double = {
+      val ts = samples(n)
+      if (ts.size < 2) Double.MaxValue else ts.max - ts.min
+    }
+    val redo = queries.filter { case (n, _) =>
+      val ts = samples(n)
+      ts.size < 2 || (ts.max - ts.min > 0.2 && ts.max > ts.min * 1.25)
+    }.sortBy { case (n, _) => -spread(n) }
+    runPass(s"pass 3 (${redo.size} unsettled)", redo, guard = true)
+
     val measured = queries.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      name -> samples(name).min
     }
     // subset mode: carry forward the prior recording for unmeasured keys
     val results = (if (subset.isEmpty) measured else {

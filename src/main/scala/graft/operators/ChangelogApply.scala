@@ -47,18 +47,22 @@ object ChangelogApply {
     * version ordinal (computed after Delete rows drop so ordinals stay
     * dense under re-insert histories). No state store, no driver
     * anything: a 100 TB changelog becomes its dimension table in one
-    * pass. */
+    * pass. Sequence is unique per EVENT but an event's exploded rows
+    * share it, so the window order folds in the row's position within
+    * the event (the [[latestImage]] tiebreaker): two same-key rows
+    * inside one multi-row event open/close versions in the order MySQL
+    * applied them, deterministically across engines. */
   def scd2Dimension(events: DataFrame, keyIdx: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rows = events
       .where(col("op").isin(Cdc.OpAdd, Cdc.OpUpdate, Cdc.OpDelete))
       .select(col("sequence"), col("op"), col("uri"),
-        explode(col("rows")).as("r"))
-      .select(col("sequence"), col("op"), col("uri"),
+        posexplode(col("rows")).as(Seq("pos", "r")))
+      .select(col("sequence"), col("pos"), col("op"), col("uri"),
         col("r.cols").as("image"))
       .withColumn("key", element_at(col("image"), keyIdx + 1))
     val w = Window.partitionBy(col("uri"), col("key"))
-      .orderBy(col("sequence"))
+      .orderBy(col("sequence"), col("pos"))
     rows
       .withColumn("valid_to_seq", lead(col("sequence"), 1).over(w))
       .where(col("op") =!= Cdc.OpDelete)

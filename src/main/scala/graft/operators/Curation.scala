@@ -162,12 +162,19 @@ object Curation {
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
       nTokens.cast("long").as("n_tokens"))
     // One range shuffle gives both the per-partition order and the
-    // partition→offset mapping; cached so the totals pass and the final
-    // pass share it.
+    // partition→offset mapping. Materialized via localCheckpoint, not
+    // cache(): the offsets below are keyed by part_id, and a cache
+    // eviction would recompute the range shuffle with RESAMPLED
+    // boundaries — silently mismatching the collected offsets — while a
+    // catalog cache entry also pins executor storage for the rest of
+    // the session (nothing ever unpersisted it). The checkpoint
+    // truncates lineage (part_ids cannot resample) and its blocks are
+    // released by the ContextCleaner when the plan is garbage
+    // collected — no session-lifetime leak.
     val ranged = base.repartitionByRange(col("doc_id"))
       .sortWithinPartitions("doc_id")
       .withColumn("part_id", spark_partition_id())
-      .cache()
+      .localCheckpoint(true)
     val totals = ranged.groupBy(col("part_id"))
       .agg(sum(col("n_tokens")).as("part_sum"))
       .collect()
@@ -206,11 +213,19 @@ object Curation {
       cumName: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // the working columns are internal and dropped on output; colliding
+    // input names would be silently overwritten, so refuse them
+    Seq("_rs_v", "_rs_part", "_rs_off").foreach(c =>
+      require(!df.columns.contains(c),
+        s"runningSum reserves internal column name '$c'"))
     val base = df.withColumn("_rs_v", value.cast("long"))
+    // localCheckpoint, not cache(): part_id-keyed offsets must never see
+    // a recomputed (resampled) range shuffle, and the blocks are GC-
+    // released instead of pinned in the catalog cache (see [[packBins]])
     val ranged = base.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_rs_part", spark_partition_id())
-      .cache()
+      .localCheckpoint(true)
     val totals = ranged.groupBy(col("_rs_part"))
       .agg(sum(col("_rs_v")).as("part_sum"))
       .collect()

@@ -151,12 +151,31 @@ object ReplicaSink {
         // merges automatically, while a concurrent rewrite of one of THIS
         // batch's buckets — which would make the merge above stale —
         // surfaces as WriteConflict and fails the stream instead of
-        // silently committing a lost update. The data job never re-runs:
+        // silently committing a lost update. The staleness check is the
+        // explicit drift guard INSIDE the closure (base vs the `m` the
+        // merge was derived from, restricted to this batch's keys): a
+        // commit landing between the read at the top of this method and
+        // the claim attempt becomes transact's base with NO version
+        // collision, so the VersionConflict retry path alone would let
+        // the stale merge overwrite that writer's bucket silently — the
+        // same window rebucket guards. The monotone lastBatch watermark
+        // is excluded from clash detection (mergeKeys) and re-derived as
+        // a max on rebase, so two writers upserting DISJOINT buckets
+        // really do serialize automatically instead of colliding on the
+        // watermark both stamp. The data job never re-runs:
         // epoch_<batchId> is immutable and already written.
-        val next = SnapshotManifest.transact(root) { base =>
+        val guarded = affected.map(b => s"bucket=$b").toSet + "conf/buckets"
+        val next = SnapshotManifest.transact(root,
+            mergeKeys = Set("lastBatch")) { base =>
+          val drift = SnapshotManifest.diffKeys(base.entries, m.entries)
+            .intersect(guarded)
+          if (drift.nonEmpty)
+            throw SnapshotManifest.WriteConflict(root.toString, drift)
+          val wm = math.max(batchId,
+            base.entries.get("lastBatch").map(_.toLong).getOrElse(-1L))
           val entries = (base.entries -- affected.map(b => s"bucket=$b")) ++
             written.map(b => s"bucket=$b" -> s"epoch_$batchId/bucket=$b") ++
-            Map("lastBatch" -> batchId.toString,
+            Map("lastBatch" -> wm.toString,
               "conf/buckets" -> nb.toString)
           SnapshotManifest.State(base.version + 1, entries, base.retain)
         }
@@ -221,10 +240,20 @@ object ReplicaSink {
     // f re-derives entries from the winning head: only buckets THIS
     // compaction actually read (present in m) move to the compacted dir;
     // buckets added concurrently carry over untouched (correct — they
-    // were not compacted), and a concurrent rewrite of a compacted
-    // bucket clashes → WriteConflict, the orphan output dir is gc'd by
-    // the next commit.
+    // were not compacted). A concurrent rewrite of a compacted bucket
+    // (or a geometry rotation) is caught by the explicit drift guard —
+    // base vs the `m` this compaction read, restricted to the moved
+    // keys — which covers BOTH the retry path and the guard-free window
+    // where the concurrent commit became transact's base with no
+    // version collision; WriteConflict makes the output dir a gc-able
+    // orphan, rerun at the next maintenance window.
+    val moved = buckets.map { case (b, _) => s"bucket=$b" }.toSet +
+      "conf/buckets"
     val next = SnapshotManifest.transact(root) { base =>
+      val drift = SnapshotManifest.diffKeys(base.entries, m.entries)
+        .intersect(moved)
+      if (drift.nonEmpty)
+        throw SnapshotManifest.WriteConflict(root.toString, drift)
       val entries = base.entries.map {
         case (k, rel) if k.startsWith("bucket=") && m.entries.contains(k) &&
             new java.io.File(outDir, k).exists() => k -> s"$outName/$k"

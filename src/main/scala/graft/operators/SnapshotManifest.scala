@@ -226,8 +226,25 @@ object SnapshotManifest {
       .foreach(f => java.nio.file.Files.write(f.toPath,
         Array.emptyByteArray,
         java.nio.file.StandardOpenOption.TRUNCATE_EXISTING))
+    // a writer that crashed between claimTmp and createLink leaves its
+    // temp file behind with no finally to delete it; neither the prune
+    // above (v\d+.json only) nor [[gc]] (data dirs only) would ever
+    // collect it, so stale *.tmp litter in _history/ grows unbounded
+    // under crashy writers. A LIVE writer's tmp exists for milliseconds
+    // between its write and the link, so an age threshold far above any
+    // single manifest write is safe to reap.
+    Option(hist.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".tmp") &&
+        f.lastModified() < System.currentTimeMillis() - TmpReapMs)
+      .foreach(_.delete())
     ()
   }
+
+  /** Age beyond which a crashed writer's `.tmp` litter in `_history/`
+    * is reaped by the next [[commit]]'s prune pass (a manifest write is
+    * bytes-sized; ten minutes is orders of magnitude above any live
+    * window). */
+  private val TmpReapMs = 600000L
 
   /** Entry keys whose value differs between two snapshots (adds,
     * changes, AND deletes — a deleted key is a write). */
@@ -247,8 +264,17 @@ object SnapshotManifest {
     * automatically, each retry costing one manifest read + one claim
     * attempt, never a data rewrite — `f` re-derives entries, it must not
     * re-run the data job (the data dirs are immutable and already
-    * written). */
-  def transact(root: File, maxRetries: Int = 5)(f: State => State): State = {
+    * written).
+    *
+    * `mergeKeys`: entry keys EXCLUDED from clash detection because `f`
+    * re-derives them from the head by a commutative merge (the replica's
+    * monotone `lastBatch` watermark takes a max on rebase) — without
+    * this, two batches upserting DISJOINT buckets would still collide on
+    * the watermark they both stamp and get a spurious [[WriteConflict]],
+    * contradicting the disjoint-writers-serialize contract above. Only
+    * keys whose re-derivation genuinely commutes belong here. */
+  def transact(root: File, maxRetries: Int = 5,
+      mergeKeys: Set[String] = Set.empty)(f: State => State): State = {
     var base = read(root)
     var attempts = 0
     var done: Option[State] = None
@@ -276,6 +302,7 @@ object SnapshotManifest {
           val theirs = diffKeys(base.entries, head.entries)
           val clash = ours.intersect(theirs)
             .filter(k => next.entries.get(k) != head.entries.get(k))
+            .diff(mergeKeys)
           if (clash.nonEmpty) throw WriteConflict(root.toString, clash)
           if (next.retain != base.retain && head.retain != base.retain &&
               next.retain != head.retain)
