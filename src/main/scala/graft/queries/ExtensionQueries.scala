@@ -257,6 +257,25 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL baseline-sequential JPEG decode end-to-end — the LAST media
+    // codec seam retired (PNG and GIF went first): spec-valid grayscale
+    // JFIF streams (DQT, SOF0, custom canonical DHT tables, SOS,
+    // DC-predicted entropy scan with ZRL runs and byte stuffing)
+    // decoded for real — marker walk, MINCODE/MAXCODE/VALPTR Huffman
+    // construction from the DHT bytes, EXTEND amplitude decode,
+    // dequantization, full 64-point separable IDCT. The planted
+    // transform coefficients (Multimodal.Jpeg) make every decoded pixel
+    // an exact integer — 128 + dc ± ac in a checkered ±pattern whose
+    // block sum cancels the AC term while min/max expose it — so the
+    // oracle verifies BOTH Huffman paths arithmetically without a DCT
+    // ever entering SQL.
+    "mm_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeJpeg(Multimodal.syntheticJpegTable(
+          Tables.table(s, dir, "documents"))).toDF()
+        .orderBy("doc_id")
+    }),
+
     // REAL PCM sample decode (Multimodal.decodePcm): the RIFF walk to
     // the data chunk, then signed LE16 sample interpretation and exact
     // integer level stats (peak |amp|, Σ|amp|) — the clipping/level
@@ -1276,6 +1295,34 @@ object ExtensionQueries {
          CAST(COALESCE(list_max(v), 0) AS BIGINT) AS peak_abs,
          CAST(COALESCE(list_sum(v), 0) AS BIGINT) AS sum_abs
        FROM s ORDER BY doc_id""",
+    // the planted-coefficient truth replayed per 8x8 block: the block
+    // sum is 64*(128+dc) (the AC checker pattern cancels), min/max are
+    // 128+dc∓|ac| — the transform never enters the oracle
+    "mm_jpeg_decode" -> """
+       WITH g AS (
+         SELECT doc_id,
+           CAST(1 + doc_id % 3 AS BIGINT) AS nbx,
+           CAST(1 + doc_id % 2 AS BIGINT) AS nby
+         FROM documents),
+       b AS (
+         SELECT doc_id, nbx, nby,
+           flatten(list_transform(range(0, nby), by ->
+             list_transform(range(0, nbx), bx ->
+               struct_pack(dc := (doc_id + bx + 3 * by) % 17,
+                           ac := ((doc_id + bx + by) % 5) - 2)))) AS blocks
+         FROM g)
+       SELECT doc_id,
+         CAST(8 * nbx AS INTEGER) AS width,
+         CAST(8 * nby AS INTEGER) AS height,
+         CAST(nbx * nby AS INTEGER) AS n_blocks,
+         CAST(64 * nbx * nby AS BIGINT) AS n_pixels,
+         CAST(list_sum(list_transform(blocks,
+           s -> 64 * (128 + s.dc))) AS BIGINT) AS pixel_sum,
+         CAST(list_min(list_transform(blocks,
+           s -> 128 + s.dc - abs(s.ac))) AS INTEGER) AS pixel_min,
+         CAST(list_max(list_transform(blocks,
+           s -> 128 + s.dc + abs(s.ac))) AS INTEGER) AS pixel_max
+       FROM b ORDER BY doc_id""",
     // the decoded sums derived arithmetically: nested range lambdas
     // replay pixel(x,y) = (doc_id + 7x + 13y) mod 256 over the planted
     // grid — compression never enters the oracle

@@ -1091,7 +1091,17 @@ object CdcStream {
     * artifact). The returned result SERVES from the incrementally
     * maintained index; AnnIndexSpec pins that it equals a one-shot
     * encode of the same rows, and the DuckDB oracle reproduces base
-    * training + frozen-codebook encoding end-to-end. */
+    * training + frozen-codebook encoding end-to-end.
+    *
+    * This is the LONG drain (8 single-file micro-batches) and it runs
+    * the TIERED merge policy under live traffic: every batch routes
+    * through [[graft.operators.AnnIndex.maybeCompact]](maxSegments=3),
+    * so threshold-triggered merging fires mid-drain — twice on this
+    * staging geometry (segments grow 2,3,4→merge→1,2,3,4→merge→1,2,3)
+    * — while ingest continues on top of each merged artifact, and the
+    * serve answers stay bit-identical to the one-shot encode (the
+    * merge-invisibility contract, measured here rather than spec-only;
+    * AnnIndexSpec pins the segment-count trajectory). */
   def streamAnnIndex(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.AnnIndex
     val ss = streamSession(spark, flush = false)
@@ -1100,9 +1110,13 @@ object CdcStream {
     val rest = graft.sources.Tables.table(ss, sfDir, "embeddings")
       .where(col("vec_id") % 10 >= 8)
       .select(col("vec_id"), col("embedding"))
-    val stream = streamOf(rest, "ann_rest", sfDir, maxFilesPerTrigger = Some(3))
+    val stream = streamOf(rest, "ann_rest", sfDir, maxFilesPerTrigger = Some(1))
     val stateDir = drainToStateDir(stream, "graft_ann_stream", sfDir,
-      dir => (batch, id) => AnnIndex.appendBatch(dir)(batch.toDF(), id),
+      dir => (batch, id) => {
+        AnnIndex.appendBatch(dir)(batch.toDF(), id)
+        AnnIndex.maybeCompact(batch.sparkSession, dir, maxSegments = 3)
+        ()
+      },
       dir => AnnIndex.cloneTrained(base, sfDir, "b8", dir))
     val queries = emb.where(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("q_id"), col("e").as("qe"))

@@ -334,4 +334,25 @@ class AnnIndexSpec extends AnyFunSuite {
     emb.unpersist(blocking = false)
     ()
   }
+
+  test("long drain: threshold merges fire mid-stream, segment listing stays bounded") {
+    // streamAnnIndex drains 8 single-file micro-batches through
+    // maybeCompact(maxSegments=3) on top of the trained base segment:
+    // counts walk 2,3,4→merge→1,2,3,4→merge→1,2,3 — two threshold
+    // merges under live ingest, final listing 3 (one compact epoch +
+    // the two appends since). Merge invisibility (answers unchanged)
+    // is covered by the driver oracle and the one-shot-encode pin;
+    // this pins that the policy OBSERVABLY fired mid-drain.
+    val out = graft.streaming.CdcStream.streamAnnIndex(spark, Sf)
+    assert(out.count() > 0)
+    val stateDir = new java.io.File(
+      s"/tmp/graft_ann_stream/p${graft.Fs.pid}_" +
+        Sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val m = SnapshotManifest.read(stateDir)
+    val segs = m.entries.filter(_._1.startsWith("codes/")).toSeq.sorted
+    assert(segs.size === 3, s"post-drain segment listing: $segs")
+    assert(segs.exists(_._2.contains("compact")),
+      s"a threshold merge must have fired mid-drain: $segs")
+    assert(m.entries("lastBatch") === "7", "8 micro-batches must drain")
+  }
 }

@@ -166,6 +166,44 @@ class DedupIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("property: delete-heavy churn (deletes ≫ live docs) ≡ inline; " +
+      "probe answers from the pruned tombstone read") {
+    // a long-running CDC consumer between compactions: most of the
+    // corpus has been deleted, tombstones dominate the artifact. The
+    // two-phase liveness read must still answer exactly (every matched
+    // candidate's bucket carries its complete tombstone history).
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",
+      "bread", "cheese", "rug", "naps", "hare", "the", "and", "over")
+    def text() = Seq.fill(5 + rnd.nextInt(6))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dedupidx_churn").toString
+    var state = Map.empty[Long, String]
+    // batch 0: add 24 docs; batches 1-3: delete 7 each (21 deletes,
+    // 3 live at the end — deletes outnumber live docs 7:1)
+    val adds = (0L until 24L).map(id => (id, text(), false))
+    adds.foreach { case (id, t, _) => state += (id -> t) }
+    DedupIndex.applyCdcBatch(dir)(cdcDf(adds), 0L)
+    for (b <- 1 to 3) {
+      val dels = ((b - 1) * 7 until b * 7)
+        .map(id => (id.toLong, null: String, true))
+      dels.foreach { case (id, _, _) => state -= id }
+      DedupIndex.applyCdcBatch(dir)(cdcDf(dels), b.toLong)
+    }
+    assert(state.size === 3)
+    val probeBatch = Seq(
+      (500L, state.values.head),                       // exact vs a live doc
+      (501L, adds(0)._2),                              // exact copy of a DELETED doc: must not match
+      (502L, "totally novel text with unique words qqq www eee"))
+    val got = DedupIndex.probe(spark, dir, df(probeBatch), 0.5)
+      .orderBy("doc_id").collect().toSeq
+    val want = Dedup.incremental(df(state.toSeq.sortBy(_._1)),
+        df(probeBatch), "doc_id", "text", 0.5)
+      .orderBy("doc_id").collect().toSeq
+    assert(got === want)
+  }
+
   test("property: random corpus, random split ≡ inline classifier") {
     val rnd = new scala.util.Random(17)
     val vocab = Vector("red", "fox", "dog", "wine", "quick", "lazy",

@@ -153,6 +153,46 @@ class ExtensionSpec extends AnyFunSuite {
       s"extension-skipping decode wrong: $got")
   }
 
+  test("JPEG: baseline encode/decode round-trip on planted coefficients; " +
+      "truncation rejected") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    // the planted AC position must be raster (4,4) — the one AC basis
+    // whose two cos factors square to exactly 1/2, making every pixel
+    // an exact integer (the oracle's arithmetic rests on this)
+    assert(Multimodal.Jpeg.Zigzag(39) === 4 * 8 + 4)
+    val ids = Seq(0L, 1L, 5L, 11L, 23L, 40L)
+    val jpegs = Multimodal.syntheticJpegTable(ids.toDF("doc_id"))
+    val got = Multimodal.decodeJpeg(jpegs)
+      .collect().map(m => m.doc_id -> m).toMap
+    ids.foreach { id =>
+      val (w, h) = Multimodal.Jpeg.dims(id)
+      val blocks = for { by <- 0 until h / 8; bx <- 0 until w / 8 }
+        yield (Multimodal.Jpeg.dcLevel(id, bx, by),
+          Multimodal.Jpeg.acLevel(id, bx, by))
+      val m = got(id)
+      assert((m.width, m.height, m.n_blocks, m.n_pixels) ===
+        (w, h, blocks.size, w.toLong * h), s"doc $id dims: $m")
+      assert(m.pixel_sum ===
+        blocks.map { case (d, _) => 64L * (128 + d) }.sum,
+        s"doc $id sum (DC/Huffman/prediction path): $m")
+      assert(m.pixel_min ===
+        blocks.map { case (d, e) => 128 + d - math.abs(e) }.min,
+        s"doc $id min (AC EXTEND sign path): $m")
+      assert(m.pixel_max ===
+        blocks.map { case (d, e) => 128 + d + math.abs(e) }.max,
+        s"doc $id max (AC path): $m")
+    }
+    // a truncated entropy segment must throw, never return short stats
+    val cut = jpegs.as[(Long, Array[Byte])]
+      .map { case (id, b) => (id, b.take(b.length - 8)) }
+      .toDF("doc_id", "media")
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeJpeg(cut).collect()
+    }
+    ()
+  }
+
   test("decodePcm: signed two's-complement samples, odd trailing byte, non-WAV") {
     import spark.implicits._
     // canonical 44-byte header + planted samples: +1, -1, -32768, +score
