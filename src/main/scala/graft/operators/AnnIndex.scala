@@ -206,15 +206,14 @@ object AnnIndex {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val emb = batch.select(col("vec_id") +:
       transform(col("embedding"), x => x.cast("double")).as("e") +:
       attrsOf(m).map { case (n, _) => col(n) }: _*)
     if (batch.isEmpty) {
       // still advance the watermark: an empty committed batch must not
       // be re-merged on replay either
-      SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-        m.entries + ("lastBatch" -> batchId.toString), m.retain))
+      SegmentStore.advanceWatermark(root, m, batchId)
       return
     }
     val encoded = encode(spark, root, m, emb).withColumn("sseq", lit(batchId))
@@ -248,7 +247,7 @@ object AnnIndex {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val b = batch.select(col("vec_id") +: col("embedding") +:
       col("deleted").cast("boolean").as("deleted") +:
       attrsOf(m).map { case (n, _) => col(n) }: _*).persist()
@@ -258,8 +257,7 @@ object AnnIndex {
       val cnt = b.agg(count(lit(1)).as("n"),
         count(when(!col("deleted"), lit(1))).as("nLive")).head()
       if (cnt.getLong(0) == 0L) {
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       val seg = s"epoch_$batchId"
@@ -299,17 +297,13 @@ object AnnIndex {
     * the plan. Tombstone volume is O(changed vectors). */
   private def liveCodes(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State): DataFrame = {
-    val codes = readCodes(spark, root, m)
     val tombs = tombDirs(m)
-    if (tombs.isEmpty) codes
-    else {
-      val tmax = spark.read.schema("vec_id LONG, sseq LONG")
+    val tmax = // the shared liveness rule over vec_id-keyed tombstones
+      if (tombs.isEmpty) None
+      else Some(spark.read.schema("vec_id LONG, sseq LONG")
         .parquet(tombs.map(rel => new java.io.File(root, rel).toString): _*)
-        .groupBy(col("vec_id")).agg(max(col("sseq")).as("tmax"))
-      codes.join(tmax, Seq("vec_id"), "left")
-        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
-        .drop("tmax")
-    }
+        .groupBy(col("vec_id")).agg(max(col("sseq")).as("tmax")))
+    SegmentStore.liveRows(readCodes(spark, root, m), tmax, "vec_id")
   }
 
   private def readCents(spark: SparkSession, root: java.io.File,
@@ -389,9 +383,8 @@ object AnnIndex {
   def maybeCompact(spark: SparkSession, dir: String,
       maxSegments: Int): Boolean = {
     val m = SnapshotManifest.read(new java.io.File(dir))
-    if (codeDirs(m).size + tombDirs(m).size > maxSegments) {
-      compact(spark, dir); true
-    } else false
+    SegmentStore.maybeCompact(codeDirs(m).size + tombDirs(m).size,
+      maxSegments)(compact(spark, dir))
   }
 
   def compact(spark: SparkSession, dir: String): Unit = {

@@ -57,19 +57,13 @@ object DedupIndex {
   private val Kinds = Seq("band", "shingle", "size", "doc")
   private val TombKind = "tomb"
 
-  private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
-    pmod(hash(c), lit(nb))
+  import SegmentStore.bucketOf
 
   private def bucketsOf(m: SnapshotManifest.State): Int =
-    m.entries.getOrElse("conf/buckets", Buckets.toString).toInt
+    SegmentStore.bucketsOf(m, Buckets)
 
   private def segments(m: SnapshotManifest.State): Seq[String] =
-    m.entries.toSeq.filter(_._1.startsWith("seg/")).sortBy(_._1).map(_._2)
-
-  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    SegmentStore.segments(m)
 
   /** The superset row layout all kinds share in one partitioned
     * segment write (the [[TextIndex]] one-job-per-batch idiom). Every
@@ -117,7 +111,7 @@ object DedupIndex {
       batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     // persist BEFORE the emptiness probe: isEmpty is an action, and on
     // a foreachBatch frame it would otherwise compute the keyed fold's
@@ -125,8 +119,7 @@ object DedupIndex {
     val docs = batch.select(col("doc_id"), col("text")).persist()
     try {
       if (docs.isEmpty) {
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       commitSegment(root, m, nb, batchId, segmentRows(docs, nb, batchId))
@@ -150,14 +143,13 @@ object DedupIndex {
       batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val b = batch.select(col("doc_id"), col("text"),
       col("deleted").cast("boolean").as("deleted")).persist()
     try {
       if (b.isEmpty) {
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       val nullS = lit(null).cast("string")
@@ -205,10 +197,10 @@ object DedupIndex {
     * merge only when the committed segment count exceeds `maxSegments`.
     * Returns whether a merge ran. */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxSegments: Int): Boolean = {
-    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
-    if (n > maxSegments) { compact(spark, dir); true } else false
-  }
+      maxSegments: Int): Boolean =
+    SegmentStore.maybeCompact(
+      segments(SnapshotManifest.read(new java.io.File(dir))).size,
+      maxSegments)(compact(spark, dir))
 
   def compact(spark: SparkSession, dir: String): Unit =
     merge(spark, dir, None)
@@ -238,14 +230,8 @@ object DedupIndex {
       "shingle STRING, n LONG, text STRING, sseq LONG"
     val tmax = tombMax(spark, root, segs, 0 until nb)
     val all = Kinds.map { kind =>
-      val paths = for {
-        seg <- segs; bk <- 0 until nb
-        d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
-        if d.exists()
-      } yield d.toString
-      liveRows(
-        if (paths.isEmpty) emptyDf(spark, schema)
-        else spark.read.schema(schema).parquet(paths: _*), tmax)
+      liveRows(SegmentStore.readLeaves(spark, schema,
+        SegmentStore.leafPaths(root, segs, kind, 0 until nb)), tmax)
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .withColumn("bucket",
@@ -263,41 +249,16 @@ object DedupIndex {
     SnapshotManifest.gc(root, next, "epoch_")
   }
 
-  /** Max tombstone stamp per doc across every segment, restricted to
-    * the given doc-hash buckets — None when no tombstone file exists
-    * there (the pure-append path), so the liveness join vanishes from
-    * the plan entirely. A doc's tombstones all land in its one hash
-    * bucket, so any read covering a doc's bucket carries that doc's
-    * COMPLETE tombstone history. Full-scan callers (compact, profile —
-    * they rewrite/count the whole live state) pass every bucket; probe
-    * passes only the buckets its resolved candidates hash into
-    * (round-8 verdict item 4): under delete-heavy churn the probe-side
-    * tombstone read is then bounded by the batch's candidate buckets,
-    * not by the corpus's accumulated delete history. */
+  /** Tombstone history restricted to the given doc-hash buckets —
+    * [[SegmentStore.tombMax]]; full-scan callers (compact, profile)
+    * pass every bucket, [[probe]] passes only its resolved candidates'
+    * buckets (round-8 verdict item 4). */
   private def tombMax(spark: SparkSession, root: java.io.File,
-      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] = {
-    val paths = for {
-      seg <- segs; bk <- tombBuckets
-      d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
-      if d.exists()
-    } yield d.toString
-    if (paths.isEmpty) None
-    else Some(spark.read.schema("doc_id LONG, sseq LONG")
-      .parquet(paths: _*)
-      .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax")))
-  }
+      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] =
+    SegmentStore.tombMax(spark, root, segs, TombKind, tombBuckets)
 
-  /** Live-version filter: a row survives iff its stamp is at or above
-    * every tombstone stamp for its doc (a batch's own re-add ties its
-    * own tombstone and lives; pre-CDC rows with a null stamp are older
-    * than any tombstone and die under one). */
   private def liveRows(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
-    tmax match {
-      case None => rows
-      case Some(t) => rows.join(t, Seq("doc_id"), "left")
-        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
-        .drop("tmax")
-    }
+    SegmentStore.liveRows(rows, tmax)
 
   /** Classify a probe batch against the indexed corpus — identical
     * output to [[Dedup.incremental]](union of appended batches, batch):
@@ -327,25 +288,13 @@ object DedupIndex {
     val segs = segments(m)
     require(segs.nonEmpty, s"empty dedup index at $dir")
     val nb = bucketsOf(m)
-    def readRaw(kind: String, schema: String, probed: Seq[Int]): DataFrame = {
-      val paths = for {
-        seg <- segs
-        bk <- probed
-        d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
-        if d.exists()
-      } yield d.toString
-      if (paths.isEmpty) emptyDf(spark, s"$schema, sseq LONG")
-      else spark.read.schema(s"$schema, sseq LONG").parquet(paths: _*)
-    }
+    def readRaw(kind: String, schema: String, probed: Seq[Int]): DataFrame =
+      SegmentStore.readLeaves(spark, s"$schema, sseq LONG",
+        SegmentStore.leafPaths(root, segs, kind, probed))
     // row-level liveness against the indexed side's doc id (`base_id`)
     def liveByBase(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
-      tmax match {
-        case None => rows.drop("sseq")
-        case Some(t) =>
-          rows.join(t.toDF("base_id", "tmax"), Seq("base_id"), "left")
-            .where(col("tmax").isNull || col("sseq") >= col("tmax"))
-            .drop("tmax", "sseq")
-      }
+      SegmentStore.liveRows(rows,
+        tmax.map(_.toDF("base_id", "tmax")), "base_id").drop("sseq")
     val n = batch.select(col("doc_id"), col("text")).cache()
     // exact tier: only the buckets the batch's own full-text hashes land
     // in; the match keeps its row stamp for the liveness pass below
@@ -370,11 +319,16 @@ object DedupIndex {
       .join(broadcast(bandBatch.toDF("doc_id", "band_idx", "band_key")),
         Seq("band_idx", "band_key"))
       .select(col("base_id"), col("doc_id"), col("sseq")).cache()
-    // phase 2: tombstones of ONLY the matched base ids' doc-hash buckets
-    val tombBuckets = exactRows.select(bucketOf(col("base_id"), nb).as("b"))
-      .unionByName(candRows.select(bucketOf(col("base_id"), nb).as("b")))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val tmax = tombMax(spark, root, segs, tombBuckets)
+    // phase 2: tombstones of ONLY the matched base ids' doc-hash
+    // buckets. The pure-append path (no tombstone leaf anywhere — a
+    // driver-side listing, no job) skips the bucket collect entirely.
+    val tmax =
+      if (SegmentStore.leafPaths(root, segs, TombKind, 0 until nb).isEmpty)
+        None
+      else tombMax(spark, root, segs,
+        exactRows.select(bucketOf(col("base_id"), nb).as("b"))
+          .unionByName(candRows.select(bucketOf(col("base_id"), nb).as("b")))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq)
     val exact = liveByBase(exactRows, tmax)
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_of"))
     val candidates = liveByBase(candRows, tmax)
@@ -439,15 +393,8 @@ object DedupIndex {
     val nb = bucketsOf(m)
     val tmax = tombMax(spark, root, segs, 0 until nb)
     Kinds.map { kind =>
-      val paths = for {
-        seg <- segs; bk <- 0 until nb
-        d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
-        if d.exists()
-      } yield d.toString
-      liveRows(
-        if (paths.isEmpty) emptyDf(spark, "doc_id LONG, sseq LONG")
-        else spark.read.schema("doc_id LONG, sseq LONG").parquet(paths: _*),
-        tmax)
+      liveRows(SegmentStore.readLeaves(spark, "doc_id LONG, sseq LONG",
+        SegmentStore.leafPaths(root, segs, kind, 0 until nb)), tmax)
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("doc_id")).as("n_docs"))
         .select(lit(kind).as("kind"), col("n_rows"), col("n_docs"))

@@ -45,22 +45,16 @@ object SubstringIndex {
   private val GramKind = "gram"
   private val TombKind = "tomb"
 
-  private def bucketOf(c: org.apache.spark.sql.Column, nb: Int) =
-    pmod(hash(c), lit(nb))
+  import SegmentStore.bucketOf
 
   private def bucketsOf(m: SnapshotManifest.State): Int =
-    m.entries.getOrElse("conf/buckets", Buckets.toString).toInt
+    SegmentStore.bucketsOf(m, Buckets)
 
   private def kOf(m: SnapshotManifest.State): Int =
     m.entries.getOrElse("conf/k", Dedup.SpanGramK.toString).toInt
 
   private def segments(m: SnapshotManifest.State): Seq[String] =
-    m.entries.toSeq.filter(_._1.startsWith("seg/")).sortBy(_._1).map(_._2)
-
-  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    SegmentStore.segments(m)
 
   /** Per-doc gram counts of a batch in the shared superset layout. */
   private def gramRows(docs: DataFrame, nb: Int, k: Int,
@@ -83,14 +77,13 @@ object SubstringIndex {
       k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val kk = if (m.version == 0L) k else kOf(m)
     val docs = batch.select(col("doc_id"), col("text")).persist()
     try {
       if (docs.isEmpty) {
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       commitSegment(root, m, nb, kk, batchId, gramRows(docs, nb, kk, batchId))
@@ -105,15 +98,14 @@ object SubstringIndex {
       k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val kk = if (m.version == 0L) k else kOf(m)
     val b = batch.select(col("doc_id"), col("text"),
       col("deleted").cast("boolean").as("deleted")).persist()
     try {
       if (b.isEmpty) {
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       val tombRows = b.select(lit(TombKind).as("kind"),
@@ -153,25 +145,11 @@ object SubstringIndex {
     * (round-8 verdict item 4), bounding the probe-side tombstone read
     * by the batch's hits instead of the corpus's delete history. */
   private def tombMax(spark: SparkSession, root: java.io.File,
-      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] = {
-    val paths = for {
-      seg <- segs; bk <- tombBuckets
-      d = new java.io.File(root, s"$seg/data/kind=$TombKind/bucket=$bk")
-      if d.exists()
-    } yield d.toString
-    if (paths.isEmpty) None
-    else Some(spark.read.schema("doc_id LONG, sseq LONG")
-      .parquet(paths: _*)
-      .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax")))
-  }
+      segs: Seq[String], tombBuckets: Seq[Int]): Option[DataFrame] =
+    SegmentStore.tombMax(spark, root, segs, TombKind, tombBuckets)
 
   private def liveRows(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
-    tmax match {
-      case None => rows
-      case Some(t) => rows.join(t, Seq("doc_id"), "left")
-        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
-        .drop("tmax")
-    }
+    SegmentStore.liveRows(rows, tmax)
 
   /** Segment merge — rows move verbatim into one fresh immutable
     * `epoch_compact<version>` segment under the same pointer swap;
@@ -184,10 +162,10 @@ object SubstringIndex {
     * merge only when the committed segment count exceeds `maxSegments`.
     * Returns whether a merge ran. */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxSegments: Int): Boolean = {
-    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
-    if (n > maxSegments) { compact(spark, dir); true } else false
-  }
+      maxSegments: Int): Boolean =
+    SegmentStore.maybeCompact(
+      segments(SnapshotManifest.read(new java.io.File(dir))).size,
+      maxSegments)(compact(spark, dir))
 
   /** Geometry-evolution rotation — [[TextIndex.rebucket]]'s k-gram
     * twin: re-shard the live gram counts under a NEW hash-bucket count
@@ -212,14 +190,8 @@ object SubstringIndex {
     val outName = s"epoch_compact$version"
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
     val tmax = tombMax(spark, root, segs, 0 until nb)
-    val paths = for {
-      seg <- segs; bk <- 0 until nb
-      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
-      if d.exists()
-    } yield d.toString
-    val all = liveRows(
-      if (paths.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(paths: _*), tmax)
+    val all = liveRows(SegmentStore.readLeaves(spark, schema,
+      SegmentStore.leafPaths(root, segs, GramKind, 0 until nb)), tmax)
       .withColumn("kind", lit(GramKind))
       .withColumn("bucket", bucketOf(col("gram"), outNb))
     all.repartition(2 * outNb, col("kind"), col("bucket"))
@@ -259,20 +231,19 @@ object SubstringIndex {
     val probeSet = bGrams.select(col("gram")).distinct()
     val probed = probeSet.select(bucketOf(col("gram"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
-    val paths = for {
-      seg <- segs; bk <- probed
-      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
-      if d.exists()
-    } yield d.toString
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
-    val hits = (
-      if (paths.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(paths: _*))
+    val hits = SegmentStore.readLeaves(spark, schema,
+        SegmentStore.leafPaths(root, segs, GramKind, probed))
       .join(broadcast(probeSet), Seq("gram"), "left_semi")
       .cache() // O(batch-gram hits) by construction
-    val tombBuckets = hits.select(bucketOf(col("doc_id"), nb).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
-    val tmax = tombMax(spark, root, segs, tombBuckets)
+    // pure-append path (no tombstone leaf anywhere — a driver-side
+    // listing, no job) skips the bucket collect entirely
+    val tmax =
+      if (SegmentStore.leafPaths(root, segs, TombKind, 0 until nb).isEmpty)
+        None
+      else tombMax(spark, root, segs,
+        hits.select(bucketOf(col("doc_id"), nb).as("b"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq) // <= nb
     val cCnt = liveRows(hits, tmax)
       .groupBy(col("gram")).agg(sum(col("cnt")).as("c_cnt"))
     val dup = bGrams.groupBy(col("gram")).agg(count(lit(1)).as("b_cnt"))
@@ -294,15 +265,9 @@ object SubstringIndex {
     require(segs.nonEmpty, s"empty substring index at $dir")
     val nb = bucketsOf(m)
     val tmax = tombMax(spark, root, segs, 0 until nb)
-    val paths = for {
-      seg <- segs; bk <- 0 until nb
-      d = new java.io.File(root, s"$seg/data/kind=$GramKind/bucket=$bk")
-      if d.exists()
-    } yield d.toString
     val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
-    liveRows(
-      if (paths.isEmpty) emptyDf(spark, schema)
-      else spark.read.schema(schema).parquet(paths: _*), tmax)
+    liveRows(SegmentStore.readLeaves(spark, schema,
+      SegmentStore.leafPaths(root, segs, GramKind, 0 until nb)), tmax)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("gram")).as("n_grams_distinct"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -64,8 +64,10 @@ object TextIndex {
     * over a non-default count to keep the knob executed, not asserted. */
   val Buckets = 8
 
+  import SegmentStore.{bucketOf, emptyDf}
+
   private def bucketsOf(m: SnapshotManifest.State): Int =
-    m.entries.get("conf/buckets").map(_.toInt).getOrElse(Buckets)
+    SegmentStore.bucketsOf(m, Buckets)
 
   /** Filterable ATTRIBUTE columns denormalized onto the POSTING rows —
     * [[AnnIndex]]'s filtered-search design on the lexical tier: a
@@ -88,14 +90,6 @@ object TextIndex {
   private val PostKind = "post"
   private val DocKind = "doc"
   private val TombKind = "tomb"
-
-  private def bucketOf(term: org.apache.spark.sql.Column, buckets: Int) =
-    pmod(hash(term), lit(buckets))
-
-  private def emptyDf(spark: SparkSession, schema: String): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
 
   /** One batch's TERM FREQUENCIES: (doc_id, term, tf [, attrs…]).
     * Everything a segment stores derives from this one aggregation
@@ -279,13 +273,12 @@ object TextIndex {
       batch: DataFrame, batchId: Long): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     if (batch.isEmpty) {
       // advance only the watermark: committing an empty segment per
       // idle micro-batch would grow segments(m) — and with it every
-      // probe's listing — without bound (AnnIndex/ReplicaSink contract)
-      SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-        m.entries + ("lastBatch" -> batchId.toString), m.retain))
+      // probe's listing — without bound (the shared contract)
+      SegmentStore.advanceWatermark(root, m, batchId)
       return
     }
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
@@ -319,7 +312,7 @@ object TextIndex {
     val spark = batch.sparkSession
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
-    if (m.entries.get("lastBatch").exists(_.toLong >= batchId)) return
+    if (SegmentStore.replayed(m, batchId)) return
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
     val cap = if (m.version == 0L) bloomCap else bloomCapOf(m)
@@ -330,8 +323,7 @@ object TextIndex {
     try {
       if (b.isEmpty) {
         // watermark-only commit, like the append path: no empty segment
-        SnapshotManifest.commit(root, SnapshotManifest.State(m.version + 1,
-          m.entries + ("lastBatch" -> batchId.toString), m.retain))
+        SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       val tf = tfOf(b.where(!col("deleted")), "doc_id", "text", as).persist()
@@ -339,21 +331,11 @@ object TextIndex {
         // prior live versions of the touched docs: probe only the
         // batch's doc-hash buckets across committed segments
         val touched = b.select(bucketOf(col("doc_id"), nb).as("k"))
-          .distinct().collect().map(_.getInt(0)).sorted // bounded: <= nb
-        def readSubset(kind: String, schema: String): DataFrame = {
-          val paths = for {
-            sg <- segs; k <- touched
-            d = new java.io.File(root, s"$sg/data/kind=$kind/bucket=$k")
-            if d.exists()
-          } yield d.toString
-          if (paths.isEmpty) emptyDf(spark, schema)
-          else spark.read.schema(schema).parquet(paths.toSeq: _*)
-        }
-        val tmax = readSubset(TombKind, "doc_id LONG, sseq LONG")
-          .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax"))
-        val killed = readSubset(DocKind, "doc_id LONG, dl LONG, sseq LONG")
-          .join(tmax, Seq("doc_id"), "left")
-          .where(col("tmax").isNull || col("sseq") >= col("tmax"))
+          .distinct().collect().map(_.getInt(0)).sorted.toSeq // <= nb
+        val tmax = SegmentStore.tombMax(spark, root, segs, TombKind, touched)
+        val killed = SegmentStore.liveRows(
+            SegmentStore.readLeaves(spark, "doc_id LONG, dl LONG, sseq LONG",
+              SegmentStore.leafPaths(root, segs, DocKind, touched)), tmax)
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
         try commitSegment(root, m, nb, cap, batchId, tf, as, Some(killed))
@@ -369,34 +351,20 @@ object TextIndex {
   }
 
   private def segments(m: SnapshotManifest.State): Seq[String] =
-    m.entries.collect { case (k, rel) if k.startsWith("seg/") => rel }
-      .toSeq.sorted
+    SegmentStore.segments(m)
 
   private def leaves(root: java.io.File, segs: Seq[String],
-      kind: String, buckets: Int): Seq[String] = for {
-    seg <- segs
-    bk <- 0 until buckets
-    d = new java.io.File(root, s"$seg/data/kind=$kind/bucket=$bk")
-    if d.exists()
-  } yield d.toString
+      kind: String, buckets: Int): Seq[String] =
+    SegmentStore.leafPaths(root, segs, kind, 0 until buckets)
 
-  /** Read a per-bucket table across segments, with the live-version
-    * filter applied when any tombstones exist: a row (stamped `sseq`)
-    * survives iff no LATER tombstone covers its doc — `sseq >= max
-    * tombstone sseq`, so a batch's own re-add outlives its own
-    * tombstone. When the index holds no tombstones (the pure-append
-    * ingest path) the liveness join vanishes from the plan entirely. */
+  /** The shared live-version rule over the index's full tombstone
+    * history ([[SegmentStore.liveRows]]): retrieval/merge/profile scan
+    * arbitrary docs, so their tombstone read covers every doc bucket
+    * (the CDC apply path prunes to its touched buckets instead). */
   private def liveRows(spark: SparkSession, root: java.io.File,
-      rows: DataFrame, tombPaths: Seq[String]): DataFrame =
-    if (tombPaths.isEmpty) rows
-    else {
-      val tmax = spark.read.schema("doc_id LONG, sseq LONG")
-        .parquet(tombPaths: _*)
-        .groupBy(col("doc_id")).agg(max(col("sseq")).as("tmax"))
-      rows.join(tmax, Seq("doc_id"), "left")
-        .where(col("tmax").isNull || col("sseq") >= col("tmax"))
-        .drop("tmax")
-    }
+      rows: DataFrame, segs: Seq[String], nb: Int): DataFrame =
+    SegmentStore.liveRows(rows,
+      SegmentStore.tombMax(spark, root, segs, TombKind, 0 until nb))
 
   /** Segment merge — the index's compaction step (every search engine's
     * merge policy, on the manifest protocol): fold ALL current segments
@@ -426,10 +394,10 @@ object TextIndex {
     * many appends instead of following every batch. Returns whether a
     * merge ran. Single-writer like [[compact]] itself. */
   def maybeCompact(spark: SparkSession, dir: String,
-      maxSegments: Int): Boolean = {
-    val n = segments(SnapshotManifest.read(new java.io.File(dir))).size
-    if (n > maxSegments) { compact(spark, dir); true } else false
-  }
+      maxSegments: Int): Boolean =
+    SegmentStore.maybeCompact(
+      segments(SnapshotManifest.read(new java.io.File(dir))).size,
+      maxSegments)(compact(spark, dir))
 
   /** Geometry-evolution rotation — re-shard the index under a NEW
     * term/doc hash-bucket count, the operation a growing index needs
@@ -468,22 +436,22 @@ object TextIndex {
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     val nullAttrs = attrs.map { case (n, t) => lit(null).cast(t).as(n) }
-    val tombPaths = leaves(root, segs, TombKind, nb)
+    val tmax = SegmentStore.tombMax(spark, root, segs, TombKind, 0 until nb)
     // net stats: driver-side fold of the manifest partials — also the
     // zero-job emptiness witness for the merged segment's term bloom
     // (no live docs ⟺ no live postings)
     val (nDocs, sumDl) = statsOf(m)
-    val livePost = liveRows(spark, root,
+    val livePost = SegmentStore.liveRows(
       spark.read.schema("doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
           attrs.map { case (n, t) => s", $n $t" }.mkString)
-        .parquet(leaves(root, segs, PostKind, nb): _*), tombPaths)
+        .parquet(leaves(root, segs, PostKind, nb): _*), tmax)
       .select(lit(PostKind).as("kind") +:
         bucketOf(col("term"), outNb).as("bucket") +:
         col("doc_id") +: col("term") +: col("tf") +: col("dl") +:
         col("sseq") +: attrs.map { case (n, _) => col(n) }: _*)
-    val liveDocs = liveRows(spark, root,
+    val liveDocs = SegmentStore.liveRows(
       spark.read.schema("doc_id LONG, dl LONG, sseq LONG")
-        .parquet(leaves(root, segs, DocKind, nb): _*), tombPaths)
+        .parquet(leaves(root, segs, DocKind, nb): _*), tmax)
       .persist() // two consumers inside the one write: doc rows + anti-join
     try {
       val docRows = liveDocs
@@ -494,11 +462,8 @@ object TextIndex {
       // tombstones of fully-deleted docs survive the merge (folded to
       // their max stamp); resolved ones — superseded by a live re-add —
       // are dropped with the versions they killed
-      val tombRows =
-        if (tombPaths.isEmpty) Nil
-        else Seq(spark.read.schema("doc_id LONG, sseq LONG")
-          .parquet(tombPaths: _*)
-          .groupBy(col("doc_id")).agg(max(col("sseq")).as("sseq"))
+      val tombRows = tmax.toSeq.map(t =>
+        t.select(col("doc_id"), col("tmax").as("sseq"))
           .join(liveDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .select(lit(TombKind).as("kind") +:
             bucketOf(col("doc_id"), outNb).as("bucket") +: col("doc_id") +:
@@ -627,7 +592,7 @@ object TextIndex {
       readLeaves(PostKind,
         "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
           attrsOf(m).map { case (n, t) => s", $n $t" }.mkString),
-      leaves(root, segs, TombKind, nb))
+      segs, nb)
     // df from the SAME bucket reads the scoring join needs anyway: a
     // term's postings live entirely inside its hash bucket, so this
     // count sees every row of each query term — no stored partial.
@@ -674,7 +639,7 @@ object TextIndex {
       spark.read
         .schema(s"doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG, $attr $t")
         .parquet(leaves(root, segs, PostKind, nb): _*),
-      leaves(root, segs, TombKind, nb))
+      segs, nb)
     postings.groupBy(col(attr))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_postings"),
