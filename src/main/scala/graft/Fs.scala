@@ -12,6 +12,51 @@ object Fs {
     * advice). */
   val pid: Long = ProcessHandle.current().pid()
 
+  /** Scratch-dir key for this JVM: pid PLUS JVM start time. The pid
+    * alone is not a sound key on a long-lived box — the OS recycles
+    * pids, and a recycled pid would silently RESURRECT a dead
+    * process's memoized artifacts (e.g. a `_SUCCESS`-marked ground
+    * truth built against since-regenerated testdata — round-9 advice).
+    * The start-time component makes the key unique per process
+    * incarnation; [[scratch]] never reads another incarnation's dirs. */
+  val runKey: String = {
+    val t0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getStartTime
+    s"p${pid}_t$t0"
+  }
+
+  private val reapedParents =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Per-process scratch dir under `parent`, keyed by [[runKey]]. First
+    * use per parent REAPS sibling dirs left by dead processes (the
+    * `p<pid>[_t<start>]_*` naming this module owns) — the same
+    * age/ownership-thresholded litter discipline as
+    * [[graft.operators.SnapshotManifest]]'s `_history` tmp reaper
+    * (round-9 verdict item 4): a bench session must not accumulate
+    * orphaned fixture/memo dirs from prior pids. A LIVE sibling pid's
+    * dirs always survive — only provably dead owners are collected. */
+  def scratch(parent: String, suffix: String = ""): java.io.File = {
+    val p = new java.io.File(parent)
+    if (reapedParents.add(p.getPath)) reapDeadScratch(p)
+    new java.io.File(p, if (suffix.isEmpty) runKey else s"${runKey}_$suffix")
+  }
+
+  private val OwnedDir = "^p(\\d+)(?:_t\\d+)?(?:_.*)?$".r
+  private def reapDeadScratch(parent: java.io.File): Unit =
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .foreach(d => d.getName match {
+        case OwnedDir(pidStr) =>
+          val owner = pidStr.toLong
+          // our own pid stays (covers pre-runKey dirs of this process);
+          // a recycled pid looks alive and survives until it exits —
+          // bounded litter, never a correctness issue because runKey
+          // keying means no incarnation reads another's dirs
+          if (owner != pid && !ProcessHandle.of(owner).isPresent())
+            deleteRecursively(d)
+        case _ => ()
+      })
+
   def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) {
       val children = f.listFiles()

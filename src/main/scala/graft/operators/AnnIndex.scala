@@ -462,6 +462,22 @@ object AnnIndex {
       .map(m => serveState(spark, root, m, queries, emb, NProbe, Shortlist, TopK))
   }
 
+  /** Consistent-prefix serving (round-9 verdict item 2) — the vector
+    * twin of [[TextIndex.retrieveAtWatermark]]: the query plan against
+    * the latest snapshot whose `lastBatch` watermark is at or below
+    * `wm` ([[SegmentStore.stateAtWatermark]]). `emb` must be the exact-
+    * vector store AT THE SAME PREFIX (the rerank is part of the answer;
+    * callers of the fused serving loop resolve both from the common
+    * watermark). None once the prefix has aged out of retention. */
+  def serveAtWatermark(spark: SparkSession, dir: String, wm: Long,
+      queries: DataFrame, emb: DataFrame,
+      topK: Int = TopK): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SegmentStore.stateAtWatermark(root, wm)
+      .map(m => serveState(spark, root, m, queries, emb, NProbe, Shortlist,
+        topK))
+  }
+
   private def serveState(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, queries: DataFrame, emb: DataFrame,
       nprobe: Int, shortlist: Int, topK: Int,
@@ -560,7 +576,7 @@ object AnnIndex {
     * and attribute-filtered ones ([[serve]]'s `filter`). */
   def trainedIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"/tmp/graft_ann_index/p${graft.Fs.pid}_$key")
+    val dir = graft.Fs.scratch("/tmp/graft_ann_index", key)
     if (SnapshotManifest.read(dir).version == 0L)
       train(graft.sources.Tables.table(spark, sfDir, "embeddings")
           .select(col("vec_id"),
@@ -581,7 +597,7 @@ object AnnIndex {
   def cdcAppliedIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = new java.io.File(s"/tmp/graft_ann_cdc_applied/p${graft.Fs.pid}_$key")
+      val dir = graft.Fs.scratch("/tmp/graft_ann_cdc_applied", key)
       if (SnapshotManifest.read(dir).version == 0L) {
         val emb = embeddings(spark, sfDir)
         cloneTrained(emb.where(col("vec_id") % 10 < 8), sfDir, "b8", dir.toString)
@@ -606,7 +622,7 @@ object AnnIndex {
     * path as segments accumulate under frozen codebooks. */
   def appendedIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"/tmp/graft_ann_appended/p${graft.Fs.pid}_$key")
+    val dir = graft.Fs.scratch("/tmp/graft_ann_appended", key)
     if (SnapshotManifest.read(dir).version == 0L) {
       val emb = embeddings(spark, sfDir)
       cloneTrained(emb.where(col("vec_id") % 10 < 8), sfDir, "b8", dir.toString)
@@ -628,7 +644,7 @@ object AnnIndex {
   def cloneTrained(base: => DataFrame, sfDir: String, tag: String,
       toDir: String): Unit = synchronized {
     val key = s"${tag}_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val cache = new java.io.File(s"/tmp/graft_ann_base/p${graft.Fs.pid}_$key")
+    val cache = graft.Fs.scratch("/tmp/graft_ann_base", key)
     if (SnapshotManifest.read(cache).version == 0L)
       train(base, cache.toString)
     graft.Fs.copyRecursively(cache, new java.io.File(toDir))

@@ -295,30 +295,41 @@ object DedupIndex {
     def liveByBase(rows: DataFrame, tmax: Option[DataFrame]): DataFrame =
       SegmentStore.liveRows(rows,
         tmax.map(_.toDF("base_id", "tmax")), "base_id").drop("sseq")
-    val n = batch.select(col("doc_id"), col("text")).cache()
+    // Probe-scoped cache registry (round-9 advice): every frame cached
+    // below is consumed ENTIRELY inside this call — the result is
+    // materialized eagerly before return (one O(batch) checkpoint
+    // block, the verdict frame itself), so a long-running CDC consumer
+    // calling probe per micro-batch releases the corpus-hit-sized
+    // intermediates immediately instead of pinning them until the next
+    // Bench-style blanket unpersist — the trainProbe discipline.
+    val scoped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def scopedCache(df: DataFrame): DataFrame = { scoped += df; df.cache() }
+    try {
+    val n = scopedCache(batch.select(col("doc_id"), col("text")))
     // exact tier: only the buckets the batch's own full-text hashes land
     // in; the match keeps its row stamp for the liveness pass below
     val textBuckets = n.select(bucketOf(col("text"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val exactRows = readRaw("doc", "doc_id LONG, text STRING", textBuckets)
-      .toDF("base_id", "text", "sseq")
-      .join(broadcast(n), Seq("text"))
-      .select(col("base_id"), col("doc_id"), col("sseq")).cache()
+    val exactRows = scopedCache(
+      readRaw("doc", "doc_id LONG, text STRING", textBuckets)
+        .toDF("base_id", "text", "sseq")
+        .join(broadcast(n), Seq("text"))
+        .select(col("base_id"), col("doc_id"), col("sseq")))
     // near tier: LSH candidates from the batch's own band-key buckets;
     // signatures and shingle counts share one aggregation (the b_n
     // verification join below reads the cached sigs, not a second
     // shuffle of the shingle set)
-    val shBatch = Dedup.shingles(n, "doc_id", "text").cache()
-    val sigsBatch = Dedup.minhashSignaturesWithSize(shBatch).cache()
-    val bandBatch = Dedup.bandRowsOf(sigsBatch).cache()
+    val shBatch = scopedCache(Dedup.shingles(n, "doc_id", "text"))
+    val sigsBatch = scopedCache(Dedup.minhashSignaturesWithSize(shBatch))
+    val bandBatch = scopedCache(Dedup.bandRowsOf(sigsBatch))
     val bandBuckets = bandBatch.select(bucketOf(col("band_key"), nb).as("b"))
       .distinct().collect().map(_.getInt(0)).sorted
-    val candRows = readRaw("band",
+    val candRows = scopedCache(readRaw("band",
         "doc_id LONG, band_idx INT, band_key STRING", bandBuckets)
       .toDF("base_id", "band_idx", "band_key", "sseq")
       .join(broadcast(bandBatch.toDF("doc_id", "band_idx", "band_key")),
         Seq("band_idx", "band_key"))
-      .select(col("base_id"), col("doc_id"), col("sseq")).cache()
+      .select(col("base_id"), col("doc_id"), col("sseq")))
     // phase 2: tombstones of ONLY the matched base ids' doc-hash
     // buckets. The pure-append path (no tombstone leaf anywhere — a
     // driver-side listing, no job) skips the bucket collect entirely.
@@ -331,8 +342,8 @@ object DedupIndex {
           .distinct().collect().map(_.getInt(0)).sorted.toSeq)
     val exact = liveByBase(exactRows, tmax)
       .groupBy(col("doc_id")).agg(min(col("base_id")).as("exact_of"))
-    val candidates = liveByBase(candRows, tmax)
-      .select(col("base_id"), col("doc_id")).distinct().cache()
+    val candidates = scopedCache(liveByBase(candRows, tmax)
+      .select(col("base_id"), col("doc_id")).distinct())
     // verification: shingles/sizes of ONLY the candidate base ids'
     // buckets (a subset of tombBuckets, so the pruned tmax is complete
     // for every doc these reads can return)
@@ -374,6 +385,9 @@ object DedupIndex {
         coalesce(col("exact_of"), col("near_of")).as("dup_of"),
         when(col("exact_of").isNotNull, lit(1.0))
           .otherwise(col("jaccard")).as("jaccard"))
+      // eager: the returned frame owns no probe-scoped cache
+      .localCheckpoint(true)
+    } finally { scoped.foreach(_.unpersist(blocking = false)) }
   }
 
   /** Index observability, the signature twin of TextIndex.profile /
@@ -407,7 +421,7 @@ object DedupIndex {
   def builtIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = new java.io.File(s"/tmp/graft_dedup_index/p${graft.Fs.pid}_$key")
+      val dir = graft.Fs.scratch("/tmp/graft_dedup_index", key)
       if (SnapshotManifest.read(dir).version == 0L) {
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))

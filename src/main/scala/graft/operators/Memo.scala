@@ -20,7 +20,10 @@ object Memo {
   def df(spark: SparkSession, sfDir: String, name: String)
       (build: => DataFrame): DataFrame = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"/tmp/graft_memo/p${graft.Fs.pid}_$key/$name")
+    // runKey-scoped (pid + JVM start time) with dead-owner reaping on
+    // first use — pid recycling can never resurrect a stale memo, and
+    // a bench session leaves no orphaned dirs from prior pids
+    val dir = new java.io.File(graft.Fs.scratch("/tmp/graft_memo", key), name)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
       build.write.mode("overwrite").parquet(dir.toString)

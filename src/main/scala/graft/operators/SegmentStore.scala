@@ -115,6 +115,38 @@ object SegmentStore {
         .drop("tmax")
     }
 
+  /** Consistent-prefix read point (round-9 verdict item 2): the latest
+    * snapshot — head or retained — whose `lastBatch` watermark is at or
+    * below `wm`. Multi-artifact serving (hybrid retrieval fuses a text
+    * and a vector index that commit INDEPENDENTLY) is changelog-
+    * consistent only when every artifact serves the same prefix of the
+    * changelog; the deployment-grade fusion therefore reads every tier
+    * at min(tier watermarks) — the lagging artifact serves head, each
+    * leading one serves the RETAINED version that had consumed exactly
+    * the common prefix, via the time-travel read the manifest already
+    * keeps. A snapshot with no `lastBatch` entry predates every batch
+    * and qualifies for any `wm`. None when every retained version is
+    * past the watermark (the prefix has aged out of retention — the
+    * caller must surface staleness rather than silently fuse it). */
+  def stateAtWatermark(root: java.io.File,
+      wm: Long): Option[SnapshotManifest.State] = {
+    val cur = SnapshotManifest.read(root)
+    def wmOf(s: SnapshotManifest.State): Long =
+      s.entries.get("lastBatch").map(_.toLong).getOrElse(Long.MinValue)
+    if (wmOf(cur) <= wm) Some(cur)
+    else (cur.version - 1 to math.max(0L, cur.version - cur.retain) by -1)
+      .iterator
+      .flatMap(v => SnapshotManifest.readAt(root, v))
+      .find(s => wmOf(s) <= wm)
+  }
+
+  /** An artifact's committed replay watermark, straight from its
+    * manifest (no data dir opened) — what [[stateAtWatermark]] callers
+    * min() across tiers; -1 for an artifact that has consumed no batch. */
+  def watermarkOf(root: java.io.File): Long =
+    SnapshotManifest.read(root).entries.get("lastBatch")
+      .map(_.toLong).getOrElse(-1L)
+
   /** Tiered merge policy, identical across the artifacts: merge only
     * when the committed segment count exceeds the threshold. Each
     * artifact supplies its own count (what "a segment" is differs —

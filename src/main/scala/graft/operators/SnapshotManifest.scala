@@ -237,6 +237,16 @@ object SnapshotManifest {
       .filter(f => f.getName.endsWith(".tmp") &&
         f.lastModified() < System.currentTimeMillis() - TmpReapMs)
       .foreach(_.delete())
+    // same litter class at the ROOT level: a writer hard-killed between
+    // the pointer-temp's createTempFile and its atomic move (just above)
+    // leaves `_MANIFEST.json*.tmp` beside the pointer, which no other
+    // pass touches (the prune scans `_history/`, gc scans data dirs) —
+    // reap it under the identical age threshold (round-9 advice). Only
+    // FILES ending in .tmp are candidates; data dirs are never files.
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".tmp") &&
+        f.lastModified() < System.currentTimeMillis() - TmpReapMs)
+      .foreach(_.delete())
     ()
   }
 

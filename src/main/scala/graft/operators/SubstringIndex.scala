@@ -225,6 +225,10 @@ object SubstringIndex {
     val nb = bucketsOf(m)
     val k = kOf(m)
     graft.expressions.ShingleOps.ensureRegistered(spark)
+    // probe-scoped caches released below; the result is materialized
+    // eagerly (O(batch spans)) so repeated probes on a long-running
+    // consumer pin nothing between calls (round-9 advice — the
+    // DedupIndex.probe discipline)
     val bGrams = batch.select(col("doc_id"),
       posexplode(call_function("word_kgrams", col("text"), lit(k)))
         .as(Seq("pos", "gram"))).cache()
@@ -236,21 +240,27 @@ object SubstringIndex {
         SegmentStore.leafPaths(root, segs, GramKind, probed))
       .join(broadcast(probeSet), Seq("gram"), "left_semi")
       .cache() // O(batch-gram hits) by construction
-    // pure-append path (no tombstone leaf anywhere — a driver-side
-    // listing, no job) skips the bucket collect entirely
-    val tmax =
-      if (SegmentStore.leafPaths(root, segs, TombKind, 0 until nb).isEmpty)
-        None
-      else tombMax(spark, root, segs,
-        hits.select(bucketOf(col("doc_id"), nb).as("b"))
-          .distinct().collect().map(_.getInt(0)).sorted.toSeq) // <= nb
-    val cCnt = liveRows(hits, tmax)
-      .groupBy(col("gram")).agg(sum(col("cnt")).as("c_cnt"))
-    val dup = bGrams.groupBy(col("gram")).agg(count(lit(1)).as("b_cnt"))
-      .join(cCnt, Seq("gram"), "left")
-      .where(coalesce(col("c_cnt"), lit(0L)) + col("b_cnt") >= 2)
-      .select(col("gram"))
-    Dedup.spanIslands(bGrams.join(dup, "gram"), k)
+    try {
+      // pure-append path (no tombstone leaf anywhere — a driver-side
+      // listing, no job) skips the bucket collect entirely
+      val tmax =
+        if (SegmentStore.leafPaths(root, segs, TombKind, 0 until nb).isEmpty)
+          None
+        else tombMax(spark, root, segs,
+          hits.select(bucketOf(col("doc_id"), nb).as("b"))
+            .distinct().collect().map(_.getInt(0)).sorted.toSeq) // <= nb
+      val cCnt = liveRows(hits, tmax)
+        .groupBy(col("gram")).agg(sum(col("cnt")).as("c_cnt"))
+      val dup = bGrams.groupBy(col("gram")).agg(count(lit(1)).as("b_cnt"))
+        .join(cCnt, Seq("gram"), "left")
+        .where(coalesce(col("c_cnt"), lit(0L)) + col("b_cnt") >= 2)
+        .select(col("gram"))
+      Dedup.spanIslands(bGrams.join(dup, "gram"), k).localCheckpoint(true)
+    } finally {
+      bGrams.unpersist(blocking = false)
+      hits.unpersist(blocking = false)
+      ()
+    }
   }
 
   /** Index observability, k-gram twin of [[TextIndex.profile]] /
@@ -282,8 +292,7 @@ object SubstringIndex {
   def builtIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = new java.io.File(
-        s"/tmp/graft_substring_index/p${graft.Fs.pid}_$key")
+      val dir = graft.Fs.scratch("/tmp/graft_substring_index", key)
       if (SnapshotManifest.read(dir).version == 0L) {
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))

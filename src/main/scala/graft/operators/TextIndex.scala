@@ -520,6 +520,21 @@ object TextIndex {
         excludeSelf = false, filter = None))
   }
 
+  /** Consistent-prefix retrieval (round-9 verdict item 2): the probe
+    * plan against the latest snapshot whose `lastBatch` watermark is at
+    * or below `wm` ([[SegmentStore.stateAtWatermark]]) — when this tier
+    * LEADS a multi-artifact fusion, it serves the retained version that
+    * had consumed exactly the common changelog prefix instead of its
+    * (ahead) head. None once that prefix has aged out of retention. */
+  def retrieveAtWatermark(spark: SparkSession, dir: String, wm: Long,
+      queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SegmentStore.stateAtWatermark(root, wm)
+      .map(m => retrieveState(spark, root, m, queries, k, 1.2, 0.75,
+        excludeSelf, filter = None))
+  }
+
   private def retrieveState(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, queries: DataFrame,
       k: Int, k1: Double, b: Double,
@@ -663,7 +678,7 @@ object TextIndex {
   def cdcAppliedIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = new java.io.File(s"/tmp/graft_text_index_cdc_applied/p${graft.Fs.pid}_$key")
+      val dir = graft.Fs.scratch("/tmp/graft_text_index_cdc_applied", key)
       if (SnapshotManifest.read(dir).version == 0L) {
         val docs = graft.sources.Tables.table(spark, sfDir, "documents")
           .select(col("doc_id"), col("text"))
@@ -689,8 +704,7 @@ object TextIndex {
   def rebucketedIndexDir(spark: SparkSession, sfDir: String): String =
     synchronized {
       val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-      val dir = new java.io.File(
-        s"/tmp/graft_text_index_rebucket/p${graft.Fs.pid}_$key")
+      val dir = graft.Fs.scratch("/tmp/graft_text_index_rebucket", key)
       if (SnapshotManifest.read(dir).version == 0L) {
         graft.Fs.copyRecursively(
           new java.io.File(builtIndexDir(spark, sfDir)), dir)
@@ -701,7 +715,7 @@ object TextIndex {
 
   def builtIndexDir(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"/tmp/graft_text_index_built/p${graft.Fs.pid}_$key")
+    val dir = graft.Fs.scratch("/tmp/graft_text_index_built", key)
     if (SnapshotManifest.read(dir).version == 0L)
       // lang rides the postings as a filterable attribute: the one
       // artifact serves unfiltered queries (the column prunes away)

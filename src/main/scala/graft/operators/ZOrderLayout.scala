@@ -41,7 +41,7 @@ object ZOrderLayout {
   /** Stage the z-ordered copy of `events` (once per sfDir + process). */
   def layout(spark: SparkSession, sfDir: String): String = synchronized {
     val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
-    val dir = new java.io.File(s"/tmp/graft_zorder/${key}_${graft.Fs.pid}")
+    val dir = graft.Fs.scratch("/tmp/graft_zorder", key)
     if (!new java.io.File(dir, "_SUCCESS").exists()) {
       dir.getParentFile.mkdirs()
       val z = InterleaveBits.zorder(spark) _

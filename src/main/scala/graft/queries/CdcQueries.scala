@@ -41,7 +41,7 @@ object CdcQueries {
     * custkey%16==1) and deleting custkey%8==7 from bucket 3. Fresh
     * root per (pid, tag) so the queries sharing it stay independent. */
   private def cdfFixture(s: SparkSession, dir: String, tag: String): String = {
-    val root = new java.io.File(s"/tmp/$tag/p${graft.Fs.pid}")
+    val root = graft.Fs.scratch(s"/tmp/$tag")
     graft.Fs.deleteRecursively(root)
     root.mkdirs()
     val nb = 4
@@ -350,7 +350,7 @@ object CdcQueries {
     "sink_vacuum_report" -> ((s, _) => {
       import graft.operators.{ReplicaSink, SnapshotManifest}
       import s.implicits._
-      val root = new java.io.File(s"/tmp/graft_vacuum/p${graft.Fs.pid}")
+      val root = graft.Fs.scratch("/tmp/graft_vacuum")
       graft.Fs.deleteRecursively(root)
       root.mkdirs()
       SnapshotManifest.setRetention(root, 1)
@@ -380,7 +380,7 @@ object CdcQueries {
     "sink_compact_report" -> ((s, _) => {
       import graft.operators.{ReplicaSink, SnapshotManifest}
       import s.implicits._
-      val root = new java.io.File(s"/tmp/graft_compact/p${graft.Fs.pid}")
+      val root = graft.Fs.scratch("/tmp/graft_compact")
       graft.Fs.deleteRecursively(root)
       root.mkdirs()
       def batch(rows: (String, Seq[String], Boolean)*) = rows
@@ -510,7 +510,7 @@ object CdcQueries {
     // The head read returns exactly the original table; the bad v2
     // stays retained and auditable behind it.
     "sink_restore" -> ((s, dir) => {
-      val root = new java.io.File(s"/tmp/graft_restore/p${graft.Fs.pid}")
+      val root = graft.Fs.scratch("/tmp/graft_restore")
       graft.Fs.deleteRecursively(root)
       root.mkdirs()
       val nb = 4
@@ -553,7 +553,7 @@ object CdcQueries {
     // ever opened.
     "sink_history" -> ((s, _) => {
       import s.implicits._
-      val root = new java.io.File(s"/tmp/graft_hist/p${graft.Fs.pid}")
+      val root = graft.Fs.scratch("/tmp/graft_hist")
       graft.Fs.deleteRecursively(root)
       root.mkdirs()
       SnapshotManifest.commit(root, SnapshotManifest.State(1L, Map(
@@ -584,7 +584,7 @@ object CdcQueries {
     // committed structurally impossible. At 100 TB this is the streaming
     // upsert, the compaction job, and the backfill sharing one artifact.
     "sink_concurrent_commits" -> ((s, dir) => {
-      val root = new java.io.File(s"/tmp/graft_occ/p${graft.Fs.pid}")
+      val root = graft.Fs.scratch("/tmp/graft_occ")
       graft.Fs.deleteRecursively(root)
       root.mkdirs()
       val nb = 4

@@ -459,8 +459,8 @@ object RelationalQueries {
     // bit-identical to one aggregation of the whole log (the oracle).
     "q_incremental_agg" -> ((s, dir) => {
       import s.implicits._
-      val stateDir = "/tmp/graft_incragg/" +
-        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}"
+      val stateDir = graft.Fs.scratch("/tmp/graft_incragg",
+        dir.replaceAll("[^A-Za-z0-9]", "_")).toString
       graft.Fs.deleteRecursively(new java.io.File(stateDir))
       val ev = t(s, dir, "events")
       Seq(0L, 1L, 2L).foreach { epoch =>

@@ -61,8 +61,8 @@ object SourceQueries {
     // read back through the connector — the full fidelity aggregate over
     // the round-tripped bytes must still equal the parquet oracle
     "src_dsv2_roundtrip" -> ((s, dir) => {
-      val out = "/tmp/graft_wire/dsv2_out_" +
-        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}"
+      val out = graft.Fs.scratch("/tmp/graft_wire",
+        s"dsv2_out_${dir.replaceAll("[^A-Za-z0-9]", "_")}").toString
       graft.sources.Tables.events(s, dir)
         .write.format("cdc-wire").mode("overwrite").save(out)
       fidelityAgg(s.read.format("cdc-wire").load(out))

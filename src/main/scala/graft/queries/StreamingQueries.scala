@@ -246,8 +246,8 @@ object StreamingQueries {
       val ss = CdcStream.streamSession(s, flush = false)
       val src = CdcStream.streamOf(Tables.events(ss, dir), "events_full", dir,
         maxFilesPerTrigger = Some(3))
-      val out = new java.io.File("/tmp/graft_wire/stream_sink_" +
-        s"${dir.replaceAll("[^A-Za-z0-9]", "_")}_${graft.Fs.pid}")
+      val out = graft.Fs.scratch("/tmp/graft_wire",
+        s"stream_sink_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
       graft.Fs.deleteRecursively(out) // fresh topic per invocation
       val ckpt = java.nio.file.Files.createTempDirectory("graft_wsink_ckpt")
       val q = src.writeStream.format("cdc-wire")

@@ -142,7 +142,7 @@ object CdcStream {
   private[graft] def runToTable(df: DataFrame, mode: OutputMode): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
-    val ckpt = new java.io.File(s"$ckptRoot/p${graft.Fs.pid}_$name")
+    val ckpt = graft.Fs.scratch(ckptRoot, name)
     try {
       val q = df.writeStream
         .format("memory")
@@ -896,14 +896,12 @@ object CdcStream {
   private def drainToStateDir(df: DataFrame, dirPrefix: String,
       sfDir: String, sink: String => (DataFrame, Long) => Unit,
       init: String => Unit = _ => ()): String = {
-    val stateDir = new java.io.File(
-      s"/tmp/$dirPrefix/p${graft.Fs.pid}_" +
-        sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    val stateDir = graft.Fs.scratch(s"/tmp/$dirPrefix",
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
     graft.Fs.deleteRecursively(stateDir) // fresh replay per invocation
     stateDir.mkdirs()
     init(stateDir.toString)
-    val ckpt = new java.io.File(
-      s"$ckptRoot/p${graft.Fs.pid}_sink_${nameCounter.incrementAndGet()}")
+    val ckpt = graft.Fs.scratch(ckptRoot, s"sink_${nameCounter.incrementAndGet()}")
     val q = df.writeStream
       .foreachBatch(sink(stateDir.toString))
       .option("checkpointLocation", ckpt.toString)
@@ -1544,7 +1542,7 @@ object CdcStream {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).as("revenue"))
     val name = s"graft_sink_${nameCounter.incrementAndGet()}"
-    val ckpt = new java.io.File(s"$ckptRoot/p${graft.Fs.pid}_$name")
+    val ckpt = graft.Fs.scratch(ckptRoot, name)
     try {
       // Update mode, no watermark: every group's buffer stays in state,
       // so the store holds the complete aggregate when the drain ends.
