@@ -430,4 +430,37 @@ object DedupIndex {
       }
       dir.toString
     }
+
+  /** Memoized DELETE-HEAVY CHURN fixture (round-9 verdict item 6) — the
+    * adversarial state for two-phase tombstone pruning: the whole
+    * corpus is added in batch 0, then FIVE delete-only batches remove
+    * doc_id % 6 ∈ {0..4} with NO compaction anywhere, leaving ~17% of
+    * docs live under a tombstone history ~5× the live corpus spread
+    * across six segments. A probe against this artifact must stay
+    * O(batch): candidates resolve first, and the tombstone read lists
+    * only the buckets the candidates hash into
+    * ([[SegmentStore.tombMax]] via [[probe]]'s `candBuckets`) — probe
+    * cost tracks the BATCH, not the corpus's accumulated delete
+    * history, which is exactly what a long-running CDC consumer between
+    * compactions needs. DedupIndexSpec pins the pruned enumeration;
+    * the `dedup_churn_probe` oracle pins the answers over the live
+    * remainder. */
+  def churnIndexDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Fs.scratch("/tmp/graft_dedup_churn", key)
+      if (SnapshotManifest.read(dir).version == 0L) {
+        val docs = graft.sources.Tables.table(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        applyCdcBatch(dir.toString)(
+          docs.withColumn("deleted", lit(false)), 0L)
+        (0 until 5).foreach { k =>
+          applyCdcBatch(dir.toString)(
+            docs.where(col("doc_id") % 6 === k)
+              .select(col("doc_id"), lit(null).cast("string").as("text"),
+                lit(true).as("deleted")), (k + 1).toLong)
+        }
+      }
+      dir.toString
+    }
 }

@@ -635,6 +635,95 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // WriteConflict RECOVERY end-to-end (round-9 verdict item 7): the
+    // companion to sink_concurrent_commits with a TOUCHED-BUCKET
+    // collision instead of disjoint halves. Writer B (+200 on buckets
+    // {0,2}) wins the version race against writer A (+100 on buckets
+    // {0,1}, data derived from the STALE base); A's transact rebase
+    // finds bucket=0 rewritten to a different value on both sides — no
+    // merge is sound — and surfaces WriteConflict naming exactly that
+    // bucket. Recovery is the protocol's contract: the loser RE-RUNS
+    // ITS DATA JOB from the new head (reading B's bucket-0 output, so
+    // B's +200 is under A's +100 — nothing lost), then retries and
+    // converges. Output pins the final state of all four buckets (+300
+    // on the collided bucket, each writer's own delta on its private
+    // bucket, base on the untouched one), the commit count, and that
+    // exactly one conflict-rebase cycle ran. At 100 TB this is the
+    // streaming upsert racing a compaction that rewrote the same
+    // bucket — the drift guards (ReplicaSink upsert/compact/rebucket)
+    // throw this same WriteConflict; this query is the measured proof
+    // the recovery loop they prescribe terminates with no lost update.
+    "sink_conflict_retry" -> ((s, dir) => {
+      val root = graft.Fs.scratch("/tmp/graft_occ_retry")
+      graft.Fs.deleteRecursively(root)
+      root.mkdirs()
+      val nb = 4
+      val cust = graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+      cust.repartition(nb, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(root, "snap_base").toString)
+      SnapshotManifest.commit(root, SnapshotManifest.State(1L,
+        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+          + ("conf/buckets" -> nb.toString)))
+      val rbSchema = "c_custkey BIGINT, cents BIGINT"
+      // a writer's DATA phase against the CURRENT head (immutable epoch
+      // dir; reads only its touched buckets)
+      def rewrite(label: String, touch: Seq[Int],
+          deltaCents: Long): Map[String, String] = {
+        val m = SnapshotManifest.read(root)
+        val paths = touch
+          .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+        s.read.schema(rbSchema).parquet(paths: _*)
+          .withColumn("cents", col("cents") + lit(deltaCents))
+          .withColumn("bucket", pmod(col("c_custkey"), lit(nb)).cast("int"))
+          .repartition(touch.length, col("bucket"))
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(new java.io.File(root, s"epoch_$label").toString)
+        touch.map(b => s"bucket=$b" -> s"epoch_$label/bucket=$b").toMap
+      }
+      // both writers derive their data from version 1
+      val bEntries = rewrite("B", Seq(0, 2), 20000L)
+      val aStale = rewrite("A1", Seq(0, 1), 10000L)
+      var retries = 0L
+      var staged = false
+      val fin =
+        try {
+          SnapshotManifest.transact(root) { base =>
+            if (!staged) {
+              staged = true // B wins the claim race for version 2
+              SnapshotManifest.commit(root, SnapshotManifest.State(
+                base.version + 1, base.entries ++ bEntries, base.retain))
+            }
+            SnapshotManifest.State(
+              base.version + 1, base.entries ++ aStale, base.retain)
+          }
+          throw new IllegalStateException(
+            "expected WriteConflict on bucket=0 — drift guard did not fire")
+        } catch {
+          case SnapshotManifest.WriteConflict(_, keys) =>
+            require(keys == Set("bucket=0"),
+              s"conflict must name exactly the collided bucket, got $keys")
+            retries += 1
+            // recovery: re-derive the DATA from the new head (rewrite
+            // reads the current manifest, so bucket 0 now comes from
+            // B's epoch) and retry the commit
+            val aFresh = rewrite("A2", Seq(0, 1), 10000L)
+            SnapshotManifest.transact(root)(base => SnapshotManifest.State(
+              base.version + 1, base.entries ++ aFresh, base.retain))
+        }
+      val m = SnapshotManifest.read(root)
+      val paths = (0 until nb)
+        .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+      s.read.schema(rbSchema).parquet(paths: _*)
+        .select(col("c_custkey"), col("cents").as("acctbal_cents"))
+        .withColumn("n_commits", lit(fin.version).cast("bigint"))
+        .withColumn("n_retries", lit(retries).cast("bigint"))
+        .orderBy("c_custkey")
+    }),
+
     // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
     // follower moves the table's whole state to the new name — rows
     // inserted pre-rename are updated/deleted/widened post-rename under
@@ -947,6 +1036,19 @@ object CdcQueries {
              CASE WHEN c_custkey % 4 IN (0, 1) THEN 10000 ELSE 20000 END
              AS acctbal_cents,
            CAST(3 AS BIGINT) AS n_commits
+         FROM customer ORDER BY c_custkey""",
+    // collided bucket 0 carries BOTH deltas (B's +200 under A's
+    // post-rebase +100), each writer's private bucket its own, bucket 3
+    // untouched; 3 commits (base + B + A's retry), exactly 1 retry
+    "sink_conflict_retry" ->
+      """SELECT c_custkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) +
+             CASE WHEN c_custkey % 4 = 0 THEN 30000
+                  WHEN c_custkey % 4 = 1 THEN 10000
+                  WHEN c_custkey % 4 = 2 THEN 20000
+                  ELSE 0 END AS acctbal_cents,
+           CAST(3 AS BIGINT) AS n_commits,
+           CAST(1 AS BIGINT) AS n_retries
          FROM customer ORDER BY c_custkey""",
     "cdc_apply_rename" ->
       """SELECT * FROM (VALUES

@@ -1054,6 +1054,17 @@ object CurationQueries {
     // only changelog-consistent when batch_skew = 0; the fixtures here
     // are deliberately skewed (text applied through batch 1, vectors
     // through batch 0) so the report is non-vacuous.
+    // CONSISTENT-PREFIX hybrid serving (round-9 verdict item 2): the
+    // same skewed CDC artifacts, fused at min(lexWm, semWm) — the
+    // leading text tier serves its RETAINED batch-0 snapshot via the
+    // manifest's time-travel read, the lagging ANN tier serves head.
+    // Where serve_skew_report only OBSERVES the skew, this query acts
+    // on it: fusion is changelog-consistent by construction, pinned by
+    // an oracle built entirely at the common watermark.
+    "stream_hybrid_serve_consistent" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamServeHybridConsistent(s, dir)
+        .orderBy("q_id", "rnk")),
+
     "serve_skew_report" -> ((s, dir) => {
       import s.implicits._
       def wm(d: String): Long = graft.operators.SnapshotManifest
@@ -1293,12 +1304,27 @@ object CurationQueries {
     * frozen-codebook encode of the applied vectors, route/ADC/rerank
     * over post-apply exact vectors); both at top-10, fused in the
     * shared integer RRF. */
-  private lazy val hybridCdcOracle: String = s"""
-       WITH corpus AS (
+  private lazy val hybridCdcOracle: String = hybridCdcOracleOver("""
          SELECT doc_id,
            CASE WHEN doc_id % 7 = 0 THEN text || ' graft cdc update'
                 ELSE text END AS text
-         FROM documents WHERE doc_id % 11 <> 0),
+         FROM documents WHERE doc_id % 11 <> 0""")
+
+  /** The consistent-prefix serving oracle (round-9 verdict item 2):
+    * both tiers AT THE COMMON WATERMARK min(lexWm=1, semWm=0) = 0 —
+    * lexical BM25 over the BATCH-0 base corpus (the text artifact's
+    * retained pre-update snapshot), semantic tail over the post-apply
+    * vectors (batch 0 IS the ANN artifact's whole changelog, so its
+    * head already sits at the common prefix). The skewed fixtures must
+    * answer exactly what watermark-aligned artifacts would. */
+  private lazy val hybridConsistentOracle: String =
+    hybridCdcOracleOver("SELECT doc_id, text FROM documents")
+
+  /** hybrid_cdc's two-tier reproduction, parameterized by the LEXICAL
+    * corpus state (the semantic tier is the post-apply IVFADC tail in
+    * both uses — its changelog is one batch deep). */
+  private def hybridCdcOracleOver(corpusSql: String): String = s"""
+       WITH corpus AS ($corpusSql),
        terms AS (
          SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus),
        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
@@ -1419,6 +1445,7 @@ object CurationQueries {
     "text_retrieval_hybrid_served" -> hybridServedOracle,
     "stream_hybrid_serve" -> hybridServedOracle,
     "text_retrieval_hybrid_cdc" -> hybridCdcOracle,
+    "stream_hybrid_serve_consistent" -> hybridConsistentOracle,
     // the text fixture applies batches 0 and 1; the vector fixture
     // applies only batch 0 — watermarks 1 and 0, skew 1
     "serve_skew_report" ->

@@ -961,6 +961,19 @@ object ExtensionQueries {
         .orderBy("doc_id")
     }),
 
+    // delete-heavy churn probe (round-9 verdict item 6): the standard
+    // ingest batch classified against the CHURN fixture — six segments,
+    // tombstones for ~83% of the corpus, NO compaction. The probe's
+    // two-phase liveness keeps the tombstone read bounded by the
+    // batch's candidate buckets (not the 5-batch delete history), and
+    // the oracle pins that deleted bases orphan their planted copies
+    // exactly as a rebuild from the live remainder would.
+    "dedup_churn_probe" -> ((s, dir) => {
+      val idx = DedupIndex.churnIndexDir(s, dir)
+      DedupIndex.probe(s, idx, ExtCorpus.incrementalBatch(s, dir), 0.5)
+        .orderBy("doc_id")
+    }),
+
     // the signature index maintained from a REAL stream: micro-batches
     // of documents fold into immutable segments (compaction mid-drain),
     // then the probe classifies the planted batch against the
@@ -2306,6 +2319,8 @@ object ExtensionQueries {
     ("stream_dedup_index" -> oraclesBase("dedup_incremental")) +
     ("stream_dedup_index_cdc" -> dedupIncrementalOracleOver(
       ExtCorpus.CdcAppliedIncrementalCorpusCte)) +
+    ("dedup_churn_probe" -> dedupIncrementalOracleOver(
+      ExtCorpus.ChurnIncrementalCorpusCte)) +
     ("dedup_index_profile" -> s"""
        WITH corpus AS (SELECT doc_id, text FROM documents), $ShingleCtes,
        agg AS (

@@ -92,6 +92,19 @@ object ExtCorpus {
     * probe batch still plants copies of the ORIGINAL texts, so updated
     * bases demote their exact copies to near matches and deleted bases
     * orphan theirs — the apply visibly moves verdicts. */
+  /** [[IncrementalCorpusCte]] over the CHURN fixture's live remainder
+    * ([[graft.operators.DedupIndex.churnIndexDir]]: batches 1..5 delete
+    * doc_id % 6 ∈ {0..4}, so only % 6 = 5 survives) — the oracle corpus
+    * for probes against a delete-dominated, uncompacted index: deleted
+    * bases must orphan their planted copies exactly as if the corpus
+    * had been rebuilt from the live docs. */
+  val ChurnIncrementalCorpusCte: String =
+    s"""$IncrementalBatchCte,
+     corpus AS (
+       SELECT doc_id, text FROM documents WHERE doc_id % 6 = 5
+       UNION ALL
+       SELECT doc_id, text FROM batch)"""
+
   val CdcAppliedIncrementalCorpusCte: String =
     s"""$IncrementalBatchCte,
      corpus AS (

