@@ -184,14 +184,15 @@ object AnnIndex {
     // a rotation keeps the artifact's RECORDED geometry unless the
     // caller explicitly re-shapes it — defaulting to the compile-time
     // constants would silently reset a non-default index
-    val entries = trainInto(corpus, root, conf.getOrElse(confOf(m)),
+    // dropPrefixes = "": a rebuild REPLACES every entry — the new base
+    // lists encode the whole corpus; only the replay watermark carries
+    SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_", "v"),
+      dropPrefixes = Seq("")) {
+      trainInto(corpus, root, conf.getOrElse(confOf(m)),
         m.version + 1, attrsOf(m).map(_._1)) ++
-      m.entries.filter(_._1 == "lastBatch")
-    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "codes")
-    SnapshotManifest.gc(root, next, "tombs_")
-    SnapshotManifest.gc(root, next, "v")
+        m.entries.filter(_._1 == "lastBatch")
+    }
+    ()
   }
 
   /** Fold one micro-batch of NEW embeddings into the inverted lists:
@@ -218,14 +219,14 @@ object AnnIndex {
     }
     val encoded = encode(spark, root, m, emb).withColumn("sseq", lit(batchId))
     val seg = s"epoch_$batchId"
-    encoded.repartition(confOf(m).coarseK, col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
-    val entries = m.entries ++
-      Map(s"codes/$seg" -> s"codes/seg=$seg", "lastBatch" -> batchId.toString)
-    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "codes") // crashed-segment orphans
+    SegmentStore.commitSnapshot(root, m, Seq("codes")) {
+      encoded.repartition(confOf(m).coarseK, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
+      Map(s"codes/$seg" -> s"codes/seg=$seg",
+        "lastBatch" -> batchId.toString)
+    }
+    ()
   }
 
   /** foreachBatch body for the CDC-MAINTAINED index — the vector twin of
@@ -261,26 +262,25 @@ object AnnIndex {
         return
       }
       val seg = s"epoch_$batchId"
-      b.select(col("vec_id")).withColumn("sseq", lit(batchId))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(new java.io.File(root, s"tombs_$seg").toString)
-      val live = b.where(!col("deleted")).select(col("vec_id") +:
-        transform(col("embedding"), x => x.cast("double")).as("e") +:
-        attrsOf(m).map { case (n, _) => col(n) }: _*)
-      val entries = m.entries ++
-        Map(s"tombs/$seg" -> s"tombs_$seg", "lastBatch" -> batchId.toString) ++
-        (if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
-          encode(spark, root, m, live).withColumn("sseq", lit(batchId))
-            .repartition(confOf(m).coarseK, col("cell"))
-            .write.mode("overwrite").partitionBy("cell")
-            .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
-          Map(s"codes/$seg" -> s"codes/seg=$seg")
-        })
-      val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-      SnapshotManifest.commit(root, next) // the commit point
-      SnapshotManifest.gc(root, next, "codes")
-      SnapshotManifest.gc(root, next, "tombs_")
+      SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_")) {
+        b.select(col("vec_id")).withColumn("sseq", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .parquet(new java.io.File(root, s"tombs_$seg").toString)
+        val live = b.where(!col("deleted")).select(col("vec_id") +:
+          transform(col("embedding"), x => x.cast("double")).as("e") +:
+          attrsOf(m).map { case (n, _) => col(n) }: _*)
+        Map(s"tombs/$seg" -> s"tombs_$seg",
+          "lastBatch" -> batchId.toString) ++
+          (if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
+            encode(spark, root, m, live).withColumn("sseq", lit(batchId))
+              .repartition(confOf(m).coarseK, col("cell"))
+              .write.mode("overwrite").partitionBy("cell")
+              .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
+            Map(s"codes/$seg" -> s"codes/seg=$seg")
+          })
+      }
+      ()
     } finally {
       b.unpersist(blocking = false)
       ()
@@ -395,37 +395,37 @@ object AnnIndex {
     val outName = s"codes/seg=compact$version"
     val live = liveCodes(spark, root, m).persist()
     try {
-      live.repartition(confOf(m).coarseK, col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(root, outName).toString)
-      // tombstones RESOLVE here: only those of fully-deleted vectors
-      // survive the merge (folded to their max stamp) — a re-add must
-      // still outrank them after the killed versions are gone
-      val tombs = tombDirs(m)
-      val tombEntries: Map[String, String] =
-        if (tombs.isEmpty) Map.empty
-        else {
-          val kept = spark.read.schema("vec_id LONG, sseq LONG")
-            .parquet(tombs.map(rel => new java.io.File(root, rel).toString): _*)
-            .groupBy(col("vec_id")).agg(max(col("sseq")).as("sseq"))
-            .join(live.select(col("vec_id")), Seq("vec_id"), "left_anti")
-            .persist()
-          try {
-            if (kept.isEmpty) Map.empty
-            else {
-              kept.coalesce(1).write.mode("overwrite")
-                .parquet(new java.io.File(root, s"tombs_compact$version").toString)
-              Map(s"tombs/c$version" -> s"tombs_compact$version")
-            }
-          } finally { kept.unpersist(blocking = false); () }
-        }
-      val entries = m.entries
-        .filterNot(e => e._1.startsWith("codes/") || e._1.startsWith("tombs/")) +
-        (s"codes/c$version" -> outName) ++ tombEntries
-      val next = SnapshotManifest.State(version, entries, m.retain)
-      SnapshotManifest.commit(root, next) // the commit point
-      SnapshotManifest.gc(root, next, "codes")
-      SnapshotManifest.gc(root, next, "tombs_")
+      SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_"),
+        dropPrefixes = Seq("codes/", "tombs/")) {
+        live.repartition(confOf(m).coarseK, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(new java.io.File(root, outName).toString)
+        // tombstones RESOLVE here: only those of fully-deleted vectors
+        // survive the merge (folded to their max stamp) — a re-add must
+        // still outrank them after the killed versions are gone
+        val tombs = tombDirs(m)
+        val tombEntries: Map[String, String] =
+          if (tombs.isEmpty) Map.empty
+          else {
+            val kept = spark.read.schema("vec_id LONG, sseq LONG")
+              .parquet(tombs.map(rel =>
+                new java.io.File(root, rel).toString): _*)
+              .groupBy(col("vec_id")).agg(max(col("sseq")).as("sseq"))
+              .join(live.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .persist()
+            try {
+              if (kept.isEmpty) Map.empty
+              else {
+                kept.coalesce(1).write.mode("overwrite")
+                  .parquet(new java.io.File(root,
+                    s"tombs_compact$version").toString)
+                Map(s"tombs/c$version" -> s"tombs_compact$version")
+              }
+            } finally { kept.unpersist(blocking = false); () }
+          }
+        Map(s"codes/c$version" -> outName) ++ tombEntries
+      }
+      ()
     } finally {
       live.unpersist(blocking = false)
       ()

@@ -104,27 +104,14 @@ object DedupIndex {
   }
 
   /** Fold one accepted batch into the index as an immutable segment —
-    * ONE partitioned write job, manifest-committed under the lastBatch
-    * watermark (replays are detected no-ops; idle batches advance only
-    * the watermark). */
+    * the shared [[SegmentStore.foldBucketedBatch]] driver (replay
+    * guard, persist-before-emptiness-probe, watermark-only commit on
+    * idle batches, one partitioned write, pointer swap). */
   def appendBatch(dir: String, buckets: Int = Buckets)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    if (SegmentStore.replayed(m, batchId)) return
-    val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    // persist BEFORE the emptiness probe: isEmpty is an action, and on
-    // a foreachBatch frame it would otherwise compute the keyed fold's
-    // output once for the check and again for the write
-    val docs = batch.select(col("doc_id"), col("text")).persist()
-    try {
-      if (docs.isEmpty) {
-        SegmentStore.advanceWatermark(root, m, batchId)
-        return
-      }
-      commitSegment(root, m, nb, batchId, segmentRows(docs, nb, batchId))
-    } finally { docs.unpersist(blocking = false); () }
-  }
+      batch: DataFrame, batchId: Long): Unit =
+    SegmentStore.foldBucketedBatch(dir, buckets,
+      batch.select(col("doc_id"), col("text")), batchId)(
+      (_, nb, docs) => segmentRows(docs, nb, batchId))
 
   /** foreachBatch body for the CDC-MAINTAINED index — the changelog-
     * apply semantic (full-image update/delete) composed with the
@@ -140,49 +127,22 @@ object DedupIndex {
     * is a no-op row, and deciding otherwise would need a by-doc-id
     * probe of the text-hash-bucketed doc rows (unprunable). */
   def applyCdcBatch(dir: String, buckets: Int = Buckets)(
-      batch: DataFrame, batchId: Long): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    if (SegmentStore.replayed(m, batchId)) return
-    val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val b = batch.select(col("doc_id"), col("text"),
-      col("deleted").cast("boolean").as("deleted")).persist()
-    try {
-      if (b.isEmpty) {
-        SegmentStore.advanceWatermark(root, m, batchId)
-        return
-      }
-      val nullS = lit(null).cast("string")
-      val tombRows = b
-        .select(lit(TombKind).as("kind"),
-          bucketOf(col("doc_id"), nb).as("bucket"),
-          col("doc_id"), lit(null).cast("int").as("band_idx"),
-          nullS.as("band_key"), nullS.as("shingle"),
-          lit(null).cast("long").as("n"), nullS.as("text"),
-          lit(batchId).as("sseq"))
-      val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
-      commitSegment(root, m, nb, batchId,
-        segmentRows(live, nb, batchId).unionByName(tombRows))
-    } finally { b.unpersist(blocking = false); () }
-  }
-
-  /** One partitioned write + pointer swap shared by the append and CDC
-    * apply paths. */
-  private def commitSegment(root: java.io.File, m: SnapshotManifest.State,
-      nb: Int, batchId: Long, rows: DataFrame): Unit = {
-    val segName = s"epoch_$batchId"
-    rows
-      .repartition(2 * nb, col("kind"), col("bucket"))
-      .write.mode("overwrite").partitionBy("kind", "bucket")
-      .parquet(new java.io.File(root, s"$segName/data").toString)
-    val entries = m.entries +
-      ("conf/buckets" -> nb.toString) +
-      (s"seg/e$batchId" -> segName) +
-      ("lastBatch" -> batchId.toString)
-    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-    SnapshotManifest.commit(root, next)
-    SnapshotManifest.gc(root, next, "epoch_")
-  }
+      batch: DataFrame, batchId: Long): Unit =
+    SegmentStore.foldBucketedBatch(dir, buckets,
+      batch.select(col("doc_id"), col("text"),
+        col("deleted").cast("boolean").as("deleted")), batchId) {
+      (_, nb, b) =>
+        val nullS = lit(null).cast("string")
+        val tombRows = b
+          .select(lit(TombKind).as("kind"),
+            bucketOf(col("doc_id"), nb).as("bucket"),
+            col("doc_id"), lit(null).cast("int").as("band_idx"),
+            nullS.as("band_key"), nullS.as("shingle"),
+            lit(null).cast("long").as("n"), nullS.as("text"),
+            lit(batchId).as("sseq"))
+        val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
+        segmentRows(live, nb, batchId).unionByName(tombRows)
+    }
 
   /** Segment merge: every current segment folded into one fresh
     * immutable `epoch_compact<version>` segment published by the same
@@ -216,38 +176,14 @@ object DedupIndex {
   }
 
   private def merge(spark: SparkSession, dir: String,
-      newBuckets: Option[Int]): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    val segs = segments(m)
-    if (newBuckets.isEmpty && segs.size <= 1) return
-    require(segs.nonEmpty, s"empty dedup index at $dir")
-    val nb = bucketsOf(m) // committed geometry: what the reads use
-    val outNb = newBuckets.getOrElse(nb) // what the rewritten rows use
-    val version = m.version + 1
-    val outName = s"epoch_compact$version"
-    val schema = "doc_id LONG, band_idx INT, band_key STRING, " +
-      "shingle STRING, n LONG, text STRING, sseq LONG"
-    val tmax = tombMax(spark, root, segs, 0 until nb)
-    val all = Kinds.map { kind =>
-      liveRows(SegmentStore.readLeaves(spark, schema,
-        SegmentStore.leafPaths(root, segs, kind, 0 until nb)), tmax)
-        .withColumn("kind", lit(kind))
-    }.reduce(_ unionByName _)
-      .withColumn("bucket",
-        when(col("kind") === "band", bucketOf(col("band_key"), outNb))
-          .when(col("kind") === "doc", bucketOf(col("text"), outNb))
-          .otherwise(bucketOf(col("doc_id"), outNb)))
-    all.repartition(2 * outNb, col("kind"), col("bucket"))
-      .write.mode("overwrite").partitionBy("kind", "bucket")
-      .parquet(new java.io.File(root, s"$outName/data").toString)
-    val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
-      (s"seg/c$version" -> outName) +
-      ("conf/buckets" -> outNb.toString)
-    val next = SnapshotManifest.State(version, entries, m.retain)
-    SnapshotManifest.commit(root, next)
-    SnapshotManifest.gc(root, next, "epoch_")
-  }
+      newBuckets: Option[Int]): Unit =
+    SegmentStore.mergeBucketed(spark, dir, newBuckets, Buckets,
+      "doc_id LONG, band_idx INT, band_key STRING, " +
+        "shingle STRING, n LONG, text STRING, sseq LONG",
+      Kinds, TombKind,
+      outNb => when(col("kind") === "band", bucketOf(col("band_key"), outNb))
+        .when(col("kind") === "doc", bucketOf(col("text"), outNb))
+        .otherwise(bucketOf(col("doc_id"), outNb)))
 
   /** Tombstone history restricted to the given doc-hash buckets —
     * [[SegmentStore.tombMax]]; full-scan callers (compact, profile)

@@ -154,4 +154,115 @@ object SegmentStore {
     * probe listing) and its own merge. Returns whether one ran. */
   def maybeCompact(segCount: Int, maxSegments: Int)(run: => Unit): Boolean =
     if (segCount > maxSegments) { run; true } else false
+
+  // ------- the shared commit/merge driver (round-9 verdict item 3) -------
+  // The protocol extraction left append/compact/rebucket as four
+  // hand-rolled twins; the LOOP STRUCTURE now lives here once. Each
+  // artifact keeps only genuinely domain logic: what a segment's rows
+  // are (Text: postings+stats+bloom sidecar, Dedup: signature families,
+  // Substring: gram counts, Ann: cell-partitioned codes) — the
+  // stage-data → derive-entries → pointer-swap → collect ORDER, the
+  // bucketed single-write layout, and the fold/merge skeletons are one
+  // implementation.
+
+  /** THE two-phase commit of the artifact family: `stage` writes ONLY
+    * fresh immutable dirs and returns the manifest-entry additions; the
+    * next snapshot is derived from the current entries (minus
+    * `dropPrefixes` — a merge replaces every `seg/` entry, a rebuild
+    * replaces everything it re-derives), published by the atomic
+    * pointer swap, and only then do superseded snapshot dirs become
+    * collectible (`gcPrefixes`). A crash before the swap leaves orphan
+    * dirs for a later commit's gc; a crash after it has already
+    * committed. Callers must not mutate any dir a committed manifest
+    * names. */
+  def commitSnapshot(root: java.io.File, m: SnapshotManifest.State,
+      gcPrefixes: Seq[String], dropPrefixes: Seq[String] = Nil)(
+      stage: => Map[String, String]): SnapshotManifest.State = {
+    val adds = stage
+    val kept = m.entries.filterNot(e => dropPrefixes.exists(e._1.startsWith))
+    val next = SnapshotManifest.State(m.version + 1, kept ++ adds, m.retain)
+    SnapshotManifest.commit(root, next) // the commit point
+    gcPrefixes.foreach(SnapshotManifest.gc(root, next, _))
+    next
+  }
+
+  /** ONE partitioned write of a segment's superset rows under the
+    * shared `kind=<k>/bucket=<hash>` leaf layout — `parts` tasks so the
+    * file count stays O(kinds × buckets), not O(tasks × buckets). */
+  def writeBucketedSegment(root: java.io.File, segName: String,
+      rows: DataFrame, parts: Int): Unit =
+    rows.repartition(parts, col("kind"), col("bucket"))
+      .write.mode("overwrite").partitionBy("kind", "bucket")
+      .parquet(new java.io.File(root, s"$segName/data").toString)
+
+  /** Shared append/apply driver for the bucketed artifacts: replay
+    * guard → persist the batch (it feeds both the emptiness probe and
+    * the row build) → empty-batch watermark-only commit → one bucketed
+    * segment write → pointer swap naming the segment, the watermark,
+    * the committed geometry, and the artifact's extra conf entries.
+    * `rows(state, nb, batch)` builds the superset rows (tombstone rows
+    * included on the CDC-apply path). */
+  def foldBucketedBatch(dir: String, defaultBuckets: Int,
+      batch: DataFrame, batchId: Long,
+      extraConf: SnapshotManifest.State => Map[String, String] =
+        _ => Map.empty)(
+      rows: (SnapshotManifest.State, Int, DataFrame) => DataFrame): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    if (replayed(m, batchId)) return
+    val nb = if (m.version == 0L) defaultBuckets
+             else bucketsOf(m, defaultBuckets)
+    val b = batch.persist()
+    try {
+      if (b.isEmpty) {
+        advanceWatermark(root, m, batchId)
+        return
+      }
+      val segName = s"epoch_$batchId"
+      commitSnapshot(root, m, Seq("epoch_")) {
+        writeBucketedSegment(root, segName, rows(m, nb, b), 2 * nb)
+        extraConf(m) + ("conf/buckets" -> nb.toString) +
+          (s"seg/e$batchId" -> segName) +
+          ("lastBatch" -> batchId.toString)
+      }
+      ()
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** Shared merge/rebucket driver for the bucketed artifacts: read the
+    * LIVE rows of every kind across all committed segments (tombstones
+    * RESOLVE — only live rows move, none survive), re-bucket them under
+    * the (possibly new) geometry, rewrite as ONE fresh immutable
+    * segment, and swap — every `seg/` entry replaced and
+    * `conf/buckets` switching inside the same pointer swap, so probes
+    * and appenders change geometry atomically with the data. No-op on
+    * a single-segment compact (nothing to fold). `bucketExprOf(outNb)`
+    * is the artifact's kind-dispatched re-bucketing expression. */
+  def mergeBucketed(spark: SparkSession, dir: String,
+      newBuckets: Option[Int], defaultBuckets: Int, schema: String,
+      kinds: Seq[String], tombKind: String,
+      bucketExprOf: Int => Column): Unit = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val segs = segments(m)
+    if (newBuckets.isEmpty && segs.size <= 1) return
+    require(segs.nonEmpty, s"empty index at $dir")
+    val nb = bucketsOf(m, defaultBuckets) // committed geometry: the reads
+    val outNb = newBuckets.getOrElse(nb)  // what the rewritten rows use
+    require(outNb > 0, s"bucket count must be positive: $outNb")
+    val version = m.version + 1
+    val outName = s"epoch_compact$version"
+    val tmax = tombMax(spark, root, segs, tombKind, 0 until nb)
+    val all = kinds.map { kind =>
+      liveRows(readLeaves(spark, schema,
+        leafPaths(root, segs, kind, 0 until nb)), tmax)
+        .withColumn("kind", lit(kind))
+    }.reduce(_ unionByName _)
+      .withColumn("bucket", bucketExprOf(outNb))
+    commitSnapshot(root, m, Seq("epoch_"), dropPrefixes = Seq("seg/")) {
+      writeBucketedSegment(root, outName, all, 2 * outNb)
+      Map(s"seg/c$version" -> outName, "conf/buckets" -> outNb.toString)
+    }
+    ()
+  }
 }

@@ -70,70 +70,41 @@ object SubstringIndex {
         col("gram"), col("doc_id"), col("cnt"), lit(sseq).as("sseq"))
   }
 
-  /** Fold one accepted batch in as an immutable segment — one
-    * partitioned write job, manifest-committed under the lastBatch
-    * watermark (replays are detected no-ops). */
+  /** The artifact's k (gram width): a creation-time conf entry like the
+    * bucket count — the first commit records it, later batches read it
+    * back. */
+  private def kConf(k: Int)(m: SnapshotManifest.State): Map[String, String] =
+    Map("conf/k" -> (if (m.version == 0L) k else kOf(m)).toString)
+
+  /** Fold one accepted batch in as an immutable segment — the shared
+    * [[SegmentStore.foldBucketedBatch]] driver, plus the artifact's
+    * `conf/k` entry. */
   def appendBatch(dir: String, buckets: Int = Buckets,
-      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    if (SegmentStore.replayed(m, batchId)) return
-    val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val kk = if (m.version == 0L) k else kOf(m)
-    val docs = batch.select(col("doc_id"), col("text")).persist()
-    try {
-      if (docs.isEmpty) {
-        SegmentStore.advanceWatermark(root, m, batchId)
-        return
-      }
-      commitSegment(root, m, nb, kk, batchId, gramRows(docs, nb, kk, batchId))
-    } finally { docs.unpersist(blocking = false); () }
-  }
+      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit =
+    SegmentStore.foldBucketedBatch(dir, buckets,
+      batch.select(col("doc_id"), col("text")), batchId, kConf(k)) {
+      (m, nb, docs) =>
+        gramRows(docs, nb, if (m.version == 0L) k else kOf(m), batchId)
+    }
 
   /** foreachBatch body for the CDC-MAINTAINED index: per-doc POST-BATCH
     * states (doc_id, text, deleted) from a keyed stream fold — every
     * touched doc gets a tombstone row stamped with this batch, every
     * non-deleted doc re-adds its gram counts under the same stamp. */
   def applyCdcBatch(dir: String, buckets: Int = Buckets,
-      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    if (SegmentStore.replayed(m, batchId)) return
-    val nb = if (m.version == 0L) buckets else bucketsOf(m)
-    val kk = if (m.version == 0L) k else kOf(m)
-    val b = batch.select(col("doc_id"), col("text"),
-      col("deleted").cast("boolean").as("deleted")).persist()
-    try {
-      if (b.isEmpty) {
-        SegmentStore.advanceWatermark(root, m, batchId)
-        return
-      }
-      val tombRows = b.select(lit(TombKind).as("kind"),
-        bucketOf(col("doc_id"), nb).as("bucket"),
-        lit(null).cast("string").as("gram"), col("doc_id"),
-        lit(null).cast("long").as("cnt"), lit(batchId).as("sseq"))
-      val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
-      commitSegment(root, m, nb, kk, batchId,
-        gramRows(live, nb, kk, batchId).unionByName(tombRows))
-    } finally { b.unpersist(blocking = false); () }
-  }
-
-  private def commitSegment(root: java.io.File, m: SnapshotManifest.State,
-      nb: Int, k: Int, batchId: Long, rows: DataFrame): Unit = {
-    val segName = s"epoch_$batchId"
-    rows
-      .repartition(2 * nb, col("kind"), col("bucket"))
-      .write.mode("overwrite").partitionBy("kind", "bucket")
-      .parquet(new java.io.File(root, s"$segName/data").toString)
-    val entries = m.entries +
-      ("conf/buckets" -> nb.toString) +
-      ("conf/k" -> k.toString) +
-      (s"seg/e$batchId" -> segName) +
-      ("lastBatch" -> batchId.toString)
-    val next = SnapshotManifest.State(m.version + 1, entries, m.retain)
-    SnapshotManifest.commit(root, next)
-    SnapshotManifest.gc(root, next, "epoch_")
-  }
+      k: Int = Dedup.SpanGramK)(batch: DataFrame, batchId: Long): Unit =
+    SegmentStore.foldBucketedBatch(dir, buckets,
+      batch.select(col("doc_id"), col("text"),
+        col("deleted").cast("boolean").as("deleted")), batchId, kConf(k)) {
+      (m, nb, b) =>
+        val tombRows = b.select(lit(TombKind).as("kind"),
+          bucketOf(col("doc_id"), nb).as("bucket"),
+          lit(null).cast("string").as("gram"), col("doc_id"),
+          lit(null).cast("long").as("cnt"), lit(batchId).as("sseq"))
+        val live = b.where(!col("deleted")).select(col("doc_id"), col("text"))
+        gramRows(live, nb, if (m.version == 0L) k else kOf(m), batchId)
+          .unionByName(tombRows)
+    }
 
   /** Max tombstone stamp per doc restricted to the given doc-hash
     * buckets — None when no tombstone file exists there (the
@@ -178,32 +149,11 @@ object SubstringIndex {
   }
 
   private def merge(spark: SparkSession, dir: String,
-      newBuckets: Option[Int]): Unit = {
-    val root = new java.io.File(dir)
-    val m = SnapshotManifest.read(root)
-    val segs = segments(m)
-    if (newBuckets.isEmpty && segs.size <= 1) return
-    require(segs.nonEmpty, s"empty substring index at $dir")
-    val nb = bucketsOf(m) // committed geometry: what the reads use
-    val outNb = newBuckets.getOrElse(nb) // what the rewritten rows use
-    val version = m.version + 1
-    val outName = s"epoch_compact$version"
-    val schema = "gram STRING, doc_id LONG, cnt LONG, sseq LONG"
-    val tmax = tombMax(spark, root, segs, 0 until nb)
-    val all = liveRows(SegmentStore.readLeaves(spark, schema,
-      SegmentStore.leafPaths(root, segs, GramKind, 0 until nb)), tmax)
-      .withColumn("kind", lit(GramKind))
-      .withColumn("bucket", bucketOf(col("gram"), outNb))
-    all.repartition(2 * outNb, col("kind"), col("bucket"))
-      .write.mode("overwrite").partitionBy("kind", "bucket")
-      .parquet(new java.io.File(root, s"$outName/data").toString)
-    val entries = m.entries.filterNot(_._1.startsWith("seg/")) +
-      (s"seg/c$version" -> outName) +
-      ("conf/buckets" -> outNb.toString)
-    val next = SnapshotManifest.State(version, entries, m.retain)
-    SnapshotManifest.commit(root, next)
-    SnapshotManifest.gc(root, next, "epoch_")
-  }
+      newBuckets: Option[Int]): Unit =
+    SegmentStore.mergeBucketed(spark, dir, newBuckets, Buckets,
+      "gram STRING, doc_id LONG, cnt LONG, sseq LONG",
+      Seq(GramKind), TombKind,
+      outNb => bucketOf(col("gram"), outNb))
 
   /** Duplicated spans of a probe batch against the indexed corpus —
     * identical output to [[Dedup.incrementalSpans]](live corpus, batch).

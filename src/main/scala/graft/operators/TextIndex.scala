@@ -197,7 +197,6 @@ object TextIndex {
       tf: DataFrame, attrs: Seq[String],
       killed: Option[DataFrame]): Unit = {
     val seg = s"epoch_$batchId"
-    val dataDir = new java.io.File(root, s"$seg/data")
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
     // attribute columns ride the POSTING rows (per-doc facts, like dl);
@@ -224,40 +223,38 @@ object TextIndex {
       bucketOf(col("doc_id"), nb).as("bucket") +: col("doc_id") +:
       nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
       lit(batchId).as("sseq") +: nullAttrs: _*))
-    // one task per (kind, bucket): file count stays O(buckets), not
-    // O(tasks x buckets)
-    (posts +: docRows +: tombRows).reduce(_ unionByName _)
-      .repartition(3 * nb, col("kind"), col("bucket"))
-      .write.mode("overwrite").partitionBy("kind", "bucket")
-      .parquet(dataDir.toString)
-    // the segment's ADDITIVE stats partial (docs added AND versions
-    // killed, so corpus-global n_docs/avgdl stay a manifest fold even
-    // under deletes): a one-row aggregate over the cached frames
-    val addStats = docs.agg(count(lit(1)).as("n_docs"),
-      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-    val st = killed match {
-      case None => addStats
-        .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
-      case Some(kv) => addStats.crossJoin(kv
-        .agg(count(lit(1)).as("n_killed"),
-          coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
-    }
-    val r = st.head()
-    // n_docs == 0 ⟺ tf is empty (a doc with no terms never enters the
-    // index), so the cached stats row decides emptiness — no extra job
-    writeTermBloom(root, seg, tf, cap, knownEmpty = r.getLong(0) == 0L)
-    val attrDdl = SnapshotManifest.renderAttrDdl(tf.schema, attrs)
-    val next = SnapshotManifest.State(m.version + 1,
-      m.entries + (s"seg/$batchId" -> seg) +
-        (s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
-          r.getLong(2), r.getLong(3))) +
-        ("lastBatch" -> batchId.toString) +
-        ("conf/buckets" -> nb.toString) +
-        ("conf/bloomCap" -> cap.toString) ++
+    SegmentStore.commitSnapshot(root, m, Seq("epoch_")) {
+      // one task per (kind, bucket): file count stays O(buckets), not
+      // O(tasks x buckets)
+      SegmentStore.writeBucketedSegment(root, seg,
+        (posts +: docRows +: tombRows).reduce(_ unionByName _), 3 * nb)
+      // the segment's ADDITIVE stats partial (docs added AND versions
+      // killed, so corpus-global n_docs/avgdl stay a manifest fold even
+      // under deletes): a one-row aggregate over the cached frames
+      val addStats = docs.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      val st = killed match {
+        case None => addStats
+          .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
+        case Some(kv) => addStats.crossJoin(kv
+          .agg(count(lit(1)).as("n_killed"),
+            coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
+      }
+      val r = st.head()
+      // n_docs == 0 ⟺ tf is empty (a doc with no terms never enters the
+      // index), so the cached stats row decides emptiness — no extra job
+      writeTermBloom(root, seg, tf, cap, knownEmpty = r.getLong(0) == 0L)
+      Map(s"seg/$batchId" -> seg,
+        s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
+          r.getLong(2), r.getLong(3)),
+        "lastBatch" -> batchId.toString,
+        "conf/buckets" -> nb.toString,
+        "conf/bloomCap" -> cap.toString) ++
         (if (attrs.isEmpty) Map.empty[String, String]
-         else Map("conf/attrs" -> attrDdl)), m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "epoch_")
+         else Map("conf/attrs" ->
+           SnapshotManifest.renderAttrDdl(tf.schema, attrs)))
+    }
+    ()
   }
 
   /** foreachBatch body: index one micro-batch of (doc_id, text) docs as
@@ -469,30 +466,28 @@ object TextIndex {
             bucketOf(col("doc_id"), outNb).as("bucket") +: col("doc_id") +:
             nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
             col("sseq") +: nullAttrs: _*))
-      (livePost +: docRows +: tombRows).reduce(_ unionByName _)
-        .repartition(3 * outNb, col("kind"), col("bucket"))
-        .write.mode("overwrite").partitionBy("kind", "bucket")
-        .parquet(new java.io.File(root, s"$outName/data").toString)
-      // the merged segment's term bloom — same live-postings plan the
-      // rewrite consumed (robust to a merge that leaves no live
-      // postings at all, where the kind=post partition never
-      // materializes)
-      writeTermBloom(root, outName, livePost, bloomCapOf(m),
-        knownEmpty = nDocs == 0L)
+      SegmentStore.commitSnapshot(root, m, Seq("epoch_"),
+        dropPrefixes = Seq("seg/", "stats/")) {
+        SegmentStore.writeBucketedSegment(root, outName,
+          (livePost +: docRows +: tombRows).reduce(_ unionByName _),
+          3 * outNb)
+        // the merged segment's term bloom — same live-postings plan the
+        // rewrite consumed (robust to a merge that leaves no live
+        // postings at all, where the kind=post partition never
+        // materializes)
+        writeTermBloom(root, outName, livePost, bloomCapOf(m),
+          knownEmpty = nDocs == 0L)
+        // kill counters reset in the rewritten partial — equal by
+        // invariant to a recount over the merged live docs; no scan job
+        Map(s"seg/c$version" -> outName,
+          s"stats/$outName" -> statsEntry(nDocs, sumDl, 0L, 0L),
+          "conf/buckets" -> outNb.toString)
+      }
+      ()
     } finally {
       liveDocs.unpersist(blocking = false)
       ()
     }
-    // kill counters reset in the rewritten partial — equal by invariant
-    // to a recount over the merged live docs; no scan job
-    val entries = m.entries.filterNot(e =>
-      e._1.startsWith("seg/") || e._1.startsWith("stats/")) +
-      (s"seg/c$version" -> outName) +
-      (s"stats/$outName" -> statsEntry(nDocs, sumDl, 0L, 0L)) +
-      ("conf/buckets" -> outNb.toString)
-    val next = SnapshotManifest.State(version, entries, m.retain)
-    SnapshotManifest.commit(root, next) // the commit point
-    SnapshotManifest.gc(root, next, "epoch_")
   }
 
   /** Top-k documents per query over the maintained index — identical

@@ -345,9 +345,8 @@ class AnnIndexSpec extends AnyFunSuite {
     // this pins that the policy OBSERVABLY fired mid-drain.
     val out = graft.streaming.CdcStream.streamAnnIndex(spark, Sf)
     assert(out.count() > 0)
-    val stateDir = new java.io.File(
-      s"/tmp/graft_ann_stream/p${graft.Fs.pid}_" +
-        Sf.replaceAll("[^A-Za-z0-9]", "_"))
+    val stateDir = graft.Fs.scratch("/tmp/graft_ann_stream",
+      Sf.replaceAll("[^A-Za-z0-9]", "_"))
     val m = SnapshotManifest.read(stateDir)
     val segs = m.entries.filter(_._1.startsWith("codes/")).toSeq.sorted
     assert(segs.size === 3, s"post-drain segment listing: $segs")
