@@ -116,7 +116,13 @@ object Bench {
         .replace(sfDir, "<sf>")
         .replaceAll("/(?:dev/shm|tmp)/[^\\s,\\])}]*", "<tmp>")
         .replaceAll("file:[^\\s,\\])}]*", "<path>")
+        // JVM lambda class names carry a per-process counter, a code
+        // address, and an identity hash (Foo$$Lambda$4278/0x7f..@22..)
+        .replaceAll("\\$\\$\\$?Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
+        .replaceAll("@[0-9a-f]{4,}", "@")
         .replaceAll("#\\d+", "#")
+      if (sys.env.contains("SPARK_GRAFT_FP_DEBUG"))
+        System.err.println(s"[fp-debug]\n$norm\n[/fp-debug]")
       val d = java.security.MessageDigest.getInstance("SHA-256")
         .digest(norm.getBytes("UTF-8"))
       d.take(8).map(b => f"$b%02x").mkString

@@ -17,8 +17,20 @@ import org.apache.spark.sql.functions._
   * claim under test is exactly that probe cost is O(batch + touched
   * buckets), flat in corpus size, while the build pays the corpus.
   *
+  * Each multiplier measures TWO geometries per artifact:
+  *   - `<artifact>` — the creation-time DEFAULT geometry (8 buckets /
+  *     4 cells): probe cost here grows as corpus ÷ buckets, because a
+  *     probed bucket's CONTENT grows when the bucket count does not —
+  *     the measured argument for geometry evolution;
+  *   - `<artifact>@geo` — geometry scaled WITH the corpus (buckets =
+  *     8×mult, cells = 4×mult — what `rebucket`/`rebuild` exist for):
+  *     the probed slice stays O(batch), so probe cost stays flat while
+  *     build grows with the corpus. This pair IS the 100 TB claim.
+  *
   * Usage: tools/run.sh graft.tools.ScalePoint [mult ...]
-  * Prints one JSON line per (artifact, multiplier):
+  * (pass a duplicate leading mult as a sacrificial JIT warm-up and
+  * read only the later occurrence of each point). Prints one JSON
+  * line per (artifact, geometry, multiplier):
   *   {"artifact":"text","mult":10,"corpus_rows":N,"build_sec":B,
   *    "probe_sec":P}
   * probe_sec is the min of 3 timed probes (first discarded as warm-up).
@@ -101,49 +113,55 @@ object ScalePoint {
       val emb = embAt(mult)
       val nVecs = emb.count()
       val probeBatch = graft.sources.ExtCorpus.incrementalBatch(spark, sfDir)
-
-      // text index: one append of the corpus; probe = the standard
-      // 3-term-per-query retrieval set
-      val textDir = java.nio.file.Files
-        .createTempDirectory(s"graft_sp_text_x$mult").toString
-      val tBuild = timed(TextIndex.appendBatch(textDir)(docs, 0L))
       val qs = graft.sources.Tables.table(spark, sfDir, "documents")
         .where(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("q_id"),
           explode(slice(split(col("text"), " "), 1, 3)).as("term"))
         .distinct()
-      val tProbe = probeMin()(
-        TextIndex.retrieve(spark, textDir, qs, k = 10).count())
-      report("text", mult, nDocs, tBuild, tProbe)
-
-      // ANN index: train once; probe = the standard %100 query set
-      val annDir = java.nio.file.Files
-        .createTempDirectory(s"graft_sp_ann_x$mult").toString
-      val aBuild = timed(AnnIndex.train(emb, annDir))
       val queries = emb.where(col("vec_id") % 100 === 0)
         .where(col("vec_id") < 10000000L)
         .select(col("vec_id").as("q_id"), col("e").as("qe"))
-      val aProbe = probeMin()(
-        AnnIndex.serve(spark, annDir, queries, emb).count())
-      report("ann", mult, nVecs, aBuild, aProbe)
 
-      // dedup signature index: one append; probe = the standard
-      // planted-batch classification
-      val dedupDir = java.nio.file.Files
-        .createTempDirectory(s"graft_sp_dedup_x$mult").toString
-      val dBuild = timed(DedupIndex.appendBatch(dedupDir)(docs, 0L))
-      val dProbe = probeMin()(
-        DedupIndex.probe(spark, dedupDir, probeBatch, 0.5).count())
-      report("dedup", mult, nDocs, dBuild, dProbe)
+      // geoMult = 1: creation-time default geometry regardless of
+      // corpus size. geoMult = mult: geometry scaled with the corpus.
+      def run(geoMult: Int): Unit = {
+        val geo = if (geoMult == 1) "" else "@geo"
+        val nb = 8 * geoMult
 
-      // substring k-gram index: one append; probe = the same batch's
-      // duplicated-span report
-      val subDir = java.nio.file.Files
-        .createTempDirectory(s"graft_sp_substr_x$mult").toString
-      val sBuild = timed(SubstringIndex.appendBatch(subDir)(docs, 0L))
-      val sProbe = probeMin()(
-        SubstringIndex.probe(spark, subDir, probeBatch).count())
-      report("substring", mult, nDocs, sBuild, sProbe)
+        val textDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_text$geo-x$mult").toString
+        val tBuild = timed(
+          TextIndex.appendBatch(textDir, buckets = nb)(docs, 0L))
+        val tProbe = probeMin()(
+          TextIndex.retrieve(spark, textDir, qs, k = 10).count())
+        report(s"text$geo", mult, nDocs, tBuild, tProbe)
+
+        val annDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_ann$geo-x$mult").toString
+        val aBuild = timed(AnnIndex.train(emb, annDir,
+          AnnIndex.Conf(coarseK = 4 * geoMult)))
+        val aProbe = probeMin()(
+          AnnIndex.serve(spark, annDir, queries, emb).count())
+        report(s"ann$geo", mult, nVecs, aBuild, aProbe)
+
+        val dedupDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_dedup$geo-x$mult").toString
+        val dBuild = timed(
+          DedupIndex.appendBatch(dedupDir, buckets = nb)(docs, 0L))
+        val dProbe = probeMin()(
+          DedupIndex.probe(spark, dedupDir, probeBatch, 0.5).count())
+        report(s"dedup$geo", mult, nDocs, dBuild, dProbe)
+
+        val subDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_substr$geo-x$mult").toString
+        val sBuild = timed(
+          SubstringIndex.appendBatch(subDir, buckets = nb)(docs, 0L))
+        val sProbe = probeMin()(
+          SubstringIndex.probe(spark, subDir, probeBatch).count())
+        report(s"substring$geo", mult, nDocs, sBuild, sProbe)
+      }
+      run(1)
+      if (mult > 1) run(mult)
     }
     spark.stop()
   }
