@@ -311,7 +311,7 @@ object DedupIndex {
     val bestNear = near.withColumn("rn", row_number().over(best))
       .where(col("rn") === 1)
       .select(col("doc_id"), col("base_id").as("near_of"), col("jaccard"))
-    n.select(col("doc_id"))
+    val out = n.select(col("doc_id"))
       .join(exact, Seq("doc_id"), "left")
       .join(bestNear, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -321,8 +321,9 @@ object DedupIndex {
         coalesce(col("exact_of"), col("near_of")).as("dup_of"),
         when(col("exact_of").isNotNull, lit(1.0))
           .otherwise(col("jaccard")).as("jaccard"))
-      // eager: the returned frame owns no probe-scoped cache
-      .localCheckpoint(true)
+    SegmentStore.EagerPlans.record("DedupIndex.probe", out)
+    // eager: the returned frame owns no probe-scoped cache
+    out.localCheckpoint(true)
     } finally { scoped.foreach(_.unpersist(blocking = false)) }
   }
 

@@ -155,6 +155,27 @@ object SegmentStore {
   def maybeCompact(segCount: Int, maxSegments: Int)(run: => Unit): Boolean =
     if (segCount > maxSegments) { run; true } else false
 
+  /** Dev-only capture of the plans that eager probes materialize
+    * INSIDE their call (DedupIndex.probe / SubstringIndex.probe release
+    * their scoped caches by materializing the result before returning,
+    * so the returned frame's own plan is just a checkpoint scan). The
+    * Plans tool enables this to keep the probes' real pipeline shape in
+    * PLANS.md; nothing on a query path ever reads it. */
+  object EagerPlans {
+    @volatile private[graft] var enabled = false
+    private val m = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    private[graft] def drain(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      val r = m.asScala.toMap; m.clear(); r
+    }
+    private[graft] def record(tag: String, df: DataFrame): Unit =
+      if (enabled) {
+        m.put(tag, df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        ()
+      }
+  }
+
   // ------- the shared commit/merge driver (round-9 verdict item 3) -------
   // The protocol extraction left append/compact/rebucket as four
   // hand-rolled twins; the LOOP STRUCTURE now lives here once. Each

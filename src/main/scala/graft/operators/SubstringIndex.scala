@@ -205,7 +205,9 @@ object SubstringIndex {
         .join(cCnt, Seq("gram"), "left")
         .where(coalesce(col("c_cnt"), lit(0L)) + col("b_cnt") >= 2)
         .select(col("gram"))
-      Dedup.spanIslands(bGrams.join(dup, "gram"), k).localCheckpoint(true)
+      val out = Dedup.spanIslands(bGrams.join(dup, "gram"), k)
+      SegmentStore.EagerPlans.record("SubstringIndex.probe", out)
+      out.localCheckpoint(true)
     } finally {
       bGrams.unpersist(blocking = false)
       hits.unpersist(blocking = false)
