@@ -323,6 +323,51 @@ object SnapshotManifest {
     done.get
   }
 
+  /** SHALLOW CLONE — the lakehouse table-clone verb (Delta/Iceberg's
+    * zero-copy clone) on the manifest protocol: materialize the CURRENT
+    * snapshot of `src` as an independent table at `dst` by HARDLINKING
+    * every manifest-named data path's files (no data copied — on an
+    * object store this is the same manifest-only operation with shared
+    * object keys) and committing a fresh version-1 manifest carrying
+    * the same entries (conf geometry, stats partials, and the
+    * `lastBatch` watermark included, so a stream resumed against the
+    * clone replays nothing). Safe BECAUSE data files are immutable by
+    * protocol: writes on either side stage new files under their own
+    * root, and either side's gc unlinks only its own root's references
+    * — the shared inodes survive until both sides drop them. The clone
+    * starts its own history (dev branches, reproducible-experiment
+    * pinning, blast-radius-free migration tests — the standard clone
+    * use set). Entry values that name no existing path (scalar conf /
+    * stats entries) carry over verbatim. */
+  def cloneTo(src: File, dst: File): State = {
+    val m = read(src)
+    require(m.version > 0L, s"nothing committed to clone at $src")
+    require(read(dst).version == 0L, s"clone target $dst is not empty")
+    m.entries.values.toSet[String]
+      .map(rel => new File(src, rel)).filter(_.exists())
+      .foreach(f => linkTree(f, new File(dst,
+        src.toPath.relativize(f.toPath).toString)))
+    val s = State(1L, m.entries, m.retain)
+    commit(dst, s)
+    s
+  }
+
+  private def linkTree(from: File, to: File): Unit =
+    if (from.isDirectory) {
+      to.mkdirs()
+      Option(from.listFiles()).getOrElse(Array.empty)
+        .foreach(c => linkTree(c, new File(to, c.getName)))
+    } else {
+      to.getParentFile.mkdirs()
+      try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
+      catch { // cross-device: fall back to a real copy
+        case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(from.toPath, to.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+    }
+
   /** Time travel: the committed snapshot at `version`, if still within
     * the retention window. */
   def readAt(root: File, version: Long): Option[State] = {

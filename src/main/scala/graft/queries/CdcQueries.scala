@@ -724,6 +724,61 @@ object CdcQueries {
         .orderBy("c_custkey")
     }),
 
+    // SHALLOW CLONE (SnapshotManifest.cloneTo — the lakehouse zero-copy
+    // table clone, completing the maintenance verb set beside
+    // CDF/history/restore/vacuum): the bucketed replica is cloned
+    // manifest-only (data files hardlinked, never copied), then the
+    // CLONE takes an upsert on bucket 1 while the SOURCE takes none.
+    // The output reads BOTH tables: the source must still serve the
+    // base snapshot bit-for-bit (writes on the clone stage new files
+    // under its own root — shared immutable inodes are never mutated)
+    // while the clone serves base + delta, each side reporting its own
+    // commit count (source still 1, clone 2 — the clone owns its
+    // history from version 1). At 100 TB this is the dev-branch /
+    // reproducible-experiment / migration-test verb: a full-corpus
+    // "copy" that costs one manifest write.
+    "sink_clone" -> ((s, dir) => {
+      val src = graft.Fs.scratch("/tmp/graft_clone_src")
+      val dst = graft.Fs.scratch("/tmp/graft_clone_dst")
+      graft.Fs.deleteRecursively(src)
+      graft.Fs.deleteRecursively(dst)
+      src.mkdirs()
+      val nb = 4
+      val cust = graft.sources.Tables.table(s, dir, "customer")
+        .select(col("c_custkey"),
+          round(col("c_acctbal") * lit(100)).cast("bigint").as("cents"),
+          pmod(col("c_custkey"), lit(nb)).cast("int").as("bucket"))
+      cust.repartition(nb, col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(new java.io.File(src, "snap_base").toString)
+      SnapshotManifest.commit(src, SnapshotManifest.State(1L,
+        (0 until nb).map(b => s"bucket=$b" -> s"snap_base/bucket=$b").toMap
+          + ("conf/buckets" -> nb.toString)))
+      SnapshotManifest.cloneTo(src, dst)
+      // diverge the CLONE: +300.00 on bucket 1, committed under its own
+      // history (immutable epoch dir + pointer swap)
+      val rbSchema = "c_custkey BIGINT, cents BIGINT"
+      val mC = SnapshotManifest.read(dst)
+      s.read.schema(rbSchema)
+        .parquet(new java.io.File(dst, mC.entries("bucket=1")).toString)
+        .withColumn("cents", col("cents") + lit(30000L))
+        .write.mode("overwrite")
+        .parquet(new java.io.File(dst, "epoch_d/bucket=1").toString)
+      SnapshotManifest.commit(dst, SnapshotManifest.State(mC.version + 1,
+        mC.entries + ("bucket=1" -> "epoch_d/bucket=1"), mC.retain))
+      def side(root: java.io.File, label: String) = {
+        val m = SnapshotManifest.read(root)
+        val paths = (0 until nb)
+          .map(b => new java.io.File(root, m.entries(s"bucket=$b")).toString)
+        s.read.schema(rbSchema).parquet(paths: _*)
+          .select(lit(label).as("side"), col("c_custkey"),
+            col("cents").as("acctbal_cents"),
+            lit(m.version).cast("bigint").as("n_commits"))
+      }
+      side(src, "src").unionByName(side(dst, "clone"))
+        .orderBy("side", "c_custkey")
+    }),
+
     // Verbatim-Query replay, RENAME TABLE (mysql_manager.rs:89-95): the
     // follower moves the table's whole state to the new name — rows
     // inserted pre-rename are updated/deleted/widened post-rename under
@@ -1037,6 +1092,18 @@ object CdcQueries {
              AS acctbal_cents,
            CAST(3 AS BIGINT) AS n_commits
          FROM customer ORDER BY c_custkey""",
+    // src serves base untouched (1 commit); the clone serves base
+    // +300.00 on its bucket-1 keys under its own 2-commit history
+    "sink_clone" ->
+      """SELECT side, c_custkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) +
+             CASE WHEN side = 'clone' AND c_custkey % 4 = 1
+                  THEN 30000 ELSE 0 END AS acctbal_cents,
+           CAST(CASE WHEN side = 'clone' THEN 2 ELSE 1 END AS BIGINT)
+             AS n_commits
+         FROM customer
+         CROSS JOIN (SELECT unnest(['clone', 'src']) AS side)
+         ORDER BY side, c_custkey""",
     // collided bucket 0 carries BOTH deltas (B's +200 under A's
     // post-rebase +100), each writer's private bucket its own, bucket 3
     // untouched; 3 commits (base + B + A's retry), exactly 1 retry

@@ -205,4 +205,46 @@ class ManifestSpec extends AnyFunSuite {
     assert(SnapshotManifest.readAt(root, 6L).isEmpty,
       "a version above the head must not resolve")
   }
+
+  test("shallow clone: same entries at version 1, divergence and gc " +
+      "stay independent of the source") {
+    val src = tmpRoot()
+    val dataDir = new File(src, "epoch_0/bucket=0")
+    dataDir.mkdirs()
+    Files.write(new File(dataDir, "part-0").toPath, "rows-v1".getBytes)
+    SnapshotManifest.commit(src, State(2L,
+      Map("bucket=0" -> "epoch_0/bucket=0", "conf/buckets" -> "1",
+        "lastBatch" -> "7"), retain = 1))
+    val dst = tmpRoot()
+    val cloned = SnapshotManifest.cloneTo(src, dst)
+    // fresh history, same entries (conf + watermark carried), shared
+    // file content without a copy (hardlink: same inode)
+    assert(cloned.version == 1L)
+    assert(cloned.entries == SnapshotManifest.read(src).entries)
+    val srcFile = new File(src, "epoch_0/bucket=0/part-0")
+    val dstFile = new File(dst, "epoch_0/bucket=0/part-0")
+    assert(new String(Files.readAllBytes(dstFile.toPath)) == "rows-v1")
+    // divergence: the clone rewrites its bucket under a new epoch and
+    // its gc collects the superseded SHARED dir from its own root only
+    val d2 = new File(dst, "epoch_1/bucket=0")
+    d2.mkdirs()
+    Files.write(new File(d2, "part-0").toPath, "rows-v2".getBytes)
+    val next = State(2L, cloned.entries + ("bucket=0" -> "epoch_1/bucket=0"),
+      cloned.retain)
+    SnapshotManifest.commit(dst, next)
+    // age the clone past retention so the shared epoch_0 leaves its log
+    SnapshotManifest.commit(dst, State(3L, next.entries, 0))
+    SnapshotManifest.gc(dst, SnapshotManifest.read(dst), "epoch_")
+    assert(!dstFile.exists(), "clone gc must collect its own reference")
+    assert(srcFile.exists() &&
+      new String(Files.readAllBytes(srcFile.toPath)) == "rows-v1",
+      "the source's shared inode must survive the clone's gc untouched")
+    assert(SnapshotManifest.read(src).entries("bucket=0")
+      == "epoch_0/bucket=0")
+    // a clone into a non-empty target is refused
+    intercept[IllegalArgumentException] {
+      SnapshotManifest.cloneTo(src, dst)
+    }
+    ()
+  }
 }
