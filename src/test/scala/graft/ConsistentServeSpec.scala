@@ -75,6 +75,57 @@ class ConsistentServeSpec extends AnyFunSuite {
     assert(got.map(_.getLong(2)).contains(2L))
   }
 
+  test("moving skew: the common watermark is a per-batch decision — " +
+      "a later tier commit advances it, and the retained prefix still " +
+      "answers exactly what it answered before the commit") {
+    val dir = buildSkewed() // head wm = 1
+    // serving decision at commonWm = 0 (the other tier lags at 0)
+    val at0Before = TextIndex.retrieveAtWatermark(spark, dir, wm = 0L,
+        queries, k = 3).get
+      .orderBy("q_id", "rnk").collect().toSeq
+    // the lagging tier catches up: this artifact consumes batch 2 —
+    // the NEXT serving batch resolves commonWm = 2 and serves the new
+    // head, while wm=0 still answers the OLD prefix bit-for-bit (a
+    // later commit must never disturb a retained read point)
+    TextIndex.applyBatch(dir)(corpus((20L, "fresh red words arrive"))
+      .withColumn("deleted", lit(false)), 2L)
+    assert(SegmentStore.watermarkOf(new java.io.File(dir)) === 2L)
+    val at0After = TextIndex.retrieveAtWatermark(spark, dir, wm = 0L,
+        queries, k = 3).get
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(at0After === at0Before)
+    val at2 = TextIndex.retrieveAtWatermark(spark, dir, wm = 2L,
+        queries, k = 3).get
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(at2 === TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq)
+    assert(at2 !== at0Before, "the advanced prefix must see batch 2")
+  }
+
+  test("a cloned index artifact serves identically and diverges " +
+      "independently (SnapshotManifest.cloneTo over the segment store)") {
+    val dir = buildSkewed()
+    val clone = java.nio.file.Files
+      .createTempDirectory("graft_consistent_clone").toString
+    SnapshotManifest.cloneTo(new java.io.File(dir), new java.io.File(clone))
+    val orig = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(TextIndex.retrieve(spark, clone, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === orig)
+    // watermark carried: replaying batch 1 against the clone is a no-op
+    val v = SnapshotManifest.read(new java.io.File(clone)).version
+    TextIndex.applyBatch(clone)(cdcBatch1, 1L)
+    assert(SnapshotManifest.read(new java.io.File(clone)).version === v)
+    // the clone takes batch 2; the source must not see it
+    TextIndex.applyBatch(clone)(corpus((21L, "clone only red doc"))
+      .withColumn("deleted", lit(false)), 2L)
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === orig)
+    assert(TextIndex.retrieve(spark, clone, queries, k = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      .contains(21L))
+  }
+
   test("an aged-out prefix returns None rather than a mixed answer") {
     val dir = buildSkewed()
     // push wm=0's snapshot past the retention window (retain = 2)
