@@ -61,6 +61,36 @@ import org.apache.spark.sql.SparkSession
   *     regression a stable fingerprint cannot see (e.g. inside a
   *     streaming drain whose returned frame is a scan of its output)
   *     still surfaces there.
+  *
+  * ==Code-epoch floor keys (round-10 advice)==
+  * A stable LOGICAL plan is a sufficient floor key only for queries
+  * whose measured work IS the plan. A side-effecting query (an index
+  * build, a foreachBatch drain) does its work imperatively and returns
+  * a scan of its own output — its fingerprint stays stable across real
+  * implementation changes, so a pure plan key would keep stale floors
+  * for exactly the class round 10's bootstrap had to hand-enumerate.
+  * Detection: after normalization every scratch-dir scan reads
+  * `<tmp>`, so a plan containing `<tmp>` marks the query as
+  * side-effecting, and its floor key folds in a CODE EPOCH — a digest
+  * of every graft classfile on the classpath (tools/ excluded). Any
+  * compiled code change resets every side-effecting floor to a fresh
+  * measurement: coarser than per-query truth, but always in the
+  * conservative direction, and it replaces the per-round manual reset
+  * list with an automatic rule. Pure queries keep plan-only keys.
+  *
+  * ==Load-normalized regression gate (round-10 verdict item 4)==
+  * The ambient probe is a covariate only if something consumes it. On
+  * every run with a prior recording, the gate computes, over the
+  * queries present in both runs and successfully sampled now,
+  *   normalized = (fresh_shared / floor_shared) / (ambient_now /
+  *                 ambient_floor)
+  * — the fresh-vs-floor ratio with the host-load ratio divided out. A
+  * quiet-host uniform creep (host drift) cancels; a genuine uniform
+  * code/conf regression does not, and trips the flag at 1.3×. Written
+  * to bench_meta.json (`normalized_ratio`, `regression_flag`);
+  * `ambient_floor` (the min ambient across recording sessions) carries
+  * through merges. `SPARK_GRAFT_BENCH_CONF=k=v;k=v` applies session
+  * confs — the knob the gate's deliberate-degradation test uses.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,6 +109,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-conf overrides (the regression-gate degradation test sets
+    // e.g. spark.sql.autoBroadcastJoinThreshold=-1 here)
+    sys.env.get("SPARK_GRAFT_BENCH_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
     // Optional args = query names: bench ONLY those and MERGE into the
     // existing bench.json (per-query refresh after a targeted change,
     // without paying a full contended-window suite run). The driver's
@@ -111,6 +147,31 @@ object Bench {
     // AQE's result wait — and the query is recorded as failed.
     val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "180000").toLong
     val fingerprints = scala.collection.mutable.Map.empty[String, String]
+    // digest of every graft classfile on the classpath (tools/ carries
+    // no query-path code and is excluded) — the code-identity component
+    // of side-effecting queries' floor keys
+    lazy val codeEpoch: String = {
+      val loc = new java.io.File(
+        SparkEntry.getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+      val base = new java.io.File(loc, "graft")
+      // tools/ and the harness mains never run on a query path; the
+      // per-round churn of SparkEntry's query wiring must not reset
+      // every side-effecting floor either — a new query's own key is
+      // new regardless
+      def excluded(path: String): Boolean =
+        path.contains("/graft/tools/") ||
+          Seq("Bench", "Verify", "SparkEntry").exists(h =>
+            path.matches(s".*/graft/$h(\\$$.*)?\\.class"))
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+            .foreach(walk)
+        else if (f.getName.endsWith(".class") && !excluded(f.getPath))
+          d.update(java.nio.file.Files.readAllBytes(f.toPath))
+      walk(if (base.isDirectory) base else loc)
+      d.digest().take(8).map(b => f"$b%02x").mkString
+    }
     def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
       val norm = df.queryExecution.logical.toString
         .replace(sfDir, "<sf>")
@@ -121,10 +182,20 @@ object Bench {
         .replaceAll("\\$\\$\\$?Lambda\\$?\\d*/0x[0-9a-f]+", "\\$\\$Lambda")
         .replaceAll("@[0-9a-f]{4,}", "@")
         .replaceAll("#\\d+", "#")
+        // SQL-scripting plans label CompoundBody/WhileStatement nodes
+        // with per-execution UUIDs — the one plan that reset its floor
+        // every recording until these were stripped (round-10 verdict)
+        .replaceAll(
+          "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}",
+          "<uuid>")
       if (sys.env.contains("SPARK_GRAFT_FP_DEBUG"))
         System.err.println(s"[fp-debug]\n$norm\n[/fp-debug]")
+      // a `<tmp>` scan marks a side-effecting query (its measured work
+      // is imperative, invisible to the plan) — fold the code epoch in
+      val keyed = if (norm.contains("<tmp>")) norm + "\n@code:" + codeEpoch
+                  else norm
       val d = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(norm.getBytes("UTF-8"))
+        .digest(keyed.getBytes("UTF-8"))
       d.take(8).map(b => f"$b%02x").mkString
     }
     def once(name: String,
@@ -253,8 +324,9 @@ object Bench {
                else failedWall(name).min)
     }
 
-    // prior recording (bench.json) + its fingerprints (bench_meta.json)
-    def readPrior(): (Map[String, Double], Map[String, String]) = {
+    // prior recording (bench.json) + its fingerprints and ambient floor
+    // (bench_meta.json)
+    def readPrior(): (Map[String, Double], Map[String, String], Option[Double]) = {
       val path = java.nio.file.Paths.get("bench.json")
       val prior: Map[String, Double] = if (java.nio.file.Files.exists(path)) {
         val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
@@ -263,36 +335,61 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } else Map.empty
       val metaPath = java.nio.file.Paths.get("bench_meta.json")
-      val priorFp: Map[String, String] =
+      val (priorFp, priorAmbient) =
         if (java.nio.file.Files.exists(metaPath)) {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(metaPath.toFile)
-          Option(node.get("fp")).map { fps =>
+          val fps = Option(node.get("fp")).map { f =>
             val out = scala.collection.mutable.Map.empty[String, String]
-            val it = fps.fields()
+            val it = f.fields()
             while (it.hasNext) {
               val e = it.next(); out(e.getKey) = e.getValue.asText()
             }
             out.toMap
-          }.getOrElse(Map.empty)
-        } else Map.empty
-      (prior, priorFp)
+          }.getOrElse(Map.empty[String, String])
+          // the recording's ambient floor: the explicit carry when
+          // present, else the quietest probe of the last session
+          val amb = Option(node.get("ambient_floor")).map(_.asDouble())
+            .orElse {
+              val ps = Seq("ambient_start", "ambient_end")
+                .flatMap(k => Option(node.get(k)).map(_.asDouble()))
+              if (ps.isEmpty) None else Some(ps.min)
+            }
+          (fps, amb)
+        } else (Map.empty[String, String], None)
+      (prior, priorFp, priorAmbient)
     }
 
     val mergeMode = sys.env.get("SPARK_GRAFT_BENCH_MERGE").contains("1")
-    val (prior, priorFp) = readPrior()
-    val results = (
-      if (mergeMode) {
+    val (prior, priorFp, priorAmbient) = readPrior()
+    val merged =
+      if (!mergeMode) measured
+      else measured.map { case (n, v) =>
         // committed-recording mode: per-query min against the historical
-        // floor, VALID ONLY while the plan fingerprint is unchanged — a
-        // real plan change resets that query's floor to this run
-        measured.map { case (n, v) =>
-          val keepFloor = prior.contains(n) &&
-            priorFp.get(n) == fingerprints.get(n) && samples(n).nonEmpty
-          n -> (if (keepFloor) math.min(prior(n), v) else v)
-        }
-      } else if (subset.nonEmpty) (prior ++ measured.toMap).toSeq
-      else measured
+        // floor, VALID ONLY while the floor key is unchanged — a real
+        // plan (or, for side-effecting queries, code) change resets that
+        // query's floor to this run
+        val fpMatches = fingerprints.contains(n) &&
+          priorFp.get(n) == fingerprints.get(n)
+        n -> (
+          if (samples(n).nonEmpty) {
+            if (prior.contains(n) && fpMatches) math.min(prior(n), v) else v
+          } else if (prior.contains(n) && priorFp.contains(n) &&
+                     (fpMatches || !fingerprints.contains(n))) {
+            // round-10 advice: a query with NO successful sample this
+            // session (watchdog cancel, co-tenant stall, construction
+            // error — the no-fingerprint case) must not clobber a valid
+            // committed floor with burnt wall time; carry the floor and
+            // rely on bench_meta's `failed` list to flag the run. Burnt
+            // wall stands only when there is no prior to protect.
+            prior(n)
+          } else v)
+      }
+    // a subset run never drops the unmeasured queries' committed values
+    // (round-10 advice: the old mergeMode branch ignored the subset
+    // carry-forward and rewrote bench.json with only the subset)
+    val results = (
+      if (subset.nonEmpty) (prior ++ merged.toMap).toSeq else merged
     ).sortBy(_._1)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -311,6 +408,43 @@ object Bench {
     val meta = mapper.createObjectNode()
     meta.put("ambient_start", ambientStart)
     meta.put("ambient_end", ambientEnd)
+    // ---- load-normalized regression gate (round-10 verdict item 4) ----
+    // fresh-vs-floor ratio over the queries both runs measured, divided
+    // by the ambient ratio: host drift cancels (probe creeps with the
+    // queries), a genuine uniform code/conf regression does not.
+    val ambientNow = math.min(ambientStart, ambientEnd)
+    val ambientFloor = (priorAmbient.toSeq :+ ambientNow).min
+    meta.put("ambient_floor",
+      if (mergeMode || subset.nonEmpty) ambientFloor else ambientNow)
+    priorAmbient.foreach { pa =>
+      val shared = measured.filter { case (n, _) =>
+        prior.contains(n) && samples(n).nonEmpty }
+      val freshShared = shared.map(_._2).sum
+      val floorShared = shared.map { case (n, _) => prior(n) }.sum
+      if (floorShared > 0 && pa > 0) {
+        val freshVsFloor = freshShared / floorShared
+        // the sum ratio weights by query cost; the per-query MEDIAN
+        // ratio is robust to a few slow outliers and to subset mix —
+        // a uniform conf regression moves both
+        val ratios = shared.map { case (n, v) => v / prior(n) }.sorted
+        val medianRatio = ratios(ratios.size / 2)
+        val ambientRatio = ambientNow / pa
+        val normalized = medianRatio / ambientRatio
+        meta.put("fresh_vs_floor", freshVsFloor)
+        meta.put("median_ratio", medianRatio)
+        meta.put("ambient_ratio", ambientRatio)
+        meta.put("normalized_ratio", normalized)
+        // the tripwire: fires on a genuine uniform regression, and also
+        // on a run whose load the ambient probe cannot explain (stall
+        // windows inflate trivial queries more than the probe) — both
+        // mean "do not trust/commit this recording unexamined"
+        meta.put("regression_flag", normalized > 1.3)
+        System.err.println(f"[bench] fresh/floor $freshVsFloor%.3f " +
+          f"(median $medianRatio%.3f) over ${shared.size} shared queries, " +
+          f"ambient ratio $ambientRatio%.3f -> normalized $normalized%.3f" +
+          (if (normalized > 1.3) " REGRESSION FLAG (>1.3x)" else ""))
+      }
+    }
     val fpNode = meta.putObject("fp")
     (priorFp ++ fingerprints.toMap).toSeq.sortBy(_._1)
       .filter { case (n, _) => results.exists(_._1 == n) }

@@ -127,7 +127,21 @@ object SegmentStore {
     * keeps. A snapshot with no `lastBatch` entry predates every batch
     * and qualifies for any `wm`. None when every retained version is
     * past the watermark (the prefix has aged out of retention — the
-    * caller must surface staleness rather than silently fuse it). */
+    * caller must surface staleness rather than silently fuse it).
+    *
+    * ==Concurrency contract (round-10 advice)==
+    * Resolution returns a RETAINED snapshot, but nothing pins it: a
+    * concurrent commit can prune the version past retention and gc its
+    * data dirs while the serve is still reading. Consistent-prefix
+    * serving under a LIVE writer therefore requires the same lease the
+    * concurrent-writer protocol already prescribes for gc — a gc grace
+    * window covering the longest serve (readers finish inside the
+    * grace; see [[SnapshotManifest]]'s claim-tombstone gc) — or a
+    * retention depth the writer's commit rate cannot cross mid-serve.
+    * The drains here satisfy it structurally (the serving loop and the
+    * maintenance folds run inside the same foreachBatch, never
+    * concurrently); a deployment with an independent writer must
+    * configure one of the two. */
   def stateAtWatermark(root: java.io.File,
       wm: Long): Option[SnapshotManifest.State] = {
     val cur = SnapshotManifest.read(root)

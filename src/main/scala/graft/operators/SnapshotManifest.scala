@@ -360,8 +360,18 @@ object SnapshotManifest {
     } else {
       to.getParentFile.mkdirs()
       try { java.nio.file.Files.createLink(to.toPath, from.toPath); () }
-      catch { // cross-device: fall back to a real copy
-        case _: UnsupportedOperationException | _: java.io.IOException =>
+      catch {
+        // a cloneTo retried after a crash mid-link finds some targets
+        // already linked: data files are immutable by protocol, so an
+        // existing target IS the link — skip it instead of degrading
+        // every already-linked file to a full copy (round-10 advice)
+        case _: java.nio.file.FileAlreadyExistsException => ()
+        // genuinely-unsupported linking (cross-device EXDEV, a
+        // filesystem without hardlinks): fall back to a real copy.
+        // Anything else (permissions, disk full) propagates — masking
+        // it behind a copy hid real failures.
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
           java.nio.file.Files.copy(from.toPath, to.toPath,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           ()
