@@ -481,7 +481,17 @@ object AnnIndex {
   private def serveState(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, queries: DataFrame, emb: DataFrame,
       nprobe: Int, shortlist: Int, topK: Int,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    rerank(spark,
+      shortlistState(spark, root, m, queries, nprobe, shortlist, filter),
+      queries, emb, topK)
+
+  /** Route + ADC shortlist — the first half of the serving plan:
+    * (q_id, vec_id) candidates, no rerank. */
+  private def shortlistState(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, queries: DataFrame,
+      nprobe: Int, shortlist: Int,
+      filter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val c = confOf(m)
     val coarseCents = readCents(spark, root, m, "coarse")
     val codes = filter.foldLeft(liveCodes(spark, root, m))(_ where _)
@@ -501,7 +511,7 @@ object AnnIndex {
             .as(s"d$i"))
     }
     val wa = Window.partitionBy(col("q_id")).orderBy(col("adist"), col("vec_id"))
-    val adcTop = dts.zipWithIndex.foldLeft(codes.join(broadcast(routed), "cell")) {
+    dts.zipWithIndex.foldLeft(codes.join(broadcast(routed), "cell")) {
         case (acc, (dt, i)) => acc.join(broadcast(dt), Seq("q_id", s"code$i"))
       }
       .where(col("vec_id") =!= col("q_id"))
@@ -509,10 +519,37 @@ object AnnIndex {
       .withColumn("arn", row_number().over(wa))
       .where(col("arn") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    // exact rerank of the shortlist
+  }
+
+  /** Shortlist phase at a consistent prefix
+    * ([[SegmentStore.stateAtWatermark]]): (q_id, vec_id) candidates
+    * from the latest snapshot whose watermark is at or below `wm`, no
+    * rerank — callers of the multi-artifact serving loop resolve the
+    * rerank vectors from their own watermark-consistent store
+    * ([[VecStore.vectorsAtWatermark]]) and finish with [[rerank]],
+    * so every read of the fused answer sits on ONE changelog prefix.
+    * None once the prefix has aged out of retention. */
+  def shortlistAtWatermark(spark: SparkSession, dir: String, wm: Long,
+      queries: DataFrame, nprobe: Int = NProbe,
+      shortlist: Int = Shortlist): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SegmentStore.stateAtWatermark(root, wm)
+      .map(m => shortlistState(spark, root, m, queries, nprobe, shortlist,
+        None))
+  }
+
+  /** Exact-cosine rerank of a shortlist — the tail of the serving
+    * plan, public so the consistent-prefix loop can feed it vectors
+    * resolved at the common watermark. `shortlist` is (q_id, vec_id);
+    * `queries` supplies (q_id, qe); `emb` supplies (vec_id, e). The
+    * inner join on `emb` means a candidate with no vector at the
+    * resolved prefix drops out — impossible while index and store
+    * serve the same prefix, which is the consistency contract. */
+  def rerank(spark: SparkSession, shortlist: DataFrame, queries: DataFrame,
+      emb: DataFrame, topK: Int = TopK): DataFrame = {
     val cos = graft.expressions.CosineSimilarity.cosineSim(spark) _
     val wf = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
-    adcTop
+    shortlist
       .join(queries, "q_id")
       .join(emb, "vec_id")
       .withColumn("cos", round(cos(col("qe"), col("e")), 6))

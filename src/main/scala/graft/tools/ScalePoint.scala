@@ -27,6 +27,13 @@ import org.apache.spark.sql.functions._
   *     the probed slice stays O(batch), so probe cost stays flat while
   *     build grows with the corpus. This pair IS the 100 TB claim.
   *
+  * A third measurement per (artifact, geometry) point covers the
+  * DELETE-HEAVY regime (`dedupchurn` / `dedupchurn@geo`): the corpus
+  * added whole then ~83% tombstoned across five uncompacted delete
+  * batches, probed by the same fixed batch — the last unmeasured axis
+  * of the tombstone story (probe cost must track the batch, not the
+  * corpus and not the delete history, at every multiplier).
+  *
   * Usage: tools/run.sh graft.tools.ScalePoint [mult ...]
   * (pass a duplicate leading mult as a sacrificial JIT warm-up and
   * read only the later occurrence of each point). Prints one JSON
@@ -151,6 +158,30 @@ object ScalePoint {
         val dProbe = probeMin()(
           DedupIndex.probe(spark, dedupDir, probeBatch, 0.5).count())
         report(s"dedup$geo", mult, nDocs, dBuild, dProbe)
+
+        // the DELETE-HEAVY column (round-10 verdict item 5): the same
+        // corpus added whole then ~83% tombstoned across five
+        // uncompacted delete batches — the sf0.1 `dedup_churn_probe`
+        // regime at every multiplier. The claim under test: the probe's
+        // two-phase liveness read stays bounded by the BATCH's candidate
+        // buckets, so churn-probe cost tracks the clean probe and stays
+        // flat in corpus size (and in the accumulated delete history).
+        val churnDir = java.nio.file.Files
+          .createTempDirectory(s"graft_sp_dchurn$geo-x$mult").toString
+        val cBuild = timed {
+          DedupIndex.applyCdcBatch(churnDir, buckets = nb)(
+            docs.withColumn("deleted", lit(false)), 0L)
+          (0 until 5).foreach { k =>
+            DedupIndex.applyCdcBatch(churnDir)(
+              docs.where(col("doc_id") % 6 === k)
+                .select(col("doc_id"),
+                  lit(null).cast("string").as("text"),
+                  lit(true).as("deleted")), (k + 1).toLong)
+          }
+        }
+        val cProbe = probeMin()(
+          DedupIndex.probe(spark, churnDir, probeBatch, 0.5).count())
+        report(s"dedupchurn$geo", mult, nDocs, cBuild, cProbe)
 
         val subDir = java.nio.file.Files
           .createTempDirectory(s"graft_sp_substr$geo-x$mult").toString

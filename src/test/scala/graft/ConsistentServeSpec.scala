@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{SegmentStore, SnapshotManifest, TextAnalysis, TextIndex}
+import graft.operators.{SegmentStore, SnapshotManifest, TextAnalysis, TextIndex, VecStore}
 
 /** Consistent-prefix serving (round-9 verdict item 2): a tier ahead of
   * the fusion's common watermark must answer from the RETAINED snapshot
@@ -124,6 +124,90 @@ class ConsistentServeSpec extends AnyFunSuite {
     assert(TextIndex.retrieve(spark, clone, queries, k = 3)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
       .contains(21L))
+  }
+
+  // ---- the rerank tier's own artifact (round-10 verdict item 1) ----
+
+  private def vecBatch(rows: (Long, Seq[Double], Boolean)*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "deleted")
+  }
+
+  private def buildSkewedVecStore(): String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_consistent_vec").toString
+    VecStore.applyCdcBatch(dir)(vecBatch(
+      (0L, Seq(1.0, 0.0, 0.0, 0.0), false),
+      (1L, Seq(0.0, 1.0, 0.0, 0.0), false),
+      (2L, Seq(0.0, 0.0, 1.0, 0.0), false)), 0L)
+    // batch 1 re-embeds vec 0 (direction change) and deletes vec 2 —
+    // a rerank at wm=0 must see NEITHER
+    VecStore.applyCdcBatch(dir)(vecBatch(
+      (0L, Seq(0.0, 0.0, 0.0, 1.0), false),
+      (2L, null.asInstanceOf[Seq[Double]], true)), 1L)
+    dir
+  }
+
+  private def candidates(ids: Long*) = {
+    import spark.implicits._
+    ids.toDF("vec_id")
+  }
+
+  test("VecStore.vectorsAtWatermark(0) serves the batch-0 vectors — " +
+      "the head perturbation and delete are invisible at the prefix, " +
+      "visible at head") {
+    val dir = buildSkewedVecStore()
+    assert(SegmentStore.watermarkOf(new java.io.File(dir)) === 1L)
+    val at0 = VecStore.vectorsAtWatermark(spark, dir, 0L,
+        candidates(0L, 1L, 2L)).get
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(at0.keySet === Set(0L, 1L, 2L))
+    assert(at0(0L) === Seq(1.0, 0.0, 0.0, 0.0),
+      "wm-0 read must serve the pre-perturbation vector")
+    val atHead = VecStore.vectorsAtWatermark(spark, dir, 1L,
+        candidates(0L, 1L, 2L)).get
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(atHead.keySet === Set(0L, 1L),
+      "the head delete must apply at wm=1")
+    assert(atHead(0L) === Seq(0.0, 0.0, 0.0, 1.0))
+    assert(atHead(1L) === at0(1L), "untouched vectors identical")
+  }
+
+  test("VecStore probe reads only the candidates' buckets and an " +
+      "aged-out prefix returns None") {
+    val dir = buildSkewedVecStore()
+    // only candidate 1 requested: the read is bucket-pruned but still
+    // complete for that key (its whole history hashes to one bucket)
+    val one = VecStore.vectorsAtWatermark(spark, dir, 1L,
+        candidates(1L)).get.collect()
+    assert(one.map(_.getLong(0)).toSeq === Seq(1L))
+    // push wm=0's snapshot past retention (retain = 2)
+    (2L to 4L).foreach { b =>
+      VecStore.applyCdcBatch(dir)(vecBatch(
+        (10L + b, Seq(1.0, 1.0, 0.0, 0.0), false)), b)
+    }
+    assert(VecStore.vectorsAtWatermark(spark, dir, 0L,
+      candidates(0L)).isEmpty)
+    assert(VecStore.vectorsAtWatermark(spark, dir, 3L,
+      candidates(0L)).nonEmpty)
+  }
+
+  test("VecStore compaction resolves tombstones without moving answers " +
+      "and survives a geometry rotation") {
+    val dir = buildSkewedVecStore()
+    val before = VecStore.vectorsAtWatermark(spark, dir, 1L,
+        candidates(0L, 1L, 2L)).get
+      .orderBy("vec_id").collect().toSeq
+    VecStore.compact(spark, dir, newBuckets = Some(3))
+    // the merge commits a fresh head past every batch watermark; head
+    // answers must be identical under the new geometry
+    val after = VecStore.vectorsAtWatermark(spark, dir,
+        SegmentStore.watermarkOf(new java.io.File(dir)),
+        candidates(0L, 1L, 2L)).get
+      .orderBy("vec_id").collect().toSeq
+    assert(after === before)
   }
 
   test("an aged-out prefix returns None rather than a mixed answer") {

@@ -202,6 +202,38 @@ class TextIndexSpec extends AnyFunSuite {
         .orderBy("q_id", "rnk").collect().toSeq)
   }
 
+  test("maybeRebucket policy: fires from the manifest stats at the ×2 " +
+      "hysteresis threshold, rotates to ceil(live/target), never thrashes") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_textidx_policy").toString
+    def buckets(): String =
+      SnapshotManifest.read(new java.io.File(dir)).entries("conf/buckets")
+    // target 1 doc/bucket on a 2-bucket index → threshold = 2×1×2 = 4
+    TextIndex.appendBatch(dir, buckets = 2)(corpus(batch1: _*), 0) // 3 docs
+    assert(!TextIndex.maybeRebucket(spark, dir, targetDocsPerBucket = 1),
+      "3 live docs at threshold 4: the policy must decline")
+    assert(buckets() === "2")
+    TextIndex.appendBatch(dir)(corpus(batch2: _*), 1) // 6 docs > 4
+    val before = TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq
+    assert(TextIndex.maybeRebucket(spark, dir, targetDocsPerBucket = 1))
+    assert(buckets() === "6", "rotation target is ceil(live/target)")
+    assert(!TextIndex.maybeRebucket(spark, dir, targetDocsPerBucket = 1),
+      "hysteresis: 6 live docs on 6 buckets is a full doubling below " +
+        "the next trigger (12)")
+    assert(TextIndex.retrieve(spark, dir, queries, k = 3)
+      .orderBy("q_id", "rnk").collect().toSeq === before,
+      "rotation moves layout, never answers")
+    // ingest continues under the rotated geometry; the policy reads the
+    // NET live count, so a delete-heavy batch moves it back down
+    TextIndex.applyBatch(dir)(
+      corpus(batch2.map(_._1).map(id => (id, null: String)): _*)
+        .withColumn("deleted", lit(true)), 2)
+    assert(!TextIndex.maybeRebucket(spark, dir, targetDocsPerBucket = 1),
+      "3 live docs on 6 buckets: far below threshold after deletes")
+    assert(buckets() === "6")
+  }
+
   test("rebucket rotation: new geometry, identical answers, old version still serves, appends continue") {
     val dir = buildIndex()
     val before = TextIndex.retrieve(spark, dir, queries, k = 3)
