@@ -138,6 +138,11 @@ object AnnIndex {
         .parquet(new java.io.File(root, s"codes/seg=base$gen").toString)
       coarseAssigned.unpersist(blocking = false)
       Map("coarse" -> s"v$gen/coarse",
+        // the generation's TRAINED mass — the denominator of the
+        // codebook-drift policy ([[maybeRebuild]]); `abytes/` partials
+        // accumulate against it until the next rebuild resets both
+        "bytesBase" -> SegmentStore.dirBytes(
+          new java.io.File(root, s"codes/seg=base$gen")).toString,
         s"codes/base" -> s"codes/seg=base$gen") ++
         (0 until conf.pqM).map(m => s"pq$m" -> s"v$gen/pq$m") ++
         confEntries(conf) ++
@@ -162,6 +167,41 @@ object AnnIndex {
     val m0 = SnapshotManifest.read(root)
     SnapshotManifest.commit(root,
       SnapshotManifest.State(m0.version + 1, entries, m0.retain))
+  }
+
+  /** Codebook-drift REBUILD policy — [[rebuild]]'s automatic trigger,
+    * completing the maintenance-policy family
+    * ([[TextIndex.maybeRebucket]] for postings geometry,
+    * [[SegmentStore.maybeRebucketBytes]] for the no-prior-read bucketed
+    * artifacts): retrain when the mass encoded against FROZEN codebooks
+    * since the last training outweighs the mass the codebooks were
+    * trained on. Both sides of the ratio are additive manifest
+    * partials — `bytesBase` recorded by [[train]]/[[rebuild]] (the
+    * generation's trained inverted lists), `abytes/` recorded per
+    * append/apply segment (codes + tombstones: deletes drift the fit
+    * too) and FOLDED, never re-derived, by [[compact]] (a compacted
+    * segment mixes base- and append-encoded rows, so its dir size is
+    * not the drift mass) — so the decision reads only the manifest and
+    * a maintenance loop evaluates it after every commit for free. A
+    * fired rebuild re-records `bytesBase` and drops every `abytes/`
+    * partial (its dropPrefixes is everything), resetting the ratio —
+    * the drain rebuilds O(log ingest) times, never per batch. `corpus`
+    * is by-name: the live exact vectors (typically the co-maintained
+    * [[VecStore]], the serving stack's own rerank tier) are only read
+    * when the policy fires. Returns whether one ran. */
+  def maybeRebuild(spark: SparkSession, dir: String,
+      corpus: => DataFrame, ratio: Double = 1.0): Boolean = {
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    if (m.version == 0L) false
+    else {
+      val base = m.entries.get("bytesBase").map(_.toLong).getOrElse(0L)
+      val appended = m.entries.collect {
+        case (k, v) if k.startsWith("abytes/") => v.toLong }.sum
+      if (base > 0L && appended > ratio * base) {
+        rebuild(spark, dir, corpus)
+        true
+      } else false
+    }
   }
 
   /** Index REBUILD rotation — the codebook-drift answer the frozen-
@@ -224,6 +264,8 @@ object AnnIndex {
         .write.mode("overwrite").partitionBy("cell")
         .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
       Map(s"codes/$seg" -> s"codes/seg=$seg",
+        s"abytes/$seg" -> SegmentStore.dirBytes(
+          new java.io.File(root, s"codes/seg=$seg")).toString,
         "lastBatch" -> batchId.toString)
     }
     ()
@@ -270,15 +312,22 @@ object AnnIndex {
         val live = b.where(!col("deleted")).select(col("vec_id") +:
           transform(col("embedding"), x => x.cast("double")).as("e") +:
           attrsOf(m).map { case (n, _) => col(n) }: _*)
-        Map(s"tombs/$seg" -> s"tombs_$seg",
-          "lastBatch" -> batchId.toString) ++
-          (if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
+        val codeEntries =
+          if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
             encode(spark, root, m, live).withColumn("sseq", lit(batchId))
               .repartition(confOf(m).coarseK, col("cell"))
               .write.mode("overwrite").partitionBy("cell")
               .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
             Map(s"codes/$seg" -> s"codes/seg=$seg")
-          })
+          }
+        // abytes: this batch's frozen-codebook mass (codes + tombstones
+        // both count — deletes drift the fit too)
+        Map(s"tombs/$seg" -> s"tombs_$seg",
+          s"abytes/$seg" -> (SegmentStore.dirBytes(
+            new java.io.File(root, s"codes/seg=$seg")) +
+            SegmentStore.dirBytes(
+              new java.io.File(root, s"tombs_$seg"))).toString,
+          "lastBatch" -> batchId.toString) ++ codeEntries
       }
       ()
     } finally {
@@ -395,8 +444,15 @@ object AnnIndex {
     val outName = s"codes/seg=compact$version"
     val live = liveCodes(spark, root, m).persist()
     try {
+      // the appended-mass partials fold into ONE carried entry: the
+      // compacted segment mixes base-encoded and frozen-append-encoded
+      // rows, so its dir size is NOT the drift mass — the policy's
+      // numerator is "bytes encoded against frozen codebooks since the
+      // last train", which a compact moves but never changes
+      val carriedAbytes = m.entries.collect {
+        case (k, v) if k.startsWith("abytes/") => v.toLong }.sum
       SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_"),
-        dropPrefixes = Seq("codes/", "tombs/")) {
+        dropPrefixes = Seq("codes/", "tombs/", "abytes/")) {
         live.repartition(confOf(m).coarseK, col("cell"))
           .write.mode("overwrite").partitionBy("cell")
           .parquet(new java.io.File(root, outName).toString)
@@ -423,7 +479,9 @@ object AnnIndex {
               }
             } finally { kept.unpersist(blocking = false); () }
           }
-        Map(s"codes/c$version" -> outName) ++ tombEntries
+        Map(s"codes/c$version" -> outName) ++ tombEntries ++
+          (if (carriedAbytes == 0L) Map.empty[String, String]
+           else Map(s"abytes/c$version" -> carriedAbytes.toString))
       }
       ()
     } finally {

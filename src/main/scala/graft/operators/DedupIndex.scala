@@ -165,6 +165,16 @@ object DedupIndex {
   def compact(spark: SparkSession, dir: String): Unit =
     merge(spark, dir, None)
 
+  /** Geometry-evolution POLICY — the shared bytes-per-bucket rule
+    * ([[SegmentStore.maybeRebucketBytes]]): rotate when the committed
+    * bytes-per-bucket (additive `bytes/` manifest partials, no data
+    * dir opened) exceed 2 × `targetBytesPerBucket`, re-sharding to
+    * ceil(bytes/target). Returns whether one ran. */
+  def maybeRebucket(spark: SparkSession, dir: String,
+      targetBytesPerBucket: Long): Boolean =
+    SegmentStore.maybeRebucketBytes(dir, targetBytesPerBucket, Buckets)(
+      nb => rebucket(spark, dir, nb))
+
   /** Geometry-evolution rotation — [[TextIndex.rebucket]]'s signature
     * twin: re-shard the live signature rows under a NEW hash-bucket
     * count through the same single-write merge, `conf/buckets`

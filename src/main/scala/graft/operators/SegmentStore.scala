@@ -169,6 +169,60 @@ object SegmentStore {
   def maybeCompact(segCount: Int, maxSegments: Int)(run: => Unit): Boolean =
     if (segCount > maxSegments) { run; true } else false
 
+  /** On-disk bytes under one segment's data dir — walked ONCE at
+    * commit time, while the files are just-written driver-local
+    * metadata, and recorded as the segment's additive `bytes/` partial
+    * (at 100 TB the writer reads the same number from its task
+    * metrics / the object-store PUT sizes; nothing ever re-lists a
+    * committed segment to know its size). */
+  def dirBytes(d: java.io.File): Long = {
+    val fs = d.listFiles()
+    if (fs == null) 0L
+    else fs.foldLeft(0L)((acc, f) =>
+      acc + (if (f.isDirectory) dirBytes(f) else f.length()))
+  }
+
+  /** Committed on-disk bytes of the artifact — the driver-side fold of
+    * the per-segment `bytes/` partials (a merge drops the folded
+    * segments' partials and records its own, so the sum tracks the
+    * LIVE listing, post-tombstone-resolution). */
+  def bytesOf(m: SnapshotManifest.State): Long =
+    m.entries.collect { case (k, v) if k.startsWith("bytes/") => v.toLong }
+      .sum
+
+  /** Bytes-per-bucket geometry policy — [[TextIndex.maybeRebucket]]'s
+    * protocol-level sibling for the artifacts whose apply path reads no
+    * prior state (dedup/substring/vector stores, whose exact live-key
+    * count is therefore not additively knowable): rotate when the
+    * committed bytes-per-bucket exceed 2 × `targetBytesPerBucket`.
+    * Bytes are the HONEST probe-cost metric for these artifacts — a
+    * probe pays every byte in its candidate buckets, dead versions and
+    * tombstones included, which is exactly the weight a rotation's
+    * tombstone-resolving rewrite removes. The decision reads only the
+    * manifest (the additive `bytes/` partials against the committed
+    * `conf/buckets`), so a maintenance loop evaluates it after every
+    * commit for free; each rotation re-shards to
+    * ceil(bytes / target), leaving a full doubling of headroom before
+    * the next trigger — O(log corpus) rotations on a steady drain.
+    * Returns whether one ran. */
+  def maybeRebucketBytes(dir: String, targetBytesPerBucket: Long,
+      defaultBuckets: Int)(rotate: Int => Unit): Boolean = {
+    require(targetBytesPerBucket > 0,
+      s"targetBytesPerBucket must be positive: $targetBytesPerBucket")
+    val m = SnapshotManifest.read(new java.io.File(dir))
+    if (m.version == 0L) false
+    else {
+      val bytes = bytesOf(m)
+      val nb = bucketsOf(m, defaultBuckets)
+      if (bytes > 2L * targetBytesPerBucket * nb) {
+        val want = ((bytes + targetBytesPerBucket - 1) /
+          targetBytesPerBucket).toInt
+        rotate(math.max(1, want))
+        true
+      } else false
+    }
+  }
+
   /** Dev-only capture of the plans that eager probes materialize
     * INSIDE their call (DedupIndex.probe / SubstringIndex.probe release
     * their scoped caches by materializing the result before returning,
@@ -258,6 +312,8 @@ object SegmentStore {
         writeBucketedSegment(root, segName, rows(m, nb, b), 2 * nb)
         extraConf(m) + ("conf/buckets" -> nb.toString) +
           (s"seg/e$batchId" -> segName) +
+          (s"bytes/$segName" ->
+            dirBytes(new java.io.File(root, s"$segName/data")).toString) +
           ("lastBatch" -> batchId.toString)
       }
       ()
@@ -294,9 +350,12 @@ object SegmentStore {
         .withColumn("kind", lit(kind))
     }.reduce(_ unionByName _)
       .withColumn("bucket", bucketExprOf(outNb))
-    commitSnapshot(root, m, Seq("epoch_"), dropPrefixes = Seq("seg/")) {
+    commitSnapshot(root, m, Seq("epoch_"),
+        dropPrefixes = Seq("seg/", "bytes/")) {
       writeBucketedSegment(root, outName, all, 2 * outNb)
-      Map(s"seg/c$version" -> outName, "conf/buckets" -> outNb.toString)
+      Map(s"seg/c$version" -> outName, "conf/buckets" -> outNb.toString,
+        s"bytes/$outName" ->
+          dirBytes(new java.io.File(root, s"$outName/data")).toString)
     }
     ()
   }

@@ -138,6 +138,16 @@ object SubstringIndex {
       segments(SnapshotManifest.read(new java.io.File(dir))).size,
       maxSegments)(compact(spark, dir))
 
+  /** Geometry-evolution POLICY — the shared bytes-per-bucket rule
+    * ([[SegmentStore.maybeRebucketBytes]]): rotate when the committed
+    * bytes-per-bucket (additive `bytes/` manifest partials, no data
+    * dir opened) exceed 2 × `targetBytesPerBucket`, re-sharding to
+    * ceil(bytes/target). Returns whether one ran. */
+  def maybeRebucket(spark: SparkSession, dir: String,
+      targetBytesPerBucket: Long): Boolean =
+    SegmentStore.maybeRebucketBytes(dir, targetBytesPerBucket, Buckets)(
+      nb => rebucket(spark, dir, nb))
+
   /** Geometry-evolution rotation — [[TextIndex.rebucket]]'s k-gram
     * twin: re-shard the live gram counts under a NEW hash-bucket count
     * through the same single-write merge, updating `conf/buckets`

@@ -61,6 +61,16 @@ object VecStore {
           .withColumn("bucket", SegmentStore.bucketOf(col("vec_id"), nb))
     }
 
+  /** Geometry-evolution POLICY — the shared bytes-per-bucket rule
+    * ([[SegmentStore.maybeRebucketBytes]]): rotate when the committed
+    * bytes-per-bucket (additive `bytes/` manifest partials, no data
+    * dir opened) exceed 2 × `targetBytesPerBucket`, re-sharding to
+    * ceil(bytes/target). Returns whether one ran. */
+  def maybeRebucket(spark: SparkSession, dir: String,
+      targetBytesPerBucket: Long): Boolean =
+    SegmentStore.maybeRebucketBytes(dir, targetBytesPerBucket, Buckets)(
+      nb => compact(spark, dir, newBuckets = Some(nb)))
+
   /** Tombstone-resolving merge of all committed segments (and the
     * geometry rotation when `newBuckets` is set) — the shared
     * [[SegmentStore.mergeBucketed]] driver. */
@@ -97,6 +107,27 @@ object VecStore {
           "left_semi")
         .select(col("vec_id"), col("e"))
     }
+  }
+
+  /** The FULL live corpus (vec_id, e) at head — every bucket's live
+    * rows under the shared tombstone rule. This is the one deliberate
+    * corpus-sized read of the store, for consumers whose operation IS
+    * corpus-sized: [[AnnIndex.maybeRebuild]]'s retraining reads it when
+    * the drift policy fires (the rebuild must re-encode everything
+    * anyway), exactly as a batch rebuild would read a replica table.
+    * Serving paths never call this — they go through the
+    * candidate-bucket-pruned [[vectorsAtWatermark]]. */
+  def liveAll(spark: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(dir)
+    val m = SnapshotManifest.read(root)
+    val nb = SegmentStore.bucketsOf(m, Buckets)
+    val segs = SegmentStore.segments(m)
+    val rows = SegmentStore.readLeaves(spark, Schema,
+      SegmentStore.leafPaths(root, segs, VecKind, 0 until nb))
+    val tmax = SegmentStore.tombMax(spark, root, segs, TombKind,
+      0 until nb, "vec_id")
+    SegmentStore.liveRows(rows, tmax, "vec_id")
+      .select(col("vec_id"), col("e"))
   }
 
   /** Memoized CDC-APPLIED vector store — the rerank tier's fixture for

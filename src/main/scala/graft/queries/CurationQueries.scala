@@ -961,6 +961,20 @@ object CurationQueries {
       graft.streaming.CdcStream.streamAnnIndexCdc(s, dir)
         .orderBy("q_id", "rnk")),
 
+    // Codebook-drift REBUILD policy end-to-end — the maintenance-policy
+    // family's capstone: the CDC drain maintains BOTH the ANN index
+    // (frozen-codebook applies against a deliberately small 20% base)
+    // and the exact-vector store; the post-drain maintenance tick fires
+    // AnnIndex.maybeRebuild from the manifest's additive mass partials
+    // (abytes/ vs bytesBase — guard fails the query if it never does),
+    // retraining on the live corpus read from the co-maintained
+    // VecStore. Oracle: the IVFADC reproduction RETRAINED on the
+    // post-apply corpus — the policy-fired rotation lands exactly what
+    // a from-scratch build of the current corpus would.
+    "stream_ann_index_autorebuild" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamAnnIndexAutoRebuild(s, dir)
+        .orderBy("q_id", "rnk")),
+
     // Hybrid retrieval SERVED from the two maintained index artifacts
     // (round-8 item 2) — the production RAG query: the lexical tier
     // probes the manifest-committed inverted index (query-term buckets
@@ -2306,6 +2320,70 @@ object CurationQueries {
            CASE WHEN vec_id % 9 = 0 THEN list_transform(e, x -> -x)
                 ELSE e END AS e
          FROM emball WHERE vec_id % 13 <> 0),
+       q AS (SELECT vec_id AS q_id, e AS qe FROM emball WHERE vec_id % 100 = 0),
+       routed AS (
+         SELECT q_id, cluster_id AS cell FROM (
+           SELECT q.q_id, c2.cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+               list_reduce(list_transform(range(1, len(q.qe) + 1),
+                 j -> (q.qe[j] - c2.c[j]) * (q.qe[j] - c2.c[j])),
+                 (acc, x) -> acc + x) ASC,
+               c2.cluster_id) AS crn
+           FROM q CROSS JOIN c2) WHERE crn <= 2),
+       dt0 AS (
+         SELECT q.q_id, c.cluster_id AS code0,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j] - c.c[j]) * (q.qe[j] - c.c[j])),
+             (acc, x) -> acc + x) AS d0
+         FROM q CROSS JOIN s0c2 c),
+       dt1 AS (
+         SELECT q.q_id, c.cluster_id AS code1,
+           list_reduce(list_transform(range(1, 17),
+             j -> (q.qe[j + 16] - c.c[j]) * (q.qe[j + 16] - c.c[j])),
+             (acc, x) -> acc + x) AS d1
+         FROM q CROSS JOIN s1c2 c),
+       shortlist AS (
+         SELECT q_id, vec_id FROM (
+           SELECT r.q_id, c.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY r.q_id
+               ORDER BY t0.d0 + t1.d1, c.vec_id) AS arn
+           FROM codes c
+           JOIN routed r ON r.cell = c.cell
+           JOIN dt0 t0 ON t0.q_id = r.q_id AND t0.code0 = c.code0
+           JOIN dt1 t1 ON t1.q_id = r.q_id AND t1.code1 = c.code1
+           WHERE c.vec_id <> r.q_id) WHERE arn <= 50),
+       rr AS (
+         SELECT s.q_id, s.vec_id,
+           ROUND(${ExtensionQueries.sqlCos("q.qe", "m.e")}, 6) AS cos
+         FROM shortlist s JOIN q ON q.q_id = s.q_id
+         JOIN embfinal m ON m.vec_id = s.vec_id)
+       SELECT q_id, rnk, vec_id, cos
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+               ORDER BY cos DESC, vec_id) AS rnk FROM rr)
+       WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    // the policy-fired rebuild lands exactly the index a from-scratch
+    // build of the POST-APPLY corpus would: k-means retrained on the
+    // live vectors (the drained store's state), codes = the training
+    // assignments (a rebuild encodes its own training set — no frozen
+    // tail), then the standard route/ADC/rerank
+    "stream_ann_index_autorebuild" -> s"""
+       WITH emball AS (
+         SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+         FROM embeddings),
+       embfinal AS (
+         SELECT vec_id,
+           CASE WHEN vec_id % 9 = 0 THEN list_transform(e, x -> -x)
+                ELSE e END AS e
+         FROM emball WHERE vec_id % 13 <> 0),
+       ${kmeansChain("emb AS (SELECT vec_id, e FROM embfinal)")},
+       c2 AS (${sqlUpdate("a2")}),
+       ${pqChain("s0", 1, 16)},
+       ${pqChain("s1", 17, 32)},
+       codes AS (
+         SELECT a.vec_id, a.cluster_id AS code0, b.cluster_id AS code1,
+                m.cluster_id AS cell
+         FROM s0a2 a JOIN s1a2 b USING (vec_id) JOIN a2 m USING (vec_id)),
        q AS (SELECT vec_id AS q_id, e AS qe FROM emball WHERE vec_id % 100 = 0),
        routed AS (
          SELECT q_id, cluster_id AS cell FROM (

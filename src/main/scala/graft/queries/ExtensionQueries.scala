@@ -1017,6 +1017,19 @@ object ExtensionQueries {
       graft.streaming.CdcStream.streamDedupIndexCdc(s, dir)
         .orderBy("doc_id")),
 
+    // The bytes-per-bucket geometry policy under a live CDC drain —
+    // SegmentStore.maybeRebucketBytes, the protocol-level sibling of
+    // the text index's live-doc-count rule for the artifacts whose
+    // O(batch) apply reads no prior state: the index starts
+    // deliberately undersized and the per-batch maintenance step
+    // evaluates the policy from the manifest's additive bytes/
+    // partials alone; the mid-stream rotation fires from the POLICY
+    // (post-drain guard fails the query if it never does). Serving is
+    // geometry-invariant: oracle = the CDC twin's post-apply SQL.
+    "stream_dedup_index_autorebucket" -> ((s, dir) =>
+      graft.streaming.CdcStream.streamDedupIndexAutoRebucket(s, dir)
+        .orderBy("doc_id")),
+
     // Index observability, signature twin of text_index_profile /
     // ann_index_profile: per-kind live composition (rows, docs) of the
     // maintained artifact, answered from the index alone. Oracle
@@ -2356,6 +2369,8 @@ object ExtensionQueries {
     ("dedup_incremental_served" -> oraclesBase("dedup_incremental")) +
     ("stream_dedup_index" -> oraclesBase("dedup_incremental")) +
     ("stream_dedup_index_cdc" -> dedupIncrementalOracleOver(
+      ExtCorpus.CdcAppliedIncrementalCorpusCte)) +
+    ("stream_dedup_index_autorebucket" -> dedupIncrementalOracleOver(
       ExtCorpus.CdcAppliedIncrementalCorpusCte)) +
     ("dedup_churn_probe" -> dedupIncrementalOracleOver(
       ExtCorpus.ChurnIncrementalCorpusCte)) +

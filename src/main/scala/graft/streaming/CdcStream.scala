@@ -1385,6 +1385,46 @@ object CdcStream {
       graft.sources.ExtCorpus.incrementalBatch(ss, sfDir))
   }
 
+  /** [[streamDedupIndexCdc]] under the AUTOMATIC bytes-per-bucket
+    * geometry policy ([[graft.operators.SegmentStore
+    * .maybeRebucketBytes]] — the protocol-level sibling of the text
+    * index's live-doc-count rule, for the artifacts whose O(batch)
+    * apply path reads no prior state and therefore cannot know exact
+    * live counts additively): the index starts deliberately undersized
+    * (2 buckets) and the per-batch maintenance step evaluates the
+    * policy from the manifest's additive `bytes/` partials alone. As
+    * the drained corpus outgrows the geometry the policy fires the
+    * mid-stream rotation (a tombstone-resolving re-shard to
+    * ceil(bytes/target)), and the post-drain guard fails the query if
+    * it never did. Serving is geometry-invariant, so the oracle is the
+    * CDC twin's post-apply classifier SQL verbatim; the
+    * decline/fire/hysteresis trajectory is pinned in DedupIndexSpec. */
+  def streamDedupIndexAutoRebucket(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.operators.{DedupIndex, SegmentStore, SnapshotManifest}
+    val ss = streamSession(spark, flush = false)
+    val deltas = docCdcDeltas(ss, sfDir, maxFilesPerTrigger = 4)
+    val idxDir = drainToStateDir(deltas, "graft_dedup_index_auto", sfDir,
+      dir => (batch, id) => {
+        DedupIndex.applyCdcBatch(dir, buckets = 2)(batch, id)
+        // 64 KB/bucket: a toy-scale stand-in for the production
+        // 128-512 MB — at sf0.01 (~360 KB of signature rows over two
+        // batches) the policy DECLINES after batch 0 (176 KB under the
+        // 256 KB threshold) and FIRES after batch 1, the same
+        // decline-then-fire trajectory the spec pins; small enough to
+        // fire at every driver scale, large enough that the rotated
+        // count stays O(corpus/target), not a per-row explosion
+        DedupIndex.maybeRebucket(batch.sparkSession, dir,
+          targetBytesPerBucket = 64L << 10)
+        ()
+      })
+    val nb = SegmentStore.bucketsOf(
+      SnapshotManifest.read(new java.io.File(idxDir)), 2)
+    require(nb > 2, s"bytes-per-bucket policy never fired (buckets = $nb)")
+    DedupIndex.probe(ss, idxDir,
+      graft.sources.ExtCorpus.incrementalBatch(ss, sfDir), 0.5)
+  }
+
   def streamDedupIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.DedupIndex
     val ss = streamSession(spark, flush = false)
@@ -1663,6 +1703,76 @@ object CdcStream {
     * Serving runs over the post-apply corpus; the oracle reproduces
     * base training + frozen-codebook encoding of the post-apply state
     * end-to-end. */
+  /** CODEBOOK-DRIFT policy end-to-end — the maintenance-policy family's
+    * capstone, composing the two serving artifacts: the CDC drain folds
+    * every micro-batch into BOTH the ANN index (frozen-codebook
+    * encodes) and the exact-vector store (the rerank tier), and the
+    * maintenance tick after the drain evaluates
+    * [[graft.operators.AnnIndex.maybeRebuild]] — appended-mass
+    * `abytes/` partials against the generation's trained `bytesBase`,
+    * read from the manifest alone. The base generation is trained
+    * deliberately SMALL (20% of the corpus) so the drained changelog
+    * outweighs it and the policy MUST fire (the guard fails the query
+    * if it never does); the fired rebuild retrains on the live corpus
+    * read from the co-maintained [[graft.operators.VecStore]] — the
+    * serving stack's own rerank tier is the rebuild's training set, no
+    * side-channel corpus anywhere — and serving reranks against the
+    * same store. Oracle: the full IVFADC reproduction RETRAINED on the
+    * post-apply corpus (k-means chain over the live vectors, codes =
+    * the training assignments, route/ADC/rerank tail) — pinning that
+    * the policy-fired rotation lands exactly the index a from-scratch
+    * build of the current corpus would. Mid-drain semantics (appends
+    * continue against the fresh generation off the carried watermark)
+    * are pinned by AnnIndexSpec's rebuild tests; the per-batch policy
+    * trajectory (decline below the ratio, fire past it, reset after)
+    * by its policy spec. */
+  def streamAnnIndexAutoRebuild(spark: SparkSession,
+      sfDir: String): DataFrame = {
+    import graft.operators.{AnnIndex, VecStore}
+    val ss = streamSession(spark, flush = false)
+    import ss.implicits._
+    val emb = AnnIndex.embeddings(ss, sfDir)
+    val base = emb.where(col("vec_id") % 10 < 2)
+    val dbl = emb.select(col("vec_id"), col("e").as("embedding"))
+    val ops = dbl.where(col("vec_id") % 10 >= 2)
+      .select(col("vec_id"), col("embedding"), lit(false).as("deleted"),
+        (col("vec_id") * 3 + 1).as("seq"))
+      .unionByName(dbl.where(col("vec_id") % 9 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"),
+          lit(false).as("deleted"), (col("vec_id") * 3 + 2).as("seq")))
+      .unionByName(dbl.where(col("vec_id") % 13 === 0)
+        .select(col("vec_id"), col("embedding"), lit(true).as("deleted"),
+          (col("vec_id") * 3 + 3).as("seq")))
+    val stream = streamOf(ops, "ann_auto_ops", sfDir,
+      maxFilesPerTrigger = Some(3))
+    val deltas = stream.as[VecOp].groupByKey(_.vec_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldVecOps)
+      .toDF("vec_id", "embedding", "deleted")
+    // the rerank tier, seeded with the base slice at stamp 0; stream
+    // batches fold at id+1 so the seed sits below every changelog stamp
+    val vecDir = graft.Fs.scratch("/tmp/graft_ann_auto_vec",
+      sfDir.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.Fs.deleteRecursively(vecDir)
+    vecDir.mkdirs()
+    VecStore.applyCdcBatch(vecDir.toString)(
+      base.select(col("vec_id"), col("e").as("embedding"),
+        lit(false).as("deleted")), 0L)
+    val idxDir = drainToStateDir(deltas, "graft_ann_index_auto", sfDir,
+      dir => (batch, id) => {
+        VecStore.applyCdcBatch(vecDir.toString)(batch.toDF(), id + 1)
+        AnnIndex.applyCdcBatch(dir)(batch.toDF(), id)
+      },
+      dir => AnnIndex.cloneTrained(base, sfDir, "b2", dir))
+    val fired = AnnIndex.maybeRebuild(ss, idxDir,
+      VecStore.liveAll(ss, vecDir.toString))
+    require(fired, "codebook-drift policy never fired")
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    AnnIndex.serve(ss, idxDir, queries, VecStore.liveAll(ss, vecDir.toString))
+  }
+
   def streamAnnIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.operators.AnnIndex
     val ss = streamSession(spark, flush = false)

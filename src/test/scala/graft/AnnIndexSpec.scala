@@ -134,6 +134,63 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("maybeRebuild policy: additive mass partials, corpus untouched " +
+      "while declining, compact folds abytes, fired rebuild ≡ from-scratch " +
+      "train and resets the ratio") {
+    val emb = AnnIndex.embeddings(spark, Sf).cache()
+    val base = emb.where(col("vec_id") % 10 < 2)
+    val rest = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .where(col("vec_id") % 10 >= 2)
+    val dir = freshDir("graft_ann_policy")
+    AnnIndex.train(base, dir)
+    def m() = SnapshotManifest.read(new java.io.File(dir))
+    val baseBytes = m().entries("bytesBase").toLong
+    assert(baseBytes > 0L)
+    Seq(0, 1, 2).foreach { b =>
+      AnnIndex.appendBatch(dir)(rest.where(col("vec_id") % 3 === b), b.toLong)
+    }
+    def abytes() = m().entries.collect {
+      case (k, v) if k.startsWith("abytes/") => v.toLong }.sum
+    // the partials are the appended segments' real on-disk sizes
+    val walked = m().entries.collect {
+      case (k, rel) if k.startsWith("codes/") && k != "codes/base" => rel }
+      .map(rel => graft.operators.SegmentStore.dirBytes(
+        new java.io.File(dir, rel))).sum
+    assert(abytes() === walked && abytes() > 0L)
+    // declining evaluations never read the corpus (it is by-name)
+    var corpusReads = 0
+    def corpus = { corpusReads += 1; emb }
+    assert(!AnnIndex.maybeRebuild(spark, dir, corpus, ratio = 1e9))
+    assert(corpusReads === 0)
+    // compact FOLDS the partials (one carried entry, sum unchanged —
+    // the compacted dir's own size would mix base-encoded rows in)
+    val sumBefore = abytes()
+    AnnIndex.compact(spark, dir)
+    assert(m().entries.keys.count(_.startsWith("abytes/")) === 1)
+    assert(abytes() === sumBefore)
+    assert(m().entries("bytesBase").toLong === baseBytes,
+      "a compact never changes the trained-mass denominator")
+    // past the ratio the rebuild fires, retrains on the live corpus,
+    // and lands exactly the from-scratch index of that corpus
+    assert(AnnIndex.maybeRebuild(spark, dir, corpus, ratio = 0.0))
+    assert(corpusReads === 1)
+    val m1 = m()
+    assert(m1.entries.keys.count(_.startsWith("abytes/")) === 0,
+      "a fired rebuild resets the appended-mass partials")
+    assert(m1.entries("bytesBase").toLong > 0L)
+    val fresh = freshDir("graft_ann_policy_fresh")
+    AnnIndex.train(emb, fresh)
+    val q = queriesOf(emb)
+    assert(AnnIndex.serve(spark, dir, q, emb)
+        .orderBy("q_id", "rnk").collect().toSeq ===
+      AnnIndex.serve(spark, fresh, q, emb)
+        .orderBy("q_id", "rnk").collect().toSeq)
+    // and the reset ratio declines again until new mass accumulates
+    assert(!AnnIndex.maybeRebuild(spark, dir, corpus, ratio = 0.0))
+    emb.unpersist(blocking = false)
+    ()
+  }
+
   test("CDC maintenance: update = tombstone + re-encode, delete = tombstone; compaction resolves") {
     val emb = AnnIndex.embeddings(spark, Sf).cache()
     val base = emb.where(col("vec_id") % 10 < 8)

@@ -70,6 +70,38 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(probeRows(dir) === inlineRows())
   }
 
+  test("maybeRebucket policy: additive bytes/ partials in the manifest, " +
+      "fires at the ×2 bytes-per-bucket threshold, hysteresis after") {
+    import graft.operators.SegmentStore
+    val dir = build(Seq(base.take(2), base.slice(2, 4)))
+    val m0 = SnapshotManifest.read(new java.io.File(dir))
+    val byteKeys = m0.entries.keys.filter(_.startsWith("bytes/")).toSeq
+    assert(byteKeys.size === 2, "one additive bytes/ partial per segment")
+    val bytes = SegmentStore.bytesOf(m0)
+    // the partials are the segments' real on-disk sizes
+    val walked = SegmentStore.segments(m0).map(seg =>
+      SegmentStore.dirBytes(new java.io.File(dir, s"$seg/data"))).sum
+    assert(bytes === walked && bytes > 0L)
+    // a generous target declines: 8 buckets hold `bytes` comfortably
+    assert(!DedupIndex.maybeRebucket(spark, dir,
+      targetBytesPerBucket = bytes))
+    val before = probeRows(dir)
+    // a tight target fires: bytes > 2 × (bytes/32) × 8
+    val target = math.max(1L, bytes / 32)
+    assert(DedupIndex.maybeRebucket(spark, dir, target))
+    val m1 = SnapshotManifest.read(new java.io.File(dir))
+    val want = ((bytes + target - 1) / target).toInt
+    assert(m1.entries("conf/buckets") === want.toString,
+      "rotation target is ceil(bytes/target)")
+    assert(m1.entries.keys.count(_.startsWith("bytes/")) === 1,
+      "the merge replaces the folded segments' bytes/ partials with its own")
+    assert(probeRows(dir) === before, "rotation moves layout, never answers")
+    // hysteresis: the rewrite resolved tombstones and re-sharded to
+    // ceil(bytes/target), so post-rotation bytes-per-bucket sits a full
+    // doubling below the trigger — the SAME target must now decline
+    assert(!DedupIndex.maybeRebucket(spark, dir, target))
+  }
+
   test("rebucket rotation: new geometry, identical probe answers, appends continue") {
     val dir = build(Seq(base.take(2), base.slice(2, 4)))
     val before = probeRows(dir)
