@@ -1730,26 +1730,9 @@ object CdcStream {
       sfDir: String): DataFrame = {
     import graft.operators.{AnnIndex, VecStore}
     val ss = streamSession(spark, flush = false)
-    import ss.implicits._
     val emb = AnnIndex.embeddings(ss, sfDir)
     val base = emb.where(col("vec_id") % 10 < 2)
-    val dbl = emb.select(col("vec_id"), col("e").as("embedding"))
-    val ops = dbl.where(col("vec_id") % 10 >= 2)
-      .select(col("vec_id"), col("embedding"), lit(false).as("deleted"),
-        (col("vec_id") * 3 + 1).as("seq"))
-      .unionByName(dbl.where(col("vec_id") % 9 === 0)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding"),
-          lit(false).as("deleted"), (col("vec_id") * 3 + 2).as("seq")))
-      .unionByName(dbl.where(col("vec_id") % 13 === 0)
-        .select(col("vec_id"), col("embedding"), lit(true).as("deleted"),
-          (col("vec_id") * 3 + 3).as("seq")))
-    val stream = streamOf(ops, "ann_auto_ops", sfDir,
-      maxFilesPerTrigger = Some(3))
-    val deltas = stream.as[VecOp].groupByKey(_.vec_id)
-      .flatMapGroupsWithState(
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(foldVecOps)
-      .toDF("vec_id", "embedding", "deleted")
+    val deltas = vecCdcDeltas(ss, sfDir, "ann_auto_ops", baseMod = 2)
     // the rerank tier, seeded with the base slice at stamp 0; stream
     // batches fold at id+1 so the seed sits below every changelog stamp
     val vecDir = graft.Fs.scratch("/tmp/graft_ann_auto_vec",
@@ -1773,14 +1756,19 @@ object CdcStream {
     AnnIndex.serve(ss, idxDir, queries, VecStore.liveAll(ss, vecDir.toString))
   }
 
-  def streamAnnIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.operators.AnnIndex
-    val ss = streamSession(spark, flush = false)
+  /** The shared embeddings CHANGELOG the vector-keyed CDC drains
+    * consume ([[streamAnnIndexCdc]] / [[streamAnnIndexAutoRebuild]] —
+    * the vector twin of [[docCdcDeltas]]): adds for every vec_id
+    * outside the trained base slice (`% 10 >= baseMod`), full-image
+    * re-embeds for % 9 (negated — direction changes, so cosine ranks
+    * move), deletes for % 13, sequence-ordered so the keyed FMGWS fold
+    * ([[foldVecOps]]) nets each vector to its post-batch state. */
+  private def vecCdcDeltas(ss: SparkSession, sfDir: String, tag: String,
+      baseMod: Int): DataFrame = {
     import ss.implicits._
-    val emb = AnnIndex.embeddings(ss, sfDir)
-    val base = emb.where(col("vec_id") % 10 < 8)
-    val dbl = emb.select(col("vec_id"), col("e").as("embedding"))
-    val ops = dbl.where(col("vec_id") % 10 >= 8)
+    val dbl = graft.operators.AnnIndex.embeddings(ss, sfDir)
+      .select(col("vec_id"), col("e").as("embedding"))
+    val ops = dbl.where(col("vec_id") % 10 >= baseMod)
       .select(col("vec_id"), col("embedding"), lit(false).as("deleted"),
         (col("vec_id") * 3 + 1).as("seq"))
       .unionByName(dbl.where(col("vec_id") % 9 === 0)
@@ -1790,11 +1778,19 @@ object CdcStream {
       .unionByName(dbl.where(col("vec_id") % 13 === 0)
         .select(col("vec_id"), col("embedding"), lit(true).as("deleted"),
           (col("vec_id") * 3 + 3).as("seq")))
-    val stream = streamOf(ops, "ann_cdc_ops", sfDir, maxFilesPerTrigger = Some(3))
-    val deltas = stream.as[VecOp].groupByKey(_.vec_id)
+    val stream = streamOf(ops, tag, sfDir, maxFilesPerTrigger = Some(3))
+    stream.as[VecOp].groupByKey(_.vec_id)
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.NoTimeout)(foldVecOps)
       .toDF("vec_id", "embedding", "deleted")
+  }
+
+  def streamAnnIndexCdc(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.operators.AnnIndex
+    val ss = streamSession(spark, flush = false)
+    val emb = AnnIndex.embeddings(ss, sfDir)
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val deltas = vecCdcDeltas(ss, sfDir, "ann_cdc_ops", baseMod = 8)
     val idxDir = drainToStateDir(deltas, "graft_ann_index_cdc", sfDir,
       dir => (batch, id) => {
         AnnIndex.applyCdcBatch(dir)(batch.toDF(), id)
