@@ -359,6 +359,43 @@ object AnnIndex {
       m: SnapshotManifest.State, key: String): DataFrame =
     spark.read.parquet(new java.io.File(root, m.entries(key)).toString)
 
+  /** Driver-memoized codebook load. A codebook is k·d scalars behind a
+    * parquet dir the protocol never mutates in place (generations get
+    * fresh `v<gen>/…` names; every part file carries a per-write UUID,
+    * which keys the memo, so a recreated dir can never serve stale
+    * centroids). Serving/encode paths re-read codebooks constantly —
+    * per micro-batch in the drains, per query in the serve family — and
+    * each uncached read was a single-task file-scan JOB; the memo makes
+    * it a map lookup, the same in-memory-codebook shape a real serving
+    * process keeps. Bounded: entries are (dir × generation), values KBs. */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Seq[Double])]]()
+
+  private def centsOf(spark: SparkSession, root: java.io.File,
+      m: SnapshotManifest.State, key: String): Seq[(Int, Seq[Double])] = {
+    val dir = new java.io.File(root, m.entries(key))
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).map(_.getName).sorted
+      .mkString(",")
+    val k = dir.getAbsolutePath + "#" + parts
+    if (centCache.size > 256) centCache.clear()
+    centCache.computeIfAbsent(k,
+      _ => KMeansOp.collectCents(spark.read.parquet(dir.toString)))
+  }
+
+  /** The memoized codebook as a LOCAL relation (cluster_id, centroid) —
+    * broadcast builds then collect driver-side rows instead of running
+    * a file-scan job per consumer. Rows and types match the parquet
+    * read it replaces (collectCents already casts to double), so every
+    * join/argmin downstream is bit-identical. */
+  private def centsFrame(spark: SparkSession,
+      cents: Seq[(Int, Seq[Double])]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(cents.map { case (cid, c) =>
+        org.apache.spark.sql.Row(cid, c) }: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "cluster_id INT, centroid ARRAY<DOUBLE>"))
+
   /** Encode embeddings against the index's frozen codebooks:
     * (vec_id, cell, code0..codeM) — ONE map-only projection. The
     * codebooks are k·d scalars (the broadcast-smallness bound), so the
@@ -372,9 +409,8 @@ object AnnIndex {
   private def encode(spark: SparkSession, root: java.io.File,
       m: SnapshotManifest.State, emb: DataFrame): DataFrame = {
     val c = confOf(m)
-    val coarse = KMeansOp.collectCents(readCents(spark, root, m, "coarse"))
-    val pq = (0 until c.pqM).map(i =>
-      KMeansOp.collectCents(readCents(spark, root, m, s"pq$i")))
+    val coarse = centsOf(spark, root, m, "coarse")
+    val pq = (0 until c.pqM).map(i => centsOf(spark, root, m, s"pq$i"))
     emb.select(col("vec_id") +:
       KMeansOp.codeLiteral(col("e"), coarse).as("cell") +:
       ((0 until c.pqM).map(i =>
@@ -551,7 +587,7 @@ object AnnIndex {
       nprobe: Int, shortlist: Int,
       filter: Option[org.apache.spark.sql.Column]): DataFrame = {
     val c = confOf(m)
-    val coarseCents = readCents(spark, root, m, "coarse")
+    val coarseCents = centsFrame(spark, centsOf(spark, root, m, "coarse"))
     val codes = filter.foldLeft(liveCodes(spark, root, m))(_ where _)
     // nprobe routing against the loaded coarse centroids
     val wr = Window.partitionBy(col("q_id")).orderBy(col("cdist"), col("cell"))
@@ -563,7 +599,8 @@ object AnnIndex {
       .select(col("q_id"), col("cell"))
     // per-query ADC lookup tables (M×k rows each — broadcast)
     val dts = (0 until c.pqM).map { i =>
-      queries.crossJoin(broadcast(readCents(spark, root, m, s"pq$i")))
+      queries.crossJoin(broadcast(centsFrame(spark,
+          centsOf(spark, root, m, s"pq$i"))))
         .select(col("q_id"), col("cluster_id").as(s"code$i"),
           KMeansOp.sqDist(sub(col("qe"), i, c.subDim), col("centroid"))
             .as(s"d$i"))
@@ -638,7 +675,7 @@ object AnnIndex {
     val c = confOf(m)
     val joined = liveCodes(spark, root, m).join(emb, "vec_id")
     (0 until c.pqM).map { i =>
-      val cents = readCents(spark, root, m, s"pq$i")
+      val cents = centsFrame(spark, centsOf(spark, root, m, s"pq$i"))
         .select(col("cluster_id").as(s"code$i"), col("centroid"))
       joined.join(broadcast(cents), s"code$i")
         .select(lit(i).as("subspace"),

@@ -35,6 +35,20 @@ object SegmentStore {
     * geometry — the ONE function writers and probes must share. */
   def bucketOf(c: Column, nb: Int): Column = pmod(hash(c), lit(nb))
 
+  /** [[bucketOf]] evaluated DRIVER-side for a bounded probe set: the
+    * same catalyst Murmur3 expression `hash()` plans (seed 42),
+    * interpreted on a literal — bit-identical to the engine's bucketing
+    * by construction, with no job where the probe's term/key list is
+    * already a driver-side array. */
+  def bucketOfDriver(s: String, nb: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(Seq(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Int]
+    ((h % nb) + nb) % nb
+  }
+
   /** The artifact's committed bucket count; `default` applies only to
     * a not-yet-created index (version 0). */
   def bucketsOf(m: SnapshotManifest.State, default: Int): Int =

@@ -145,30 +145,49 @@ object TextIndex {
   private def bloomFile(root: java.io.File, seg: String) =
     new java.io.File(root, s"$seg/term_bloom.bin")
 
-  /** Per-segment TERM BLOOM sidecar — the Lucene-style segment-skip
-    * structure: a probe tests its (driver-bounded) query terms against
-    * each segment's bloom and skips segments that provably lack every
-    * term. Blooms have no false negatives, so a skipped segment cannot
-    * hold a matching posting and answers are unchanged by construction;
-    * a false positive only costs the read the probe would have done
-    * anyway. Built distributed (one aggregate over the batch's cached
-    * tf), written BEFORE the manifest commit so a crash leaves it an
+  /** The bloom aggregate COLUMN for one segment's term set — rides
+    * INSIDE the caller's stats aggregation, so the bloom build costs no
+    * job of its own (the separate `stat.bloomFilter` pass it replaces
+    * was one extra job per micro-batch commit). `bloom_filter_agg` over
+    * the UTF-8 bytes builds the same sketch `putString` builds
+    * (BloomFilterBase.putString IS putBinary(utf8)), so
+    * [[readTermBloom]]'s `mightContainString` probes are unchanged;
+    * bits are sized by the same (cap, fpp) formula `create` uses. */
+  private def bloomAggCol(cap: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftPlanBridge
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = // BloomFilter.optimalNumOfBits(cap, BloomFpp)
+      math.ceil(-cap * math.log(BloomFpp) / (math.log(2) * math.log(2))).toLong
+    GraftPlanBridge.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(
+          GraftPlanBridge.expression(col("term")),
+          Literal(cap), Literal(numBits))
+        .toAggregateExpression())
+  }
+
+  /** Write one segment's TERM BLOOM sidecar — the Lucene-style
+    * segment-skip structure: a probe tests its (driver-bounded) query
+    * terms against each segment's bloom and skips segments that
+    * provably lack every term. Blooms have no false negatives, so a
+    * skipped segment cannot hold a matching posting and answers are
+    * unchanged by construction; a false positive only costs the read
+    * the probe would have done anyway. `bytes` is [[bloomAggCol]]'s
+    * aggregate result (null/absent on a zero-row aggregate — a
+    * postings-free segment gets an empty bloom that excludes every
+    * term). Written BEFORE the manifest commit so a crash leaves it an
     * orphan beside its segment dir. At 100 TB this is what keeps a
     * probe's listing O(segments containing the term), not O(segments),
     * between compactions. */
   private def writeTermBloom(root: java.io.File, seg: String,
-      terms: DataFrame, cap: Long, knownEmpty: Boolean): Unit = {
-    // a postings-free segment (delete-only CDC batch, or a merge that
-    // leaves nothing live) gets an empty bloom that excludes every
-    // term — stat.bloomFilter itself NPEs on a zero-row aggregate.
-    // Callers already know emptiness from their cached counts, so no
-    // extra job probes it here.
-    val bf =
-      if (knownEmpty) org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
-      else terms.stat.bloomFilter("term", cap, BloomFpp)
-    val os = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(bloomFile(root, seg)))
-    try bf.writeTo(os) finally os.close()
+      bytes: Option[Array[Byte]]): Unit = {
+    val out = bytes.getOrElse {
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(1L, BloomFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    java.nio.file.Files.write(bloomFile(root, seg).toPath, out)
+    ()
   }
 
   /** None when the sidecar is absent (a pre-bloom artifact) — absent
@@ -230,9 +249,17 @@ object TextIndex {
         (posts +: docRows +: tombRows).reduce(_ unionByName _), 3 * nb)
       // the segment's ADDITIVE stats partial (docs added AND versions
       // killed, so corpus-global n_docs/avgdl stay a manifest fold even
-      // under deletes): a one-row aggregate over the cached frames
+      // under deletes) AND the term-bloom sketch, in ONE one-row
+      // aggregate over the cached docs/tf pair. The bloom MUST NOT
+      // share an aggregation with a distinct aggregate (countDistinct
+      // rewrites into a group-by-key first phase, which would allocate
+      // one ~120 KB bloom buffer PER DOC — measured 15× slower), so
+      // n_docs/sum_dl fold over the doc-level frame and the bloom
+      // rides the same row via a 1×1 crossJoin: both inputs are one-row
+      // aggregates of cached frames, one job total.
       val addStats = docs.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+        .crossJoin(tf.agg(bloomAggCol(cap).as("bloom")))
       val st = killed match {
         case None => addStats
           .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
@@ -241,12 +268,14 @@ object TextIndex {
             coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
       }
       val r = st.head()
-      // n_docs == 0 ⟺ tf is empty (a doc with no terms never enters the
-      // index), so the cached stats row decides emptiness — no extra job
-      writeTermBloom(root, seg, tf, cap, knownEmpty = r.getLong(0) == 0L)
+      // a zero-row tf (delete-only batch / empty merge) aggregates to a
+      // null bloom — written as the empty sketch that excludes all terms
+      writeTermBloom(root, seg,
+        Option(r.getAs[Array[Byte]]("bloom")))
       Map(s"seg/$batchId" -> seg,
-        s"stats/$seg" -> statsEntry(r.getLong(0), r.getLong(1),
-          r.getLong(2), r.getLong(3)),
+        s"stats/$seg" -> statsEntry(r.getAs[Long]("n_docs"),
+          r.getAs[Long]("sum_dl"), r.getAs[Long]("n_killed"),
+          r.getAs[Long]("dl_killed")),
         "lastBatch" -> batchId.toString,
         "conf/buckets" -> nb.toString,
         "conf/bloomCap" -> cap.toString) ++
@@ -318,17 +347,20 @@ object TextIndex {
       col(textCol).as("text") +:
       col(delCol).cast("boolean").as("deleted") +: as.map(col): _*).persist()
     try {
-      if (b.isEmpty) {
+      // prior live versions of the touched docs: probe only the
+      // batch's doc-hash buckets across committed segments. This
+      // collect doubles as the batch's EMPTINESS witness (no touched
+      // bucket ⟺ no row), so the idle-batch path costs no job of its
+      // own — it reuses the collect the non-empty path needs anyway.
+      val touched = b.select(bucketOf(col("doc_id"), nb).as("k"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq // <= nb
+      if (touched.isEmpty) {
         // watermark-only commit, like the append path: no empty segment
         SegmentStore.advanceWatermark(root, m, batchId)
         return
       }
       val tf = tfOf(b.where(!col("deleted")), "doc_id", "text", as).persist()
       try {
-        // prior live versions of the touched docs: probe only the
-        // batch's doc-hash buckets across committed segments
-        val touched = b.select(bucketOf(col("doc_id"), nb).as("k"))
-          .distinct().collect().map(_.getInt(0)).sorted.toSeq // <= nb
         val tmax = SegmentStore.tombMax(spark, root, segs, TombKind, touched)
         val killed = SegmentStore.liveRows(
             SegmentStore.readLeaves(spark, "doc_id LONG, dl LONG, sseq LONG",
@@ -503,12 +535,22 @@ object TextIndex {
         SegmentStore.writeBucketedSegment(root, outName,
           (livePost +: docRows +: tombRows).reduce(_ unionByName _),
           3 * outNb)
-        // the merged segment's term bloom — same live-postings plan the
-        // rewrite consumed (robust to a merge that leaves no live
-        // postings at all, where the kind=post partition never
-        // materializes)
-        writeTermBloom(root, outName, livePost, bloomCapOf(m),
-          knownEmpty = nDocs == 0L)
+        // the merged segment's term bloom, aggregated from the JUST-
+        // WRITTEN post leaves (one scan of the compact output — the
+        // stat.bloomFilter pass this replaces re-ran the whole
+        // multi-segment live plan, i.e. a second full read of every
+        // input segment plus the tombstone join). Robust to a merge
+        // that leaves no live postings (the kind=post partition never
+        // materializes → empty bloom).
+        val postLeaf = new java.io.File(root, s"$outName/data/kind=$PostKind")
+        val mergedBloom =
+          if (nDocs == 0L || !postLeaf.exists()) None
+          else Option(spark.read.schema("term STRING")
+            .option("recursiveFileLookup", "true")
+            .parquet(postLeaf.toString)
+            .agg(bloomAggCol(bloomCapOf(m)).as("bloom"))
+            .head().getAs[Array[Byte]]("bloom"))
+        writeTermBloom(root, outName, mergedBloom)
         // kill counters reset in the rewritten partial — equal by
         // invariant to a recount over the merged live docs; no scan job
         Map(s"seg/c$version" -> outName,
@@ -585,17 +627,20 @@ object TextIndex {
         s"query probe set exceeds $MaxQueryTerms (q_id, term) rows — " +
           "refusing the driver-side snapshot (probe sets are broadcast-" +
           "sized by contract; batch the queries instead)")
+    // LocalRelation, not an RDD: every broadcast of the probe set below
+    // then builds driver-side from in-memory rows — no scan job per
+    // broadcast (an RDD-backed probe frame cost one single-task job per
+    // consumer; a serving loop pays that per micro-batch)
     val qdf = spark.createDataFrame(
-      spark.sparkContext.parallelize(qrows.toSeq, 1), queries.select(
+      java.util.Arrays.asList(qrows: _*), queries.select(
         col("q_id"), col("term")).schema)
-    // bounded driver-side collect: the distinct (term, bucket) pairs of
-    // the snapshot (≤ MaxQueryTerms rows), buckets computed by the
-    // ENGINE's own hash — the same expression the segment writer
-    // bucketed by (the count comes from the manifest, so probe and
-    // writer can never disagree)
-    val termBuckets = qdf
-      .select(col("term"), bucketOf(col("term"), nb).as("b"))
-      .distinct().collect().map(r => (r.getString(0), r.getInt(1)))
+    // the distinct (term, bucket) pairs of the snapshot, bucketed
+    // DRIVER-side by the engine's own hash (catalyst Murmur3, the exact
+    // expression `hash()` plans — [[SegmentStore.bucketOfDriver]] — so
+    // probe and writer can never disagree; the count comes from the
+    // manifest). Replaces a per-probe single-partition distinct JOB.
+    val termBuckets = qrows.map(_.getString(1)).distinct
+      .map(t => (t, SegmentStore.bucketOfDriver(t, nb)))
     // per-segment bloom skip: a segment whose term bloom excludes every
     // query term is never listed (no false negatives ⇒ no lost hits);
     // within a kept segment only the surviving terms' buckets are read.

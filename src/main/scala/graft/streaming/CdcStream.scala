@@ -90,6 +90,16 @@ object CdcStream {
       val ss = p.newSession()
       ss.conf.set("spark.sql.shuffle.partitions", DrainStatePartitions.toString)
       ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", fl.toString)
+      // AQE re-plans after every materialized exchange, which turns each
+      // per-micro-batch fold into one Spark JOB PER QUERY STAGE — pure
+      // scheduling overhead at micro-batch sizes, where the drain session
+      // has already fixed its shuffle width to the state-store count
+      // (DrainStatePartitions) and there is nothing for AQE to coalesce
+      // or re-join. Off by default for DRAIN sessions only (batch queries
+      // keep the parent session's AQE); a deployment whose micro-batches
+      // are GB-sized re-enables it with the env override.
+      ss.conf.set("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_DRAIN_AQE", "false"))
       ss
     })
 
