@@ -22,11 +22,29 @@ object Tables {
     * every downstream aggregate in this codebase is order-independent by
     * the decimal-sum/integer-count ground rules. Streaming inputs pass
     * through untouched (micro-batch scans are planned per-batch). */
+  /** Spread a narrow scan across the session's cores. The testdata
+    * tables are single parquet files with one row group — an
+    * unsplittable 1-task scan — and a bare `repartition(p)` is NOT
+    * enough for filter-shaped consumers: the optimizer pushes
+    * deterministic filters THROUGH a round-robin exchange, so a heavy
+    * per-row gate (shingle ratios, char histograms) collapses back into
+    * the single-task scan stage and serializes the whole pipeline
+    * (measured: pipeline_curate spent 2.4 s of its 3.5 s in that one
+    * task). The lazy localCheckpoint is the barrier: the plan truncates
+    * at a LogicalRDD, nothing can be pushed below the fanout, and the
+    * one materialized scan is shared by every downstream branch (the
+    * curation capstones read the corpus 4×). Blocks are freed by the
+    * per-query unpersist both Bench and probes already run. At scale
+    * the input arrives as many splits and this whole branch is a no-op
+    * (partitions >= parallelism), so nothing here tunes FOR local mode
+    * — it only repairs the single-file degenerate case. */
   def fanout(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+      if (df.rdd.getNumPartitions < p)
+        df.repartition(p).localCheckpoint(false)
+      else df
     }
 
   /** `events.parquet`'s `ts` physical type has varied across testdata
