@@ -98,18 +98,34 @@ object AnnIndex {
     * committed generation stays fully readable. */
   private def trainInto(emb: DataFrame, root: java.io.File, conf: Conf,
       gen: Long, attrs: Seq[String] = Nil): Map[String, String] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val cached = emb.cache()
+    // the coarse quantizer and each PQ subspace train INDEPENDENTLY on
+    // the same cached corpus — run them as concurrent driver threads
+    // (guide §2.6: overlap independent jobs) so one model's k·d-cell
+    // update aggregate back-fills the cores another's collect leaves
+    // idle. Threads are created here, inside the caller's job
+    // group/description scope, so cancellation and UI labels inherit;
+    // the cache's block-level locks serialize the first materialization.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1 + conf.pqM)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val coarseAssigned =
+      val coarseF = Future {
         KMeansOp.fit(cached, "vec_id", "e", conf.coarseK, Iters).cache()
-      val coarseCents = KMeansOp.update(coarseAssigned, "e")
-      val subs = (0 until conf.pqM).map { m =>
-        val s = cached.select(col("vec_id"),
-          sub(col("e"), m, conf.subDim).as("se"))
-        val assigned = KMeansOp.fit(s, "vec_id", "se", conf.pqK, Iters)
-        (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")),
-          KMeansOp.update(assigned, "se"))
       }
+      val subFs = (0 until conf.pqM).map { m =>
+        Future {
+          val s = cached.select(col("vec_id"),
+            sub(col("e"), m, conf.subDim).as("se"))
+          val assigned = KMeansOp.fit(s, "vec_id", "se", conf.pqK, Iters)
+          (assigned.select(col("vec_id"), col("cluster_id").as(s"code$m")),
+            KMeansOp.update(assigned, "se"))
+        }
+      }
+      val coarseAssigned = Await.result(coarseF, Duration.Inf)
+      val coarseCents = KMeansOp.update(coarseAssigned, "e")
+      val subs = subFs.map(Await.result(_, Duration.Inf))
       // sseq = -1: the base build predates every CDC batch stamp (>= 0),
       // so any batch-0 tombstone already outranks the base version
       val codes0 = subs.map(_._1).reduce(_.join(_, "vec_id"))
@@ -121,10 +137,15 @@ object AnnIndex {
         else codes0.join(
           cached.select(col("vec_id") +: attrs.map(col): _*), "vec_id")
       val attrDdl = SnapshotManifest.renderAttrDdl(emb.schema, attrs)
-      coarseCents.coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(root, s"v$gen/coarse").toString)
-      subs.indices.foreach(m => subs(m)._2.coalesce(1).write.mode("overwrite")
-        .parquet(new java.io.File(root, s"v$gen/pq$m").toString))
+      // the three tiny codebook writes are independent of each other and
+      // of the codes write below — overlap them on the same pool
+      val writeFs = Future {
+        coarseCents.coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, s"v$gen/coarse").toString)
+      } +: subs.indices.map(m => Future {
+        subs(m)._2.coalesce(1).write.mode("overwrite")
+          .parquet(new java.io.File(root, s"v$gen/pq$m").toString)
+      })
       // one writer task per cell: file count stays O(cells), not
       // O(tasks × cells) — the 100 TB layout (same idiom as ReplicaSink).
       // Segments live as seg=<name> partitions of ONE two-level Hive
@@ -136,6 +157,7 @@ object AnnIndex {
       codes.repartition(conf.coarseK, col("cell"))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(new java.io.File(root, s"codes/seg=base$gen").toString)
+      writeFs.foreach(Await.result(_, Duration.Inf))
       coarseAssigned.unpersist(blocking = false)
       Map("coarse" -> s"v$gen/coarse",
         // the generation's TRAINED mass — the denominator of the
@@ -149,6 +171,7 @@ object AnnIndex {
         (if (attrs.isEmpty) Map.empty[String, String]
          else Map("conf/attrs" -> attrDdl))
     } finally {
+      pool.shutdown()
       cached.unpersist(blocking = false)
       ()
     }
@@ -251,21 +274,27 @@ object AnnIndex {
     val emb = batch.select(col("vec_id") +:
       transform(col("embedding"), x => x.cast("double")).as("e") +:
       attrsOf(m).map { case (n, _) => col(n) }: _*)
-    if (batch.isEmpty) {
-      // still advance the watermark: an empty committed batch must not
-      // be re-merged on replay either
-      SegmentStore.advanceWatermark(root, m, batchId)
-      return
-    }
     val encoded = encode(spark, root, m, emb).withColumn("sseq", lit(batchId))
     val seg = s"epoch_$batchId"
+    val codeDir = new java.io.File(root, s"codes/seg=$seg")
+    // write first; an EMPTY batch materializes no cell= partition, so
+    // the write's output doubles as the emptiness witness (the isEmpty
+    // probe this replaces cost a job on every non-empty batch) — the
+    // empty case still advances only the watermark, committing no
+    // segment that would grow probe listings
+    encoded.repartition(confOf(m).coarseK, col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(codeDir.toString)
+    val anyCodes = Option(codeDir.listFiles()).exists(_.exists(f =>
+      f.isDirectory && f.getName.startsWith("cell=")))
+    if (!anyCodes) {
+      SegmentStore.advanceWatermark(root, m, batchId)
+      graft.Fs.deleteRecursively(codeDir)
+      return
+    }
     SegmentStore.commitSnapshot(root, m, Seq("codes")) {
-      encoded.repartition(confOf(m).coarseK, col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
       Map(s"codes/$seg" -> s"codes/seg=$seg",
-        s"abytes/$seg" -> SegmentStore.dirBytes(
-          new java.io.File(root, s"codes/seg=$seg")).toString,
+        s"abytes/$seg" -> SegmentStore.dirBytes(codeDir).toString,
         "lastBatch" -> batchId.toString)
     }
     ()
@@ -295,40 +324,50 @@ object AnnIndex {
       col("deleted").cast("boolean").as("deleted") +:
       attrsOf(m).map { case (n, _) => col(n) }: _*).persist()
     try {
-      // one cached count pass decides both emptiness branches (the two
-      // isEmpty probes this replaces each cost a job per micro-batch)
-      val cnt = b.agg(count(lit(1)).as("n"),
-        count(when(!col("deleted"), lit(1))).as("nLive")).head()
-      if (cnt.getLong(0) == 0L) {
+      val seg = s"epoch_$batchId"
+      val tombDir = new java.io.File(root, s"tombs_$seg")
+      val codeDir = new java.io.File(root, s"codes/seg=$seg")
+      // emptiness is decided from the writes' OUTPUT (a zero-row write
+      // materializes no non-empty part/cell files), not by a count
+      // probe — the probe was one extra job on every non-empty
+      // micro-batch, the common case. Writes stage BEFORE the pointer
+      // swap like any segment data; an empty batch's leftover dir is
+      // removed immediately (otherwise an ordinary crash orphan).
+      b.select(col("vec_id")).withColumn("sseq", lit(batchId))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tombDir.toString)
+      val anyRows = Option(tombDir.listFiles()).exists(_.exists(f =>
+        f.getName.startsWith("part-") && f.length() > 0))
+      if (!anyRows) {
         SegmentStore.advanceWatermark(root, m, batchId)
+        graft.Fs.deleteRecursively(tombDir)
         return
       }
-      val seg = s"epoch_$batchId"
+      val live = b.where(!col("deleted")).select(col("vec_id") +:
+        transform(col("embedding"), x => x.cast("double")).as("e") +:
+        attrsOf(m).map { case (n, _) => col(n) }: _*)
+      encode(spark, root, m, live).withColumn("sseq", lit(batchId))
+        .repartition(confOf(m).coarseK, col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(codeDir.toString)
+      // a delete-only batch encodes no live row: no cell= partition
+      // materializes, the segment stays un-named by the manifest, and
+      // the leftover dir is removed after the swap
+      val anyCodes = Option(codeDir.listFiles()).exists(_.exists(f =>
+        f.isDirectory && f.getName.startsWith("cell=")))
       SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_")) {
-        b.select(col("vec_id")).withColumn("sseq", lit(batchId))
-          .coalesce(1)
-          .write.mode("overwrite")
-          .parquet(new java.io.File(root, s"tombs_$seg").toString)
-        val live = b.where(!col("deleted")).select(col("vec_id") +:
-          transform(col("embedding"), x => x.cast("double")).as("e") +:
-          attrsOf(m).map { case (n, _) => col(n) }: _*)
         val codeEntries =
-          if (cnt.getLong(1) == 0L) Map.empty[String, String] else {
-            encode(spark, root, m, live).withColumn("sseq", lit(batchId))
-              .repartition(confOf(m).coarseK, col("cell"))
-              .write.mode("overwrite").partitionBy("cell")
-              .parquet(new java.io.File(root, s"codes/seg=$seg").toString)
-            Map(s"codes/$seg" -> s"codes/seg=$seg")
-          }
+          if (anyCodes) Map(s"codes/$seg" -> s"codes/seg=$seg")
+          else Map.empty[String, String]
         // abytes: this batch's frozen-codebook mass (codes + tombstones
         // both count — deletes drift the fit too)
         Map(s"tombs/$seg" -> s"tombs_$seg",
-          s"abytes/$seg" -> (SegmentStore.dirBytes(
-            new java.io.File(root, s"codes/seg=$seg")) +
-            SegmentStore.dirBytes(
-              new java.io.File(root, s"tombs_$seg"))).toString,
+          s"abytes/$seg" -> (SegmentStore.dirBytes(codeDir) +
+            SegmentStore.dirBytes(tombDir)).toString,
           "lastBatch" -> batchId.toString) ++ codeEntries
       }
+      if (!anyCodes) graft.Fs.deleteRecursively(codeDir)
       ()
     } finally {
       b.unpersist(blocking = false)

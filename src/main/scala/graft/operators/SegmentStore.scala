@@ -299,12 +299,22 @@ object SegmentStore {
       .parquet(new java.io.File(root, s"$segName/data").toString)
 
   /** Shared append/apply driver for the bucketed artifacts: replay
-    * guard → persist the batch (it feeds both the emptiness probe and
-    * the row build) → empty-batch watermark-only commit → one bucketed
-    * segment write → pointer swap naming the segment, the watermark,
-    * the committed geometry, and the artifact's extra conf entries.
-    * `rows(state, nb, batch)` builds the superset rows (tombstone rows
-    * included on the CDC-apply path). */
+    * guard → persist the batch (its plan subtrees feed several branches
+    * of the single row build) → one bucketed segment write → pointer
+    * swap naming the segment, the watermark, the committed geometry,
+    * and the artifact's extra conf entries. `rows(state, nb, batch)`
+    * builds the superset rows (tombstone rows included on the CDC-apply
+    * path).
+    *
+    * Emptiness is decided FROM THE WRITE's output (a zero-row
+    * partitioned write materializes no `kind=` dirs), not by a separate
+    * `isEmpty` probe — the probe was one extra job on every non-empty
+    * micro-batch, i.e. the common case, while the empty case (an idle
+    * micro-batch) pays one cheap empty write instead and still commits
+    * only the watermark, leaving no segment to grow probe listings. The
+    * write runs BEFORE the pointer swap like any staged data — an empty
+    * result's leftover dir is removed immediately (and would otherwise
+    * be an ordinary crash orphan for the next commit's gc). */
   def foldBucketedBatch(dir: String, defaultBuckets: Int,
       batch: DataFrame, batchId: Long,
       extraConf: SnapshotManifest.State => Map[String, String] =
@@ -317,17 +327,20 @@ object SegmentStore {
              else bucketsOf(m, defaultBuckets)
     val b = batch.persist()
     try {
-      if (b.isEmpty) {
+      val segName = s"epoch_$batchId"
+      val dataDir = new java.io.File(root, s"$segName/data")
+      writeBucketedSegment(root, segName, rows(m, nb, b), 2 * nb)
+      val wroteRows = Option(dataDir.listFiles())
+        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("kind=")))
+      if (!wroteRows) {
         advanceWatermark(root, m, batchId)
+        graft.Fs.deleteRecursively(new java.io.File(root, segName))
         return
       }
-      val segName = s"epoch_$batchId"
       commitSnapshot(root, m, Seq("epoch_")) {
-        writeBucketedSegment(root, segName, rows(m, nb, b), 2 * nb)
         extraConf(m) + ("conf/buckets" -> nb.toString) +
           (s"seg/e$batchId" -> segName) +
-          (s"bytes/$segName" ->
-            dirBytes(new java.io.File(root, s"$segName/data")).toString) +
+          (s"bytes/$segName" -> dirBytes(dataDir).toString) +
           ("lastBatch" -> batchId.toString)
       }
       ()

@@ -214,7 +214,7 @@ object TextIndex {
   private def commitSegment(root: java.io.File,
       m: SnapshotManifest.State, nb: Int, cap: Long, batchId: Long,
       tf: DataFrame, attrs: Seq[String],
-      killed: Option[DataFrame]): Unit = {
+      killed: Option[DataFrame]): Boolean = {
     val seg = s"epoch_$batchId"
     val nullS = lit(null).cast("string")
     val nullL = lit(null).cast("long")
@@ -242,32 +242,40 @@ object TextIndex {
       bucketOf(col("doc_id"), nb).as("bucket") +: col("doc_id") +:
       nullS.as("term") +: nullL.as("tf") +: nullL.as("dl") +:
       lit(batchId).as("sseq") +: nullAttrs: _*))
+    // the segment's ADDITIVE stats partial (docs added AND versions
+    // killed, so corpus-global n_docs/avgdl stay a manifest fold even
+    // under deletes) AND the term-bloom sketch, in ONE one-row
+    // aggregate over the cached docs/tf pair. The bloom MUST NOT
+    // share an aggregation with a distinct aggregate (countDistinct
+    // rewrites into a group-by-key first phase, which would allocate
+    // one ~120 KB bloom buffer PER DOC — measured 15× slower), so
+    // n_docs/sum_dl fold over the doc-level frame and the bloom
+    // rides the same row via a 1×1 crossJoin: both inputs are one-row
+    // aggregates of cached frames, one job total. Running it FIRST also
+    // makes it the append path's emptiness witness (n_docs == 0 with
+    // nothing killed ⟺ nothing to index), so appendBatch needs no
+    // isEmpty probe of its own.
+    val addStats = docs.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .crossJoin(tf.agg(bloomAggCol(cap).as("bloom")))
+    val st = killed match {
+      case None => addStats
+        .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
+      case Some(kv) => addStats.crossJoin(kv
+        .agg(count(lit(1)).as("n_killed"),
+          coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
+    }
+    val r = st.head()
+    if (r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_killed") == 0L) {
+      // watermark-only commit: no empty segment may grow probe listings
+      SegmentStore.advanceWatermark(root, m, batchId)
+      return false
+    }
     SegmentStore.commitSnapshot(root, m, Seq("epoch_")) {
       // one task per (kind, bucket): file count stays O(buckets), not
       // O(tasks x buckets)
       SegmentStore.writeBucketedSegment(root, seg,
         (posts +: docRows +: tombRows).reduce(_ unionByName _), 3 * nb)
-      // the segment's ADDITIVE stats partial (docs added AND versions
-      // killed, so corpus-global n_docs/avgdl stay a manifest fold even
-      // under deletes) AND the term-bloom sketch, in ONE one-row
-      // aggregate over the cached docs/tf pair. The bloom MUST NOT
-      // share an aggregation with a distinct aggregate (countDistinct
-      // rewrites into a group-by-key first phase, which would allocate
-      // one ~120 KB bloom buffer PER DOC — measured 15× slower), so
-      // n_docs/sum_dl fold over the doc-level frame and the bloom
-      // rides the same row via a 1×1 crossJoin: both inputs are one-row
-      // aggregates of cached frames, one job total.
-      val addStats = docs.agg(count(lit(1)).as("n_docs"),
-        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
-        .crossJoin(tf.agg(bloomAggCol(cap).as("bloom")))
-      val st = killed match {
-        case None => addStats
-          .withColumn("n_killed", lit(0L)).withColumn("dl_killed", lit(0L))
-        case Some(kv) => addStats.crossJoin(kv
-          .agg(count(lit(1)).as("n_killed"),
-            coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
-      }
-      val r = st.head()
       // a zero-row tf (delete-only batch / empty merge) aggregates to a
       // null bloom — written as the empty sketch that excludes all terms
       writeTermBloom(root, seg,
@@ -283,7 +291,7 @@ object TextIndex {
          else Map("conf/attrs" ->
            SnapshotManifest.renderAttrDdl(tf.schema, attrs)))
     }
-    ()
+    true
   }
 
   /** foreachBatch body: index one micro-batch of (doc_id, text) docs as
@@ -300,18 +308,13 @@ object TextIndex {
     val root = new java.io.File(dir)
     val m = SnapshotManifest.read(root)
     if (SegmentStore.replayed(m, batchId)) return
-    if (batch.isEmpty) {
-      // advance only the watermark: committing an empty segment per
-      // idle micro-batch would grow segments(m) — and with it every
-      // probe's listing — without bound (the shared contract)
-      SegmentStore.advanceWatermark(root, m, batchId)
-      return
-    }
     val nb = if (m.version == 0L) buckets else bucketsOf(m)
     val as = if (m.version == 0L) attrs else attrsOf(m).map(_._1)
     val cap = if (m.version == 0L) bloomCap else bloomCapOf(m)
+    // no isEmpty probe: commitSegment's stats aggregate doubles as the
+    // emptiness witness (an idle batch advances only the watermark)
     val tf = tfOf(batch, idCol, textCol, as).persist()
-    try commitSegment(root, m, nb, cap, batchId, tf, as, None)
+    try { commitSegment(root, m, nb, cap, batchId, tf, as, None); () }
     finally { tf.unpersist(blocking = false); () }
   }
 
@@ -367,7 +370,7 @@ object TextIndex {
               SegmentStore.leafPaths(root, segs, DocKind, touched)), tmax)
           .join(b.select(col("doc_id")).distinct(), "doc_id")
           .select(col("doc_id"), col("dl")).persist()
-        try commitSegment(root, m, nb, cap, batchId, tf, as, Some(killed))
+        try { commitSegment(root, m, nb, cap, batchId, tf, as, Some(killed)); () }
         finally { killed.unpersist(blocking = false); () }
       } finally {
         tf.unpersist(blocking = false)
@@ -680,20 +683,22 @@ object TextIndex {
         "doc_id LONG, term STRING, tf LONG, dl LONG, sseq LONG" +
           attrsOf(m).map { case (n, t) => s", $n $t" }.mkString),
       segs, nb)
-    // df from the SAME bucket reads the scoring join needs anyway: a
-    // term's postings live entirely inside its hash bucket, so this
-    // count sees every row of each query term — no stored partial.
-    // df is computed over the UNfiltered postings: an attribute filter
+    // df from the SAME rows the scoring join reads — ONE postings scan:
+    // a term's postings live entirely inside its hash bucket, so the
+    // probe join's rows for a (q_id, term) pair are exactly the term's
+    // df rows, and a per-(q_id, term) window count IS df. The separate
+    // dfreq aggregate this replaces re-scanned every probed bucket a
+    // second time (two multi-path small-file reads per retrieval).
+    // df is computed BEFORE the attribute/self filters: a filter
     // restricts candidates, never the corpus statistics (the batch
-    // tier's bm25Retrieve(allowed=…) contract).
-    val dfreq = postings
-      .join(broadcast(qdf.select(col("term")).distinct()), "term")
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val joined = filter.foldLeft(postings)(_ where _)
-      .join(broadcast(qdf), "term")
-    val hits = (if (excludeSelf) joined.where(col("doc_id") =!= col("q_id"))
-                else joined)
-      .join(broadcast(dfreq), "term")
+    // tier's bm25Retrieve(allowed=…) contract), so the window runs on
+    // the unfiltered join and the filters apply after.
+    val wdf = Window.partitionBy(col("q_id"), col("term"))
+    val joined = postings.join(broadcast(qdf), "term")
+      .withColumn("df", count(lit(1)).over(wdf))
+    val filtered = filter.foldLeft(joined)(_ where _)
+    val hits = (if (excludeSelf) filtered.where(col("doc_id") =!= col("q_id"))
+                else filtered)
       .withColumn("score", TextAnalysis.bm25Score(col("tf"), col("dl"),
         col("df"), lit(nDocs), lit(avgdl), k1, b))
       .groupBy(col("q_id"), col("doc_id"))

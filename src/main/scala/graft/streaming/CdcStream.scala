@@ -1259,11 +1259,14 @@ object CdcStream {
     drainInto(streamOf(changed, "clone_cdc_tail", sfDir),
       cloneDir.toString,
       dir => (batch, id) => TextIndex.applyBatch(dir)(batch, id + 3))
+    // persist: BOTH sides' retrievals snapshot this probe set (each
+    // retrieve runs one driver-side take over it) — cached, the second
+    // snapshot reads blocks instead of re-scanning documents
     val qs = Tables.table(ss, sfDir, "documents")
       .where(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("q_id"),
         explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+      .distinct().persist()
     TextIndex.retrieve(ss, srcDir, qs, k = 5)
       .withColumn("side", lit("src"))
       .unionByName(TextIndex.retrieve(ss, cloneDir.toString, qs, k = 5)
