@@ -105,6 +105,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // probes list manifest-named segment dirs (a few files each);
+      // beyond the default 32 paths Spark launches a distributed LISTING
+      // job per read (~0.1-0.15 s each on this suite) — driver-side
+      // listing of O(100) local dirs is microseconds. Env-overridable:
+      // an object-store deployment with thousands of paths lowers it.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_LIST_PARALLEL_THRESHOLD", "1024"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -290,13 +290,22 @@ object SegmentStore {
   }
 
   /** ONE partitioned write of a segment's superset rows under the
-    * shared `kind=<k>/bucket=<hash>` leaf layout — `parts` tasks so the
-    * file count stays O(kinds × buckets), not O(tasks × buckets). */
+    * shared `kind=<k>/bucket=<hash>` leaf layout. Hash-partitioning on
+    * (kind, bucket) sends each leaf's rows to exactly ONE task
+    * regardless of the task count, so the file count is O(kinds ×
+    * buckets) for ANY `parts` — the task count only sets write
+    * PARALLELISM, and is therefore capped at 4 × the session's cores: a
+    * rotated geometry (hundreds of buckets) otherwise launched one tiny
+    * task per (kind, bucket) (measured: a 79-bucket rotation write ran
+    * 296 tasks for a corpus that fills 32), pure scheduling overhead at
+    * any scale where buckets ≫ cores. */
   def writeBucketedSegment(root: java.io.File, segName: String,
-      rows: DataFrame, parts: Int): Unit =
-    rows.repartition(parts, col("kind"), col("bucket"))
+      rows: DataFrame, parts: Int): Unit = {
+    val cap = 4 * rows.sparkSession.sparkContext.defaultParallelism
+    rows.repartition(math.min(parts, cap), col("kind"), col("bucket"))
       .write.mode("overwrite").partitionBy("kind", "bucket")
       .parquet(new java.io.File(root, s"$segName/data").toString)
+  }
 
   /** Shared append/apply driver for the bucketed artifacts: replay
     * guard → persist the batch (its plan subtrees feed several branches
