@@ -398,11 +398,20 @@ object Bench {
     val results = (
       if (subset.nonEmpty) (prior ++ merged.toMap).toSeq else merged
     ).sortBy(_._1)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Render timings at millisecond precision (round-11 verdict item 2):
+    // sub-ms digits are below this harness's measurement noise and they
+    // doubled the contract line (~15 KB for 282 queries). Even rounded,
+    // the line is ~7.4 KB — measured against the driver's bounded
+    // combined-output tail (every BENCH_r*.json `tail` is exactly 2000
+    // chars), a 282-entry line can NEVER fit it, so a compact stderr
+    // summary (total + failed count) is emitted AFTER the line below:
+    // the tail then always carries the suite total and the failure
+    // count even though the per-query map's head is truncated.
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = r3(results.map(_._2).sum)
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
     // also persist to a file: the driver's log capture keeps only the tail
     // of stdout, which truncated the first queries' timings in round 2
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
@@ -460,6 +469,16 @@ object Bench {
     failed.foreach { n => failNode.add(n); () }
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_meta.json"),
       (meta.toString + "\n").getBytes("UTF-8"))
+    // The contract JSON line is the process's LAST stdout write — all
+    // stderr reporting above it — so a bounded log tail keeps the line's
+    // END (round-11 verdict item 2: the gate line used to interleave
+    // after it and eat tail budget). The one line that follows goes to
+    // STDERR: the compact human/driver-tail fallback, deliberately not
+    // JSON so nothing can mistake it for the contract line.
+    println(line)
+    System.out.flush()
+    System.err.println(f"[bench] total ${total}%.3fs over ${results.size} " +
+      s"queries, ${failed.size} failed, sf=$sfDir")
     spark.stop()
   }
 }

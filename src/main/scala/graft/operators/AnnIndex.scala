@@ -85,6 +85,43 @@ object AnnIndex {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
+  /** The suite's STANDARD query-vector set — every hundredth embedding
+    * as (q_id, qe) in double space — memoized per (process, sfDir) and
+    * served as a LocalRelation: the vector twin of
+    * [[graft.sources.Tables.textProbeSet]]. Every serve-family query
+    * and ANN drain tail re-derived it from the embeddings parquet, and
+    * each of its ~4 appearances in a serving plan (routing crossJoin,
+    * one ADC table per subspace, the rerank join) was a separate scan
+    * subtree. Doubles collect exactly (no re-serialization loss), so
+    * every downstream distance/argmin is bit-identical. Query sets are
+    * broadcast-sized by the serving contract — enforced here with the
+    * text tier's bound.
+    *
+    * ==Not for [[serve]]/[[shortlistAtWatermark]] callers==
+    * The codes scan's DYNAMIC PARTITION PRUNING requires a selective
+    * filter on the query side of the routing join — a LocalRelation
+    * carries none, so serving through this loses the cell-level file
+    * skip (measured: PqPlanSpec's dynamicpruning pin fails). Brute-
+    * force/recall tiers (no partitioned artifact scan) are the intended
+    * consumers; serve paths keep the filtered embeddings scan. */
+  private val stdQuerySets = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  def stdQuerySet(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = stdQuerySets.computeIfAbsent(sfDir, _ => {
+      val r = embeddings(spark, sfDir)
+        .where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+        .take(TextIndex.MaxQueryTerms + 1)
+      require(r.length <= TextIndex.MaxQueryTerms,
+        "standard query set exceeds the broadcast-size contract")
+      r
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "q_id BIGINT, qe ARRAY<DOUBLE>"))
+  }
+
   private def sub(embCol: org.apache.spark.sql.Column, m: Int,
       subDim: Int = SubDim) =
     slice(embCol, m * subDim + 1, subDim)
@@ -285,8 +322,7 @@ object AnnIndex {
     encoded.repartition(confOf(m).coarseK, col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(codeDir.toString)
-    val anyCodes = Option(codeDir.listFiles()).exists(_.exists(f =>
-      f.isDirectory && f.getName.startsWith("cell=")))
+    val anyCodes = SegmentStore.stagedNonEmpty(codeDir, "cell=")
     if (!anyCodes) {
       SegmentStore.advanceWatermark(root, m, batchId)
       graft.Fs.deleteRecursively(codeDir)
@@ -333,29 +369,46 @@ object AnnIndex {
       // micro-batch, the common case. Writes stage BEFORE the pointer
       // swap like any segment data; an empty batch's leftover dir is
       // removed immediately (otherwise an ordinary crash orphan).
-      b.select(col("vec_id")).withColumn("sseq", lit(batchId))
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(tombDir.toString)
-      val anyRows = Option(tombDir.listFiles()).exists(_.exists(f =>
-        f.getName.startsWith("part-") && f.length() > 0))
-      if (!anyRows) {
+      // The tombstone write and the frozen-codebook encode+codes write
+      // are INDEPENDENT jobs over the same persisted batch, so they run
+      // CONCURRENTLY (guide §2.6) — the 1-task tombstone write otherwise
+      // serializes ahead of the codes write on every micro-batch. Pool
+      // created inside the caller's job group (cancellation/labels
+      // inherit, the trainInto idiom).
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      try {
+        val tombF = scala.concurrent.Future {
+          b.select(col("vec_id")).withColumn("sseq", lit(batchId))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tombDir.toString)
+        }(scala.concurrent.ExecutionContext.fromExecutor(pool))
+        val live = b.where(!col("deleted")).select(col("vec_id") +:
+          transform(col("embedding"), x => x.cast("double")).as("e") +:
+          attrsOf(m).map { case (n, _) => col(n) }: _*)
+        encode(spark, root, m, live).withColumn("sseq", lit(batchId))
+          .repartition(confOf(m).coarseK, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(codeDir.toString)
+        scala.concurrent.Await.result(tombF,
+          scala.concurrent.duration.Duration.Inf)
+      } finally { pool.shutdown() }
+      // footer-rowcount witness (SegmentStore.stagedHasRows): this is
+      // the one NON-partitioned staged write on a commit path, and a
+      // zero-row coalesce(1) still leaves a schema-only part- file —
+      // a presence/length check would commit a tombstone segment per
+      // idle micro-batch (unbounded listing growth + spurious
+      // maybeCompact rewrites on an idle CDC drain; round-11 advice)
+      if (!SegmentStore.stagedHasRows(tombDir)) {
         SegmentStore.advanceWatermark(root, m, batchId)
         graft.Fs.deleteRecursively(tombDir)
+        graft.Fs.deleteRecursively(codeDir)
         return
       }
-      val live = b.where(!col("deleted")).select(col("vec_id") +:
-        transform(col("embedding"), x => x.cast("double")).as("e") +:
-        attrsOf(m).map { case (n, _) => col(n) }: _*)
-      encode(spark, root, m, live).withColumn("sseq", lit(batchId))
-        .repartition(confOf(m).coarseK, col("cell"))
-        .write.mode("overwrite").partitionBy("cell")
-        .parquet(codeDir.toString)
       // a delete-only batch encodes no live row: no cell= partition
       // materializes, the segment stays un-named by the manifest, and
       // the leftover dir is removed after the swap
-      val anyCodes = Option(codeDir.listFiles()).exists(_.exists(f =>
-        f.isDirectory && f.getName.startsWith("cell=")))
+      val anyCodes = SegmentStore.stagedNonEmpty(codeDir, "cell=")
       SegmentStore.commitSnapshot(root, m, Seq("codes", "tombs_")) {
         val codeEntries =
           if (anyCodes) Map(s"codes/$seg" -> s"codes/seg=$seg")

@@ -78,6 +78,45 @@ object SegmentStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(schema))
 
+  // ------------- staged-write emptiness witnesses (round-11 items) -------------
+  // The write-first commit paths decide batch emptiness FROM the staged
+  // write's own output instead of running a probe job per micro-batch.
+  // Both witnesses below assume LIST-AFTER-WRITE consistency: the staged
+  // dir is listed immediately after the write that created it, which a
+  // local/HDFS filesystem guarantees and object stores now provide
+  // (S3 is strongly consistent since 2020); a deployment on an
+  // eventually-consistent store must swap these for the write job's own
+  // task metrics (numOutputRows) — one seam, here, instead of three
+  // inline idioms (round-11 verdict item 8).
+
+  /** Witness for a DYNAMIC-PARTITIONED staged write (partitionBy(...)):
+    * a zero-row write materializes no partition dirs at all, so "any
+    * child dir named `<partitionPrefix>…` exists" ⟺ the batch had rows.
+    * Works because Spark's dynamic partition writer opens a file only
+    * when a row for that partition value arrives. */
+  def stagedNonEmpty(dir: java.io.File, partitionPrefix: String): Boolean =
+    Option(dir.listFiles()).exists(_.exists(f =>
+      f.isDirectory && f.getName.startsWith(partitionPrefix)))
+
+  /** Witness for a NON-partitioned staged write (e.g. coalesce(1)):
+    * presence/size of part- files is NOT a row witness here — partition
+    * 0's SingleDirectoryDataWriter opens its file eagerly in its
+    * constructor, so a zero-row write still leaves one schema-only
+    * part- file with length > 0 (round-11 advice: the length>0 check
+    * never fired and every idle batch committed a tombstone segment).
+    * Instead read the just-written footers' row counts driver-side — a
+    * parquet footer is O(KB) of metadata, no Spark job. */
+  def stagedHasRows(dir: java.io.File): Boolean =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-") && f.length() > 0)
+      .exists { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.toURI),
+          new org.apache.hadoop.conf.Configuration())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount > 0 finally r.close()
+      }
+
   /** Existing leaf dirs of one kind across segments × buckets — the
     * listing-level pruning enumeration (callers pass only the buckets
     * their probe hashes into). */
@@ -339,8 +378,7 @@ object SegmentStore {
       val segName = s"epoch_$batchId"
       val dataDir = new java.io.File(root, s"$segName/data")
       writeBucketedSegment(root, segName, rows(m, nb, b), 2 * nb)
-      val wroteRows = Option(dataDir.listFiles())
-        .exists(_.exists(f => f.isDirectory && f.getName.startsWith("kind=")))
+      val wroteRows = stagedNonEmpty(dataDir, "kind=")
       if (!wroteRows) {
         advanceWatermark(root, m, batchId)
         graft.Fs.deleteRecursively(new java.io.File(root, segName))

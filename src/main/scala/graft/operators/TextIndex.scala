@@ -158,6 +158,23 @@ object TextIndex {
     import org.apache.spark.sql.catalyst.expressions.Literal
     val numBits = // BloomFilter.optimalNumOfBits(cap, BloomFpp)
       math.ceil(-cap * math.log(BloomFpp) / (math.log(2) * math.log(2))).toLong
+    // BloomFilterAggregate SILENTLY clamps its arguments to the session's
+    // runtime-bloom-filter limits (defaults: 4M items / 64M bits) — a
+    // deployment raising conf/bloomCap past them would get a higher-FPP
+    // sidecar than requested (answers stay correct — no false negatives
+    // — but segment skipping silently degrades). Fail loudly instead
+    // (round-11 advice); the fix is raising the session limits alongside
+    // the cap.
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = sqlConf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = sqlConf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    require(cap <= maxItems && numBits <= maxBits,
+      s"bloomCap $cap (→ $numBits bits) exceeds the session's runtime " +
+        s"bloom-filter limits ($maxItems items / $maxBits bits) — " +
+        "BloomFilterAggregate would silently clamp; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.{maxNumItems,maxNumBits}")
     GraftPlanBridge.column(
       new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(
@@ -265,17 +282,36 @@ object TextIndex {
         .agg(count(lit(1)).as("n_killed"),
           coalesce(sum(col("dl")), lit(0L)).as("dl_killed")))
     }
-    val r = st.head()
+    // The stats aggregate and the segment write are INDEPENDENT jobs
+    // over the same cached tf/batch frames (the write needs no stat;
+    // the bloom sidecar and manifest entries need only the stats row),
+    // so they run CONCURRENTLY (guide §2.6 — overlap independent jobs:
+    // the one-row aggregate back-fills cores the write's task tail
+    // leaves idle). The pool is created here, inside the caller's job
+    // group, so watchdog cancellation and UI labels inherit. Staging
+    // the write before the emptiness verdict is the established
+    // write-first trade (round-11 T7): an idle batch now pays one
+    // cheap empty write — removed below like any crash orphan — and
+    // every non-empty batch (the common case) saves the serialized
+    // stats job.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val writeF = scala.concurrent.Future {
+      SegmentStore.writeBucketedSegment(root, seg,
+        (posts +: docRows +: tombRows).reduce(_ unionByName _), 3 * nb)
+    }(scala.concurrent.ExecutionContext.fromExecutor(pool))
+    val r = try {
+      val row = st.head()
+      scala.concurrent.Await.result(writeF,
+        scala.concurrent.duration.Duration.Inf)
+      row
+    } finally { pool.shutdown() }
     if (r.getAs[Long]("n_docs") == 0L && r.getAs[Long]("n_killed") == 0L) {
       // watermark-only commit: no empty segment may grow probe listings
       SegmentStore.advanceWatermark(root, m, batchId)
+      graft.Fs.deleteRecursively(new java.io.File(root, seg))
       return false
     }
     SegmentStore.commitSnapshot(root, m, Seq("epoch_")) {
-      // one task per (kind, bucket): file count stays O(buckets), not
-      // O(tasks x buckets)
-      SegmentStore.writeBucketedSegment(root, seg,
-        (posts +: docRows +: tombRows).reduce(_ unionByName _), 3 * nb)
       // a zero-row tf (delete-only batch / empty merge) aggregates to a
       // null bloom — written as the empty sketch that excludes all terms
       writeTermBloom(root, seg,

@@ -714,8 +714,7 @@ object CurationQueries {
           col("cluster_id").as(s"code$m")), cents)
       }
       val codes = subs(0)._1.join(subs(1)._1, "vec_id")
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
       val dts = Seq(0, 1).map { m =>
         queries.crossJoin(broadcast(subs(m)._2))
           .select(col("q_id"), col("cluster_id").as(s"code$m"),
@@ -817,8 +816,7 @@ object CurationQueries {
       // inverted lists: every vector's PQ codes tagged with its cell
       val codes = subs(0)._1.join(subs(1)._1, "vec_id")
         .join(coarse.select(col("vec_id"), col("cluster_id").as("cell")), "vec_id")
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
       // nprobe=2 routing against the trained coarse centroids
       val wr = Window.partitionBy(col("q_id"))
         .orderBy(col("cdist"), col("cell"))
@@ -988,10 +986,7 @@ object CurationQueries {
       import org.apache.spark.sql.expressions.Window
       val textIdx = graft.operators.TextIndex.builtIndexDir(s, dir)
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       val lex = graft.operators.TextIndex
         .retrieve(s, textIdx, qs, k = 10, excludeSelf = true)
         .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
@@ -1035,10 +1030,7 @@ object CurationQueries {
       val textIdx = graft.operators.TextIndex.cdcAppliedIndexDir(s, dir)
       val annIdx = graft.operators.AnnIndex.cdcAppliedIndexDir(s, dir)
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       val lex = graft.operators.TextIndex
         .retrieve(s, textIdx, qs, k = 10, excludeSelf = true)
         .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))

@@ -550,10 +550,7 @@ object ExtensionQueries {
     // (term -> postings) view, so only matched postings shuffle
     "text_retrieval_bm25" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5)
         .orderBy("q_id", "rnk")
     }),
@@ -566,10 +563,7 @@ object ExtensionQueries {
     // already bounded by the query probe.
     "text_retrieval_filtered" -> ((s, dir) => {
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text", k = 5,
           allowed = Some(docs.where(col("lang") === "en")))
         .orderBy("q_id", "rnk")
@@ -586,10 +580,7 @@ object ExtensionQueries {
     "text_retrieval_filtered_served" -> ((s, dir) => {
       val idx = graft.operators.TextIndex.builtIndexDir(s, dir)
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       graft.operators.TextIndex.retrieve(s, idx, qs, k = 5,
           filter = Some(col("lang") === "en"))
         .orderBy("q_id", "rnk")
@@ -605,10 +596,7 @@ object ExtensionQueries {
     "text_retrieval_rebucket" -> ((s, dir) => {
       val idx = graft.operators.TextIndex.rebucketedIndexDir(s, dir)
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       graft.operators.TextIndex.retrieve(s, idx, qs, k = 5)
         .orderBy("q_id", "rnk")
     }),
@@ -624,10 +612,7 @@ object ExtensionQueries {
     "text_retrieval_asof" -> ((s, dir) => {
       val idx = graft.operators.TextIndex.cdcAppliedIndexDir(s, dir)
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       graft.operators.TextIndex.retrieveAt(s, idx, 1L, qs, k = 5)
         .getOrElse(throw new IllegalStateException(
           "pre-apply version aged out of retention"))
@@ -647,10 +632,7 @@ object ExtensionQueries {
     "rag_context_pack" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       val idx = graft.operators.TextIndex.builtIndexDir(s, dir)
       val hits = graft.operators.TextIndex.retrieve(s, idx, qs, k = 5)
         .select(col("q_id"), col("rnk"), col("doc_id"))
@@ -1100,17 +1082,14 @@ object ExtensionQueries {
     "text_retrieval_hybrid" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.table(s, dir, "documents")
-      val qs = docs.where(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("q_id"),
-          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-        .distinct()
+      val qs = Tables.textProbeSet(s, dir)
       val lex = TextAnalysis.bm25Retrieve(docs, qs, "doc_id", "text",
           k = 10, excludeSelf = true)
         .select(col("q_id"), col("doc_id"), col("rnk").as("lex_rnk"))
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
+        .select(col("q_id"), col("qe").as("q_emb"))
       val sem = Similarity.bruteForceTopK(queries, emb, 10)
         .select(col("q_id"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
@@ -1121,8 +1100,8 @@ object ExtensionQueries {
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
+        .select(col("q_id"), col("qe").as("q_emb"))
       Similarity.bruteForceTopK(queries, emb, 5)
         .orderBy("q_id", "rnk")
     }),
@@ -1132,8 +1111,8 @@ object ExtensionQueries {
     "ann_cosine_topk_native" -> ((s, dir) => {
       val emb = Tables.table(s, dir, "embeddings").select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
+        .select(col("q_id"), col("qe").as("q_emb"))
       Similarity.bruteForceTopK(queries, emb, 5,
           graft.expressions.CosineSimilarity.cosineSim(s))
         .orderBy("q_id", "rnk")
@@ -1170,8 +1149,8 @@ object ExtensionQueries {
       val src = Tables.table(s, dir, "embeddings")
       val emb = src.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
-      val queries = emb.where(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val queries = graft.operators.AnnIndex.stdQuerySet(s, dir)
+        .select(col("q_id"), col("qe").as("q_emb"))
       val short = Similarity.bruteForceTopK(queries, emb, 20)
       val labeled = src.select(col("vec_id"), col("label"))
         .join(broadcast(short), "vec_id")

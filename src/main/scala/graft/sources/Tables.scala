@@ -37,7 +37,22 @@ object Tables {
     * per-query unpersist both Bench and probes already run. At scale
     * the input arrives as many splits and this whole branch is a no-op
     * (partitions >= parallelism), so nothing here tunes FOR local mode
-    * — it only repairs the single-file degenerate case. */
+    * — it only repairs the single-file degenerate case.
+    *
+    * ==Fault-tolerance caveat (round-11 advice)==
+    * localCheckpoint TRUNCATES lineage: the checkpointed blocks are not
+    * recomputable, so on a CLUSTER an executor loss (or an external
+    * unpersist while a derived frame is still live) fails re-execution
+    * instead of recomputing. Two things bound the exposure: (a) the
+    * branch only activates when the scan has fewer splits than
+    * defaultParallelism — on a cluster that means a near-empty or
+    * single-unsplittable-file input, where a retry-from-scratch is
+    * cheap; (b) no long-lived/memoized DataFrame in this codebase
+    * retains a fanout result across the per-query unpersist boundary
+    * (the memoized artifacts cache paths/rows/timestamps, never plans).
+    * A deployment that cannot accept either swaps this for a staged
+    * write+read-back of the repartitioned scan — same barrier,
+    * recomputable. */
   def fanout(df: DataFrame): DataFrame =
     if (df.isStreaming) df
     else {
@@ -46,6 +61,38 @@ object Tables {
         df.repartition(p).localCheckpoint(false)
       else df
     }
+
+  /** The suite's STANDARD text-retrieval probe set — every hundredth
+    * document's first three terms, distinct — MEMOIZED per (process,
+    * sfDir) as driver-side rows and served as a LocalRelation (the
+    * round-3 leftJoinBounds / round-11 codebook-memo idiom: a pure
+    * function of the immutable testdata, collected once per process).
+    * Before this, every retrieval tail re-derived it — one
+    * scan+explode+distinct+take JOB per retrieval call, ~15 batch call
+    * sites plus every drain's serving tail. The set is probe-sized by
+    * contract (TextIndex.MaxQueryTerms bounds the same snapshot
+    * downstream); the take here enforces the same bound loudly. Row SET
+    * is identical to the inline expression (distinct is unordered;
+    * every consumer treats it as a set), so answers are unchanged. */
+  private val textProbeSets = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[org.apache.spark.sql.Row]]()
+
+  def textProbeSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = textProbeSets.computeIfAbsent(sfDir, _ => {
+      val r = table(spark, sfDir, "documents")
+        .where(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("q_id"),
+          explode(slice(split(col("text"), " "), 1, 3)).as("term"))
+        .distinct()
+        .take(graft.operators.TextIndex.MaxQueryTerms + 1)
+      require(r.length <= graft.operators.TextIndex.MaxQueryTerms,
+        "standard probe set exceeds MaxQueryTerms — batch the queries")
+      r
+    })
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "q_id BIGINT, term STRING"))
+  }
 
   /** `events.parquet`'s `ts` physical type has varied across testdata
     * generations: TIMESTAMP(NANOS) — which Spark's parquet reader only

@@ -100,6 +100,14 @@ object CdcStream {
       // are GB-sized re-enables it with the env override.
       ss.conf.set("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_DRAIN_AQE", "false"))
+      // deployment hook: extra drain-session confs (k=v;k=v) — the knob
+      // the round-12 streaming-floor experiments measure through, and
+      // the place a deployment tunes micro-batch behavior (state-store
+      // provider, log retention) without touching batch sessions
+      sys.env.get("SPARK_GRAFT_DRAIN_CONF").foreach(_.split(";").foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        ss.conf.set(k.trim, v.trim)
+      })
       ss
     })
 
@@ -1158,11 +1166,7 @@ object CdcStream {
     val stream = streamOf(docs, "text_docs", sfDir, maxFilesPerTrigger = Some(3))
     val idxDir = drainToStateDir(stream, "graft_text_index", sfDir,
       dir => (batch, id) => TextIndex.appendBatch(dir)(batch, id))
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     TextIndex.retrieve(ss, idxDir, qs, k = 5)
   }
 
@@ -1196,11 +1200,7 @@ object CdcStream {
     val nb = SegmentStore.bucketsOf(
       SnapshotManifest.read(new java.io.File(idxDir)), 2)
     require(nb > 2, s"auto-rebucket policy never fired (buckets = $nb)")
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     TextIndex.retrieve(ss, idxDir, qs, k = 5)
   }
 
@@ -1259,14 +1259,11 @@ object CdcStream {
     drainInto(streamOf(changed, "clone_cdc_tail", sfDir),
       cloneDir.toString,
       dir => (batch, id) => TextIndex.applyBatch(dir)(batch, id + 3))
-    // persist: BOTH sides' retrievals snapshot this probe set (each
-    // retrieve runs one driver-side take over it) — cached, the second
-    // snapshot reads blocks instead of re-scanning documents
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct().persist()
+    // BOTH sides' retrievals snapshot this probe set; the per-process
+    // memo (Tables.textProbeSet — a LocalRelation) supersedes round-11's
+    // persist: no documents scan at all, and no cached blocks for a
+    // long-lived serving session to leak (round-11 advice).
+    val qs = Tables.textProbeSet(ss, sfDir)
     TextIndex.retrieve(ss, srcDir, qs, k = 5)
       .withColumn("side", lit("src"))
       .unionByName(TextIndex.retrieve(ss, cloneDir.toString, qs, k = 5)
@@ -1290,11 +1287,7 @@ object CdcStream {
     import graft.operators.TextIndex
     val ss = streamSession(spark, flush = false)
     val idx = TextIndex.builtIndexDir(ss, sfDir)
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     val stream = streamOf(qs, "text_serve_queries", sfDir,
       maxFilesPerTrigger = Some(3), partitionKey = Some("q_id"))
     val outDir = drainToStateDir(stream, "graft_text_serve", sfDir,
@@ -1469,11 +1462,7 @@ object CdcStream {
     val ss = streamSession(spark, flush = false)
     val textIdx = TextIndex.builtIndexDir(ss, sfDir)
     val annIdx = AnnIndex.trainedIndexDir(ss, sfDir)
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     // 2 micro-batches (vs the ingest drains' 3): a SERVING batch's
     // floor cost is two full per-tier plans + the fuse, so batch count
     // is the lever — still ≥2 so the multi-batch property (epochs
@@ -1539,11 +1528,7 @@ object CdcStream {
     // 1): its head deliberately LEADS the common prefix, so reading it
     // anywhere but at the resolved watermark changes answers
     val vecStore = VecStore.cdcAppliedStoreDir(ss, sfDir)
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     val stream = streamOf(qs, "hybrid_consistent_queries", sfDir,
       maxFilesPerTrigger = Some(4), partitionKey = Some("q_id"))
     val outDir = drainToStateDir(stream, "graft_hybrid_consistent", sfDir,
@@ -1600,9 +1585,7 @@ object CdcStream {
     import graft.operators.AnnIndex
     val ss = streamSession(spark, flush = false)
     val idx = AnnIndex.trainedIndexDir(ss, sfDir)
-    val qs = AnnIndex.embeddings(ss, sfDir)
-      .where(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("q_id"), col("e").as("qe"))
+    val qs = AnnIndex.stdQuerySet(ss, sfDir)
     val stream = streamOf(qs, "ann_serve_queries", sfDir,
       maxFilesPerTrigger = Some(3))
     val outDir = drainToStateDir(stream, "graft_ann_serve", sfDir,
@@ -1699,11 +1682,7 @@ object CdcStream {
         TextIndex.applyBatch(dir)(batch, id)
         if (id == 1L) TextIndex.rebucket(batch.sparkSession, dir, 5)
       })
-    val qs = Tables.table(ss, sfDir, "documents")
-      .where(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("q_id"),
-        explode(slice(split(col("text"), " "), 1, 3)).as("term"))
-      .distinct()
+    val qs = Tables.textProbeSet(ss, sfDir)
     TextIndex.retrieve(ss, idxDir, qs, k = 5)
   }
 

@@ -243,6 +243,39 @@ class AnnIndexSpec extends AnyFunSuite {
     ()
   }
 
+  test("CDC apply: an EMPTY micro-batch advances only the watermark — no tombstone segment") {
+    // round-11 advice (medium): the old length>0 part-file witness never
+    // fired — a zero-row coalesce(1) parquet write still leaves one
+    // schema-only part- file, so every idle batch committed a zero-row
+    // tombstone segment (unbounded listing growth on an idle drain and
+    // spurious maybeCompact rewrites). The footer-rowcount witness
+    // (SegmentStore.stagedHasRows) must keep the promise the scaladoc
+    // makes: empty batches advance only the watermark.
+    val emb = AnnIndex.embeddings(spark, Sf)
+    val base = emb.where(col("vec_id") % 10 < 8)
+    val dir = freshDir("graft_ann_cdc_idle")
+    AnnIndex.train(base, dir)
+    val m0 = SnapshotManifest.read(new java.io.File(dir))
+    val segs0 = m0.entries.keys.count(k =>
+      k.startsWith("codes/") || k.startsWith("tombs/"))
+    val idle = graft.sources.Tables.table(spark, Sf, "embeddings")
+      .where(lit(false))
+      .select(col("vec_id"), col("embedding"), lit(true).as("deleted"))
+    AnnIndex.applyCdcBatch(dir)(idle, 0L)
+    val m1 = SnapshotManifest.read(new java.io.File(dir))
+    assert(m1.entries.get("lastBatch").map(_.toLong) === Some(0L),
+      "an empty batch must still advance the replay watermark")
+    assert(m1.entries.keys.count(k =>
+      k.startsWith("codes/") || k.startsWith("tombs/")) === segs0,
+      "an empty batch must commit NO code or tombstone segment")
+    assert(!m1.entries.keys.exists(_.startsWith("abytes/")),
+      "an empty batch must add no drift mass")
+    // and the replay of the now-committed empty batch is still a no-op
+    val v1 = m1.version
+    AnnIndex.applyCdcBatch(dir)(idle, 0L)
+    assert(SnapshotManifest.read(new java.io.File(dir)).version === v1)
+  }
+
   test("rebuild rotation: pointer swap, old generation queryable, crash leaves old intact") {
     val emb = AnnIndex.embeddings(spark, Sf).cache()
     val dir = freshDir("graft_ann_rebuild")
