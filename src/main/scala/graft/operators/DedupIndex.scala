@@ -249,18 +249,28 @@ object DedupIndex {
     // intermediates immediately instead of pinning them until the next
     // Bench-style blanket unpersist — the trainProbe discipline.
     val scoped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def scopedCache(df: DataFrame): DataFrame = { scoped += df; df.cache() }
+    def scopedCache(df: DataFrame): DataFrame =
+      scoped.synchronized { scoped += df; df.cache() }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
     try {
     val n = scopedCache(batch.select(col("doc_id"), col("text")))
-    // exact tier: only the buckets the batch's own full-text hashes land
-    // in; the match keeps its row stamp for the liveness pass below
-    val textBuckets = n.select(bucketOf(col("text"), nb).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted
-    val exactRows = scopedCache(
-      readRaw("doc", "doc_id LONG, text STRING", textBuckets)
-        .toDF("base_id", "text", "sseq")
-        .join(broadcast(n), Seq("text"))
-        .select(col("base_id"), col("doc_id"), col("sseq")))
+    // The EXACT tier's bucket collect and the BAND tier's
+    // shingle→signature→band chain are independent until the tombstone
+    // phase — run them concurrently (guide §2.6: the 1-task bucket
+    // collects otherwise serialize ahead of the band aggregation on
+    // every probe). Pool created inside the caller's job group
+    // (cancellation/labels inherit, the trainInto idiom).
+    val exactF = scala.concurrent.Future {
+      // exact tier: only the buckets the batch's own full-text hashes
+      // land in; the match keeps its row stamp for the liveness pass
+      val textBuckets = n.select(bucketOf(col("text"), nb).as("b"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      scopedCache(
+        readRaw("doc", "doc_id LONG, text STRING", textBuckets)
+          .toDF("base_id", "text", "sseq")
+          .join(broadcast(n), Seq("text"))
+          .select(col("base_id"), col("doc_id"), col("sseq")))
+    }(scala.concurrent.ExecutionContext.fromExecutor(pool))
     // near tier: LSH candidates from the batch's own band-key buckets;
     // signatures and shingle counts share one aggregation (the b_n
     // verification join below reads the cached sigs, not a second
@@ -276,6 +286,8 @@ object DedupIndex {
       .join(broadcast(bandBatch.toDF("doc_id", "band_idx", "band_key")),
         Seq("band_idx", "band_key"))
       .select(col("base_id"), col("doc_id"), col("sseq")))
+    val exactRows = scala.concurrent.Await.result(exactF,
+      scala.concurrent.duration.Duration.Inf)
     // phase 2: tombstones of ONLY the matched base ids' doc-hash
     // buckets. The pure-append path (no tombstone leaf anywhere — a
     // driver-side listing, no job) skips the bucket collect entirely.
@@ -334,7 +346,10 @@ object DedupIndex {
     SegmentStore.EagerPlans.record("DedupIndex.probe", out)
     // eager: the returned frame owns no probe-scoped cache
     out.localCheckpoint(true)
-    } finally { scoped.foreach(_.unpersist(blocking = false)) }
+    } finally {
+      pool.shutdown()
+      scoped.synchronized(scoped.foreach(_.unpersist(blocking = false)))
+    }
   }
 
   /** Index observability, the signature twin of TextIndex.profile /
